@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reference-exact text kernels, as composable Column functions.
+  *
+  * Semantics recovered from the reference mapper binary
+  * (`MapperImpl.so → Mapper::lowerRemovePunc @0x1f558`,
+  * `Mapper::tokenize @0x1f8da`; SURVEY.md §4.3.2):
+  *
+  *  - punctuation characters are '''deleted''' (not replaced by a space):
+  *    `don't` → `dont`, `end.Start` → `endstart`;
+  *  - ASCII lowercasing (C-locale `std::tolower`);
+  *  - split on a '''single space''' `' '` only (`getline` delim 0x20) —
+  *    tabs are NOT delimiters and survive inside tokens;
+  *  - empty tokens dropped (`empty()` check @0x1f976).
+  *
+  * Everything here stays inside Catalyst built-ins so the whole pipeline
+  * is codegen'd and the `regexp_replace`/`split` fold into one
+  * WholeStageCodegen span over the scan.
+  */
+object TextFunctions {
+
+  /** Java regex class matching C `ispunct` in the C locale: the 32 ASCII
+    * punctuation characters. `\p{Punct}` in Java is exactly
+    * {{{!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~}}} — the same set.
+    */
+  val PunctClass = "[\\p{Punct}]"
+
+  /** `lowerRemovePunc`: strip ASCII punctuation, then lowercase. */
+  def normalize(c: Column): Column = lower(regexp_replace(c, PunctClass, ""))
+
+  /** `tokenize`: split the normalized line on single spaces, keeping empty
+    * fragments out of the result (the reference emits one `(word,1,part)`
+    * tuple per non-empty fragment). Returns `array<string>`.
+    *
+    * NB: the split pattern is a literal single space, not `\\s+` — the
+    * reference never treats tabs or other whitespace as delimiters.
+    */
+  def tokenize(c: Column): Column =
+    filter(split(normalize(c), " ", -1), t => length(t) > 0)
+
+  /** Tokens of raw (un-normalized) text split on whitespace runs — the
+    * "plain whitespace" token counter for the text-analysis surface. */
+  def whitespaceTokens(c: Column): Column =
+    filter(split(c, "\\s+", -1), t => length(t) > 0)
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
+    * non-space symbols — the common GPT-2-style pretoken classes, kept to
+    * a regex subset shared by Java and RE2 so the DuckDB oracle matches. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Word-level n-grams over an `array<string>` column: contiguous runs of
+    * `n` tokens joined by a single space. Uses only codegen'd built-ins
+    * (transform + slice + array_join). */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    // sequence(1, k) is descending for k < 1, so guard short docs explicitly
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The relational operator surface: scans with pushdown, projections,
+  * filters, every join shape, partial→final aggregation, grouping
+  * sets/rollup/cube, distinct, windows, sorts/top-k, set operations.
+  *
+  * The reference engine has none of these (SURVEY.md §2.2) — its only
+  * aggregate is the per-file count — but they are the capability set the
+  * extension brief mandates, and each is expressed declaratively so
+  * Catalyst chooses the physical strategy (broadcast vs shuffle join,
+  * partial aggregation, AQE re-planning) that survives a 100 TB scale-up.
+  *
+  * Determinism contract: every query ends in a total `orderBy` (unique key
+  * tiebreaks) and rounds floating aggregates, so results hash-match the
+  * DuckDB oracle bit-for-bit regardless of partitioning.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary. Narrow scan (4 measure + 2 key + 1
+    * filter column reach the parquet reader), partial agg before the
+    * 2-group shuffle — the canonical additive-agg plan that scales
+    * linearly with input. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped: 3-way join, revenue top-10. `customer` is small at
+    * any SF relative to lineitem → broadcast; orders↔lineitem co-shuffle
+    * on the order key. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: 6-table star join → per-nation revenue. Dimension
+    * chain region→nation→customer/supplier broadcasts; the
+    * lineitem↔orders fact join shuffles on orderkey once. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Broadcast-join showcase: per-brand revenue. `part` is a dimension →
+    * explicit `broadcast()`, no shuffle of the fact side beyond the agg. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** LEFT SEMI join (EXISTS): customers having at least one open order. */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join (NOT EXISTS): segment histogram of customers with no
+    * recent orders (the unfiltered variant is empty at every SF — all
+    * customers have at least one order in the generated data). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** LEFT OUTER join preserved-null semantics: per-customer order count
+    * (zero included) and lifetime spend. */
+  def customerOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Window / ranking: top-3 orders per customer by price. The per-key
+    * top-k pattern that at 100 TB wants a partial top-k before the
+    * shuffle — Spark's WindowExec sorts within partitions of the hash
+    * exchange on o_custkey, which AQE sizes. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.withColumn("rank_in_cust", row_number().over(w))
+      .filter(col("rank_in_cust") <= 3)
+      .select(col("o_custkey"), col("rank_in_cust"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
+  /** Window / running aggregate: cumulative spend per customer in order
+    * date order. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Window / lag: price delta between consecutive shipments of each
+    * supplier. */
+  def supplierShipmentDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+    l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") -
+          lag(col("l_extendedprice"), 1, 0.0).over(w), 2).as("price_delta"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP hierarchy totals. NULL group slots are coalesced to 'ALL' so
+    * the oracle compare is collation-independent. */
+  def returnFlagRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** CUBE over order status × priority. */
+  def orderStatusCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("orderstatus", "orderpriority")
+  }
+
+  /** GROUPING SETS via SQL — two independent group shapes in one pass. */
+  def customerGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("gs_customer")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+        |       count(1) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM gs_customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        |ORDER BY segment, nationkey""".stripMargin)
+  }
+
+  /** DISTINCT projection. */
+  def distinctFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact multi-column COUNT(DISTINCT) — Catalyst expands to a
+    * two-level aggregate automatically. */
+  def distinctPartsPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Approximate distinct (HLL++). No DuckDB oracle — sketches are
+    * engine-specific; driver does a rows-only check. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** UNION / INTERSECT / EXCEPT in one tagged result: which nations have
+    * customers vs suppliers. */
+  def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val both = c.intersect(s).withColumn("tag", lit("both"))
+    val cOnly = c.except(s).withColumn("tag", lit("customer_only"))
+    val sOnly = s.except(c).withColumn("tag", lit("supplier_only"))
+    both.union(cOnly).union(sOnly)
+      .select("tag", "nationkey")
+      .orderBy("tag", "nationkey")
+  }
+
+  /** Global sort + limit (top-k): driver-side k rows only. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(15)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+}

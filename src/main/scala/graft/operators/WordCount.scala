@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** The reference engine's one and only query — per-key word count — plus
+  * its natural generalizations, as one lazy Spark plan.
+  *
+  * Reference pipeline (SURVEY.md §3): scan → tokenize (`MapperImpl.so`) →
+  * per-partition partial count (`ShufflerImpl.so`, a map-side combiner) →
+  * per-file final merge (`ReducerImpl.so`) → ordered sink. In Spark the
+  * partial/final split is exactly `HashAggregate(partial)` →
+  * shuffle → `HashAggregate(final)`, produced automatically by
+  * `groupBy(key, word).count()` — no hand-rolled combiner needed, and the
+  * plan holds at any scale because the agg state is additive.
+  *
+  * Two semantics gotchas pinned by tests (SURVEY.md §4.3):
+  *  - aggregation scope is PER KEY (per input file / per doc_id) — counts
+  *    never merge across keys (`asio_deep/main.cpp:457-459`);
+  *  - output ordering is byte-lexicographic per key, mirroring `std::map`
+  *    iteration (`FileProcessorBase.hpp:34`), so sinks `orderBy` explicitly.
+  */
+object WordCount {
+
+  /** Tokenized (key, word) pairs: one row per emitted token, the Spark
+    * analog of the reference's `(word, 1, partitionNum)` tuple stream. */
+  def tokens(df: DataFrame, key: Column, text: Column): DataFrame =
+    df.select(key.as("key"), explode(tokenize(text)).as("word"))
+
+  /** Per-key word count — the reference's end-to-end query. */
+  def perKey(df: DataFrame, key: Column, text: Column): DataFrame =
+    tokens(df, key, text)
+      .groupBy("key", "word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-global word count (the reference never merges across files;
+    * this is the extension users actually want at 100 TB). */
+  def global(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokenize(text)).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Global top-k words with a total (word) tiebreak so the result is
+    * deterministic under any partitioning. */
+  def topK(df: DataFrame, text: Column, k: Int): DataFrame =
+    global(df, text).orderBy(desc("cnt"), asc("word")).limit(k)
+}

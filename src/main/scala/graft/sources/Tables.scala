@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * reference-style text-corpus source.
+  *
+  * The reference engine's only source is a directory scan of line-oriented
+  * text files (`asio_deep/main.cpp:230-234`, contract
+  * `asio_deep/headers/FileProcessorBase.hpp:82-84`); [[textCorpus]] is its
+  * Spark-native equivalent. The relational loaders cover the extension
+  * surface mandated by BASELINE.json.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
+    * to TimestampType (micros) — the generator emits µs-aligned values, so
+    * `div 1000` is lossless and matches DuckDB's epoch_us exactly. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Directory-of-text-files source, the Spark analog of the reference's
+    * `FileProcessorInput` (scan + partition; SURVEY.md §2.1 #1). One row per
+    * line; `file` carries provenance — the reference's aggregation-scope key
+    * (`asio_deep/main.cpp:457-459` — reducers never merge across files).
+    *
+    * The reference's fixed 2000-line partitioning
+    * (`FileProcessorInput.so → processFile`, const 2000) is an arbitrary
+    * parallelism knob; Spark's input-split machinery
+    * (`spark.sql.files.maxPartitionBytes`) subsumes it, and all downstream
+    * operators are partition-count invariant (FIXTURES.md invariants).
+    */
+  def textCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.textFile(dir).toDF("line")
+      .withColumn("file", input_file_name())
+      .select("file", "line")
+  }
+}
