@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd collection expressions (`zip_with`/`aggregate`) — no UDFs, so
+  * the arithmetic stays inside WholeStageCodegen and the DuckDB oracle can
+  * reproduce it exactly (identical sequential fold order).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product in double precision. Element order is the
+    * array order in both engines, so results are bit-identical. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, structured as dot/(sqrt(aa)*sqrt(bb)) — the same
+    * expression shape the oracle uses. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-LSH coarse bucket from the first `nBits` dimensions: bit d set
+    * iff v[d] >= 0. A deterministic stand-in for an IVF coarse quantizer —
+    * the bucketing that turns an all-pairs scan into a per-bucket scan. */
+  def signBucket(v: Column, nBits: Int): Column =
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
+      (acc, d) => acc + when(element_at(v, d + 1) >= 0,
+        floor(pow(lit(2.0), d)).cast("long")).otherwise(lit(0L)))
+}

