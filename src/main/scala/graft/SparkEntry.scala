@@ -71,18 +71,18 @@ object SparkEntry {
     "wc_per_doc" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |         unnest(list_filter(string_split(lower(regexp_replace(text, '[[:punct:]]', '', 'g')), ' '), t -> t <> '')) AS word
+        |         unnest(list_filter(string_split(translate(regexp_replace(text, '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> t <> '')) AS word
         |  FROM documents)
         |SELECT doc_id, word, count(*) AS cnt FROM tok
         |GROUP BY doc_id, word ORDER BY doc_id, word""".stripMargin,
     "wc_global" ->
       """WITH tok AS (
-        |  SELECT unnest(list_filter(string_split(lower(regexp_replace(text, '[[:punct:]]', '', 'g')), ' '), t -> t <> '')) AS word
+        |  SELECT unnest(list_filter(string_split(translate(regexp_replace(text, '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> t <> '')) AS word
         |  FROM documents)
         |SELECT word, count(*) AS cnt FROM tok GROUP BY word ORDER BY word""".stripMargin,
     "wc_top20" ->
       """WITH tok AS (
-        |  SELECT unnest(list_filter(string_split(lower(regexp_replace(text, '[[:punct:]]', '', 'g')), ' '), t -> t <> '')) AS word
+        |  SELECT unnest(list_filter(string_split(translate(regexp_replace(text, '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> t <> '')) AS word
         |  FROM documents)
         |SELECT word, count(*) AS cnt FROM tok GROUP BY word
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
@@ -231,7 +231,7 @@ object SparkEntry {
         |       round(sum(session_value), 2) AS total_value
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_json" ->
-      """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
     "q_events_daily_share" ->

@@ -28,8 +28,17 @@ object TextFunctions {
     */
   val PunctClass = "[\\p{Punct}]"
 
-  /** `lowerRemovePunc`: strip ASCII punctuation, then lowercase. */
-  def normalize(c: Column): Column = lower(regexp_replace(c, PunctClass, ""))
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
+
+  /** ASCII-only lowercase, matching the reference's C-locale
+    * `std::tolower` exactly: 'É' passes through unchanged, where Spark's
+    * Unicode-aware `lower()` would map it. `translate` is codegen'd and
+    * has the same semantics in DuckDB, so the oracle can mirror it. */
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+
+  /** `lowerRemovePunc`: strip ASCII punctuation, then ASCII-lowercase. */
+  def normalize(c: Column): Column = asciiLower(regexp_replace(c, PunctClass, ""))
 
   /** `tokenize`: split the normalized line on single spaces, keeping empty
     * fragments out of the result (the reference emits one `(word,1,part)`

@@ -41,9 +41,11 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3-shaped: 3-way join, revenue top-10. `customer` is small at
-    * any SF relative to lineitem → broadcast; orders↔lineitem co-shuffle
-    * on the order key. */
+  /** TPC-H Q3-shaped: 3-way join, revenue top-10. customer/orders/lineitem
+    * all scale with SF, so no join side is force-broadcast: AQE +
+    * autoBroadcastJoinThreshold pick broadcast at small SF and shuffle
+    * joins at 100 TB (a forced broadcast of customer OOMs the driver
+    * there). orders↔lineitem co-shuffle on the order key. */
   def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir)
@@ -51,7 +53,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
@@ -60,8 +62,10 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-shaped: 6-table star join → per-nation revenue. Dimension
-    * chain region→nation→customer/supplier broadcasts; the
+  /** TPC-H Q5-shaped: 6-table star join → per-nation revenue. Only the
+    * fixed-cardinality dimensions (nation=25, region=5 rows at every SF)
+    * are force-broadcast; customer/supplier scale with SF and are left to
+    * AQE — broadcast at test scale, shuffle join at 100 TB. The
     * lineitem↔orders fact join shuffles on orderkey once. */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -73,8 +77,8 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c),
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -84,12 +88,13 @@ object Relational {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
-  /** Broadcast-join showcase: per-brand revenue. `part` is a dimension →
-    * explicit `broadcast()`, no shuffle of the fact side beyond the agg. */
+  /** Per-brand revenue via the part dimension. `part` scales with SF
+    * (200k×SF rows), so the broadcast decision is left to AQE rather than
+    * forced — at bench SF it still broadcasts, at 100 TB it shuffles. */
   def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

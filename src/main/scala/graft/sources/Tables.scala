@@ -29,10 +29,13 @@ object Tables {
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
     * to TimestampType (micros) — the generator emits µs-aligned values, so
-    * `div 1000` is lossless and matches DuckDB's epoch_us exactly. */
+    * `div 1000` is lossless and matches DuckDB's epoch_us exactly.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build by every entry point (Verify/Bench/tests) — a pure
+    * loader must not mutate session config per call. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
