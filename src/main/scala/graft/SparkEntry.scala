@@ -62,7 +62,47 @@ object SparkEntry {
     "q_events_sessions" -> (EventsOps.userSessions _),
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
+
+    // ---- dedup surface (training-data pipeline brief) ----
+    "q_dedup_exact_stats"   -> (Dedup.exactStats _),
+    "q_dedup_exact_groups"  -> (Dedup.exactGroups _),
+    "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "q_dedup_simhash"       -> (Dedup.simhashPairs _),
+    "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_embedding"     -> (Dedup.embeddingNearDup _),
+
+    // ---- similarity search surface ----
+    "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
+    "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
   )
+
+  /** DuckDB fragment for the reference-exact tokenizer (mirror of
+    * `TextFunctions.tokenize`): strip ASCII punctuation, ASCII-lowercase,
+    * split on single spaces, drop empties. */
+  private val DuckTok =
+    "list_filter(string_split(translate(regexp_replace(text, '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), t -> t <> '')"
+
+  /** DuckDB fragment: distinct word-3-gram shingles from `toks` (mirror of
+    * `TextFunctions.wordNgrams(…, 3)` + `array_distinct`). */
+  private val DuckShingles =
+    "list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+
+  /** DuckDB fragment: L2 norm of `embedding`, matching
+    * `VectorFunctions.norm`'s sequential double fold exactly (a left fold
+    * seeded with 0.0 equals DuckDB's `list_reduce` first-element seed,
+    * since 0.0 + x == x in IEEE doubles). */
+  private val DuckNorm =
+    "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
+
+  /** DuckDB fragment: 8-bit sign bucket over the leading dimensions
+    * (mirror of `VectorFunctions.signBucket(…, 8)`). */
+  private val DuckBucket =
+    "list_sum(list_transform(range(0, 8), d -> CASE WHEN embedding[d + 1] >= 0 THEN (1::BIGINT << d) ELSE 0 END))::BIGINT"
+
+  /** DuckDB fragment: sequential-fold dot product of `$a` and `$b`
+    * (mirror of `VectorFunctions.dot`). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
 
   /** DuckDB-dialect equivalents over the same tables (registered by the
     * driver under their bare names). Column names/aliases must match the
@@ -242,5 +282,113 @@ object SparkEntry {
         |SELECT day, event_type, n,
         |       round(n / (sum(n) OVER (PARTITION BY day)), 4) AS share
         |FROM daily ORDER BY day, event_type""".stripMargin,
+
+    "q_dedup_exact_stats" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct,
+        |       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_dupes
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+        |       min(doc_id) AS keep_doc
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_md5""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |sh AS (SELECT doc_id, $DuckShingles AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, list_transform(range(0, 32),
+         |          i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)))) AS sigs
+         |        FROM sh),
+         |band AS (SELECT doc_id, sigs, b.band,
+         |           md5(array_to_string(list_slice(sigs, band * 4 + 1, band * 4 + 4), ',')) AS band_sig
+         |         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM band x JOIN band y
+         |           ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |est AS (SELECT doc_a, doc_b,
+         |          round(list_sum(list_transform(range(1, 33),
+         |            i -> CASE WHEN sa.sigs[i] = sb.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est_jaccard
+         |        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |                  JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(list_distinct(toks),
+         |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+         |      FROM tok),
+         |s AS (SELECT doc_id, list_sum(list_transform(range(0, 32),
+         |        j -> CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)) > 0
+         |             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh
+         |      FROM h),
+         |band AS (SELECT doc_id, sh, b.band, (sh >> (band * 8)) & 255 AS band_val
+         |         FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM band x JOIN band y
+         |           ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
+         |FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |sh AS (SELECT doc_id, $DuckShingles AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |posting AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |capped AS (SELECT doc_id, g FROM posting JOIN rare USING (g)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        round(len(list_intersect(sa.shingles, sb.shingles))
+         |          / (len(sa.shingles) + len(sb.shingles)
+         |             - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         |      FROM cand JOIN sh sa ON sa.doc_id = doc_a
+         |                JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT label, vec_id, embedding,
+         |             $DuckBucket AS bucket, $DuckNorm AS nrm
+         |           FROM embeddings),
+         |pairs AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |            round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |          FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+         |                           AND a.vec_id < b.vec_id),
+         |ranked AS (SELECT label, vec_a, vec_b, cos,
+         |             row_number() OVER (PARTITION BY label
+         |               ORDER BY cos DESC, vec_a, vec_b) AS "rank"
+         |           FROM pairs)
+         |SELECT label, "rank", vec_a, vec_b, cos FROM ranked
+         |WHERE "rank" <= 3 ORDER BY label, "rank"""".stripMargin,
+    "q_ann_brute_force" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM e WHERE vec_id < 10),
+         |pairs AS (SELECT q.q_id, e.vec_id AS neighbor,
+         |            round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) AS cos
+         |          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+    "q_ann_lsh_bucket" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,
+         |             $DuckNorm AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+         |      FROM e WHERE vec_id < 10),
+         |pairs AS (SELECT q.q_id, e.bucket, e.vec_id AS neighbor,
+         |            round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) AS cos
+         |          FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, bucket, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, bucket, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
   )
 }

@@ -124,36 +124,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact word-3-gram Jaccard over LSH-free inverted-index candidates:
-    * only pairs sharing at least one shingle are scored (the classic
-    * posting-list self-join; bounded by shingle frequency, not n^2). */
+  /** Document-frequency cap for candidate-generating shingles. A shingle
+    * appearing in d documents contributes O(d²) candidate pairs to the
+    * posting self-join, so hot shingles (stopword runs, boilerplate) make
+    * the join quadratic at corpus scale. Shingles with df > cap are
+    * excluded from CANDIDATE GENERATION only — similarity is still scored
+    * on the full shingle sets — so a pair is missed only if every shared
+    * shingle is hot, which at df > 100 puts it far below any dedup
+    * threshold. (sf0.01 max df is 7: the cap changes nothing at test
+    * scale and bounds the join at 100 TB.) */
+  val MaxShingleDf = 100
+
+  /** Exact word-3-gram Jaccard: candidates from an inverted-index
+    * (posting-list) self-join restricted to rare shingles
+    * ([[MaxShingleDf]]; df >= 2 since singletons can't pair), then exact
+    * verification on the full shingle sets via `array_intersect` — the
+    * candidate step bounds the shuffle, the verify step restores exact
+    * semantics. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val inter = posting.alias("x")
-      .join(posting.alias("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val rare = posting.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, MaxShingleDf))
+      .select("g")
+    val capped = posting.join(rare, "g")
+    val cands = capped.alias("x")
+      .join(capped.alias("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup: top-3 most-similar pairs per label block
-    * (label = the blocking key standing in for an ANN partition).
+  /** Embedding near-dup: top-3 most-similar pairs per label, with pair
+    * generation blocked on (label, 8-bit sign bucket) — the same
+    * IVF-style coarse quantizer as [[SimSearch.lshBucketedTopK]] — so no
+    * block is ever all-pairs over a full label partition (a label is not
+    * a bounded set at corpus scale; a sign bucket is 1/256 of it).
     * Ranking is by cosine rounded to 6 decimals with vec_id tiebreaks, so
     * order is stable across engines and partitionings. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val pairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        VectorFunctions.signBucket(col("embedding"), SimSearch.BucketBits).as("bucket"))
+    val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val pairs = a.join(b, Seq("label", "bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(VectorFunctions.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
     val w = Window.partitionBy("label").orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
