@@ -36,6 +36,18 @@ object SparkEntry {
         .orderBy("word")),
     "wc_top20" -> ((s, dir) =>
       WordCount.topK(Tables.documents(s, dir), col("text"), 20)),
+    // The reference's ACTUAL source modality: a directory of text files,
+    // per-FILE aggregation scope via input_file_name() provenance
+    // (asio_deep/main.cpp:457-459 — reducers never merge across files).
+    // Fixture corpus is committed at fixtures/corpus/perfile and includes
+    // the tokenizer edge cases (punct deletion, tab-in-token, double
+    // space, ASCII-only case) so the kernel semantics earn an oracle row.
+    "wc_per_file" -> ((s, _) =>
+      WordCount.perKey(
+          Tables.textCorpus(s, PerFileCorpus),
+          regexp_extract(col("file"), "[^/]+$", 0), col("line"))
+        .withColumnRenamed("key", "file")
+        .orderBy("file", "word")),
 
     // ---- relational surface ----
     "q1_pricing"       -> (Relational.pricingSummary _),
@@ -75,6 +87,11 @@ object SparkEntry {
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
   )
+
+  /** Committed text-file fixture corpus for the per-file word-count
+    * query; absolute so Verify (Spark) and the driver's DuckDB oracle
+    * resolve the same files. */
+  val PerFileCorpus = "/root/repo/fixtures/corpus/perfile"
 
   /** DuckDB fragment for the reference-exact tokenizer (mirror of
     * `TextFunctions.tokenize`): strip ASCII punctuation, ASCII-lowercase,
@@ -126,6 +143,15 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, count(*) AS cnt FROM tok GROUP BY word
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "wc_per_file" ->
+      s"""WITH lines AS (
+         |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
+         |         unnest(string_split(content, chr(10))) AS text
+         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
+         |SELECT file, word, count(*) AS cnt FROM tok
+         |GROUP BY file, word ORDER BY file, word""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

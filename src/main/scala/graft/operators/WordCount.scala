@@ -45,4 +45,23 @@ object WordCount {
     * deterministic under any partitioning. */
   def topK(df: DataFrame, text: Column, k: Int): DataFrame =
     global(df, text).orderBy(desc("cnt"), asc("word")).limit(k)
+
+  /** Ordered per-key text sink — the `FileProcessorRedOutput` analog
+    * (`FileProcessorBase.hpp:180-182`): one directory per key holding
+    * `(word,count)` lines in byte-lexicographic word order, mirroring the
+    * reference's `final_output/<file>` layout and its implicit `std::map`
+    * iteration order (SURVEY.md §1.1).
+    *
+    * `repartition(key)` puts each key's rows in exactly one task, and
+    * `sortWithinPartitions` makes that task emit its lines ordered, so
+    * every `key=<k>/part-*` file is a single, fully sorted text file —
+    * at any scale, without a global sort. Input must be [[perKey]] output
+    * (`key`, `word`, `cnt`). */
+  def writePerFile(counts: DataFrame, outDir: String): Unit =
+    counts
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "word")
+      .select(col("key"),
+        concat(lit("("), col("word"), lit(","), col("cnt"), lit(")")).as("value"))
+      .write.partitionBy("key").mode("overwrite").text(outDir)
 }
