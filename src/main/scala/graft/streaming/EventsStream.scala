@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table — the streaming
+  * twins of the batch queries in [[graft.operators.EventsOps]]. The
+  * transforms are declared once on (streaming) DataFrames; Catalyst plans
+  * the incremental stateful execution, watermarks bound the state.
+  *
+  * The reference has no data-plane streaming (its TCP loop is phase
+  * control, `asio_client/main.cpp:50-77` — SURVEY.md §2.2), so this
+  * module is designed from Spark idioms: file-source → watermark →
+  * windowed/stateful agg → sink.
+  *
+  * State posture at scale: every aggregation below is keyed by
+  * (bounded window × group key), and the watermark lets Spark evict
+  * state for closed windows — state size is O(open windows × keys),
+  * independent of stream length.
+  */
+object EventsStream {
+
+  /** Parquet schema of the events table as the file SOURCE sees it with
+    * `nanosAsLong` (INT64 TIMESTAMP(NANOS) surfaces as LongType). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Bounded file-source stream over the events parquet in an sf
+    * directory (the file source wants a directory, so `dir` is the sf
+    * root and a glob filter picks the table) — `maxFilesPerTrigger`
+    * paces replay. Same nanos→micros conversion as `Tables.events`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming twin of `EventsOps.hourlyTypeCounts`: tumbling 1-hour
+    * windows per event type, 2-hour watermark for late data. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Native session windows (30-min inactivity gap) per user — the
+    * streaming analog of the batch lag→flag→cumsum sessionization in
+    * `EventsOps.userSessions`, using Spark's built-in `session_window`
+    * state machine instead of the window-function idiom (which needs the
+    * whole per-user history and so only exists in batch). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Demo main: replays an events directory as a bounded stream and runs
+    * the hourly aggregation to completion (AvailableNow), printing the
+    * final row count. `args(0)` = sf dir (default sf0.001). */
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = hourlyTypeCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    println(s"hourly rows: ${spark.table("hourly").count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.EventsOps
+import graft.streaming.EventsStream
+
+/** Batch/stream equivalence on a bounded replay of the sf0.001 events
+  * table: the streaming hourly aggregation (complete mode, AvailableNow)
+  * must produce exactly the batch result — same windows, same counts,
+  * same rounded sums.
+  */
+class EventsStreamSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  test("streaming hourly counts == batch hourly counts on bounded input") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.hourlyTypeCounts(
+        EventsStream.readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("hourly_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("hourly_test").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = EventsOps.hourlyTypeCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session windows: totals conserve events and value per user") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.userSessions(
+        EventsStream.readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("sessions_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val perUser = spark.table("sessions_test").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val batchTotals = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == batchTotals)
+  }
+}
