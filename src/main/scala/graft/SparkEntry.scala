@@ -86,6 +86,14 @@ object SparkEntry {
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
+
+    // ---- text-analysis surface ----
+    "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
+    "q_text_quality"     -> (TextAnalysis.qualityBySource _),
+    "q_text_token_stats" -> (TextAnalysis.tokenStats _),
+    "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q_text_bigrams"     -> (TextAnalysis.bigramsTop20 _),
+    "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
   )
 
   /** Committed text-file fixture corpus for the per-file word-count
@@ -120,6 +128,16 @@ object SparkEntry {
     * (mirror of `VectorFunctions.dot`). */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
+    * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
+  private val TextFunctionsBpeish = graft.functions.TextFunctions.BpeishPattern
+
+  /** DuckDB fragment: occurrences of `stop`-list tokens in `toks`
+    * (mirror of `TextAnalysis.stopHits`), generated from the same Scala
+    * stopword lists so the two engines can never drift. */
+  private def duckStopHits(stop: Seq[String]): String =
+    stop.mkString("len(list_filter(toks, t -> t IN ('", "', '", "')))")
 
   /** DuckDB-dialect equivalents over the same tables (registered by the
     * driver under their bare names). Column names/aliases must match the
@@ -401,6 +419,77 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+    "q_text_lang_id" ->
+      s"""WITH t AS (SELECT lang, $DuckTok AS toks FROM documents),
+         |scored AS (SELECT lang,
+         |             ${duckStopHits(TextAnalysis.StopEn)} AS s_en,
+         |             ${duckStopHits(TextAnalysis.StopDe)} AS s_de,
+         |             ${duckStopHits(TextAnalysis.StopFr)} AS s_fr
+         |           FROM t)
+         |SELECT lang,
+         |       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+         |       count(*)::BIGINT AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH d AS (
+         |  SELECT source, $DuckTok AS toks,
+         |         regexp_extract_all(text, '\\S+') AS ws, text
+         |  FROM documents),
+         |per_doc AS (
+         |  SELECT source,
+         |    length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) AS punct_ratio,
+         |    ${duckStopHits(TextAnalysis.StopEn)} / len(toks) AS stop_ratio,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) / len(ws) AS mean_tok_len
+         |  FROM d)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       round(avg(punct_ratio), 4) AS avg_punct_ratio,
+         |       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+         |       round(avg(mean_tok_len), 4) AS avg_tok_len
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_token_stats" ->
+      s"""WITH per_doc AS (
+         |  SELECT lang,
+         |         len(regexp_extract_all(text, '\\S+')) AS n_ws,
+         |         len(regexp_extract_all(text, '${TextFunctionsBpeish}')) AS n_bpe
+         |  FROM documents)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_ws)::BIGINT AS ws_tokens,
+         |       sum(n_bpe)::BIGINT AS bpe_tokens,
+         |       round(avg(n_bpe / n_ws), 4) AS avg_bpe_per_ws
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |             WHERE doc_id < 100)
+         |SELECT doc_id,
+         |       list_reduce(list_prepend(0::BIGINT,
+         |         list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+         |         (acc, h) -> (acc * 31 + h) % ${TextAnalysis.FpMod})::BIGINT AS fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_text_bigrams" ->
+      s"""WITH tok AS (SELECT $DuckTok AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+         |       FROM tok WHERE len(toks) >= 2)
+         |SELECT bigram, count(*)::BIGINT AS cnt FROM bg
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, word,
+         |             round(tf * ln(n::DOUBLE / df), 4) AS score
+         |           FROM tf JOIN df USING (word) CROSS JOIN n
+         |           WHERE doc_id < 10),
+         |ranked AS (SELECT doc_id, word, score,
+         |             row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, word) AS "rank"
+         |           FROM scored)
+         |SELECT doc_id, "rank", word, score FROM ranked
+         |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
     "q_ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,
          |             $DuckNorm AS nrm

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting, n-gram
+  * statistics and tf-idf. All per-document work is narrow (collection
+  * expressions over the token array — no explode until aggregation
+  * needs it, no UDFs), so the scan stage streams at 100 TB; the only
+  * shuffles are the final group-bys on bounded key spaces.
+  *
+  * Cross-engine rules as elsewhere: md5-derived hashes only, rounded
+  * floating outputs, total orderings with unique tiebreaks.
+  */
+object TextAnalysis {
+
+  /** Tiny stopword lexicons for the language-ID heuristic. Single source
+    * of truth: the oracle SQL is generated from these same lists. */
+  val StopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "auf", "nicht")
+  val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "par", "pour")
+
+  /** Modulus for the rolling polynomial fingerprint. */
+  val FpMod = 1000000007L
+
+  private def toks(c: Column): Column = tokenize(c)
+
+  private def stopHits(tokens: Column, stop: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stop: _*)))
+
+  /** Language-ID confusion matrix: predict a language per document from
+    * stopword hit counts (argmax with a fixed en>de>fr tie order), then
+    * count (actual, predicted) pairs. The per-doc scoring is one narrow
+    * pass; the group-by key space is |langs|². */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).withColumn("toks", toks(col("text")))
+      .withColumn("s_en", stopHits(col("toks"), StopEn))
+      .withColumn("s_de", stopHits(col("toks"), StopDe))
+      .withColumn("s_fr", stopHits(col("toks"), StopFr))
+    t.withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Per-source quality profile: punctuation density, English-stopword
+    * ratio, mean token length — the classic cheap quality screens before
+    * expensive model-based filtering. */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("ws", whitespaceTokens(col("text")))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) / length(col("text")))
+      .withColumn("stop_ratio", stopHits(col("toks"), StopEn) / size(col("toks")))
+      .withColumn("mean_tok_len",
+        length(regexp_replace(col("text"), "\\s+", "")) / size(col("ws")))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("punct_ratio"), 4).as("avg_punct_ratio"),
+        round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        round(avg("mean_tok_len"), 4).as("avg_tok_len"))
+      .orderBy("source")
+  }
+
+  /** Token counting per language: whitespace tokens vs BPE-ish pretokens
+    * (letter runs / digit runs / single symbols — [[BpeishPattern]]),
+    * the two denominators every data-mixing recipe needs. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws", size(whitespaceTokens(col("text"))))
+      .withColumn("n_bpe", size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("ws_tokens"),
+        sum("n_bpe").as("bpe_tokens"),
+        round(avg(col("n_bpe") / col("n_ws")), 4).as("avg_bpe_per_ws"))
+      .orderBy("lang")
+
+  /** Rolling polynomial fingerprint of the token stream (order-sensitive,
+    * unlike the set-based MinHash/SimHash): h ← (31·h + md5₃₂(token))
+    * mod p. A narrow per-row fold — the content-addressable doc ID for
+    * incremental pipelines. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        aggregate(
+          transform(toks(col("text")),
+            t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")),
+          lit(0L), (acc, h) => (acc * 31L + h) % FpMod).as("fp"))
+      .orderBy("doc_id")
+
+  /** Global top-20 word bigrams (all occurrences, not distinct-per-doc),
+    * with a bigram tiebreak for determinism. */
+  def bigramsTop20(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wordNgrams(toks(col("text")), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+
+  /** Tf-idf top-3 terms for the first 10 documents: tf from the per-doc
+    * word count, df from the distinct (doc, word) pairs, idf = ln(N/df).
+    * The corpus-size scalar joins in as a broadcast single-row frame —
+    * no driver-side collect. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(n))
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "word", "score")
+      .orderBy("doc_id", "rank")
+  }
+}
