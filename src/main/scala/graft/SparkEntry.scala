@@ -94,6 +94,9 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_text_bigrams"     -> (TextAnalysis.bigramsTop20 _),
     "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
+
+    // ---- multimodal surface (binary payload columns) ----
+    "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
   )
 
   /** Committed text-file fixture corpus for the per-file word-count
@@ -419,6 +422,16 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+    "q_multimodal_stats" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |  encode(text) AS content, md5(text) AS content_md5 FROM documents)
+        |SELECT mime, count(*)::BIGINT AS n_media,
+        |       sum(octet_length(content))::BIGINT AS total_bytes,
+        |       round(avg(octet_length(content)), 2) AS avg_bytes,
+        |       count(DISTINCT content_md5)::BIGINT AS n_distinct
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
     "q_text_lang_id" ->
       s"""WITH t AS (SELECT lang, $DuckTok AS toks FROM documents),
          |scored AS (SELECT lang,

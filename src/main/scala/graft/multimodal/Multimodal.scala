@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** A multimodal record: opaque binary payload + typed metadata. The
+  * engine treats media exactly like any other column — `content` is
+  * `BinaryType`, metadata is ordinary typed columns — so partitioning,
+  * predicate pushdown and column pruning all apply unchanged; only the
+  * decode step needs per-row imperative code. */
+final case class MediaRecord(
+    media_id: Long,
+    mime: String,
+    content: Array[Byte])
+
+/** Decoded (stub) features for one media record — what a real image /
+  * audio decoder would emit (dimensions, duration, signal stats). */
+final case class MediaFeatures(
+    media_id: Long,
+    mime: String,
+    n_bytes: Int,
+    checksum: Long,
+    fake_width: Int,
+    fake_height: Int)
+
+/** Multimodal-column operators.
+  *
+  * The media decode/feature-extract libraries are NOT in this
+  * environment, so [[decodeStub]] is a clearly-marked deterministic
+  * stand-in; everything AROUND it — the binary column schema, the typed
+  * `Dataset` plumbing, the per-partition batch shape (one iterator pass,
+  * no materialization of the partition), partitioning preservation — is
+  * the real production shape and is what the tests pin down.
+  */
+object Multimodal {
+
+  /** Deterministic synthetic media table derived from `documents`:
+    * content = UTF-8 bytes of the text, mime cycled by doc_id. Stands in
+    * for a real binary-payload parquet table (same schema a crawl dump
+    * would have). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3).cast("int") + 1).as("mime"),
+      col("text").cast("binary").as("content"),
+      md5(col("text")).as("content_md5"))
+
+  /** STUB decoder — stands in for e.g. javax.imageio / ffmpeg bindings,
+    * which this container does not ship. Deterministic fake features
+    * derived from the payload bytes so tests are reproducible. The
+    * `mapPartitions` shape is the real one: one lazy pass over the
+    * partition iterator, no per-row task setup, decoder state (here:
+    * none) initialized once per partition. */
+  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // real code would open the codec once per partition here
+      it.map { r =>
+        val sum = r.content.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) & 0x7fffffffL)
+        MediaFeatures(
+          media_id = r.media_id,
+          mime = r.mime,
+          n_bytes = r.content.length,
+          checksum = sum,
+          // a real decoder reads these from the container header
+          fake_width = ((sum % 640) + 1).toInt,
+          fake_height = ((sum % 480) + 1).toInt)
+      }
+    }
+  }
+
+  /** Per-mime payload statistics — the registered, oracle-checked query
+    * over the binary column (pure column ops: octet_length etc. work on
+    * BinaryType like any scalar type). */
+  def mimeStats(spark: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(spark, dir)
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(octet_length(col("content"))).as("total_bytes"),
+        round(avg(octet_length(col("content"))), 2).as("avg_bytes"),
+        countDistinct(col("content_md5")).as("n_distinct"))
+      .orderBy("mime")
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.BinaryType
+import graft.multimodal.{MediaRecord, Multimodal}
+
+/** The decode step is a stub (no media libs in this environment), but
+  * the Spark plumbing around it is real: binary column schema, typed
+  * Dataset shape, deterministic per-partition batch processing, and
+  * narrow (partition-preserving) execution.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table: binary content column + typed metadata") {
+    val m = Multimodal.mediaFromDocuments(spark, dir)
+    assert(m.schema("content").dataType == BinaryType)
+    val mimes = m.select("mime").distinct().as[String].collect().toSet
+    assert(mimes == Set("image/png", "audio/wav", "video/mp4"))
+    val row = m.filter($"media_id" === 0L).head()
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8").nonEmpty)
+  }
+
+  test("decodeStub: deterministic features, one pass per partition, narrow") {
+    val records = Multimodal.mediaFromDocuments(spark, dir)
+      .select("media_id", "mime", "content").as[MediaRecord]
+    val feats = Multimodal.decodeStub(records)
+    // narrow: no shuffle, partitioning preserved
+    assert(feats.rdd.getNumPartitions == records.rdd.getNumPartitions)
+    val f = feats.filter(_.media_id == 0L).head()
+    val bytes = records.filter(_.media_id == 0L).head().content
+    assert(f.n_bytes == bytes.length)
+    val expectedSum = bytes.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) & 0x7fffffffL)
+    assert(f.checksum == expectedSum)
+    assert(f.fake_width == ((expectedSum % 640) + 1).toInt)
+    // deterministic across runs
+    assert(Multimodal.decodeStub(records).filter(_.media_id == 0L).head() == f)
+  }
+
+  test("mimeStats aggregates the binary payload like any column") {
+    val stats = Multimodal.mimeStats(spark, dir).collect()
+    assert(stats.nonEmpty)
+    val total = stats.map(_.getAs[Long]("n_media")).sum
+    val docs = graft.sources.Tables.documents(spark, dir).count()
+    assert(total == docs)
+  }
+}
