@@ -342,13 +342,19 @@ object SparkEntry {
         |ORDER BY text_md5""".stripMargin,
     "q_dedup_minhash_lsh" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
-         |sh AS (SELECT doc_id, $DuckShingles AS shingles
-         |       FROM tok WHERE len(toks) >= 3),
+         |grams AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS gs
+         |          FROM tok WHERE len(toks) >= 3),
+         |xs AS (SELECT doc_id, list_transform(gs,
+         |         g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS xs
+         |       FROM grams),
          |sig AS (SELECT doc_id, list_transform(range(0, 32),
-         |          i -> list_min(list_transform(shingles, s -> md5(i::VARCHAR || ':' || s)))) AS sigs
-         |        FROM sh),
+         |          i -> list_min(list_transform(xs,
+         |            x -> ((2 * i + 1) * x + (i * 40503 + 7)) % 2147483647))) AS sigs
+         |        FROM xs),
          |band AS (SELECT doc_id, sigs, b.band,
-         |           md5(array_to_string(list_slice(sigs, band * 4 + 1, band * 4 + 4), ',')) AS band_sig
+         |           array_to_string(list_transform(
+         |             list_slice(sigs, band * 4 + 1, band * 4 + 4), v -> v::VARCHAR), ',') AS band_sig
          |         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM band x JOIN band y
@@ -364,7 +370,7 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |h AS (SELECT doc_id, list_transform(list_distinct(toks),
          |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
-         |      FROM tok),
+         |      FROM tok WHERE len(toks) > 0),
          |s AS (SELECT doc_id, list_sum(list_transform(range(0, 32),
          |        j -> CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)) > 0
          |             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh
@@ -382,17 +388,20 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |sh AS (SELECT doc_id, $DuckShingles AS shingles
          |       FROM tok WHERE len(toks) >= 3),
-         |posting AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
-         |rare AS (SELECT g FROM posting GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
-         |capped AS (SELECT doc_id, g FROM posting JOIN rare USING (g)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM capped x JOIN capped y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |posting AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+         |dfs AS (SELECT g, count(*) AS df FROM posting GROUP BY g),
+         |kept AS (SELECT doc_id, g, df FROM posting JOIN dfs USING (g)
+         |         WHERE df <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM kept x JOIN kept y
+         |            ON x.g = y.g AND x.doc_id < y.doc_id
+         |          WHERE x.df >= 2 AND y.df >= 2
+         |          GROUP BY 1, 2),
          |j AS (SELECT doc_a, doc_b,
-         |        round(len(list_intersect(sa.shingles, sb.shingles))
-         |          / (len(sa.shingles) + len(sb.shingles)
-         |             - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
-         |      FROM cand JOIN sh sa ON sa.doc_id = doc_a
-         |                JOIN sh sb ON sb.doc_id = doc_b)
+         |        round(inter / (na.n + nb.n - inter), 4) AS jaccard
+         |      FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |                 JOIN sizes nb ON nb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->

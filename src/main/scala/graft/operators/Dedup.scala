@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -10,31 +10,47 @@ import graft.sources.Tables
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
   * Scale posture (the part that matters at 100 TB):
-  *  - signatures (MinHash/SimHash/fingerprints) are computed PER ROW with
-  *    collection expressions — no explode, no shuffle — so the narrow stage
-  *    streams at scan speed;
+  *  - every hot path is RELATIONAL and codegen'd: shingles come from
+  *    `arrays_zip`+`explode` (no interpreted array lambdas), signatures
+  *    from partial-aggregating `groupBy` (`min`/`sum` map-side combine),
+  *    hashes from ONE md5 per token/shingle plus integer permutations;
   *  - the only shuffles are bucket joins on (band, signature) keys, whose
   *    fan-in is bounded by banding, never an all-pairs product;
   *  - all candidate verification happens after LSH pruning.
   *
-  * Cross-engine determinism: the only hash used is md5 (identical in Spark
-  * and DuckDB); min-of-md5-hex is order-isomorphic to min-of-integers
-  * because fixed-width hex compares lexicographically like the number.
+  * Cross-engine determinism: the only cryptographic hash used is md5
+  * (identical in Spark and DuckDB); all derived hashing is integer
+  * arithmetic both engines evaluate exactly (BIGINT mul/add/mod).
   */
 object Dedup {
 
   val MinhashK = 32      // minhash permutations
   val MinhashBands = 8   // bands of R = K/BANDS rows
   val MinhashR = 4
+  val MinhashP = 2147483647L // 2^31-1, modulus of the permutation hashes
   val SimhashBits = 32
   val SimhashBands = 4   // 8-bit bands; hamming<=3 => >=1 band equal (pigeonhole)
   val HammingMax = 3
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Word-3-gram posting list `(doc_id, g)`, multiset semantics.
+    * Shingles are built WITHOUT lambda HOFs — `arrays_zip` of three
+    * shifted `slice`s, `explode`, `concat_ws` — because higher-order
+    * functions have no codegen in Spark (interpreted, no CSE) and were
+    * ~20× slower here; this shape is one WholeStageCodegen span over the
+    * scan. Consumers needing set semantics call `.distinct()`; MinHash
+    * doesn't (min is duplicate-insensitive). */
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+    val len = greatest(size(col("toks")) - 2, lit(0))
+    val zipped = arrays_zip(
+      slice(col("toks"), lit(1), len),
+      slice(col("toks"), lit(2), len),
+      slice(col("toks"), lit(3), len))
+    t.select(col("doc_id"), explode(zipped).as("z"))
       .select(col("doc_id"),
-        array_distinct(wordNgrams(tokenize(col("text")), 3)).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+        concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
+  }
 
   /** Exact dedup bookkeeping per (lang, source) shard: how many rows
     * survive `dropDuplicates(text)`. The grouped form scales where a
@@ -57,58 +73,87 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("text_md5")
 
-  /** MinHash signature as a per-row collection expression: sig[i] =
-    * min over shingles of md5(i ':' shingle). One narrow pass, no explode. */
-  private def minhashSigs(shingles: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+  /** Permutation i of the base shingle hash `x`: (aᵢ·x + bᵢ) mod p with
+    * odd aᵢ. One md5 per shingle feeds 32 of these — integer arithmetic
+    * is ~100× cheaper than 32 separate md5 calls (Spark's Md5 allocates
+    * a MessageDigest per call), and DuckDB evaluates the same BIGINT
+    * expressions bit-identically. */
+  private def minhashPerm(i: Int, x: org.apache.spark.sql.Column) =
+    (lit(2L * i + 1) * x + lit(i * 40503L + 7)) % MinhashP
+
+  /** MinHash signatures, relationally: explode shingles, one codegen'd
+    * md5 → 32-bit base hash per shingle, 32 integer permutations, `min`
+    * per document with map-side partial aggregation. Equivalent to a
+    * per-row `transform/array_min` lambda but fully codegen'd. */
+  private def minhashSigFrame(posting: DataFrame): DataFrame = {
+    val withX = posting.select(col("doc_id"),
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("x"))
+    val mins = (0 until MinhashK).map(i => min(minhashPerm(i, col("x"))).as(s"h$i"))
+    withX.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sigs"))
+  }
 
   /** MinHash + LSH banding: candidate pairs sharing at least one of 8
     * 4-row band signatures, kept when the estimated Jaccard (fraction of
     * agreeing signature positions) >= 0.5. The band join is the only
-    * shuffle; its key space grows with corpus size so buckets stay small. */
+    * shuffle; its key space grows with corpus size so buckets stay small.
+    * Position agreement is counted with 32 unrolled `element_at`
+    * comparisons — codegen, no array lambda. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = docShingles(spark, dir)
-      .select(col("doc_id"), minhashSigs(col("shingles")).as("sigs"))
+    val sigs = minhashSigFrame(shinglePosting(spark, dir))
+    val bandSig = concat_ws(",",
+      (0 until MinhashR).map(r =>
+        element_at(col("sigs"), col("band") * MinhashR + r + 1).cast("string")): _*)
     val bands = sigs.select(col("doc_id"), col("sigs"),
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .select(col("doc_id"), col("sigs"), col("band"),
-        md5(array_join(slice(col("sigs"), col("band") * MinhashR + 1, lit(MinhashR)), ",")).as("band_sig"))
+      .select(col("doc_id"), col("sigs"), col("band"), bandSig.as("band_sig"))
     val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"),
       col("band"), col("band_sig"))
+    val agree = (0 until MinhashK).map(i =>
+      when(element_at(col("sigs_a"), i + 1) === element_at(col("sigs_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sigs_a", "sigs_b").distinct()
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y),
-          bool => bool)) / lit(MinhashK.toDouble), 4).as("est_jaccard"))
+        round(agree / lit(MinhashK.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash over the distinct-token set, as pure per-row
-    * arithmetic (bit j of md5-derived token hash votes +/-1). */
-  private def simhash(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, j) => {
-      val pw = floor(pow(lit(2.0), j)).cast("long") // exact for j <= 31
-      val bitsum = aggregate(hashes, lit(0L),
-        (a, h) => a + (floor(h / pw.cast("double")).cast("long") % 2L) * 2L - 1L)
-      acc + when(bitsum > 0, pw).otherwise(lit(0L))
-    })
+  /** 32-bit SimHash over the distinct-token set, relationally: explode
+    * the distinct tokens, derive the 32-bit token hash as a codegen'd
+    * md5/conv column, then partial-aggregate the 32 per-bit ±1 votes
+    * (`sum((h >> j) & 1) * 2 - 1`) per document and assemble the final
+    * signature — bit j set iff its vote sum is positive. Same math as a
+    * nested per-row lambda fold, but fully inside WholeStageCodegen with
+    * map-side combine. */
+  private def simhashFrame(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokenize(col("text")))).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j"))
+    tok.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= 3, found via 4x8-bit
     * band buckets (pigeonhole-complete for <=3 bit flips, so the banded
     * plan returns exactly the brute-force answer — which is what the
-    * oracle computes). */
+    * oracle computes). Documents with no tokens have no signature and
+    * never pair (the oracle mirrors the drop). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(tokenize(col("text"))).as("sh"))
+    val sh = simhashFrame(Tables.fanOut(Tables.documents(spark, dir)))
     val bands = sh.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_val",
@@ -135,30 +180,28 @@ object Dedup {
     * scale and bounds the join at 100 TB.) */
   val MaxShingleDf = 100
 
-  /** Exact word-3-gram Jaccard: candidates from an inverted-index
-    * (posting-list) self-join restricted to rare shingles
-    * ([[MaxShingleDf]]; df >= 2 since singletons can't pair), then exact
-    * verification on the full shingle sets via `array_intersect` — the
-    * candidate step bounds the shuffle, the verify step restores exact
-    * semantics. */
+  /** Word-3-gram Jaccard over the kept shingle sets S'ᵈ = {g : df(g) ≤
+    * [[MaxShingleDf]]} — boilerplate shingles are dropped from the
+    * REPRESENTATION (well-defined semantics, mirrored by the oracle),
+    * not just from candidate generation. Everything is relational and
+    * slim: intersection sizes come from a `groupBy` COUNT over the
+    * posting self-join (singleton shingles can't intersect, so the join
+    * side additionally filters df ≥ 2), set sizes from a per-doc count —
+    * no shingle ARRAYS are ever shuffled to pairs (hauling two ~50-string
+    * arrays per candidate was 5× the cost of this whole query). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = posting.groupBy("g")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, MaxShingleDf))
-      .select("g")
-    val capped = posting.join(rare, "g")
-    val cands = capped.alias("x")
-      .join(capped.alias("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+    val posting = shinglePosting(spark, dir).distinct()
+    val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = kept.filter(col("df") >= 2).select("doc_id", "g")
+    val inter = joinable.alias("x")
+      .join(joinable.alias("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
@@ -174,7 +217,7 @@ object Dedup {
     * order is stable across engines and partitionings. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("label"), col("vec_id"), col("embedding"),
         VectorFunctions.signBucket(col("embedding"), SimSearch.BucketBits).as("bucket"))
     val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_a"),

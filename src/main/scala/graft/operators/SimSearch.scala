@@ -25,7 +25,7 @@ object SimSearch {
 
   /** Exact top-k: 10 broadcast query vectors against the full corpus. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val pairs = e.crossJoin(broadcast(q))
@@ -44,7 +44,7 @@ object SimSearch {
     * Returns top-3 per query — approximate by construction, identical to
     * the oracle because the bucketing is deterministic. */
   def lshBucketedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), BucketBits).as("bucket"))
     val q = e.filter(col("vec_id") < NQueries)

@@ -37,7 +37,7 @@ object TextAnalysis {
     * count (actual, predicted) pairs. The per-doc scoring is one narrow
     * pass; the group-by key space is |langs|². */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir).withColumn("toks", toks(col("text")))
+    val t = Tables.fanOut(Tables.documents(spark, dir)).withColumn("toks", toks(col("text")))
       .withColumn("s_en", stopHits(col("toks"), StopEn))
       .withColumn("s_de", stopHits(col("toks"), StopDe))
       .withColumn("s_fr", stopHits(col("toks"), StopFr))
@@ -54,7 +54,7 @@ object TextAnalysis {
     * ratio, mean token length — the classic cheap quality screens before
     * expensive model-based filtering. */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.fanOut(Tables.documents(spark, dir))
       .withColumn("toks", toks(col("text")))
       .withColumn("ws", whitespaceTokens(col("text")))
       .withColumn("punct_ratio",
@@ -74,7 +74,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single symbols — [[BpeishPattern]]),
     * the two denominators every data-mixing recipe needs. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .withColumn("n_ws", size(whitespaceTokens(col("text"))))
       .withColumn("n_bpe", size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))))
       .groupBy("lang")
@@ -89,7 +89,7 @@ object TextAnalysis {
     * mod p. A narrow per-row fold — the content-addressable doc ID for
     * incremental pipelines. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .filter(col("doc_id") < 100)
       .select(col("doc_id"),
         aggregate(
@@ -101,8 +101,10 @@ object TextAnalysis {
   /** Global top-20 word bigrams (all occurrences, not distinct-per-doc),
     * with a bigram tiebreak for determinism. */
   def bigramsTop20(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode(wordNgrams(toks(col("text")), 2)).as("bigram"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      // toks as a bound column first — see Dedup.docShingles on why
+      .select(toks(col("text")).as("toks"))
+      .select(explode(wordNgrams(col("toks"), 2)).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
@@ -113,7 +115,7 @@ object TextAnalysis {
     * The corpus-size scalar joins in as a broadcast single-row frame —
     * no driver-side collect. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.sources.Tables
 
 /** The reference engine's one and only query — per-key word count — plus
   * its natural generalizations, as one lazy Spark plan.
@@ -26,7 +27,7 @@ object WordCount {
   /** Tokenized (key, word) pairs: one row per emitted token, the Spark
     * analog of the reference's `(word, 1, partitionNum)` tuple stream. */
   def tokens(df: DataFrame, key: Column, text: Column): DataFrame =
-    df.select(key.as("key"), explode(tokenize(text)).as("word"))
+    Tables.fanOut(df).select(key.as("key"), explode(tokenize(text)).as("word"))
 
   /** Per-key word count — the reference's end-to-end query. */
   def perKey(df: DataFrame, key: Column, text: Column): DataFrame =
@@ -37,7 +38,7 @@ object WordCount {
   /** Corpus-global word count (the reference never merges across files;
     * this is the extension users actually want at 100 TB). */
   def global(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(tokenize(text)).as("word"))
+    Tables.fanOut(df).select(explode(tokenize(text)).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 

@@ -42,6 +42,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Adaptive fan-out for compute-heavy narrow stages. Small inputs (a
+    * single parquet row group at test SF) arrive as ONE partition, which
+    * serializes expensive per-row expressions (md5 signature arrays,
+    * token folds) on a single core no matter how many the machine has —
+    * parquet assigns a row group to the split holding its midpoint, so
+    * byte-range splitting cannot help. Repartition only when the scan
+    * yields fewer partitions than total cores; at 100 TB the input
+    * already has thousands of row groups and this is a no-op (no
+    * shuffle is ever added on large inputs). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Directory-of-text-files source, the Spark analog of the reference's
     * `FileProcessorInput` (scan + partition; SURVEY.md §2.1 #1). One row per
     * line; `file` carries provenance — the reference's aggregation-scope key
