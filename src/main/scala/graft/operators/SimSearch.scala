@@ -16,6 +16,13 @@ import graft.sources.Tables
   *    query only scans its own bucket — the scale path when the query set
   *    is itself large. Buckets are a join key, so Spark co-partitions
   *    corpus and queries and never materializes the cross product.
+  *
+  * The `row_number <= k` filter is NOT a full per-partition sort at
+  * scale: Catalyst's rank-limit pushdown plans it as
+  * `WindowGroupLimit(Partial)` → exchange → `WindowGroupLimit(Final)`,
+  * a bounded top-k heap per map task before anything shuffles (visible
+  * in `.explain()`), so the window never materializes a corpus-sized
+  * partition.
   */
 object SimSearch {
 

@@ -47,6 +47,36 @@ object WordCount {
   def topK(df: DataFrame, text: Column, k: Int): DataFrame =
     global(df, text).orderBy(desc("cnt"), asc("word")).limit(k)
 
+  /** Intermediate-sink compat mode — the `FileProcessorMapOutput` analog
+    * (`FileProcessorBase.hpp:164-166`; FIXTURES.md §B): one directory per
+    * input file, one text file per Spark partition (standing in for the
+    * reference's 2000-line partition number from `get<2>` of the map
+    * tuple), lines `(word,1)`. Spark materializes map output inside its
+    * own shuffle files, so this exists ONLY for byte-format compatibility
+    * with reference-produced `temp_mapper/` trees — never on a hot path.
+    * Input: [[tokens]] output (`key`, `word`). */
+  def writeMapOutput(toks: DataFrame, outDir: String): Unit =
+    toks
+      .select(col("key"), spark_partition_id().as("part"),
+        concat(lit("("), col("word"), lit(",1)")).as("value"))
+      .write.partitionBy("key", "part").mode("overwrite").text(outDir)
+
+  /** Intermediate-sink compat mode — the `FileProcessorShufOutput` analog
+    * (`FileProcessorBase.hpp:172-174`): per-partition PARTIAL counts as
+    * `(word,partialCount)` lines, the on-disk shape of the reference's
+    * map-side combine (`ShufflerImpl.so`). Same compat-only caveat as
+    * [[writeMapOutput]]. */
+  def writeShufOutput(toks: DataFrame, outDir: String): Unit =
+    toks
+      .withColumn("part", spark_partition_id())
+      .groupBy("key", "part", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .repartition(col("key"), col("part"))
+      .sortWithinPartitions("key", "part", "word")
+      .select(col("key"), col("part"),
+        concat(lit("("), col("word"), lit(","), col("cnt"), lit(")")).as("value"))
+      .write.partitionBy("key", "part").mode("overwrite").text(outDir)
+
   /** Ordered per-key text sink — the `FileProcessorRedOutput` analog
     * (`FileProcessorBase.hpp:180-182`): one directory per key holding
     * `(word,count)` lines in byte-lexicographic word order, mirroring the
