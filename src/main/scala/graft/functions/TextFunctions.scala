@@ -37,8 +37,22 @@ object TextFunctions {
     * has the same semantics in DuckDB, so the oracle can mirror it. */
   def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
 
-  /** `lowerRemovePunc`: strip ASCII punctuation, then ASCII-lowercase. */
-  def normalize(c: Column): Column = asciiLower(regexp_replace(c, PunctClass, ""))
+  /** `lowerRemovePunc` as Catalyst built-ins: strip ASCII punctuation,
+    * then ASCII-lowercase. Kept as the reference implementation that the
+    * fused-kernel equivalence property checks against (and the shape the
+    * DuckDB oracle mirrors). */
+  def normalizeBuiltin(c: Column): Column =
+    asciiLower(regexp_replace(c, PunctClass, ""))
+
+  /** `lowerRemovePunc`, fused: one codegen'd byte-level pass via the
+    * native [[graft.functions.expr.LowerRemovePunc]] expression — no
+    * regex engine, no intermediate string. Semantics are identical to
+    * [[normalizeBuiltin]] (ScalaCheck-pinned), so every oracle still
+    * matches. */
+  def normalize(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.LowerRemovePunc(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
   /** `tokenize`: split the normalized line on single spaces, keeping empty
     * fragments out of the result (the reference emits one `(word,1,part)`
