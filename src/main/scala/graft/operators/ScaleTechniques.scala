@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shuffle-avoidance toolbox for 100 TB plans: skew salting and
+  * co-location helpers, as composable library functions. (Broadcast is
+  * Spark-native `broadcast()`; bucketing is exercised in the test suite
+  * via `bucketBy` + `saveAsTable`, which needs a warehouse.)
+  *
+  * These exist because at cluster scale the dominant failure mode is a
+  * hot key: one reducer gets the skewed key's entire partition while the
+  * rest of the cluster idles (or OOMs). AQE's skew-join handling splits
+  * oversized SHUFFLE partitions, but aggregation skew and
+  * broadcast-averse joins still want explicit salting.
+  */
+object ScaleTechniques {
+
+  /** Two-phase salted aggregation: spread a hot GROUP BY key over
+    * `salts` sub-keys, partially aggregate, then merge. Correct for any
+    * ALGEBRAIC aggregate (here: count + sum, the additive pair every
+    * count/avg/mean decomposes into). The first shuffle is on
+    * (key, salt) — max partition size drops by ~`salts`× — and the
+    * second shuffle is tiny (one row per (key, salt)). */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
+    df.select(key.as("key"), value.as("v"),
+        (monotonically_increasing_id() % salts).as("salt"))
+      .groupBy("key", "salt")
+      .agg(sum("v").as("partial_sum"), count(lit(1)).as("partial_cnt"))
+      .groupBy("key")
+      .agg(sum("partial_sum").as("total"), sum("partial_cnt").as("cnt"))
+
+  /** Salted join for a skewed FACT side against a non-broadcastable
+    * dimension: the fact side gets a random salt in [0, salts), the
+    * dimension side is replicated `salts`× (explode of a literal range),
+    * and the join key becomes (key, salt) — the hot key's rows land on
+    * `salts` reducers instead of one. Replication costs `salts`× the
+    * dimension size, which is the explicit trade against reducer skew. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      (monotonically_increasing_id() % salts).cast("int"))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

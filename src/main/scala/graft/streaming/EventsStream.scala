@@ -4,6 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Keyed state for [[EventsStream.userRunningTotals]]. */
+final case class UserTotals(
+    user_id: Long,
+    n_events: Long,
+    total_value: Double,
+    last_seen_us: Long)
+
 /** Structured Streaming surface over the `events` table — the streaming
   * twins of the batch queries in [[graft.operators.EventsOps]]. The
   * transforms are declared once on (streaming) DataFrames; Catalyst plans
@@ -69,6 +76,40 @@ object EventsStream {
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
+    * profile (event count, value sum, last-seen timestamp) re-emitted on
+    * every update — the template for state Spark's built-in windows can't
+    * express (counters, sessions with custom close rules, ML feature
+    * state). State is one small case class per user with a processing-
+    * time TTL, so the store stays O(active users) at any stream length. */
+  def userRunningTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value", "unix_micros(ts) AS ts_us")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, Long.MinValue))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              UserTotals(userId, acc.n_events + 1, acc.total_value + r._2,
+                math.max(acc.last_seen_us, r._3))
+            }
+            state.update(next)
+            state.setTimeoutDuration("1 hour")
+            Iterator.single(next)
+          }
+      }
+      .toDF()
+  }
 
   /** Demo main: replays an events directory as a bounded stream and runs
     * the hourly aggregation to completion (AvailableNow), printing the

@@ -34,6 +34,35 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch totals") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.userRunningTotals(
+        EventsStream.readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("totals_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    // append mode emits one row per (user, microbatch); the LAST state
+    // per user must equal the batch aggregate
+    val last = spark.table("totals_test").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rows => rows.maxBy(r => (r.getLong(1), r.getLong(3)))).toMap
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last.keySet == batch.keySet)
+    last.foreach { case (u, row) =>
+      assert(row.getLong(1) == batch(u)._1)
+      assert(math.abs(row.getDouble(2) - batch(u)._2) < 1e-6)
+    }
+  }
+
   test("streaming session windows: totals conserve events and value per user") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsStream.userSessions(

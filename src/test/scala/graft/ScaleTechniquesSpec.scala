@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleTechniques
+import graft.sources.Tables
+import java.nio.file.Files
+
+/** Equivalence and plan-shape checks for the scale toolbox: salting must
+  * not change answers; bucketed tables must join without a shuffle.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Tables.lineitem(spark, dir)
+    val salted = ScaleTechniques
+      .saltedSumCount(li, col("l_returnflag"), col("l_quantity"), 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, c)) =>
+      assert(c == direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("salted join equals plain join") {
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select("o_custkey", "c_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "c_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plain = canon(orders.join(dim, "o_custkey"))
+    val salted = canon(ScaleTechniques.saltedJoin(orders, dim, "o_custkey", 4))
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      Tables.orders(spark, dir).write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").mode("overwrite").saveAsTable("orders_b")
+      Tables.customer(spark, dir).withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").mode("overwrite").saveAsTable("customer_b")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle, plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
