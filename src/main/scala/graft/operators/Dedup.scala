@@ -162,10 +162,12 @@ object Dedup {
     val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      // hamming BEFORE distinct: rejecting far pairs inside the codegen'd
+      // join stage shrinks the distinct's shuffle to the close pairs only
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= HammingMax)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
