@@ -68,6 +68,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.approxDistinctUsers _),
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
+    "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
 
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
@@ -291,6 +292,13 @@ object SparkEntry {
     "q_top_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q_sql_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

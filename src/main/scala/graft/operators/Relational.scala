@@ -41,6 +41,20 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** SQL front door: the engine's queries are equally expressible through
+    * `spark.sql` — same Catalyst plan as the DataFrame API. This one adds
+    * a SCALAR SUBQUERY (customers above the average balance), a plan
+    * shape none of the DataFrame-built queries exercise. */
+  def sqlAboveAvgBalance(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer_v
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** TPC-H Q3-shaped: 3-way join, revenue top-10. customer/orders/lineitem
     * all scale with SF, so no join side is force-broadcast: AQE +
     * autoBroadcastJoinThreshold pick broadcast at small SF and shuffle

@@ -95,4 +95,31 @@ object WordCount {
       .select(col("key"),
         concat(lit("("), col("word"), lit(","), col("cnt"), lit(")")).as("value"))
       .write.partitionBy("key").mode("overwrite").text(outDir)
+
+  /** Byte-compatible `final_output/` tree: exactly the reference's
+    * layout — `<outDir>/final_output/<origFileName>` with `(word,count)`
+    * lines in byte order (`ReducerImpl.so` path rewrite @0x1a04e,
+    * FIXTURES.md §B). Wraps [[writePerFile]] and then renames Spark's
+    * `key=<file>/part-*` layout into plain per-file names — a driver-side
+    * rename pass over ONE directory entry per input file (never data),
+    * so it costs O(files) regardless of data scale. */
+  def writeFinalOutputCompat(counts: DataFrame, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = s"$outDir/_staging"
+    writePerFile(counts, staging)
+    val finalDir = Paths.get(outDir, "final_output")
+    Files.createDirectories(finalDir)
+    val stagingDir = Paths.get(staging)
+    Files.list(stagingDir).forEach { keyDir =>
+      val name = keyDir.getFileName.toString
+      if (name.startsWith("key=")) {
+        val part = Files.list(keyDir)
+          .filter(p => p.getFileName.toString.startsWith("part-")).findFirst()
+        if (part.isPresent) {
+          Files.move(part.get(), finalDir.resolve(name.stripPrefix("key=")),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+  }
 }

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format-generic read/write: the connector surface beyond the parquet
+  * test tables (SURVEY.md §2.2 row "File formats"). All of these are
+  * `DataFrameReader`/`DataFrameWriter` built-ins — the point of this
+  * module is a single audited place for the options that make each
+  * format ROUND-TRIP SAFE (header/schema for CSV, line-delimited JSON),
+  * plus partitioned layouts for pruning.
+  */
+object Formats {
+
+  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  /** Write `df` in `format`. CSV keeps a header; JSON is line-delimited;
+    * timestamps survive all four formats as ISO-8601 strings where the
+    * format has no native type. */
+  def write(df: DataFrame, format: String, path: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (format match {
+      case "csv" => w.option("header", "true")
+      case f => w
+    }).format(format).save(path)
+  }
+
+  /** Read back with an explicit schema — schema inference is a full
+    * extra pass over the data at 100 TB (and type-lossy for CSV/JSON),
+    * so round-trips always carry the schema. */
+  def read(spark: SparkSession, format: String, path: String, schema: StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    (format match {
+      case "csv" => r.option("header", "true")
+      case f => r
+    }).format(format).load(path)
+  }
+
+  /** Hive-style partitioned write: one directory per value of
+    * `partitionCol` so a filter on it becomes a PartitionFilter (pruned
+    * at planning, never scanned). The layout every large events/logs
+    * table should use. */
+  def writePartitioned(df: DataFrame, format: String, path: String,
+      partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).format(format).save(path)
+}
