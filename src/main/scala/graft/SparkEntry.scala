@@ -79,6 +79,7 @@ object SparkEntry {
     // ---- dedup surface (training-data pipeline brief) ----
     "q_dedup_exact_stats"   -> (Dedup.exactStats _),
     "q_dedup_exact_groups"  -> (Dedup.exactGroups _),
+    "q_dedup_exact_planted" -> (Dedup.exactGroupsPlanted _),
     "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -348,6 +349,16 @@ object SparkEntry {
         |       min(doc_id) AS keep_doc
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_md5""".stripMargin,
+    "q_dedup_exact_planted" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+        |       min(doc_id) AS keep_doc
+        |FROM doubled GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_md5""".stripMargin,
+
     "q_dedup_minhash_lsh" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |grams AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),

@@ -73,6 +73,21 @@ object Dedup {
       .filter(col("n_docs") > 1)
       .orderBy("text_md5")
 
+  /** [[exactGroups]] on a corpus with planted duplicates: the documents
+    * table unioned with an id-shifted copy of itself, so EVERY text is a
+    * duplicate group — non-trivial oracle evidence for the grouping +
+    * keep-lowest logic (the raw table has no exact dupes, so
+    * [[exactGroups]] alone proves only the empty case). */
+  def exactGroupsPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+    doubled
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("text_md5")
+  }
+
   /** Permutation i of the base shingle hash `x`: (aᵢ·x + bᵢ) mod p with
     * odd aᵢ. One md5 per shingle feeds 32 of these — integer arithmetic
     * is ~100× cheaper than 32 separate md5 calls (Spark's Md5 allocates

@@ -77,6 +77,16 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Streaming deduplication: drop repeated `event_id`s across
+    * micro-batches, state bounded by the watermark (an event older than
+    * the watermark can never collide again, so its key is evicted) —
+    * the streaming twin of exact dedup, and the standard
+    * exactly-once-ification of an at-least-once ingest. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id", "ts")
+
   /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * profile (event count, value sum, last-seen timestamp) re-emitted on
     * every update — the template for state Spark's built-in windows can't

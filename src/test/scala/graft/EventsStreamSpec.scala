@@ -34,6 +34,25 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup collapses a doubled stream to the distinct events") {
+    val dir = "/root/testdata/sf0.001"
+    val src = EventsStream.readEvents(spark, dir)
+    val q = EventsStream.dedupedEvents(src.unionByName(src))
+      .groupBy()
+      .count()
+      .writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("dedup_test").collect().head.getLong(0)
+    val batch = graft.sources.Tables.events(spark, dir)
+      .select("event_id").distinct().count()
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch totals") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsStream.userRunningTotals(
