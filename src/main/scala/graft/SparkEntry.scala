@@ -88,6 +88,7 @@ object SparkEntry {
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
+    "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -530,6 +531,20 @@ object SparkEntry {
          |           FROM scored)
          |SELECT doc_id, "rank", word, score FROM ranked
          |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q_ann_topk_agg" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM e WHERE vec_id < 10),
+         |pairs AS (SELECT q.q_id, e.vec_id AS neighbor,
+         |            round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) AS cos
+         |          FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

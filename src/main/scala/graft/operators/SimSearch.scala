@@ -46,6 +46,37 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** The same exact top-k as [[bruteForceTopK]], but through the custom
+    * typed [[graft.functions.TopKAggregator]] instead of a rank window:
+    * one O(k) buffer per query, partial-reduced map-side and merged
+    * across partitions — the `Aggregator[IN, BUF, OUT]` answer when the
+    * per-group state must stay bounded by construction (a window keeps k
+    * ROWS; this keeps k STRUCT entries in one aggregation buffer).
+    * Oracle-checked against the identical SQL as the window plan. */
+  def topKViaAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val agg = new TopKAggregator(K).toColumn
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        col("vec_id").as("id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (qid, id, score) => (qid, Scored(id, score)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, (i + 1).toLong, s.id, s.score) }
+      }
+      .toDF("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF/LSH-style ANN: both sides keyed by an 8-bit sign bucket over the
     * leading dimensions; each query scans only its bucket (single-probe).
     * Returns top-3 per query — approximate by construction, identical to
