@@ -268,7 +268,8 @@ object SparkEntry {
     "q_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
-        |       count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |       count(*) AS n,
+        |       round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(28,10)), 2)::DOUBLE AS avg_bal
         |FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         |ORDER BY segment, nationkey""".stripMargin,
     "q_distinct" ->
@@ -297,9 +298,11 @@ object SparkEntry {
 
     "q_sql_scalar_subquery" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |       round(avg(c_acctbal), 2) AS avg_bal
+        |       round(CAST(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(28,10)), 2)::DOUBLE AS avg_bal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |WHERE c_acctbal >
+        |      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |       FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_events_hourly" ->

@@ -47,11 +47,15 @@ object Relational {
     * shape none of the DataFrame-built queries exercise. */
   def sqlAboveAvgBalance(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    // decimal aggregation for partition-order-independent results — see
+    // customerGroupingSets
     spark.sql(
       """SELECT c_mktsegment, count(*) AS n,
-        |       round(avg(c_acctbal), 2) AS avg_bal
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2) AS avg_bal
         |FROM customer_v
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        |WHERE c_acctbal >
+        |      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |       FROM customer_v)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
@@ -216,13 +220,21 @@ object Relational {
       .orderBy("orderstatus", "orderpriority")
   }
 
-  /** GROUPING SETS via SQL — two independent group shapes in one pass. */
+  /** GROUPING SETS via SQL — two independent group shapes in one pass.
+    * `avg` runs over DECIMAL, not DOUBLE: double summation is
+    * partition-order dependent (non-associative), and at sf0.001 one
+    * group's average landed exactly on a .005 rounding boundary where
+    * Spark's partial-sum order and DuckDB's sequential sum disagree in
+    * the last ulp. Decimal addition is exact and associative, so the
+    * result is identical under ANY partitioning — the right money-column
+    * posture at cluster scale, not just an oracle trick. */
   def customerGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("gs_customer")
     spark.sql(
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
-        |       count(1) AS n, round(avg(c_acctbal), 2) AS avg_bal
+        |       count(1) AS n,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(1), 2) AS avg_bal
         |FROM gs_customer
         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         |ORDER BY segment, nationkey""".stripMargin)
