@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[LowerRemovePunc].getName, "graft_normalize"),
       (children: Seq[Expression]) => LowerRemovePunc(children.head)))
+    ext.injectOptimizerRule(_ => CollapseNormalize)
   }
 }

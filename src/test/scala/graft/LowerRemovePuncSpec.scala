@@ -47,6 +47,21 @@ class LowerRemovePuncSpec extends AnyFunSuite {
     assert(row == "dont stop\tok É")
   }
 
+  test("CollapseNormalize rule rewrites nested normalize to one call") {
+    // non-literal source: over a literal, ConstantFolding would erase the
+    // expression entirely before the count
+    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(TextFunctions.normalize(TextFunctions.normalize(col("text"))).as("v"))
+    val n = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case e: LowerRemovePunc => e }).size
+    assert(n == 1)
+    // and the collapsed plan still computes the right value
+    assert(df.limit(1).as[String].head() ==
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(TextFunctions.normalize(col("text")).as("v"))
+        .limit(1).as[String].head())
+  }
+
   test("expression participates in codegen (no CodegenFallback)") {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[LowerRemovePunc]))
