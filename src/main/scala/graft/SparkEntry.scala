@@ -100,6 +100,16 @@ object SparkEntry {
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
+
+    // ---- plugin surface: same per-file word count, but resolved and
+    // composed through the OperatorRegistry (the dlopen analog), so the
+    // registry path itself earns an oracle row ----
+    "q_registry_pipeline" -> ((s, _) => {
+      val corpus = Tables.textCorpus(s, PerFileCorpus)
+        .select(regexp_extract(col("file"), "[^/]+$", 0).as("file"), col("line"))
+      graft.plugins.OperatorRegistry.pipeline(
+        Seq("input", "mapper", "counter", "ordered_sink"))(corpus)
+    }),
   )
 
   /** Committed text-file fixture corpus for the per-file word-count
@@ -169,6 +179,15 @@ object SparkEntry {
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
 
     "wc_per_file" ->
+      s"""WITH lines AS (
+         |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
+         |         unnest(string_split(content, chr(10))) AS text
+         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
+         |SELECT file, word, count(*) AS cnt FROM tok
+         |GROUP BY file, word ORDER BY file, word""".stripMargin,
+
+    "q_registry_pipeline" ->
       s"""WITH lines AS (
          |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
          |         unnest(string_split(content, chr(10))) AS text
