@@ -101,6 +101,16 @@ object SparkEntry {
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
 
+    // ---- scale-technique surface: the salted two-phase aggregation must
+    // produce exactly the unsalted answer (salting redistributes partial
+    // state, never changes the algebra) — the oracle is the plain GROUP BY
+    "q_salted_agg" -> ((s, dir) =>
+      ScaleTechniques.saltedSumCount(
+          Tables.lineitem(s, dir), col("l_returnflag"), col("l_quantity"), 8)
+        .select(col("key").as("l_returnflag"),
+          round(col("total"), 2).as("sum_qty"), col("cnt"))
+        .orderBy("l_returnflag")),
+
     // ---- plugin surface: same per-file word count, but resolved and
     // composed through the OperatorRegistry (the dlopen analog), so the
     // registry path itself earns an oracle row ----
@@ -186,6 +196,11 @@ object SparkEntry {
          |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
          |SELECT file, word, count(*) AS cnt FROM tok
          |GROUP BY file, word ORDER BY file, word""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*)::BIGINT AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_registry_pipeline" ->
       s"""WITH lines AS (
