@@ -34,6 +34,32 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once, no dupes") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    def runOnce(): Unit = {
+      val q = EventsStream.readEvents(spark, dir)
+        .select("event_id", "user_id", "value")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+    }
+    runOnce()
+    // second run with the same checkpoint: the source offsets are
+    // committed, so NOTHING should be reprocessed or duplicated
+    runOnce()
+    val sunk = spark.read.parquet(out)
+    val expected = graft.sources.Tables.events(spark, dir).count()
+    assert(sunk.count() == expected)
+    assert(sunk.select("event_id").distinct().count() == expected)
+  }
+
   test("streaming dedup collapses a doubled stream to the distinct events") {
     val dir = "/root/testdata/sf0.001"
     val src = EventsStream.readEvents(spark, dir)
