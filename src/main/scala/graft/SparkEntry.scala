@@ -75,6 +75,8 @@ object SparkEntry {
     "q_events_sessions" -> (EventsOps.userSessions _),
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
+    "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
+    "q_range_join" -> (EventsOps.valueTierJoin _),
 
     // ---- dedup surface (training-data pipeline brief) ----
     "q_dedup_exact_stats"   -> (Dedup.exactStats _),
@@ -376,6 +378,25 @@ object SparkEntry {
         |SELECT day, event_type, n,
         |       round(n / (sum(n) OVER (PARTITION BY day)), 4) AS share
         |FROM daily ORDER BY day, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, p.p_event,
+        |       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH tiers(lo, hi, tier) AS (
+        |  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
+        |SELECT tier, count(*)::BIGINT AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q_dedup_exact_stats" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,

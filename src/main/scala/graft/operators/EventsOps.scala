@@ -60,6 +60,59 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** AS-OF join (the brief's canonical "operator Spark lacks"): for each
+    * click, the most recent purchase by the same user at-or-before its
+    * timestamp. Implemented by COMPOSITION (preference path (a)): tag
+    * both sides, union, and take `last(..., ignoreNulls)` over a
+    * per-user time-ordered running window — one shuffle on user_id,
+    * state bounded per key, no range join and no per-row probe. Rights
+    * sort before lefts at equal timestamps (side 0 < 1), giving the
+    * inclusive `ts >= p.ts` semantics of DuckDB's native ASOF JOIN,
+    * which is the oracle. Purchase side is deduped per (user, ts) so
+    * ties cannot make the answer ambiguous. */
+  def asofPriorPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"), col("p_event"), lit(0).as("side"))
+      .unionByName(clicks
+        .select(col("user_id"), col("ts"),
+          col("event_id"), lit(null).cast("long").as("p_event"), lit(1).as("side")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts"), asc("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_p", last(col("p_event"), ignoreNulls = true).over(w))
+      .withColumn("last_pts",
+        last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("last_p").as("p_event"),
+        (unix_micros(col("ts")) - unix_micros(col("last_pts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE join: events bucketed into value tiers via an interval
+    * condition against a broadcast-small bounds table — Spark plans it as
+    * a broadcast nested-loop probe of 3 rows, which is the right physical
+    * shape whenever the interval side is small (the common case). Sums
+    * run in DECIMAL for partition-order independence. */
+  def valueTierJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq((0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 500.0, "high"))
+      .toDF("lo", "hi", "tier")
+    Tables.events(spark, dir)
+      .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
+      .orderBy("tier")
+  }
+
   /** Per-type daily event funnel with conversion-style ratios. */
   def dailyTypeShare(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
