@@ -91,6 +91,7 @@ object SparkEntry {
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
     "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
+    "q_ann_multiprobe"  -> (SimSearch.lshMultiProbeTopK _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -518,6 +519,24 @@ object SparkEntry {
         |       round(avg(octet_length(content)), 2) AS avg_bytes,
         |       count(DISTINCT content_md5)::BIGINT AS n_distinct
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,
+         |             $DuckNorm AS nrm
+         |           FROM embeddings),
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |             unnest(list_prepend(bucket,
+         |               list_transform(range(0, 8), i -> xor(bucket, 1::BIGINT << i)))) AS bucket
+         |           FROM e WHERE vec_id < 10),
+         |pairs AS (SELECT p.q_id, e.vec_id AS neighbor,
+         |            round(${duckDot("p.q_emb", "e.embedding")} / (p.q_nrm * e.nrm), 6) AS cos
+         |          FROM e JOIN probes p USING (bucket) WHERE e.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_text_lang_id" ->
       s"""WITH t AS (SELECT lang, $DuckTok AS toks FROM documents),

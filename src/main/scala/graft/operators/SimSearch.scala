@@ -46,6 +46,32 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Multi-probe LSH: each query probes its own bucket plus the 8
+    * buckets at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall fix for vectors near a quantization boundary, at 9× probe
+    * fan-out instead of rebuilding the index with more tables. Probe
+    * buckets are pairwise distinct, so no candidate pair appears twice
+    * and no distinct pass is needed. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), BucketBits).as("bucket"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(
+          col("bucket") +: (0 until BucketBits).map(i =>
+            col("bucket").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+    val pairs = e.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** The same exact top-k as [[bruteForceTopK]], but through the custom
     * typed [[graft.functions.TopKAggregator]] instead of a rank window:
     * one O(k) buffer per query, partial-reduced map-side and merged
