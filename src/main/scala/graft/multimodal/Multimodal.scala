@@ -72,6 +72,41 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for an image scaler. The production
+    * contract it keeps: content-in/content-out per row, metadata updated
+    * to the target dims, narrow execution. The fake "resize" is a
+    * deterministic byte subsample so output size tracks the target. */
+  def resizeStub(records: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val target = math.max(1, math.min(r.content.length, w * h / 64))
+        val step = math.max(1, r.content.length / target)
+        r.copy(content = r.content.grouped(step).map(_.head).toArray)
+      }
+    }
+  }
+
+  /** One sampled frame from a (fake) video payload. */
+  final case class FrameRecord(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampler — stands in for a video demuxer: one input row
+    * fans out to every Nth "frame" (here: fixed-size byte windows), the
+    * real flatMap shape of frame extraction. Fan-out happens inside
+    * `mapPartitions` via a lazy iterator, so no partition-sized
+    * materialization even when a payload yields many frames. */
+  def frameSampleStub(records: Dataset[MediaRecord], everyNth: Int,
+      frameBytes: Int = 64): Dataset[FrameRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        r.content.grouped(frameBytes).zipWithIndex.collect {
+          case (bytes, i) if i % everyNth == 0 => FrameRecord(r.media_id, i, bytes)
+        }
+      }
+    }
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

@@ -40,6 +40,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(records).filter(_.media_id == 0L).head() == f)
   }
 
+  test("resizeStub: narrow, content-in/content-out, size tracks target") {
+    val records = Multimodal.mediaFromDocuments(spark, dir)
+      .select("media_id", "mime", "content").as[MediaRecord]
+    val resized = Multimodal.resizeStub(records, 64, 64)
+    assert(resized.rdd.getNumPartitions == records.rdd.getNumPartitions)
+    val before = records.filter(_.media_id == 0L).head().content.length
+    val after = resized.filter(_.media_id == 0L).head().content.length
+    assert(after <= before && after > 0)
+  }
+
+  test("frameSampleStub: one row fans out to every Nth frame, lazily") {
+    val records = Multimodal.mediaFromDocuments(spark, dir)
+      .select("media_id", "mime", "content").as[MediaRecord]
+    val frames = Multimodal.frameSampleStub(records, everyNth = 2, frameBytes = 16)
+    val f0 = frames.filter(_.media_id == 0L).collect()
+    val nWindows = (records.filter(_.media_id == 0L).head().content.length + 15) / 16
+    assert(f0.length == (nWindows + 1) / 2) // frames 0, 2, 4, ...
+    assert(f0.forall(_.frame_idx % 2 == 0))
+    assert(f0.forall(_.frame.length <= 16))
+  }
+
   test("mimeStats aggregates the binary payload like any column") {
     val stats = Multimodal.mimeStats(spark, dir).collect()
     assert(stats.nonEmpty)
