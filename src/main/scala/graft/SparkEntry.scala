@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_embedding"     -> (Dedup.embeddingNearDup _),
+    "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
 
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_text_bigrams"     -> (TextAnalysis.bigramsTop20 _),
     "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
+    "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -167,6 +169,34 @@ object SparkEntry {
     * stopword lists so the two engines can never drift. */
   private def duckStopHits(stop: Seq[String]): String =
     stop.mkString("len(list_filter(toks, t -> t IN ('", "', '", "')))")
+
+  /** DuckDB fragment: the MinHash candidate/estimate CTE chain (tok →
+    * grams → signatures → bands → candidate pairs → agreement estimate),
+    * shared by the pair report and the dedup-action oracle. */
+  private val DuckMinhashCtes =
+    s"""tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |grams AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS gs
+         |          FROM tok WHERE len(toks) >= 3),
+         |xs AS (SELECT doc_id, list_transform(gs,
+         |         g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS xs
+         |       FROM grams),
+         |sig AS (SELECT doc_id, list_transform(range(0, 32),
+         |          i -> list_min(list_transform(xs,
+         |            x -> ((2 * i + 1) * x + (i * 40503 + 7)) % 2147483647))) AS sigs
+         |        FROM xs),
+         |band AS (SELECT doc_id, sigs, b.band,
+         |           array_to_string(list_transform(
+         |             list_slice(sigs, band * 4 + 1, band * 4 + 4), v -> v::VARCHAR), ',') AS band_sig
+         |         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM band x JOIN band y
+         |           ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+         |est AS (SELECT doc_a, doc_b,
+         |          round(list_sum(list_transform(range(1, 33),
+         |            i -> CASE WHEN sa.sigs[i] = sb.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est_jaccard
+         |        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |                  JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
 
   /** DuckDB-dialect equivalents over the same tables (registered by the
     * driver under their bare names). Column names/aliases must match the
@@ -420,31 +450,21 @@ object SparkEntry {
         |ORDER BY text_md5""".stripMargin,
 
     "q_dedup_minhash_lsh" ->
-      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
-         |grams AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
-         |            i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS gs
-         |          FROM tok WHERE len(toks) >= 3),
-         |xs AS (SELECT doc_id, list_transform(gs,
-         |         g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS xs
-         |       FROM grams),
-         |sig AS (SELECT doc_id, list_transform(range(0, 32),
-         |          i -> list_min(list_transform(xs,
-         |            x -> ((2 * i + 1) * x + (i * 40503 + 7)) % 2147483647))) AS sigs
-         |        FROM xs),
-         |band AS (SELECT doc_id, sigs, b.band,
-         |           array_to_string(list_transform(
-         |             list_slice(sigs, band * 4 + 1, band * 4 + 4), v -> v::VARCHAR), ',') AS band_sig
-         |         FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM band x JOIN band y
-         |           ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
-         |est AS (SELECT doc_a, doc_b,
-         |          round(list_sum(list_transform(range(1, 33),
-         |            i -> CASE WHEN sa.sigs[i] = sb.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est_jaccard
-         |        FROM cand JOIN sig sa ON sa.doc_id = doc_a
-         |                  JOIN sig sb ON sb.doc_id = doc_b)
+      s"""WITH $DuckMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_keep_set" ->
+      s"""WITH $DuckMinhashCtes,
+         |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM est
+         |              WHERE est_jaccard >= 0.5),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |               GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN exact_keep USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |h AS (SELECT doc_id, list_transform(list_distinct(toks),
@@ -592,6 +612,17 @@ object SparkEntry {
          |       FROM tok WHERE len(toks) >= 2)
          |SELECT bigram, count(*)::BIGINT AS cnt FROM bg
          |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_quality_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, $DuckTok AS toks,
+         |         regexp_extract_all(text, '\\S+') AS ws, text
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM d
+         |WHERE length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / length(text) < 0.1
+         |  AND ${duckStopHits(TextAnalysis.StopEn)} / len(toks) >= 0.05
+         |  AND len(ws) BETWEEN 10 AND 500
+         |ORDER BY doc_id""".stripMargin,
+
     "q_text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),

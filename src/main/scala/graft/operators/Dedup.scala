@@ -225,6 +225,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The dedup ACTION — the corpus a training pipeline actually keeps.
+    * Composition of the detectors: (1) one survivor (lowest doc_id) per
+    * exact-duplicate group; (2) near-duplicates flagged by
+    * [[minhashLsh]] drop the higher doc_id of each pair ("keep first",
+    * the standard greedy heuristic — full connected-components
+    * clustering is a deliberate non-goal at this layer). Anti-joins are
+    * broadcast-sized: the drop set is as small as the dup rate. */
+  def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val exactKeep = d.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDrop = minhashLsh(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    d.join(exactKeep, "doc_id")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: top-3 most-similar pairs per label, with pair
     * generation blocked on (label, 8-bit sign bucket) — the same
     * IVF-style coarse quantizer as [[SimSearch.lshBucketedTopK]] — so no

@@ -110,6 +110,24 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(20)
 
+  /** The quality-filter ACTION: the documents a pipeline keeps after the
+    * cheap screens — bounded punctuation density, a minimum English-
+    * stopword ratio, and a token-count range. Pure narrow filtering; the
+    * thresholds are ordinary columns so Catalyst pushes what it can to
+    * the scan. */
+  def qualityFiltered(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_ws", size(whitespaceTokens(col("text"))))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) / length(col("text")))
+      .withColumn("stop_ratio", stopHits(col("toks"), StopEn) / size(col("toks")))
+      .filter(col("punct_ratio") < 0.1 &&
+        col("stop_ratio") >= 0.05 &&
+        col("n_ws").between(10, 500))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Tf-idf top-3 terms for the first 10 documents: tf from the per-doc
     * word count, df from the distinct (doc, word) pairs, idf = ln(N/df).
     * The corpus-size scalar joins in as a broadcast single-row frame —
