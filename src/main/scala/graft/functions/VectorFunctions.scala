@@ -19,9 +19,21 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, structured as dot/(sqrt(aa)*sqrt(bb)) — the same
-    * expression shape the oracle uses. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity as built-in collection expressions, structured as
+    * dot/(sqrt(aa)*sqrt(bb)) — the shape the oracle mirrors, kept as the
+    * reference implementation the native kernel is property-checked
+    * against. */
+  def cosineBuiltin(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen'd
+    * [[graft.functions.expr.CosineSimilarity]] kernel — bit-identical to
+    * [[cosineBuiltin]] (same sequential fold order), one fused loop
+    * instead of three interpreted HOF folds. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.CosineSimilarity(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Sign-LSH coarse bucket from the first `nBits` dimensions: bit d set
     * iff v[d] >= 0. A deterministic stand-in for an IVF coarse quantizer —
