@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_embedding"     -> (Dedup.embeddingNearDup _),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
+    "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
 
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
@@ -453,6 +454,20 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH $DuckMinhashCtes,
+         |cand2 AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
+         |          FROM band x JOIN band y
+         |            ON x.band = y.band AND x.band_sig = y.band_sig
+         |           AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+         |est2 AS (SELECT new_doc, dup_of,
+         |           round(list_sum(list_transform(range(1, 33),
+         |             i -> CASE WHEN sa.sigs[i] = sb.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est_jaccard
+         |         FROM cand2 JOIN sig sa ON sa.doc_id = dup_of
+         |                    JOIN sig sb ON sb.doc_id = new_doc)
+         |SELECT new_doc, dup_of, est_jaccard FROM est2
+         |WHERE est_jaccard >= 0.5 ORDER BY new_doc, dup_of""".stripMargin,
+
     "q_dedup_keep_set" ->
       s"""WITH $DuckMinhashCtes,
          |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM est

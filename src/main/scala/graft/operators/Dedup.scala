@@ -110,34 +110,64 @@ object Dedup {
         array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sigs"))
   }
 
-  /** MinHash + LSH banding: candidate pairs sharing at least one of 8
-    * 4-row band signatures, kept when the estimated Jaccard (fraction of
-    * agreeing signature positions) >= 0.5. The band join is the only
-    * shuffle; its key space grows with corpus size so buckets stay small.
-    * Position agreement is counted with 32 unrolled `element_at`
-    * comparisons — codegen, no array lambda. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigFrame(shinglePosting(spark, dir))
+  /** (doc_id, sigs, band, band_sig): one row per document per band, the
+    * LSH index both the self-join and the incremental variant probe. */
+  private def minhashBands(sigs: DataFrame): DataFrame = {
     val bandSig = concat_ws(",",
       (0 until MinhashR).map(r =>
         element_at(col("sigs"), col("band") * MinhashR + r + 1).cast("string")): _*)
-    val bands = sigs.select(col("doc_id"), col("sigs"),
+    sigs.select(col("doc_id"), col("sigs"),
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
       .select(col("doc_id"), col("sigs"), col("band"), bandSig.as("band_sig"))
+  }
+
+  /** Fraction of agreeing signature positions, as 32 unrolled
+    * `element_at` comparisons — codegen, no array lambda. */
+  private def estJaccard: org.apache.spark.sql.Column =
+    round((0 until MinhashK).map(i =>
+      when(element_at(col("sigs_a"), i + 1) === element_at(col("sigs_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _) / lit(MinhashK.toDouble), 4)
+
+  /** MinHash + LSH banding: candidate pairs sharing at least one of 8
+    * 4-row band signatures, kept when the estimated Jaccard (fraction of
+    * agreeing signature positions) >= 0.5. The band join is the only
+    * shuffle; its key space grows with corpus size so buckets stay
+    * small. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(minhashSigFrame(shinglePosting(spark, dir)))
     val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"),
       col("band"), col("band_sig"))
-    val agree = (0 until MinhashK).map(i =>
-      when(element_at(col("sigs_a"), i + 1) === element_at(col("sigs_b"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sigs_a", "sigs_b").distinct()
-      .select(col("doc_a"), col("doc_b"),
-        round(agree / lit(MinhashK.toDouble), 4).as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup — the production shape: screen a NEW batch
+    * against an EXISTING corpus without re-pairing the corpus with
+    * itself. The band join is asymmetric (new × existing), so its cost
+    * scales with the BATCH, not the corpus; at 100 TB the existing
+    * side's band index is precomputed and persisted, and this probe
+    * reads it like any table. Here the split is simulated as even
+    * doc_ids = existing, odd = new batch (SF-independent, so the oracle
+    * mirrors it exactly). */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(minhashSigFrame(shinglePosting(spark, dir)))
+    val existing = bands.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("dup_of"), col("sigs").as("sigs_a"),
+        col("band"), col("band_sig"))
+    val fresh = bands.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("new_doc"), col("sigs").as("sigs_b"),
+        col("band"), col("band_sig"))
+    fresh.join(existing, Seq("band", "band_sig"))
+      .select("new_doc", "dup_of", "sigs_a", "sigs_b").distinct()
+      .select(col("new_doc"), col("dup_of"), estJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("new_doc", "dup_of")
   }
 
   /** 32-bit SimHash over the distinct-token set, relationally: explode
