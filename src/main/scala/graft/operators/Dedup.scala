@@ -205,14 +205,22 @@ object Dedup {
         floor(col("sh") / floor(pow(lit(2.0), col("band") * 8)).cast("long").cast("double")).cast("long") % 256L)
     val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("band_val"))
+    // classic LSH dedup-without-distinct: a pair sharing k bands appears
+    // k times in the join; keep it only at its FIRST matching band (no
+    // earlier band's 8-bit window agrees), so each pair survives exactly
+    // once — a codegen'd filter replaces a multi-million-row distinct
+    // exchange on this data's hot buckets
+    val noEarlierMatch = (0 until SimhashBands).map(bnd =>
+      when(lit(bnd) < col("band") &&
+        shiftright(col("sh_a"), bnd * 8).bitwiseAND(255L) ===
+          shiftright(col("sh_b"), bnd * 8).bitwiseAND(255L), 1).otherwise(0))
+      .reduce(_ + _) === 0
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      // hamming BEFORE distinct: rejecting far pairs inside the codegen'd
-      // join stage shrinks the distinct's shuffle to the close pairs only
+      .filter(noEarlierMatch)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= HammingMax)
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
