@@ -12,16 +12,18 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
-  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
+  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv", "xml")
 
   /** Write `df` in `format`. CSV keeps a header; JSON is line-delimited;
-    * timestamps survive all four formats as ISO-8601 strings where the
-    * format has no native type. */
+    * XML (built into Spark 4's core) uses a fixed row tag; timestamps
+    * survive every format as ISO-8601 strings where the format has no
+    * native type. */
   def write(df: DataFrame, format: String, path: String): Unit = {
     val w = df.write.mode("overwrite")
     (format match {
       case "csv" => w.option("header", "true")
-      case f => w
+      case "xml" => w.option("rootTag", "rows").option("rowTag", "row")
+      case _ => w
     }).format(format).save(path)
   }
 
@@ -32,7 +34,8 @@ object Formats {
     val r = spark.read.schema(schema)
     (format match {
       case "csv" => r.option("header", "true")
-      case f => r
+      case "xml" => r.option("rowTag", "row")
+      case _ => r
     }).format(format).load(path)
   }
 
