@@ -480,23 +480,28 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // 64-bit signature carried as two 32-bit halves (mirror of
+    // Dedup.simhashFrame: hi = md5 hex chars 1-8, lo = chars 9-16). The
+    // oracle is BRUTE FORCE over all pairs — a stronger check than
+    // mirroring the bands, because it verifies the banded Spark plan's
+    // pigeonhole completeness (hamming <= 3 of 64 bits => one of the
+    // 4x16-bit windows agrees), not just the same candidate set.
     "q_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(list_distinct(toks),
-         |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hashes
+         |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> md5(t)) AS ms
          |      FROM tok WHERE len(toks) > 0),
-         |s AS (SELECT doc_id, list_sum(list_transform(range(0, 32),
-         |        j -> CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)) > 0
-         |             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh
-         |      FROM h),
-         |band AS (SELECT doc_id, sh, b.band, (sh >> (band * 8)) & 255 AS band_val
-         |         FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM band x JOIN band y
-         |           ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
-         |FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
-         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+         |s AS (SELECT doc_id,
+         |        list_sum(list_transform(range(0, 32), j -> CASE WHEN
+         |          list_sum(list_transform(ms, m -> ((CAST('0x' || substr(m, 9, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0
+         |          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh_lo,
+         |        list_sum(list_transform(range(0, 32), j -> CASE WHEN
+         |          list_sum(list_transform(ms, m -> ((CAST('0x' || substr(m, 1, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0
+         |          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh_hi
+         |      FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

@@ -19,14 +19,38 @@ class TopKAggregator(k: Int)
     extends Aggregator[Scored, List[Scored], List[Scored]] {
 
   private def order(s: Scored): (Double, Long) = (-s.score, s.id)
+  private val ord = Ordering.Tuple2[Double, Long]
 
   override def zero: List[Scored] = Nil
 
+  /** Bounded insertion into the (always-sorted) k-list: the common case —
+    * a row that doesn't beat the current k-th — is one comparison against
+    * the tail, O(1); an improving row is a single O(k) splice. No per-row
+    * re-sort: `reduce` is the aggregator's hot loop (once per input row),
+    * so O(k log k) work there multiplies by the corpus size. */
   override def reduce(buf: List[Scored], a: Scored): List[Scored] =
-    ((a :: buf).sortBy(order)).take(k)
+    if (buf.lengthCompare(k) >= 0 && ord.lteq(order(buf.last), order(a))) buf
+    else {
+      val (better, rest) = buf.span(s => ord.lt(order(s), order(a)))
+      (better ::: a :: rest).take(k)
+    }
 
-  override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
-    (b1 ++ b2).sortBy(order).take(k)
+  /** Linear merge of two sorted k-lists (runs once per partition pair,
+    * not per row). */
+  override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] = {
+    @annotation.tailrec
+    def go(x: List[Scored], y: List[Scored], n: Int, acc: List[Scored]): List[Scored] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil)         => acc.reverse
+        case (hx :: tx, Nil)    => go(tx, Nil, n - 1, hx :: acc)
+        case (Nil, hy :: ty)    => go(Nil, ty, n - 1, hy :: acc)
+        case (hx :: tx, hy :: ty) =>
+          if (ord.lteq(order(hx), order(hy))) go(tx, y, n - 1, hx :: acc)
+          else go(x, ty, n - 1, hy :: acc)
+      }
+    go(b1, b2, k, Nil)
+  }
 
   override def finish(reduction: List[Scored]): List[Scored] = reduction
 

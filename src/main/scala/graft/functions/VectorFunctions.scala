@@ -37,9 +37,16 @@ object VectorFunctions {
 
   /** Sign-LSH coarse bucket from the first `nBits` dimensions: bit d set
     * iff v[d] >= 0. A deterministic stand-in for an IVF coarse quantizer —
-    * the bucketing that turns an all-pairs scan into a per-bucket scan. */
+    * the bucketing that turns an all-pairs scan into a per-bucket scan.
+    *
+    * Unrolled `element_at` comparisons with literal powers of two, NOT an
+    * `aggregate(sequence(...))` lambda: higher-order functions are
+    * interpreted (no codegen, no CSE), and this column sits on the
+    * per-row hot path of every bucketed ANN/dedup query. The unrolled
+    * form is one WholeStageCodegen span and needs no floating-point
+    * `pow`. */
   def signBucket(v: Column, nBits: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
-      (acc, d) => acc + when(element_at(v, d + 1) >= 0,
-        floor(pow(lit(2.0), d)).cast("long")).otherwise(lit(0L)))
+    (0 until nBits).map(d =>
+      when(element_at(v, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
 }

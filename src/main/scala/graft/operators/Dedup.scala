@@ -28,8 +28,14 @@ object Dedup {
   val MinhashBands = 8   // bands of R = K/BANDS rows
   val MinhashR = 4
   val MinhashP = 2147483647L // 2^31-1, modulus of the permutation hashes
-  val SimhashBits = 32
-  val SimhashBands = 4   // 8-bit bands; hamming<=3 => >=1 band equal (pigeonhole)
+  // 64-bit simhash carried as TWO 32-bit halves (sh_lo = bits 0..31,
+  // sh_hi = bits 32..63): every intermediate stays strictly positive, so
+  // no sign-bit trap in either engine (1L << 63 is negative in both Spark
+  // and DuckDB BIGINTs). 4 bands of 16 bits = a 65,536-value key space
+  // per band — the band-join bucket size scales as corpus/65k instead of
+  // corpus/256, which is what keeps the self-join linear at 100 TB.
+  val SimhashBits = 64
+  val SimhashBands = 4   // 16-bit bands; hamming<=3 => >=1 band equal (pigeonhole)
   val HammingMax = 3
 
   /** Word-3-gram posting list `(doc_id, g)`, multiset semantics.
@@ -128,6 +134,20 @@ object Dedup {
       when(element_at(col("sigs_a"), i + 1) === element_at(col("sigs_b"), i + 1), 1)
         .otherwise(0)).reduce(_ + _) / lit(MinhashK.toDouble), 4)
 
+  /** True iff no band BEFORE `band` also matches between `sigs_a` and
+    * `sigs_b` — the LSH dedup-without-distinct trick shared with
+    * [[simhashPairs]]: a pair sharing k bands appears k times in the band
+    * join; keeping it only at its FIRST matching band yields each pair
+    * exactly once via a codegen'd filter, where a `distinct()` would
+    * shuffle the two 32-long signature arrays per candidate row. */
+  private def noEarlierBandMatch: org.apache.spark.sql.Column =
+    (0 until MinhashBands).map(bnd =>
+      when(lit(bnd) < col("band") &&
+        (0 until MinhashR).map(r =>
+          element_at(col("sigs_a"), bnd * MinhashR + r + 1) ===
+            element_at(col("sigs_b"), bnd * MinhashR + r + 1)).reduce(_ && _), 1)
+        .otherwise(0)).reduce(_ + _) === 0
+
   /** MinHash + LSH banding: candidate pairs sharing at least one of 8
     * 4-row band signatures, kept when the estimated Jaccard (fraction of
     * agreeing signature positions) >= 0.5. The band join is the only
@@ -141,7 +161,7 @@ object Dedup {
       col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sigs_a", "sigs_b").distinct()
+      .filter(noEarlierBandMatch)
       .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
@@ -164,62 +184,82 @@ object Dedup {
       .select(col("doc_id").as("new_doc"), col("sigs").as("sigs_b"),
         col("band"), col("band_sig"))
     fresh.join(existing, Seq("band", "band_sig"))
-      .select("new_doc", "dup_of", "sigs_a", "sigs_b").distinct()
+      .filter(noEarlierBandMatch)
       .select(col("new_doc"), col("dup_of"), estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("new_doc", "dup_of")
   }
 
-  /** 32-bit SimHash over the distinct-token set, relationally: explode
-    * the distinct tokens, derive the 32-bit token hash as a codegen'd
-    * md5/conv column, then partial-aggregate the 32 per-bit ±1 votes
-    * (`sum((h >> j) & 1) * 2 - 1`) per document and assemble the final
-    * signature — bit j set iff its vote sum is positive. Same math as a
-    * nested per-row lambda fold, but fully inside WholeStageCodegen with
-    * map-side combine. */
+  /** 64-bit SimHash over the distinct-token set, relationally: explode
+    * the distinct tokens, derive the two 32-bit token-hash halves as
+    * codegen'd md5/conv columns (hi = md5 hex chars 1-8 → bits 32..63,
+    * lo = chars 9-16 → bits 0..31; codegen CSE evaluates the md5 once),
+    * then partial-aggregate the 64 per-bit ±1 votes
+    * (`sum((h >> j) & 1) * 2 - 1`) per document and assemble each half —
+    * bit j set iff its vote sum is positive. Same math as a nested
+    * per-row lambda fold, but fully inside WholeStageCodegen with
+    * map-side combine. Returns (doc_id, sh_lo, sh_hi). */
   private def simhashFrame(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(tokenize(col("text")))).as("t"))
       .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
-    val votes = (0 until SimhashBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j"))
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h_hi"),
+        conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("h_lo"))
+    val votes =
+      (0 until 32).map(j =>
+        sum(shiftright(col("h_lo"), j).bitwiseAND(1L) * 2L - 1L).as(s"lo$j")) ++
+      (0 until 32).map(j =>
+        sum(shiftright(col("h_hi"), j).bitwiseAND(1L) * 2L - 1L).as(s"hi$j"))
+    def half(prefix: String) =
+      (0 until 32).map(j =>
+        when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
+      .select(col("doc_id"), half("lo").as("sh_lo"), half("hi").as("sh_hi"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= 3, found via 4x8-bit
+  /** 16-bit window `band` (0..3) of the (sh_lo, sh_hi) signature. */
+  private def simhashBandVal(lo: org.apache.spark.sql.Column,
+                             hi: org.apache.spark.sql.Column,
+                             band: Int): org.apache.spark.sql.Column = band match {
+    case 0 => lo.bitwiseAND(65535L)
+    case 1 => shiftright(lo, 16)
+    case 2 => hi.bitwiseAND(65535L)
+    case _ => shiftright(hi, 16)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= 3, found via 4x16-bit
     * band buckets (pigeonhole-complete for <=3 bit flips, so the banded
     * plan returns exactly the brute-force answer — which is what the
     * oracle computes). Documents with no tokens have no signature and
     * never pair (the oracle mirrors the drop). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = simhashFrame(Tables.fanOut(Tables.documents(spark, dir)))
-    val bands = sh.select(col("doc_id"), col("sh"),
+    val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_val",
-        floor(col("sh") / floor(pow(lit(2.0), col("band") * 8)).cast("long").cast("double")).cast("long") % 256L)
-    val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("band"), col("band_val"))
+        (0 until SimhashBands).foldRight(lit(-1L): org.apache.spark.sql.Column)((bnd, els) =>
+          when(col("band") === bnd, simhashBandVal(col("sh_lo"), col("sh_hi"), bnd)).otherwise(els)))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sh_lo").as("lo_a"),
+      col("sh_hi").as("hi_a"), col("band"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sh_lo").as("lo_b"),
+      col("sh_hi").as("hi_b"), col("band"), col("band_val"))
     // classic LSH dedup-without-distinct: a pair sharing k bands appears
     // k times in the join; keep it only at its FIRST matching band (no
-    // earlier band's 8-bit window agrees), so each pair survives exactly
+    // earlier band's 16-bit window agrees), so each pair survives exactly
     // once — a codegen'd filter replaces a multi-million-row distinct
     // exchange on this data's hot buckets
     val noEarlierMatch = (0 until SimhashBands).map(bnd =>
       when(lit(bnd) < col("band") &&
-        shiftright(col("sh_a"), bnd * 8).bitwiseAND(255L) ===
-          shiftright(col("sh_b"), bnd * 8).bitwiseAND(255L), 1).otherwise(0))
+        simhashBandVal(col("lo_a"), col("hi_a"), bnd) ===
+          simhashBandVal(col("lo_b"), col("hi_b"), bnd), 1).otherwise(0))
       .reduce(_ + _) === 0
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(noEarlierMatch)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .orderBy("doc_a", "doc_b")
   }
