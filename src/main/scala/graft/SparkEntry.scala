@@ -77,6 +77,7 @@ object SparkEntry {
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
+    "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
 
     // ---- dedup surface (training-data pipeline brief) ----
     "q_dedup_exact_stats"   -> (Dedup.exactStats _),
@@ -85,9 +86,11 @@ object SparkEntry {
     "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
-    "q_dedup_embedding"     -> (Dedup.embeddingNearDup _),
+    "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
+    "q_dedup_clusters"      -> (Dedup.nearDupComponents _),
+    "q_dedup_keep_clustered" -> (Dedup.dedupedCorpusClustered _),
 
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
@@ -116,6 +119,21 @@ object SparkEntry {
         .select(col("key").as("l_returnflag"),
           round(col("total"), 2).as("sum_qty"), col("cnt"))
         .orderBy("l_returnflag")),
+
+    // salted join: the skewed-fact-side pattern must produce exactly the
+    // plain join's answer (salting only redistributes rows) — the oracle
+    // is the unsalted join
+    "q_salted_join" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val dim = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      ScaleTechniques.saltedJoin(fact, dim, "partkey", 8)
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
 
     // ---- plugin surface: same per-file word count, but resolved and
     // composed through the OperatorRegistry (the dlopen analog), so the
@@ -429,6 +447,27 @@ object SparkEntry {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
         |FROM events JOIN tiers ON value >= lo AND value < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // the binned equi-join plan must reproduce the NLJ answer exactly
+    "q_range_join_binned" ->
+      """WITH tiers(lo, hi, tier) AS (
+        |  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
+        |SELECT tier, count(*)::BIGINT AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    // the sketch value is engine-specific; the oracle checks the exact
+    // count and that Spark's HLL landed within its accuracy envelope
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        |       true AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_dedup_exact_stats" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
@@ -472,6 +511,41 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes,
          |near_drop AS (SELECT DISTINCT doc_b AS doc_id FROM est
          |              WHERE est_jaccard >= 0.5),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |               GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN exact_keep USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // connected components by recursive CTE: reach(id, comp) holds every
+    // component-id reachable from id over the undirected pair graph; the
+    // min per id is the same canonical representative the Spark
+    // min-label-propagation loop converges to
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $DuckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(comp)::BIGINT AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_clustered" ->
+      s"""WITH RECURSIVE $DuckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |near_drop AS (SELECT id AS doc_id FROM comps WHERE component <> id),
          |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
          |               GROUP BY md5(text))
          |SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -303,13 +303,81 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Iteration cap for [[componentsOf]]. With pointer jumping each round
+    * at least halves every propagation chain, so convergence needs
+    * O(log₂ of the largest component's diameter) rounds — 50 covers any
+    * graph that fits in storage by ~2⁵⁰ margin. The loop exits early at
+    * the actual fixpoint; the cap only bounds a pathological run. */
+  val MaxCcIterations = 50
+
+  /** Connected components of the undirected near-dup pair graph, by
+    * min-label propagation: every node starts labeled with its own id;
+    * each round takes the min of its own and its neighbors' labels, then
+    * pointer-jumps (label := label's label) so long chains collapse
+    * logarithmically instead of one hop per round. Returns
+    * (doc_id, component) where component = the minimum doc_id reachable —
+    * a canonical representative independent of pair enumeration order.
+    *
+    * Scale posture: the graph holds only DOCUMENTS THAT HAVE A NEAR-DUP
+    * PAIR — a small fraction of the corpus even at 100 TB — and every
+    * round is two hash joins on ids (no arrays, no text). Each round's
+    * labels are localCheckpoint'ed: iterative self-referential plans
+    * otherwise double their lineage per round and re-execute the whole
+    * history at every action. */
+  private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIterations) {
+      // min over own label and all neighbors' labels
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr_comp").as("nbr_comp"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+      // pointer jump: resolve each label to ITS label (labels only ever
+      // shrink, so label(label(id)) <= label(id) — this is what turns a
+      // k-long chain into k/2, giving O(log) total rounds)
+      val next = propagated.alias("u")
+        .join(propagated.select(col("id").as("component"), col("component").as("jump"))
+          .alias("p"), Seq("component"), "left")
+        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS: [[componentsOf]] over the [[minhashLsh]] pair
+    * graph. One row per clustered document: (doc_id, component) where
+    * component is the cluster's minimum doc_id. The oracle is a DuckDB
+    * recursive CTE computing min-reachable-id over the same pair set, so
+    * the row set proves the iterative Spark loop reaches the true
+    * transitive closure — not just the pairs it happened to see first. */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(minhashLsh(spark, dir).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+
   /** The dedup ACTION — the corpus a training pipeline actually keeps.
     * Composition of the detectors: (1) one survivor (lowest doc_id) per
     * exact-duplicate group; (2) near-duplicates flagged by
     * [[minhashLsh]] drop the higher doc_id of each pair ("keep first",
-    * the standard greedy heuristic — full connected-components
-    * clustering is a deliberate non-goal at this layer). Anti-joins are
-    * broadcast-sized: the drop set is as small as the dup rate. */
+    * the standard greedy heuristic — see [[dedupedCorpusClustered]] for
+    * the cluster-correct variant). Anti-joins are broadcast-sized: the
+    * drop set is as small as the dup rate. */
   def dedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val exactKeep = d.groupBy(md5(col("text")).as("text_md5"))
@@ -322,18 +390,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[dedupedCorpus]] with CLUSTER-correct near-dup dropping: the drop
+    * set is "every clustered document that is not its component's
+    * minimum", so exactly one representative survives per connected
+    * component. Unlike the greedy pairwise rule this cannot over-delete
+    * on transitive chains (A~B, B~C with A≁C keeps A and only A — the
+    * greedy rule drops both B and C) and the survivor set is independent
+    * of the order pairs were discovered in. */
+  def dedupedCorpusClustered(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val exactKeep = d.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearDrop = componentsOf(minhashLsh(spark, dir).select("doc_a", "doc_b"))
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    d.join(exactKeep, "doc_id")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: top-3 most-similar pairs per label, with pair
-    * generation blocked on (label, 8-bit sign bucket) — the same
-    * IVF-style coarse quantizer as [[SimSearch.lshBucketedTopK]] — so no
-    * block is ever all-pairs over a full label partition (a label is not
-    * a bounded set at corpus scale; a sign bucket is 1/256 of it).
+    * generation blocked on (label, `bucketBits`-bit sign bucket) — the
+    * same IVF-style coarse quantizer as [[SimSearch.lshBucketedTopK]] —
+    * so no block is ever all-pairs over a full label partition (a label
+    * is not a bounded set at corpus scale; a sign bucket is 1/2^bits of
+    * it). `bucketBits` is the SCALE DIAL: expected bucket size is
+    * corpus / (labels × 2^bits), so a 100× corpus keeps the per-bucket
+    * self-join constant by adding ~7 bits — at the recall cost of
+    * splitting near-pairs whose signs differ in the added dimensions.
     * Ranking is by cosine rounded to 6 decimals with vec_id tiebreaks, so
     * order is stable across engines and partitionings. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       bucketBits: Int = SimSearch.BucketBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("label"), col("vec_id"), col("embedding"),
-        VectorFunctions.signBucket(col("embedding"), SimSearch.BucketBits).as("bucket"))
+        VectorFunctions.signBucket(col("embedding"), bucketBits).as("bucket"))
     val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val b = e.select(col("label"), col("bucket"), col("vec_id").as("vec_b"),

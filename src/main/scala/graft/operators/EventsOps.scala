@@ -113,6 +113,41 @@ object EventsOps {
       .orderBy("tier")
   }
 
+  /** Fixed-width bin size for [[valueTierJoinBinned]]. Chosen so a tier
+    * interval spans a handful of bins; at scale it's tuned to the value
+    * distribution (smaller bins = more interval replication, fewer
+    * false candidates per bin). */
+  val TierBinWidth = 25.0
+
+  /** The same tier assignment as [[valueTierJoin]], but via the BINNED
+    * interval-join pattern — the scale-safe general case when BOTH sides
+    * are large (a broadcast nested-loop probe needs the interval side to
+    * fit in memory; a million-interval side can't). Each interval
+    * explodes into the fixed-width bins it overlaps, each event maps to
+    * the single bin containing its value, and the join becomes a plain
+    * EQUI-join on the bin id (shuffle-partitionable, AQE-sizable) with a
+    * residual `lo <= v < hi` filter for exactness. Interval replication
+    * cost = interval width / bin width, the explicit knob. Must return
+    * byte-identical results to the broadcast-NLJ plan — both are
+    * registered, same oracle. */
+  def valueTierJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq((0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 500.0, "high"))
+      .toDF("lo", "hi", "tier")
+    val binned = tiers.withColumn("bin",
+      explode(sequence(
+        floor(col("lo") / TierBinWidth).cast("long"),
+        ceil(col("hi") / TierBinWidth).cast("long") - 1)))
+    Tables.events(spark, dir)
+      .withColumn("bin", floor(col("value") / TierBinWidth).cast("long"))
+      .join(binned, Seq("bin"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("total_value"))
+      .orderBy("tier")
+  }
+
   /** Per-type daily event funnel with conversion-style ratios. */
   def dailyTypeShare(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)

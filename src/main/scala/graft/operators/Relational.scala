@@ -256,12 +256,23 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"))
       .orderBy("l_returnflag")
 
-  /** Approximate distinct (HLL++). No DuckDB oracle — sketches are
-    * engine-specific; driver does a rows-only check. */
+  /** Approximate distinct (HLL++) with an ORACLE-CHECKABLE envelope: the
+    * sketch value itself is engine-specific (DuckDB can't reproduce
+    * Spark's HLL), so the row emits the EXACT count plus the assertion
+    * `|approx − exact| / exact <= 0.02` — DuckDB computes the same exact
+    * count and a literal `true`, and the hash compare then proves the
+    * sketch ran AND landed inside its accuracy envelope (rsd = 0.01, so
+    * 2% is a 2-sigma bound; the sketch is deterministic for fixed data,
+    * making this a stable gate, not a flaky one). */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users") <= 0.02)
+          .as("within_tol"))
       .orderBy("event_type")
 
   /** UNION / INTERSECT / EXCEPT in one tagged result: which nations have

@@ -33,7 +33,7 @@ class DedupInvarianceSpec extends AnyFunSuite {
       "minhashLsh" -> (Dedup.minhashLsh _),
       "simhashPairs" -> (Dedup.simhashPairs _),
       "ngramJaccard" -> (Dedup.ngramJaccard _),
-      "embeddingNearDup" -> (Dedup.embeddingNearDup _),
+      "embeddingNearDup" -> ((s: org.apache.spark.sql.SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
       "lshBucketedTopK" -> (SimSearch.lshBucketedTopK _))) {
     test(s"$name: identical results on single-file and 7-file layouts") {
       assert(rows(op(spark, base)) == rows(op(spark, multi)))
