@@ -46,4 +46,28 @@ object Formats {
   def writePartitioned(df: DataFrame, format: String, path: String,
       partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).format(format).save(path)
+
+  /** JDBC sink (SURVEY §2.2 connector row): save `df` as a database
+    * table through Spark's built-in JDBC source. Exercised in the suite
+    * against embedded Derby — the one database this environment ships
+    * (in Spark's own jars). */
+  def jdbcWrite(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+
+  /** JDBC source. `partitioning = Some((col, lower, upper, n))` splits
+    * the read into `n` range-partitioned queries — at cluster scale each
+    * executor opens its own connection and pulls one stride, instead of
+    * the whole table streaming through one task. Filters on the returned
+    * frame push down into the remote SQL (`PushedFilters` on the JDBC
+    * scan node), so the database does the selection, not the cluster. */
+  def jdbcRead(spark: SparkSession, url: String, table: String,
+      partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitioning.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
 }

@@ -37,6 +37,34 @@ class FormatsSpec extends AnyFunSuite {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("JDBC connector round-trips via embedded Derby with pushdown + parallel read") {
+    val dbHome = Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.system.home", dbHome)  // keep derby.log out of the repo
+    val url = s"jdbc:derby:$dbHome/graftdb;create=true"
+    val src = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    Formats.jdbcWrite(src, url, "customer_jdbc")
+
+    // plain read-back is exact
+    val back = Formats.jdbcRead(spark, url, "customer_jdbc")
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+
+    // a numeric predicate reaches the remote SQL, not the Spark filter
+    val filtered = Formats.jdbcRead(spark, url, "customer_jdbc")
+      .filter(col("c_custkey") < 50)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("c_custkey"),
+      s"expected a pushed JDBC filter in:\n$plan")
+    assert(filtered.count() == src.filter(col("c_custkey") < 50).count())
+
+    // range partitioning fans the read out over n strides
+    val n = src.count()
+    val parallel = Formats.jdbcRead(spark, url, "customer_jdbc",
+      Some(("c_custkey", 0L, n, 4)))
+    assert(parallel.rdd.getNumPartitions == 4)
+    assert(parallel.count() == n)
+  }
+
   test("writeFinalOutputCompat reproduces the reference final_output tree") {
     import scala.jdk.CollectionConverters._
     val counts = graft.operators.WordCount.perKey(
