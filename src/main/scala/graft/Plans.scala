@@ -1,0 +1,37 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan dump for the plan audits in PLANS.md: prints
+  * `explainString(simple)` for the named queries (or a default headline
+  * set) as ready-to-paste markdown sections.
+  *
+  *   sbt "runMain graft.Plans /root/testdata/sf0.01 q3_top_revenue ..."
+  */
+object Plans {
+  val Headline: Seq[String] = Seq(
+    "wc_per_doc", "q3_top_revenue", "q5_region_revenue", "q_window_rank",
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard",
+    "q_ann_brute_force", "q_events_sessions", "q_asof_join",
+    "q_dedup_keep_set", "q_range_join_binned", "q_salted_join")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Headline
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      println(s"\n## $n\n\n```")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -342,19 +342,22 @@ object Dedup {
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("old"))
       // pointer jump: resolve each label to ITS label (labels only ever
       // shrink, so label(label(id)) <= label(id) — this is what turns a
       // k-long chain into k/2, giving O(log) total rounds)
+      // carry the previous label through the jump so convergence is a
+      // filter-count over the (already-materialized) checkpoint — one
+      // action per round, no extra join against the old labels
       val next = propagated.alias("u")
         .join(propagated.select(col("id").as("component"), col("component").as("jump"))
           .alias("p"), Seq("component"), "left")
-        .select(col("id"), coalesce(col("jump"), col("component")).as("component"))
+        .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
+          col("old"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select("id", "component")
       iter += 1
     }
     labels

@@ -50,10 +50,19 @@ object Tables {
     * byte-range splitting cannot help. Repartition only when the scan
     * yields fewer partitions than total cores; at 100 TB the input
     * already has thousands of row groups and this is a no-op (no
-    * shuffle is ever added on large inputs). */
+    * shuffle is ever added on large inputs).
+    *
+    * The partition-count probe (`df.rdd`) forces a physical-planning
+    * pass outside AQE, so its verdict is memoized per (input files,
+    * target) — repeated query builds over the same table (Verify/Bench
+    * run dozens) pay it once per process. */
+  private val fanOutSmall = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val key = df.inputFiles.sorted.mkString(",") + "#" + target
+    val small = fanOutSmall.computeIfAbsent(key,
+      _ => df.rdd.getNumPartitions < target)
+    if (small) df.repartition(target) else df
   }
 
   /** Directory-of-text-files source, the Spark analog of the reference's
