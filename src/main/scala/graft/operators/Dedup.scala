@@ -45,9 +45,8 @@ object Dedup {
     * ~20× slower here; this shape is one WholeStageCodegen span over the
     * scan. Consumers needing set semantics call `.distinct()`; MinHash
     * doesn't (min is duplicate-insensitive). */
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), tokenize(col("text")).as("toks"))
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokenize(col("text")).as("toks"))
     val len = greatest(size(col("toks")) - 2, lit(0))
     val zipped = arrays_zip(
       slice(col("toks"), lit(1), len),
@@ -57,6 +56,17 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
   }
+
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** The (doc_id, sigs, band, band_sig) LSH index of a document frame —
+    * the PRECOMPUTED STATIC side of incremental/streaming near-dup
+    * screening. In production this is persisted (and bucketed by
+    * (band, band_sig)) once per corpus snapshot and probed by every new
+    * batch or stream without being rebuilt. */
+  def bandIndexOf(docs: DataFrame): DataFrame =
+    minhashBands(minhashSigFrame(shinglesOf(docs)))
 
   /** Exact dedup bookkeeping per (lang, source) shard: how many rows
     * survive `dropDuplicates(text)`. The grouped form scales where a
@@ -99,14 +109,14 @@ object Dedup {
     * is ~100× cheaper than 32 separate md5 calls (Spark's Md5 allocates
     * a MessageDigest per call), and DuckDB evaluates the same BIGINT
     * expressions bit-identically. */
-  private def minhashPerm(i: Int, x: org.apache.spark.sql.Column) =
+  private[graft] def minhashPerm(i: Int, x: org.apache.spark.sql.Column) =
     (lit(2L * i + 1) * x + lit(i * 40503L + 7)) % MinhashP
 
   /** MinHash signatures, relationally: explode shingles, one codegen'd
     * md5 → 32-bit base hash per shingle, 32 integer permutations, `min`
     * per document with map-side partial aggregation. Equivalent to a
     * per-row `transform/array_min` lambda but fully codegen'd. */
-  private def minhashSigFrame(posting: DataFrame): DataFrame = {
+  private[graft] def minhashSigFrame(posting: DataFrame): DataFrame = {
     val withX = posting.select(col("doc_id"),
       conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("x"))
     val mins = (0 until MinhashK).map(i => min(minhashPerm(i, col("x"))).as(s"h$i"))
@@ -118,7 +128,7 @@ object Dedup {
 
   /** (doc_id, sigs, band, band_sig): one row per document per band, the
     * LSH index both the self-join and the incremental variant probe. */
-  private def minhashBands(sigs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sigs: DataFrame): DataFrame = {
     val bandSig = concat_ws(",",
       (0 until MinhashR).map(r =>
         element_at(col("sigs"), col("band") * MinhashR + r + 1).cast("string")): _*)
@@ -129,7 +139,7 @@ object Dedup {
 
   /** Fraction of agreeing signature positions, as 32 unrolled
     * `element_at` comparisons — codegen, no array lambda. */
-  private def estJaccard: org.apache.spark.sql.Column =
+  private[graft] def estJaccard: org.apache.spark.sql.Column =
     round((0 until MinhashK).map(i =>
       when(element_at(col("sigs_a"), i + 1) === element_at(col("sigs_b"), i + 1), 1)
         .otherwise(0)).reduce(_ + _) / lit(MinhashK.toDouble), 4)
@@ -140,7 +150,7 @@ object Dedup {
     * join; keeping it only at its FIRST matching band yields each pair
     * exactly once via a codegen'd filter, where a `distinct()` would
     * shuffle the two 32-long signature arrays per candidate row. */
-  private def noEarlierBandMatch: org.apache.spark.sql.Column =
+  private[graft] def noEarlierBandMatch: org.apache.spark.sql.Column =
     (0 until MinhashBands).map(bnd =>
       when(lit(bnd) < col("band") &&
         (0 until MinhashR).map(r =>

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Dedup
+
+/** Streaming near-dup screening — the STREAMING twin of
+  * [[graft.operators.Dedup.incrementalMinhash]]: a stream of incoming
+  * documents probed against the precomputed LSH band index of the
+  * existing corpus ([[graft.operators.Dedup.bandIndexOf]]).
+  *
+  * The whole query is STATELESS: per-row signature expressions plus a
+  * stream-static equi-join on (band, band_sig) — no watermark, no state
+  * store, exactly-once under any restart. That is the point of the
+  * design: the corpus side is a static snapshot (in production:
+  * persisted, bucketed by the band key, refreshed by a batch job), so
+  * screening N new documents costs O(N × matched-bucket size) no matter
+  * how large the corpus is, and a crashed micro-batch replays with no
+  * state to recover.
+  *
+  * Signature parity: the per-row `transform`/`array_min` lambdas here
+  * compute the SAME integer arithmetic as the batch path's relational
+  * `groupBy`/`min` (one md5 per shingle, 32 affine permutations mod
+  * 2^31-1) — `min` over the same multiset — so stream and batch answers
+  * are identical (pinned by the batch≡stream suite test). Interpreted
+  * lambdas are the right trade on this path: each document's work is
+  * row-local, so there is nothing for codegen'd partial aggregation to
+  * combine, and no shuffle ever sees the text.
+  */
+object DocsStream {
+
+  /** Parquet schema of the documents table for the file source. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Bounded file-source stream over the documents parquet in an sf
+    * directory — `maxFilesPerTrigger` paces replay. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Per-row word-3-gram shingles of `text` (same tokenizer kernel and
+    * shingle definition as the batch path, as one array expression). */
+  private def shingleArray(text: Column): Column = {
+    val toks = graft.functions.TextFunctions.tokenize(text)
+    val len = greatest(size(toks) - 2, lit(0))
+    transform(arrays_zip(
+        slice(toks, lit(1), len), slice(toks, lit(2), len), slice(toks, lit(3), len)),
+      z => concat_ws(" ", z.getField("0"), z.getField("1"), z.getField("2")))
+  }
+
+  /** Per-row MinHash signature: one md5 per shingle, then
+    * [[Dedup.MinhashK]] affine permutations, `array_min` each. */
+  private def sigArray(shingles: Column): Column = {
+    val xs = transform(shingles, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    array((0 until Dedup.MinhashK).map(i =>
+      array_min(transform(xs, x => Dedup.minhashPerm(i, x)))): _*)
+  }
+
+  /** Screen a document stream against a static corpus band index:
+    * emits (new_doc, dup_of, est_jaccard) for every (stream doc,
+    * corpus doc) pair with estimated Jaccard >= `threshold`. Candidate
+    * pairs sharing several bands are kept once via the same
+    * first-matching-band filter as the batch path (no distinct — a
+    * stream could not do one across batches anyway). */
+  def nearDupScreen(newDocs: DataFrame, corpusBands: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = newDocs
+      .select(col("doc_id").as("new_doc"), shingleArray(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("new_doc"), sigArray(col("gs")).as("sigs_b"))
+    val bandSig = concat_ws(",",
+      (0 until Dedup.MinhashR).map(r =>
+        element_at(col("sigs_b"), col("band") * Dedup.MinhashR + r + 1)
+          .cast("string")): _*)
+    val probes = sigs
+      .select(col("new_doc"), col("sigs_b"),
+        explode(sequence(lit(0), lit(Dedup.MinhashBands - 1))).as("band"))
+      .select(col("new_doc"), col("sigs_b"), col("band"), bandSig.as("band_sig"))
+    val corpus = corpusBands.select(col("doc_id").as("dup_of"),
+      col("sigs").as("sigs_a"), col("band"), col("band_sig"))
+    probes.join(corpus, Seq("band", "band_sig"))
+      .filter(Dedup.noEarlierBandMatch)
+      .select(col("new_doc"), col("dup_of"), Dedup.estJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+}
