@@ -106,6 +106,9 @@ object SparkEntry {
     "q_text_bigrams"     -> (TextAnalysis.bigramsTop20 _),
     "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
+    "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
+    "q_text_pack"        -> (TextAnalysis.packSequences _),
+    "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -733,6 +736,46 @@ object SparkEntry {
          |           FROM scored)
          |SELECT doc_id, "rank", word, score FROM ranked
          |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_sampled
+        |FROM documents
+        |WHERE (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100)
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_text_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT lang, CAST(floor((cum - n_tokens) / ${TextAnalysis.PackCapacity}.0) AS BIGINT) AS bin,
+         |       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens
+         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "q_text_redact" -> {
+      val planted = TextAnalysis.PiiPlanted
+        .map { case (id, src, text) => s"($id, '$src', '$text')" }
+        .mkString(", ")
+      s"""WITH planted(doc_id, source, text) AS (VALUES $planted),
+         |all_docs AS (SELECT doc_id, source, text FROM documents
+         |             UNION ALL SELECT * FROM planted),
+         |per AS (SELECT source,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}'))::BIGINT AS n_phones,
+         |  length(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'))::BIGINT AS len_redacted
+         |FROM all_docs)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |       sum(n_emails)::BIGINT AS emails_redacted,
+         |       sum(n_phones)::BIGINT AS phones_redacted,
+         |       sum(len_redacted)::BIGINT AS total_len_redacted
+         |FROM per GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_ann_topk_agg" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),

@@ -128,6 +128,89 @@ object TextAnalysis {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Deterministic hash-based stratified sampling — the data-mixing
+    * primitive: per-language sampling rates (10% for `en`, 30%
+    * otherwise) decided by a CONTENT-hash bucket, not `rand()`, so the
+    * sample is reproducible across runs, engines, partitionings, and
+    * re-ingests of the same document. Pure narrow filter + bounded-key
+    * group-by; at 100 TB the filter runs in the scan stage. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.documents(spark, dir)
+      .withColumn("bucket", bucket)
+      .filter(when(col("lang") === "en", col("bucket") < 10)
+        .otherwise(col("bucket") < 30))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang", "source")
+  }
+
+  /** Context-window capacity for [[packSequences]]. */
+  val PackCapacity = 4096L
+
+  /** Greedy sequence packing: stream documents per language in doc_id
+    * order and cut a new pack every [[PackCapacity]] tokens — bin =
+    * floor(tokens-before-this-doc / capacity), a running-sum window, so
+    * assignment is deterministic and engine-independent (no bin-packing
+    * heuristic with tie ambiguity). The per-language window shuffles
+    * once on lang; at scale the order key would be a within-shard
+    * sequence so packs build shard-locally. Emits per-pack document and
+    * token counts — the shape a training loader consumes. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")) / lit(PackCapacity.toDouble)).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Email / phone patterns for [[piiRedactionStats]] — deliberately in
+    * the Java∩RE2 common subset (no lookarounds, no shorthand classes)
+    * so Spark and the DuckDB oracle match identically. */
+  val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Planted PII fixture rows: the synthetic corpus contains no emails
+    * or phone numbers, so without planting the redaction query would
+    * only ever prove the zero case (the r1 empty-dedup trap). Single
+    * source of truth — the oracle VALUES clause is generated from this
+    * list. */
+  val PiiPlanted: Seq[(Long, String, String)] = Seq(
+    (9000001L, "planted", "contact me at alice@example.com or bob.smith@corp.io today"),
+    (9000002L, "planted", "call 555-123-4567 and email carol@test.org"),
+    (9000003L, "planted", "numbers 12-34-56 but nothing sensitive here"))
+
+  /** The PII-redaction ACTION, summarized: per source, how many
+    * emails/phones were struck and the total redacted length (computed
+    * by actually applying the `regexp_replace` chain — the same
+    * expression a pipeline would write back). Narrow per-row regex
+    * work in the scan stage; the group-by key space is |sources|. */
+  def piiRedactionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = PiiPlanted.toDF("doc_id", "source", "text")
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir).select("doc_id", "source", "text")
+      .unionByName(planted)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        length(redacted).cast("long").as("len_redacted"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_emails").as("emails_redacted"),
+        sum("n_phones").as("phones_redacted"),
+        sum("len_redacted").as("total_len_redacted"))
+      .orderBy("source")
+  }
+
   /** Tf-idf top-3 terms for the first 10 documents: tf from the per-doc
     * word count, df from the distinct (doc, word) pairs, idf = ln(N/df).
     * The corpus-size scalar joins in as a broadcast single-row frame —
