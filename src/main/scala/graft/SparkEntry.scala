@@ -97,6 +97,7 @@ object SparkEntry {
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
     "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
     "q_ann_multiprobe"  -> (SimSearch.lshMultiProbeTopK _),
+    "q_ann_ivf_assign"  -> (SimSearch.ivfAssign _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -654,6 +655,21 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    "q_ann_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+         |          FROM e WHERE vec_id >= 100 AND vec_id < 108),
+         |scored AS (SELECT e.vec_id, c.cent_id,
+         |             round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) AS cos
+         |           FROM e CROSS JOIN cents c),
+         |best AS (SELECT vec_id, cent_id, cos,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, cent_id) AS rnk
+         |         FROM scored)
+         |SELECT cent_id, count(*)::BIGINT AS n_vectors,
+         |       min(cos) AS min_cos, max(cos) AS max_cos
+         |FROM best WHERE rnk = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     "q_text_lang_id" ->
       s"""WITH t AS (SELECT lang, $DuckTok AS toks FROM documents),

@@ -103,6 +103,38 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Number of IVF coarse centroids and the id range they are drawn
+    * from (vec_id in [100, 100+K): a fixed, training-free seed pick —
+    * the deterministic stand-in for a k-means++ seeding pass, which at
+    * scale runs as a tiny sampled batch job). */
+  val IvfK = 8
+  val IvfSeedBase = 100L
+
+  /** IVF coarse ASSIGNMENT — the quantizer-training step the sign-LSH
+    * buckets stand in for: every vector goes to its nearest (highest
+    * cosine) of [[IvfK]] fixed centroids. One narrow pass over the
+    * corpus against a broadcast centroid table, `WindowGroupLimit`
+    * bounds the per-vector argmin; the output is per-centroid cluster
+    * population with min/max cosine (order-independent aggregates, so
+    * parity needs no decimal gymnastics). At 100 TB this produces the
+    * partition assignment an IVF index stores; cluster sizes are the
+    * balance diagnostic that decides whether to re-seed. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cents = e.filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosine(col("embedding"), col("cent_emb")), 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cent_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("cos").as("min_cos"), max("cos").as("max_cos"))
+      .orderBy("cent_id")
+  }
+
   /** IVF/LSH-style ANN: both sides keyed by an 8-bit sign bucket over the
     * leading dimensions; each query scans only its bucket (single-probe).
     * Returns top-3 per query — approximate by construction, identical to
