@@ -66,6 +66,7 @@ object SparkEntry {
     "q_distinct"       -> (Relational.distinctFlagStatus _),
     "q_count_distinct" -> (Relational.distinctPartsPerFlag _),
     "q_approx_distinct" -> (Relational.approxDistinctUsers _),
+    "q_approx_quantile" -> (Relational.approxQuantilePrices _),
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
@@ -466,6 +467,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
         |       true AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows, true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,

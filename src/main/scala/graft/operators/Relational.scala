@@ -282,6 +282,26 @@ object Relational {
           .as("within_tol"))
       .orderBy("event_type")
 
+  /** Approximate percentile (the t-digest-style rank sketch beside the
+    * HLL row) with the same envelope pattern as [[approxDistinctUsers]]
+    * — but here the EXACT reference value stays Spark-side (Spark's
+    * `percentile` over the same rows), because a floating percentile's
+    * interpolation arithmetic is not guaranteed bit-equal across
+    * engines: only the group key, an integer row count, and the boolean
+    * envelope cross to DuckDB. accuracy=10000 bounds rank error at
+    * n/10000, far inside the 1% value tolerance on this data. */
+  def approxQuantilePrices(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.01)
+          .as("within_tol"))
+      .orderBy("l_returnflag")
+
   /** UNION / INTERSECT / EXCEPT in one tagged result: which nations have
     * customers vs suppliers. */
   def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
