@@ -114,6 +114,7 @@ object SparkEntry {
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
+    "q_multimodal_dedup" -> (graft.multimodal.Multimodal.mediaDedupPlanted _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
     // produce exactly the unsalted answer (salting redistributes partial
@@ -642,6 +643,18 @@ object SparkEntry {
         |       round(avg(octet_length(content)), 2) AS avg_bytes,
         |       count(DISTINCT content_md5)::BIGINT AS n_distinct
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+
+    "q_multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
+        |  md5(text) AS content_md5 FROM documents),
+        |doubled AS (SELECT * FROM m
+        |            UNION ALL
+        |            SELECT media_id + 1000000, mime, content_md5 FROM m)
+        |SELECT content_md5, mime, count(*)::BIGINT AS n_copies,
+        |       min(media_id) AS keep_media
+        |FROM doubled GROUP BY content_md5, mime HAVING count(*) > 1
+        |ORDER BY content_md5""".stripMargin,
 
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

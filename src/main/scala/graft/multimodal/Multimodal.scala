@@ -107,6 +107,21 @@ object Multimodal {
     }
   }
 
+  /** Exact BINARY-payload dedup with planted duplicates: the media table
+    * unioned with an id-shifted copy of itself (mime stays with the
+    * payload, as it would for a re-crawled asset), grouped by content
+    * hash — media columns dedup with the same keep-lowest-id semantics
+    * as text, because to the engine a payload is just another column.
+    * Content is keyed by its md5, never shuffled whole. */
+  def mediaDedupPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaFromDocuments(spark, dir)
+    val doubled = m.unionByName(m.withColumn("media_id", col("media_id") + 1000000))
+    doubled.groupBy("content_md5", "mime")
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_media"))
+      .filter(col("n_copies") > 1)
+      .orderBy("content_md5")
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */
