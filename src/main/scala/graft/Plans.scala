@@ -12,7 +12,8 @@ object Plans {
     "wc_per_doc", "q3_top_revenue", "q5_region_revenue", "q_window_rank",
     "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_ngram_jaccard",
     "q_ann_brute_force", "q_events_sessions", "q_asof_join",
-    "q_dedup_keep_set", "q_range_join_binned", "q_salted_join")
+    "q_dedup_keep_set", "q_range_join_binned", "q_salted_join",
+    "q_ann_ivf_assign", "q_text_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
