@@ -779,16 +779,16 @@ object SparkEntry {
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q_text_pack" ->
-      s"""WITH d AS (SELECT doc_id, lang,
+      s"""WITH d AS (SELECT doc_id, lang, doc_id % ${TextAnalysis.PackShards} AS shard,
          |             len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
          |           FROM documents),
-         |c AS (SELECT lang, n_tokens,
-         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |c AS (SELECT lang, shard, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM d)
-         |SELECT lang, CAST(floor((cum - n_tokens) / ${TextAnalysis.PackCapacity}.0) AS BIGINT) AS bin,
+         |SELECT lang, shard, CAST(floor((cum - n_tokens) / ${TextAnalysis.PackCapacity}.0) AS BIGINT) AS bin,
          |       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens
-         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+         |FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
 
     "q_text_redact" -> {
       val planted = TextAnalysis.PiiPlanted

@@ -146,29 +146,36 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
-  /** Context-window capacity for [[packSequences]]. */
+  /** Context-window capacity and shard fan-out for [[packSequences]]. */
   val PackCapacity = 4096L
+  val PackShards = 8
 
-  /** Greedy sequence packing: stream documents per language in doc_id
-    * order and cut a new pack every [[PackCapacity]] tokens — bin =
+  /** Greedy sequence packing, SHARDED: documents stream per
+    * (lang, shard = doc_id % [[PackShards]]) in doc_id order, and a new
+    * pack starts every [[PackCapacity]] tokens — bin =
     * floor(tokens-before-this-doc / capacity), a running-sum window, so
     * assignment is deterministic and engine-independent (no bin-packing
-    * heuristic with tie ambiguity). The per-language window shuffles
-    * once on lang; at scale the order key would be a within-shard
-    * sequence so packs build shard-locally. Emits per-pack document and
-    * token counts — the shape a training loader consumes. */
+    * heuristic with tie ambiguity). The shard dimension is what makes
+    * the plan scale: a LANGUAGE is not a bounded set at corpus scale, so
+    * a per-lang-only running sum would funnel a whole language through
+    * one window partition — sharding caps every window partition at
+    * 1/shards of a language, and the shard count is the parallelism
+    * dial (packs never need global order, only order within a pack).
+    * Emits per-pack document and token counts — the shape a training
+    * loader consumes. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
         size(whitespaceTokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum("n_tokens").over(w))
       .withColumn("bin",
         floor((col("cum") - col("n_tokens")) / lit(PackCapacity.toDouble)).cast("long"))
-      .groupBy("lang", "bin")
+      .groupBy("lang", "shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
-      .orderBy("lang", "bin")
+      .orderBy("lang", "shard", "bin")
   }
 
   /** Email / phone patterns for [[piiRedactionStats]] — deliberately in
