@@ -189,6 +189,16 @@ object SparkEntry {
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
   private val TextFunctionsBpeish = graft.functions.TextFunctions.BpeishPattern
 
+  /** Shared by `q_range_join` and `q_range_join_binned`: both plans must
+    * produce this same answer. */
+  private val RangeJoinOracle =
+    """WITH tiers(lo, hi, tier) AS (
+      |  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
+      |SELECT tier, count(*)::BIGINT AS n,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+      |FROM events JOIN tiers ON value >= lo AND value < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   /** DuckDB fragment: occurrences of `stop`-list tokens in `toks`
     * (mirror of `TextAnalysis.stopHits`), generated from the same Scala
     * stopword lists so the two engines can never drift. */
@@ -446,21 +456,11 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
-    "q_range_join" ->
-      """WITH tiers(lo, hi, tier) AS (
-        |  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
-        |SELECT tier, count(*)::BIGINT AS n,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
-        |FROM events JOIN tiers ON value >= lo AND value < hi
-        |GROUP BY tier ORDER BY tier""".stripMargin,
-    // the binned equi-join plan must reproduce the NLJ answer exactly
-    "q_range_join_binned" ->
-      """WITH tiers(lo, hi, tier) AS (
-        |  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 500.0, 'high'))
-        |SELECT tier, count(*)::BIGINT AS n,
-        |       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
-        |FROM events JOIN tiers ON value >= lo AND value < hi
-        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // ONE oracle string for both range-join plans: the binned equi-join
+    // must reproduce the NLJ answer exactly, so a single definition keeps
+    // the equivalence check honest if tiers or rounding ever change
+    "q_range_join" -> RangeJoinOracle,
+    "q_range_join_binned" -> RangeJoinOracle,
 
     // the sketch value is engine-specific; the oracle checks the exact
     // count and that Spark's HLL landed within its accuracy envelope

@@ -17,6 +17,7 @@ final case class Scored(id: Long, score: Double)
   * across partitions, both capped at k. */
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, List[Scored], List[Scored]] {
+  require(k >= 1, s"top-k needs k >= 1, got $k")
 
   private def order(s: Scored): (Double, Long) = (-s.score, s.id)
   private val ord = Ordering.Tuple2[Double, Long]

@@ -37,6 +37,16 @@ object Dedup {
   val SimhashBits = 64
   val SimhashBands = 4   // 16-bit bands; hamming<=3 => >=1 band equal (pigeonhole)
   val HammingMax = 3
+  /** Bits per signature half / per band, derived so [[SimhashBits]] is
+    * the real width dial (the two-half carry requires an even split and
+    * bands that tile the halves). */
+  private val SimhashHalfBits = SimhashBits / 2
+  private val SimhashBandBits = SimhashBits / SimhashBands
+  private val SimhashBandMask = (1L << SimhashBandBits) - 1
+  require(SimhashHalfBits * 2 == SimhashBits &&
+    SimhashBandBits * SimhashBands == SimhashBits &&
+    SimhashHalfBits % SimhashBandBits == 0 && SimhashHalfBits <= 32,
+    "simhash width must split into two <=32-bit halves tiled by the bands")
 
   /** Word-3-gram posting list `(doc_id, g)`, multiset semantics.
     * Shingles are built WITHOUT lambda HOFs — `arrays_zip` of three
@@ -126,16 +136,24 @@ object Dedup {
         array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sigs"))
   }
 
+  /** The string band key of row `band` over a signature array column —
+    * ONE definition shared by the batch index ([[minhashBands]]) and the
+    * streaming probe ([[graft.streaming.DocsStream.nearDupScreen]]): the
+    * stream joins the batch-built index on this key, so any drift in
+    * separator/order/cast between the two sides would silently empty the
+    * join. Expects a `band` column in scope. */
+  private[graft] def bandSigExpr(sigs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(",",
+      (0 until MinhashR).map(r =>
+        element_at(sigs, col("band") * MinhashR + r + 1).cast("string")): _*)
+
   /** (doc_id, sigs, band, band_sig): one row per document per band, the
     * LSH index both the self-join and the incremental variant probe. */
-  private[graft] def minhashBands(sigs: DataFrame): DataFrame = {
-    val bandSig = concat_ws(",",
-      (0 until MinhashR).map(r =>
-        element_at(col("sigs"), col("band") * MinhashR + r + 1).cast("string")): _*)
+  private[graft] def minhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sigs"),
         explode(sequence(lit(0), lit(MinhashBands - 1))).as("band"))
-      .select(col("doc_id"), col("sigs"), col("band"), bandSig.as("band_sig"))
-  }
+      .select(col("doc_id"), col("sigs"), col("band"),
+        bandSigExpr(col("sigs")).as("band_sig"))
 
   /** Fraction of agreeing signature positions, as 32 unrolled
     * `element_at` comparisons — codegen, no array lambda. */
@@ -216,26 +234,27 @@ object Dedup {
         conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h_hi"),
         conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("h_lo"))
     val votes =
-      (0 until 32).map(j =>
+      (0 until SimhashHalfBits).map(j =>
         sum(shiftright(col("h_lo"), j).bitwiseAND(1L) * 2L - 1L).as(s"lo$j")) ++
-      (0 until 32).map(j =>
+      (0 until SimhashHalfBits).map(j =>
         sum(shiftright(col("h_hi"), j).bitwiseAND(1L) * 2L - 1L).as(s"hi$j"))
     def half(prefix: String) =
-      (0 until 32).map(j =>
+      (0 until SimhashHalfBits).map(j =>
         when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), half("lo").as("sh_lo"), half("hi").as("sh_hi"))
   }
 
-  /** 16-bit window `band` (0..3) of the (sh_lo, sh_hi) signature. */
+  /** [[SimhashBandBits]]-bit window `band` of the (sh_lo, sh_hi)
+    * signature: bands tile sh_lo first, then sh_hi. */
   private def simhashBandVal(lo: org.apache.spark.sql.Column,
                              hi: org.apache.spark.sql.Column,
-                             band: Int): org.apache.spark.sql.Column = band match {
-    case 0 => lo.bitwiseAND(65535L)
-    case 1 => shiftright(lo, 16)
-    case 2 => hi.bitwiseAND(65535L)
-    case _ => shiftright(hi, 16)
+                             band: Int): org.apache.spark.sql.Column = {
+    val bandsPerHalf = SimhashHalfBits / SimhashBandBits
+    val src = if (band < bandsPerHalf) lo else hi
+    shiftright(src, (band % bandsPerHalf) * SimhashBandBits)
+      .bitwiseAND(SimhashBandMask)
   }
 
   /** SimHash near-dup pairs with Hamming distance <= 3, found via 4x16-bit
@@ -330,18 +349,35 @@ object Dedup {
     *
     * Scale posture: the graph holds only DOCUMENTS THAT HAVE A NEAR-DUP
     * PAIR — a small fraction of the corpus even at 100 TB — and every
-    * round is two hash joins on ids (no arrays, no text). Each round's
-    * labels are localCheckpoint'ed: iterative self-referential plans
-    * otherwise double their lineage per round and re-execute the whole
-    * history at every action. */
+    * round is two hash joins on ids (no arrays, no text). Each round
+    * MATERIALIZES its frames as locally-checkpointed RDDs we own:
+    * iterative self-referential plans otherwise double their lineage per
+    * round and re-execute the whole history at every action, and owning
+    * the RDD reference lets the loop UNPERSIST each superseded round's
+    * blocks as soon as the next is materialized (a bare
+    * `Dataset.localCheckpoint` gives no safe handle to free, and a
+    * long-lived session would otherwise hold every round's labels in
+    * executor storage). `propagated` is materialized too, so the
+    * pointer-jump self-join reads it from cache instead of re-running
+    * the round's joins on both legs. */
   private[graft] def componentsOf(pairs: DataFrame): DataFrame = {
-    val edges = pairs
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    val spark = pairs.sparkSession
+    // checkpoint as an owned RDD[Row]: truncates lineage like
+    // Dataset.localCheckpoint, but keeps the handle for unpersist
+    def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    val (edges, edgesRdd) = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIterations) {
@@ -349,27 +385,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr_comp").as("nbr_comp"))
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component")))
-            .as("component"),
-          col("component").as("old"))
+      val (propagated, propagatedRdd) = materialize(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_comp"), col("component")))
+              .as("component"),
+            col("component").as("old")))
       // pointer jump: resolve each label to ITS label (labels only ever
       // shrink, so label(label(id)) <= label(id) — this is what turns a
-      // k-long chain into k/2, giving O(log) total rounds)
-      // carry the previous label through the jump so convergence is a
-      // filter-count over the (already-materialized) checkpoint — one
-      // action per round, no extra join against the old labels
-      val next = propagated.alias("u")
-        .join(propagated.select(col("id").as("component"), col("component").as("jump"))
-          .alias("p"), Seq("component"), "left")
-        .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
-          col("old"))
-        .localCheckpoint()
+      // k-long chain into k/2, giving O(log) total rounds); the previous
+      // label rides along so convergence is a filter-count over the
+      // materialized frame — one extra action, no join against old labels
+      val (next, nextRdd) = materialize(
+        propagated.alias("u")
+          .join(propagated.select(col("id").as("component"), col("component").as("jump"))
+            .alias("p"), Seq("component"), "left")
+          .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
+            col("old")))
       changed = next.filter(col("component") =!= col("old")).count()
+      labelsRdd.unpersist(blocking = false)
+      propagatedRdd.unpersist(blocking = false)
       labels = next.select("id", "component")
+      labelsRdd = nextRdd
       iter += 1
     }
+    edgesRdd.unpersist(blocking = false)
     labels
   }
 

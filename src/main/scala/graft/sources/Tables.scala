@@ -59,9 +59,14 @@ object Tables {
   private val fanOutSmall = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val key = df.inputFiles.sorted.mkString(",") + "#" + target
-    val small = fanOutSmall.computeIfAbsent(key,
-      _ => df.rdd.getNumPartitions < target)
+    val files = df.inputFiles
+    // only file-backed frames get a meaningful cache key; an in-memory
+    // frame would collide every caller on the empty key, so probe those
+    // directly (they are rare and cheap to plan)
+    val small =
+      if (files.isEmpty) df.rdd.getNumPartitions < target
+      else fanOutSmall.computeIfAbsent(files.sorted.mkString(",") + "#" + target,
+        _ => df.rdd.getNumPartitions < target)
     if (small) df.repartition(target) else df
   }
 

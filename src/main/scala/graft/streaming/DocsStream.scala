@@ -78,14 +78,11 @@ object DocsStream {
       .select(col("doc_id").as("new_doc"), shingleArray(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("new_doc"), sigArray(col("gs")).as("sigs_b"))
-    val bandSig = concat_ws(",",
-      (0 until Dedup.MinhashR).map(r =>
-        element_at(col("sigs_b"), col("band") * Dedup.MinhashR + r + 1)
-          .cast("string")): _*)
     val probes = sigs
       .select(col("new_doc"), col("sigs_b"),
         explode(sequence(lit(0), lit(Dedup.MinhashBands - 1))).as("band"))
-      .select(col("new_doc"), col("sigs_b"), col("band"), bandSig.as("band_sig"))
+      .select(col("new_doc"), col("sigs_b"), col("band"),
+        Dedup.bandSigExpr(col("sigs_b")).as("band_sig"))
     val corpus = corpusBands.select(col("doc_id").as("dup_of"),
       col("sigs").as("sigs_a"), col("band"), col("band_sig"))
     probes.join(corpus, Seq("band", "band_sig"))
