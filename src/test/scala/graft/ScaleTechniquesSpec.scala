@@ -43,6 +43,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key carries ~95% of the fact side; with broadcast disabled
+    // the sort-merge join would send it all to one reducer — AQE's skew
+    // handling must split that partition instead (the runtime re-plan the
+    // salting helpers complement, not replace)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val hot = spark.range(60000).select(lit(1L).as("k"), col("id").as("v"))
+      val rest = spark.range(3000).select((col("id") % 50 + 2).as("k"), col("id").as("v"))
+      val fact = hot.unionByName(rest)
+      val dim = spark.range(60).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave this plan un-finalized, isFinalPlan=false)
+      assert(joined.collect().length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"expected a skew-split join in the final AQE plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
