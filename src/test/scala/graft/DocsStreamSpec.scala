@@ -37,6 +37,33 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream probes a PERSISTED band index - the production snapshot flow") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft-bandidx").toString + "/bands"
+    // snapshot the corpus index once (in production: a periodic batch
+    // job, bucketed by the band key), then the stream reads it like any
+    // static table — signature arrays must survive the parquet round-trip
+    Dedup.bandIndexOf(
+        graft.sources.Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0))
+      .write.parquet(idx)
+    val q = DocsStream.nearDupScreen(
+        DocsStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1),
+        spark.read.parquet(idx))
+      .writeStream
+      .format("memory")
+      .queryName("neardup_persisted")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("neardup_persisted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.incrementalMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("near-dup screen restart with checkpoint is exactly-once (stateless query)") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
