@@ -99,6 +99,8 @@ object SparkEntry {
     "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
     "q_ann_multiprobe"  -> (SimSearch.lshMultiProbeTopK _),
     "q_ann_ivf_assign"  -> (SimSearch.ivfAssign _),
+    "q_ann_ivf_routed"  -> (SimSearch.ivfRoutedTopK _),
+    "q_ann_recall"      -> (SimSearch.annRecall _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -824,6 +826,87 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    "q_ann_ivf_routed" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+         |          FROM e WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) DESC,
+         |               c.cent_id) AS rnk
+         |  FROM e CROSS JOIN cents c) t WHERE rnk = 1),
+         |cand AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+         |         FROM e JOIN assign a USING (vec_id)),
+         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
+         |       FROM cand WHERE vec_id < 10),
+         |pairs AS (SELECT qc.q_id, c.vec_id AS neighbor,
+         |            round(${duckDot("qc.q_emb", "c.embedding")} / (qc.q_nrm * c.nrm), 6) AS cos
+         |          FROM cand c JOIN qc USING (cent_id) WHERE c.vec_id <> qc.q_id),
+         |ranked AS (SELECT q_id, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,
+         |             $DuckNorm AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+         |      FROM e WHERE vec_id < 10),
+         |exact3 AS (SELECT q_id, neighbor FROM (
+         |  SELECT q.q_id, e.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) DESC,
+         |               e.vec_id) AS rnk
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) t WHERE rnk <= 3),
+         |bucket3 AS (SELECT q_id, neighbor FROM (
+         |  SELECT q.q_id, e.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) DESC,
+         |               e.vec_id) AS rnk
+         |  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.q_id) t WHERE rnk <= 3),
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         |             unnest(list_prepend(bucket,
+         |               list_transform(range(0, 8), i -> xor(bucket, 1::BIGINT << i)))) AS bucket
+         |           FROM e WHERE vec_id < 10),
+         |mp3 AS (SELECT q_id, neighbor FROM (
+         |  SELECT p.q_id, e.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckDot("p.q_emb", "e.embedding")} / (p.q_nrm * e.nrm), 6) DESC,
+         |               e.vec_id) AS rnk
+         |  FROM e JOIN probes p USING (bucket) WHERE e.vec_id <> p.q_id) t WHERE rnk <= 3),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+         |          FROM e WHERE vec_id >= 100 AND vec_id < 108),
+         |assign AS (SELECT vec_id, cent_id FROM (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) DESC,
+         |               c.cent_id) AS rnk
+         |  FROM e CROSS JOIN cents c) t WHERE rnk = 1),
+         |cand AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+         |         FROM e JOIN assign a USING (vec_id)),
+         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
+         |       FROM cand WHERE vec_id < 10),
+         |ivf3 AS (SELECT q_id, neighbor FROM (
+         |  SELECT qc.q_id, c.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY qc.q_id
+         |      ORDER BY round(${duckDot("qc.q_emb", "c.embedding")} / (qc.q_nrm * c.nrm), 6) DESC,
+         |               c.vec_id) AS rnk
+         |  FROM cand c JOIN qc USING (cent_id) WHERE c.vec_id <> qc.q_id) t WHERE rnk <= 3),
+         |approx AS (SELECT 'ivf_routed' AS method, q_id, neighbor FROM ivf3
+         |           UNION ALL SELECT 'lsh_bucket', q_id, neighbor FROM bucket3
+         |           UNION ALL SELECT 'multiprobe', q_id, neighbor FROM mp3),
+         |h AS (SELECT a.method,
+         |        coalesce(sum(CASE WHEN x.q_id IS NOT NULL THEN 1 END), 0)::BIGINT AS hits
+         |      FROM approx a LEFT JOIN exact3 x
+         |        ON a.q_id = x.q_id AND a.neighbor = x.neighbor
+         |      GROUP BY a.method)
+         |SELECT method, hits, round(hits / 30.0, 4) AS recall3 FROM h
+         |ORDER BY method""".stripMargin,
 
     "q_ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

@@ -60,14 +60,21 @@ object TextFunctions {
     *
     * NB: the split pattern is a literal single space, not `\\s+` — the
     * reference never treats tabs or other whitespace as delimiters.
+    *
+    * Empty fragments are dropped with `array_remove(_, "")` rather than a
+    * `filter` lambda: higher-order functions are interpreted (no codegen,
+    * no CSE), and CollapseProject can inline the normalize+split into every
+    * lambda reference. `array_remove` is a codegen'd built-in with identical
+    * semantics here (`split` never yields nulls), keeping the whole token
+    * path inside one WholeStageCodegen span.
     */
   def tokenize(c: Column): Column =
-    filter(split(normalize(c), " ", -1), t => length(t) > 0)
+    array_remove(split(normalize(c), " ", -1), "")
 
   /** Tokens of raw (un-normalized) text split on whitespace runs — the
     * "plain whitespace" token counter for the text-analysis surface. */
   def whitespaceTokens(c: Column): Column =
-    filter(split(c, "\\s+", -1), t => length(t) > 0)
+    array_remove(split(c, "\\s+", -1), "")
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, or single
     * non-space symbols — the common GPT-2-style pretoken classes, kept to

@@ -24,6 +24,20 @@ final case class MediaFeatures(
     fake_width: Int,
     fake_height: Int)
 
+/** REAL decoded image features (see [[Multimodal.decodeImage]]): true
+  * pixel dimensions and channel count from the decoded image, or
+  * `ok = false` with zeroed dims for payloads no installed reader
+  * accepts (corrupt bytes, unsupported container) — a per-row failure
+  * must never kill a 100 TB decode job. */
+final case class ImageFeatures(
+    media_id: Long,
+    mime: String,
+    n_bytes: Int,
+    width: Int,
+    height: Int,
+    channels: Int,
+    ok: Boolean)
+
 /** Multimodal-column operators.
   *
   * The media decode/feature-extract libraries are NOT in this
@@ -68,6 +82,35 @@ object Multimodal {
           // a real decoder reads these from the container header
           fake_width = ((sum % 640) + 1).toInt,
           fake_height = ((sum % 480) + 1).toInt)
+      }
+    }
+  }
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP readers
+    * ship in the JDK — no external codec needed): true width, height and
+    * channel count from the decoded raster. Same `mapPartitions` shape
+    * as [[decodeStub]] — one lazy pass, per-row work only — and decode
+    * failures degrade to `ok = false` rows instead of task failures (at
+    * corpus scale SOME payloads are always corrupt; a decode job that
+    * dies on the first bad byte stream never finishes). Audio/video
+    * remain stubs: those codecs genuinely are not in the JDK. */
+  def decodeImage(records: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // ImageIO scans for readers per call; disk caching off keeps the
+      // decode entirely in-memory (payloads are already byte arrays)
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(i) =>
+            ImageFeatures(r.media_id, r.mime, r.content.length,
+              i.getWidth, i.getHeight, i.getRaster.getNumBands, ok = true)
+          case None =>
+            ImageFeatures(r.media_id, r.mime, r.content.length, 0, 0, 0, ok = false)
+        }
       }
     }
   }

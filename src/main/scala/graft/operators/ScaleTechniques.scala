@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleTechniques {
 
+  /** Deterministic per-row salt in [0, salts): a content hash over the
+    * given columns, NOT `monotonically_increasing_id()` — mii is
+    * partition-order dependent, so partial-aggregate sizes (and any UI
+    * stage metrics) would differ run to run. A content hash makes reruns
+    * bit-stable end to end. Hash columns should include something that
+    * varies WITHIN a hot key (the value, a row id) so the hot key's rows
+    * actually spread; fully identical rows sharing a salt is algebraically
+    * harmless. */
+  private def contentSalt(cols: Seq[Column], salts: Int): Column =
+    pmod(hash(cols: _*), lit(salts)).cast("int")
+
   /** Two-phase salted aggregation: spread a hot GROUP BY key over
     * `salts` sub-keys, partially aggregate, then merge. Correct for any
     * ALGEBRAIC aggregate (here: count + sum, the additive pair every
@@ -24,21 +35,23 @@ object ScaleTechniques {
     * second shuffle is tiny (one row per (key, salt)). */
   def saltedSumCount(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame =
     df.select(key.as("key"), value.as("v"),
-        (monotonically_increasing_id() % salts).as("salt"))
+        contentSalt(Seq(key, value), salts).as("salt"))
       .groupBy("key", "salt")
       .agg(sum("v").as("partial_sum"), count(lit(1)).as("partial_cnt"))
       .groupBy("key")
       .agg(sum("partial_sum").as("total"), sum("partial_cnt").as("cnt"))
 
   /** Salted join for a skewed FACT side against a non-broadcastable
-    * dimension: the fact side gets a random salt in [0, salts), the
-    * dimension side is replicated `salts`× (explode of a literal range),
-    * and the join key becomes (key, salt) — the hot key's rows land on
-    * `salts` reducers instead of one. Replication costs `salts`× the
-    * dimension size, which is the explicit trade against reducer skew. */
+    * dimension: the fact side gets a deterministic salt in [0, salts),
+    * the dimension side is replicated `salts`× (explode of a literal
+    * range), and the join key becomes (key, salt) — the hot key's rows
+    * land on `salts` reducers instead of one. Replication costs `salts`×
+    * the dimension size, which is the explicit trade against reducer
+    * skew. The salt hashes EVERY fact column so rows of the hot key
+    * spread by their non-key content. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      (monotonically_increasing_id() % salts).cast("int"))
+      contentSalt(fact.columns.toSeq.map(col), salts))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -119,8 +119,12 @@ object SimSearch {
     * parity needs no decimal gymnastics). At 100 TB this produces the
     * partition assignment an IVF index stores; cluster sizes are the
     * balance diagnostic that decides whether to re-seed. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+  /** Per-vector IVF assignment (vec_id, cent_id, cos): each vector's
+    * nearest of the [[IvfK]] fixed centroids — the shared quantizer under
+    * [[ivfAssign]] (cluster diagnostics) and [[ivfRoutedTopK]] (routed
+    * search). One narrow pass against a broadcast centroid table;
+    * `WindowGroupLimit` bounds the per-vector argmin. */
+  private def ivfAssignment(e: DataFrame): DataFrame = {
     val cents = e.filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val scored = e.crossJoin(broadcast(cents))
@@ -129,10 +133,67 @@ object SimSearch {
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cent_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
+      .select("vec_id", "cent_id", "cos")
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignment(Tables.fanOut(Tables.embeddings(spark, dir)))
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vectors"),
         min("cos").as("min_cos"), max("cos").as("max_cos"))
       .orderBy("cent_id")
+
+  /** IVF-ROUTED search (nprobe=1): each query scans only the inverted
+    * list of its own nearest centroid — the plan an IVF index executes,
+    * with the [[ivfAssignment]] quantizer standing in for the stored
+    * partition map. Candidates join queries on cent_id, so the corpus is
+    * never cross-joined; at 100 TB the assignment is the persisted index
+    * and this is one bucket-local scan per query. Top-3 per query,
+    * approximate exactly where the coarse quantizer splits true
+    * neighbors across lists — which [[annRecall]] measures. */
+  def ivfRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val assign = ivfAssignment(e).select("vec_id", "cent_id")
+    val cands = e.join(assign, "vec_id")
+    val q = cands.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cent_id"))
+    val pairs = cands.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recall@3 of every approximate plan against the exact answer — the
+    * number that makes the LSH/IVF approximations AUDITABLE instead of
+    * asserted. For each method, hits = |approx top-3 ∩ exact top-3|
+    * summed over the [[NQueries]] queries; recall3 = hits / (3 × queries).
+    * Because every method ranks by the same (cos desc, neighbor) order,
+    * recall is monotone in the candidate set: multiprobe (9 buckets) can
+    * never score below single-probe (1 bucket) — a relationship the
+    * oracle row locks in. The exact side reuses [[bruteForceTopK]]'s
+    * top-3; at scale this runs on a sampled query set, which is exactly
+    * how production ANN recall is measured. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir)
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("neighbor"), lit(1).as("hit"))
+    val approx = Seq(
+      "ivf_routed" -> ivfRoutedTopK(spark, dir),
+      "lsh_bucket" -> lshBucketedTopK(spark, dir),
+      "multiprobe" -> lshMultiProbeTopK(spark, dir))
+      .map { case (m, df) => df.select(lit(m).as("method"), col("q_id"), col("neighbor")) }
+      .reduce(_ unionByName _)
+    approx.join(exact, Seq("q_id", "neighbor"), "left")
+      .groupBy("method")
+      .agg(coalesce(sum("hit"), lit(0)).cast("long").as("hits"))
+      .select(col("method"), col("hits"),
+        round(col("hits") / lit(3.0 * NQueries), 4).as("recall3"))
+      .orderBy("method")
   }
 
   /** IVF/LSH-style ANN: both sides keyed by an 8-bit sign bucket over the

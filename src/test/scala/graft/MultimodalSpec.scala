@@ -40,6 +40,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(records).filter(_.media_id == 0L).head() == f)
   }
 
+  test("decodeImage: real javax.imageio decode of committed PNG fixtures") {
+    // (name, true width, true height) written by the fixture generator
+    val fixtures = Seq(
+      ("red_7x5.png", 7, 5), ("green_16x9.png", 16, 9), ("blue_3x11.png", 3, 11))
+    val records = spark.createDataset(fixtures.zipWithIndex.map {
+      case ((name, _, _), i) =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/root/repo/fixtures/media/$name"))
+        MediaRecord(i.toLong, "image/png", bytes)
+    })
+    val feats = Multimodal.decodeImage(records).collect().sortBy(_.media_id)
+    fixtures.zip(feats).foreach { case ((_, w, h), f) =>
+      assert(f.ok, s"fixture ${f.media_id} should decode")
+      assert(f.width == w && f.height == h, s"true dims for ${f.media_id}")
+      assert(f.channels == 3) // 8-bit RGB, no alpha
+    }
+    // narrow: partitioning preserved, like the stubs
+    assert(Multimodal.decodeImage(records).rdd.getNumPartitions ==
+      records.rdd.getNumPartitions)
+    // corrupt payloads degrade to ok=false rows, not task failures
+    val bad = spark.createDataset(Seq(
+      MediaRecord(99L, "image/png", Array[Byte](1, 2, 3, 4))))
+    val badFeat = Multimodal.decodeImage(bad).head()
+    assert(!badFeat.ok && badFeat.width == 0)
+  }
+
   test("resizeStub: narrow, content-in/content-out, size tracks target") {
     val records = Multimodal.mediaFromDocuments(spark, dir)
       .select("media_id", "mime", "content").as[MediaRecord]
