@@ -27,10 +27,27 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // the registered minhash query reads the memoized pair RDD (one
+      // materialization shared by four queries), which would dump as a
+      // bare ExistingRDD scan — audit the underlying LSH plan instead
+      val df =
+        if (n == "q_dedup_minhash_lsh")
+          graft.operators.Dedup.minhashPairsPlan(spark, sfDir)
+            .orderBy("doc_a", "doc_b")
+        else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
+      println("```")
+      // EXECUTED plan: collect() runs THIS queryExecution (a count() or
+      // noop write would plan a fresh one and leave this un-finalized),
+      // so the adaptive plan below is what AQE actually ran —
+      // isFinalPlan=true, with runtime broadcast promotions, exchange
+      // reuse and skew splits resolved, which the static dump above
+      // cannot show
+      df.collect()
+      println(s"\n### $n -- executed (final adaptive) plan\n\n```")
+      println(df.queryExecution.executedPlan.toString)
       println("```")
     }
     spark.stop()

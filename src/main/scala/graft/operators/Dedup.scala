@@ -236,8 +236,10 @@ object Dedup {
     minhashPairsCached(spark, dir).orderBy("doc_a", "doc_b")
 
   /** The unsorted LSH pair plan [[minhashLsh]] sorts and
-    * [[minhashPairsCached]] materializes. */
-  private def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    * [[minhashPairsCached]] materializes ([[graft.Plans]] dumps this
+    * directly — the registered query's own plan is just a scan of the
+    * memoized RDD). */
+  private[graft] def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(minhashSigFrame(shinglePosting(spark, dir)))
     val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
       col("band"), col("band_sig"))
