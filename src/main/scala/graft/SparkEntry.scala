@@ -70,9 +70,12 @@ object SparkEntry {
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
+    "q_pivot"          -> (Relational.returnFlagPivot _),
+    "q_stats_moments"  -> (Relational.flagQtyPriceStats _),
 
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
+    "q_events_sliding"  -> (EventsOps.slidingTypeCounts _),
     "q_events_sessions" -> (EventsOps.userSessions _),
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
@@ -408,6 +411,45 @@ object SparkEntry {
         |      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
         |       FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // the five sufficient moments are summed in DECIMAL (exact,
+    // associative), then the closed-form corr/stddev run in DOUBLE over
+    // bit-identical inputs — the only way a floating statistic can
+    // hash-match across engines (engine-native corr() accumulates in
+    // partition order). DuckDB needs DECIMAL(19,4) factors so the
+    // product type is DECIMAL(38,8) (hugeint-backed) — at (18,4) its
+    // multiply overflows the int64 storage; the values are exact either
+    // way, matching Spark's DECIMAL(37,8) products bit-for-bit
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+        |  round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |w AS (SELECT event_type,
+        |        (us - (us % 900000000)) - k * 900000000 AS win_us
+        |      FROM ev CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M') AS win_start,
+        |       event_type, count(*)::BIGINT AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -528,8 +528,24 @@ object Dedup {
     * recursive CTE computing min-reachable-id over the same pair set, so
     * the row set proves the iterative Spark loop reaches the true
     * transitive closure — not just the pairs it happened to see first. */
+  /** Converged component labels over the memoized pair graph, memoized
+    * with the same key/lifetime discipline as [[minhashPairsCached]]:
+    * [[nearDupComponents]] and [[dedupedCorpusClustered]] both need them,
+    * and the CC loop (driver-coordinated rounds) is the one subplan worth
+    * never running twice. The labels frame is even smaller than the pair
+    * set (one row per clustered doc), and the memo owns the final round's
+    * storage — the deliberate, bounded version of what would otherwise be
+    * a per-call leak. */
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def componentsCached(spark: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(spark).toString + "#" + dir
+    componentsMemo.computeIfAbsent(key, _ =>
+      componentsOf(minhashPairsCached(spark, dir).select("doc_a", "doc_b")))
+  }
+
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
-    componentsOf(minhashPairsCached(spark, dir).select("doc_a", "doc_b"))
+    componentsCached(spark, dir)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
@@ -564,7 +580,7 @@ object Dedup {
     val exactKeep = d.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nearDrop = componentsOf(minhashPairsCached(spark, dir).select("doc_a", "doc_b"))
+    val nearDrop = componentsCached(spark, dir)
       .filter(col("component") =!= col("id"))
       .select(col("id").as("doc_id"))
     d.join(exactKeep, "doc_id")

@@ -24,6 +24,23 @@ object EventsOps {
         round(sum("value"), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** SLIDING-window aggregation (1-hour windows every 15 minutes): each
+    * event lands in exactly window/slide = 4 windows. Spark's `window()`
+    * plans this as a 4-way Expand (generate the window starts) feeding
+    * ONE partial→final agg — no self-join of the corpus against a window
+    * table, which is the naive formulation that quadruples the shuffle.
+    * The same expression runs unchanged under Structured Streaming with
+    * a watermark. Window starts are epoch-aligned, which the oracle
+    * mirrors with integer arithmetic on epoch micros. */
+  def slidingTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("win_start", "event_type")
+
   /** Gap-based sessionization (30-min inactivity boundary), the classic
     * lag→flag→cumsum pattern. Per-user windows shuffle once on user_id;
     * at scale the state is bounded per key, never global. */

@@ -322,4 +322,56 @@ object Relational {
       .limit(15)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice"), 2).as("totalprice"))
+
+  /** PIVOT: long→wide per-returnflag quantity totals. The value list is
+    * EXPLICIT (`Seq("A","N","R")`), which is the scale-correct form —
+    * without it Spark first runs a distinct scan of the pivot column to
+    * discover values (an extra corpus pass, and a silent schema
+    * dependence on the data). With the list, pivot compiles to one
+    * conditional-aggregation pass: `sum(CASE WHEN ...)` per value, a
+    * single partial→final agg, no extra shuffle vs a plain groupBy. */
+  def returnFlagPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("l_linestatus")
+
+  /** Distributed second-moment statistics (corr, stddev) with EXACT
+    * cross-engine parity: Spark's `corr`/`stddev` accumulate doubles in
+    * partition order, so their low bits are not reproducible across
+    * engines (or even runs at different parallelism). Instead the five
+    * sufficient moments (n, Σx, Σy, Σx², Σy², Σxy) are summed in
+    * DECIMAL — exact and associative, so partitioning cannot change
+    * them — then the closed-form estimators are evaluated in double on
+    * the driver-visible exact sums: both engines see bit-identical
+    * inputs and run the same IEEE expression tree. This is also the
+    * scale-correct plan: one partial→final agg, no second pass for the
+    * means (the naive two-pass corr reads the corpus twice). */
+  def flagQtyPriceStats(spark: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast("decimal(18,4)")
+    val pd = col("l_extendedprice").cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qd).as("sx"), sum(pd).as("sy"),
+        sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+        sum(qd * pd).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")) *
+               (col("n") * col("syy").cast("double") -
+                 col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"),
+        round(
+          sqrt((col("n") * col("sxx").cast("double") -
+                 col("sx").cast("double") * col("sx").cast("double")) /
+               (col("n").cast("double") * (col("n") - 1))), 6)
+          .as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
 }
