@@ -39,13 +39,15 @@ object Plans {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
       println("```")
-      // EXECUTED plan: collect() runs THIS queryExecution (a count() or
-      // noop write would plan a fresh one and leave this un-finalized),
-      // so the adaptive plan below is what AQE actually ran —
-      // isFinalPlan=true, with runtime broadcast promotions, exchange
-      // reuse and skew splits resolved, which the static dump above
-      // cannot show
-      df.collect()
+      // EXECUTED plan: run THIS queryExecution (a count() or noop write
+      // would plan a fresh one and leave this un-finalized), so the
+      // adaptive plan below is what AQE actually ran — isFinalPlan=true,
+      // with runtime broadcast promotions, exchange reuse and skew splits
+      // resolved, which the static dump above cannot show. Driven through
+      // toRdd + an empty foreachPartition, NOT collect(): corpus-shaped
+      // queries (minhash pairs, pretokenized rows) scale with the dump SF
+      // and a collect would buffer them all on the driver.
+      df.queryExecution.toRdd.foreachPartition(_ => ())
       println(s"\n### $n -- executed (final adaptive) plan\n\n```")
       println(df.queryExecution.executedPlan.toString)
       println("```")

@@ -873,16 +873,18 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
          |          FROM e WHERE vec_id >= 100 AND vec_id < 108),
-         |assign AS (SELECT vec_id, cent_id FROM (
+         |crank AS (
          |  SELECT e.vec_id, c.cent_id,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) DESC,
          |               c.cent_id) AS rnk
-         |  FROM e CROSS JOIN cents c) t WHERE rnk = 1),
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cent_id FROM crank WHERE rnk = 1),
          |cand AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
          |         FROM e JOIN assign a USING (vec_id)),
-         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
-         |       FROM cand WHERE vec_id < 10),
+         |qc AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm, k.cent_id
+         |       FROM e JOIN crank k USING (vec_id)
+         |       WHERE e.vec_id < 10 AND k.rnk <= 2),
          |pairs AS (SELECT qc.q_id, c.vec_id AS neighbor,
          |            round(${duckDot("qc.q_emb", "c.embedding")} / (qc.q_nrm * c.nrm), 6) AS cos
          |          FROM cand c JOIN qc USING (cent_id) WHERE c.vec_id <> qc.q_id),
@@ -923,32 +925,49 @@ object SparkEntry {
          |  FROM e JOIN probes p USING (bucket) WHERE e.vec_id <> p.q_id) t WHERE rnk <= 3),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
          |          FROM e WHERE vec_id >= 100 AND vec_id < 108),
-         |assign AS (SELECT vec_id, cent_id FROM (
+         |crank AS (
          |  SELECT e.vec_id, c.cent_id,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) DESC,
          |               c.cent_id) AS rnk
-         |  FROM e CROSS JOIN cents c) t WHERE rnk = 1),
+         |  FROM e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, cent_id FROM crank WHERE rnk = 1),
          |cand AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
          |         FROM e JOIN assign a USING (vec_id)),
-         |qc AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cent_id
-         |       FROM cand WHERE vec_id < 10),
-         |ivf3 AS (SELECT q_id, neighbor FROM (
-         |  SELECT qc.q_id, c.vec_id AS neighbor,
-         |    row_number() OVER (PARTITION BY qc.q_id
-         |      ORDER BY round(${duckDot("qc.q_emb", "c.embedding")} / (qc.q_nrm * c.nrm), 6) DESC,
+         |qp AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm,
+         |         k.cent_id, k.rnk AS probe_rnk
+         |       FROM e JOIN crank k USING (vec_id) WHERE e.vec_id < 10),
+         |ivf1 AS (SELECT q_id, neighbor FROM (
+         |  SELECT p.q_id, c.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckDot("p.q_emb", "c.embedding")} / (p.q_nrm * c.nrm), 6) DESC,
          |               c.vec_id) AS rnk
-         |  FROM cand c JOIN qc USING (cent_id) WHERE c.vec_id <> qc.q_id) t WHERE rnk <= 3),
-         |approx AS (SELECT 'ivf_routed' AS method, q_id, neighbor FROM ivf3
+         |  FROM cand c JOIN qp p USING (cent_id)
+         |  WHERE p.probe_rnk <= 1 AND c.vec_id <> p.q_id) t WHERE rnk <= 3),
+         |ivf2 AS (SELECT q_id, neighbor FROM (
+         |  SELECT p.q_id, c.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(${duckDot("p.q_emb", "c.embedding")} / (p.q_nrm * c.nrm), 6) DESC,
+         |               c.vec_id) AS rnk
+         |  FROM cand c JOIN qp p USING (cent_id)
+         |  WHERE p.probe_rnk <= 2 AND c.vec_id <> p.q_id) t WHERE rnk <= 3),
+         |approx AS (SELECT 'ivf_nprobe1' AS method, q_id, neighbor FROM ivf1
+         |           UNION ALL SELECT 'ivf_nprobe2', q_id, neighbor FROM ivf2
          |           UNION ALL SELECT 'lsh_bucket', q_id, neighbor FROM bucket3
          |           UNION ALL SELECT 'multiprobe', q_id, neighbor FROM mp3),
          |h AS (SELECT a.method,
          |        coalesce(sum(CASE WHEN x.q_id IS NOT NULL THEN 1 END), 0)::BIGINT AS hits
          |      FROM approx a LEFT JOIN exact3 x
          |        ON a.q_id = x.q_id AND a.neighbor = x.neighbor
-         |      GROUP BY a.method)
-         |SELECT method, hits, round(hits / 30.0, 4) AS recall3 FROM h
-         |ORDER BY method""".stripMargin,
+         |      GROUP BY a.method),
+         |hb AS (SELECT method, hits,
+         |         CASE method WHEN 'ivf_nprobe2' THEN 'ivf_nprobe1'
+         |                     WHEN 'multiprobe' THEN 'lsh_bucket' END AS base
+         |       FROM h)
+         |SELECT hb.method, hb.hits, round(hb.hits / 30.0, 4) AS recall3,
+         |       coalesce(hb.hits >= b.hits, true) AS mono_ok
+         |FROM hb LEFT JOIN h b ON hb.base = b.method
+         |ORDER BY hb.method""".stripMargin,
 
     "q_ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

@@ -101,9 +101,12 @@ object Multimodal {
       // decode entirely in-memory (payloads are already byte arrays)
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
+        // NonFatal, not just IOException: ImageIO readers throw runtime
+        // exceptions (AIOOBE, IllegalArgument, NegativeArraySize) on
+        // malformed headers, and the contract is ok=false, not a dead task
         val img =
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(i) =>
             ImageFeatures(r.media_id, r.mime, r.content.length,

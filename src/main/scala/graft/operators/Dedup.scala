@@ -252,6 +252,26 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** Session conf key selecting RELIABLE (HDFS/S3-backed) checkpoints for
+    * every lineage-truncating dedup path — the memoized pair graph, the
+    * memoized component labels, and each [[componentsOfManaged]] round.
+    * Unset (the default) they use `localCheckpoint`: fastest, but blocks
+    * live only on executors, so one lost executor kills the job. A
+    * 100 TB cluster run sets this to a durable path
+    * (`spark.conf.set(Dedup.CheckpointDirConf, "hdfs://…")`) and every
+    * materialization below survives executor loss. */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  private def confCheckpointDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty)
+
+  /** One memoized frame plus everything needed to free it: the owning
+    * session (for stopped-session eviction) and a release hook that
+    * unpersists the backing blocks and deletes any reliable-checkpoint
+    * files. */
+  private final case class MemoEntry(df: DataFrame, session: SparkSession,
+                                     release: () => Unit)
+
   /** MATERIALIZED minhash pair graph, memoized per (session, corpus dir).
     *
     * Four registered queries derive from the same pair set
@@ -259,27 +279,126 @@ object Dedup {
     * [[dedupedCorpusClustered]]); without sharing, each re-runs the
     * shingle → signature → band-join pipeline from the scan — the single
     * most expensive subplan in the library. The memo computes it once
-    * per process as an owned locally-checkpointed RDD (the same pattern
-    * as [[componentsOf]]'s rounds) and every consumer reads the cached
+    * per SESSION as an owned checkpointed RDD (the same pattern as
+    * [[componentsOf]]'s rounds) and every consumer reads the cached
     * blocks. The pair set is small by construction — only near-dup PAIRS
     * survive banding + the 0.5 threshold, a thin slice of any real
-    * corpus — so pinning it for the process lifetime is the right trade
+    * corpus — so pinning it for the session lifetime is the right trade
     * (a session building these queries is a dedup pipeline run; the
     * pairs are its working set). Deterministic content (md5-derived
     * hashes, no rand/mii) means the cache can never go stale for a
-    * fixed corpus dir. */
+    * fixed corpus dir.
+    *
+    * Lifecycle contract: keys are `sessionUUID#dir` — unique per session,
+    * so a new session can never receive a frame bound to a dead one.
+    * Entries for stopped sessions are swept (and their storage freed) on
+    * every cached access; [[clearMemos]] frees everything eagerly (bench
+    * and test hook, and the release valve for long-lived sessions whose
+    * corpus dir CONTENTS changed — the memo key is the path, not the
+    * data). Honors [[CheckpointDirConf]] for executor-loss-tolerant
+    * materialization. */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
   private[graft] def minhashPairsCached(spark: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "#" + dir
-    pairsMemo.computeIfAbsent(key, _ => {
-      val df = minhashPairsPlan(spark, dir)
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      rdd.count()
-      spark.createDataFrame(rdd, df.schema)
-    })
+    sweepStopped()
+    pairsMemo.computeIfAbsent(memoKey(spark, dir), _ => {
+      val ckpt = confCheckpointDir(spark)
+      withCheckpointDir(spark, ckpt) {
+        val (df, rdd) = materializeOwned(minhashPairsPlan(spark, dir), ckpt.isDefined)
+        MemoEntry(df, spark, () => retire(spark, rdd))
+      }
+    }).df
   }
+
+  /** Unique id per live session (SparkSession.sessionUUID is private):
+    * a UUID minted on first sight, held WEAKLY so a collected session's
+    * id (and key) can never be reissued to a new session — the
+    * identityHashCode collision the old key construction allowed. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def memoKey(spark: SparkSession, dir: String): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString) +
+      "#" + dir
+
+  /** Free every memoized pair/components frame: unpersist the backing
+    * blocks, delete reliable-checkpoint files, empty both maps. Safe to
+    * call between unrelated pipeline runs in a long-lived session (the
+    * next consumer rebuilds), and what [[graft.Bench]] calls before each
+    * measured pass so the memo build cost is measured, not hidden. */
+  def clearMemos(): Unit =
+    Seq(pairsMemo, componentsMemo).foreach { m =>
+      m.values.forEach { e =>
+        // releasing against an already-stopped context is a no-op, not an error
+        try e.release() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      m.clear()
+    }
+
+  /** Evict (and free) entries owned by stopped sessions — run on every
+    * cached access so multi-session JVMs (test suites, servers) cannot
+    * accumulate pinned blocks for sessions that no longer exist. */
+  private def sweepStopped(): Unit =
+    Seq(pairsMemo, componentsMemo).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.session.sparkContext.isStopped) {
+          // context gone => blocks are already gone; just drop the entry
+          it.remove()
+        }
+      }
+    }
+
+  /** Materialize `df` as an RDD the CALLER owns (so its storage can be
+    * freed deterministically): localCheckpoint by default, or — when
+    * `reliable` — persist + reliable checkpoint (persist FIRST:
+    * checkpointing re-runs the lineage otherwise, computing everything
+    * twice). Requires the context's checkpoint dir to be set in reliable
+    * mode (see [[withCheckpointDir]]). */
+  private def materializeOwned(df: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    if (reliable) { rdd.persist(); rdd.checkpoint() }
+    else rdd.localCheckpoint()
+    rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  /** Unpersist an owned RDD and delete its reliable-checkpoint files (and
+    * the per-context UUID parent dir once its last file is gone) — the
+    * single retirement path for superseded CC rounds and released memos,
+    * so repeated clustering calls cannot accumulate checkpoint dirs. */
+  private def retire(spark: SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val parent = p.getParent
+        if (fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
+    }
+  }
+
+  /** Run `body` with the context checkpoint dir set to `dir`, RESTORING
+    * the previous dir after — `setCheckpointDir` mutates global
+    * SparkContext state, and leaving it pointed at the last caller's dir
+    * breaks concurrent users of the same context. (Spark resolves the
+    * dir to a fresh UUID subdir per set; "restore" re-sets the previous
+    * RESOLVED dir, which is stable.) Checkpoint FILES written under it
+    * outlive the restore and are deleted by [[retire]]. */
+  private def withCheckpointDir[T](spark: SparkSession,
+                                   dir: Option[String])(body: => T): T =
+    dir match {
+      case None => body
+      case Some(d) =>
+        val sc = spark.sparkContext
+        val prev = sc.getCheckpointDir
+        sc.setCheckpointDir(d)
+        try body finally sc.setCheckpointDir(prev.orNull)
+    }
 
   /** INCREMENTAL near-dup — the production shape: screen a NEW batch
     * against an EXISTING corpus without re-pairing the corpus with
@@ -441,11 +560,15 @@ object Dedup {
     * the round's joins on both legs. */
   /** A [[componentsOf]] result whose storage the CALLER owns: `labels`
     * is the converged (id, component) frame, still backed by persisted
-    * blocks; `release()` unpersists them once every downstream action on
-    * `labels` has run. Without the handle a long-lived session leaks one
-    * label frame's blocks per clustering call (the loop frees every
-    * SUPERSEDED round, but someone must free the last one). */
-  final case class ComponentsHandle(labels: DataFrame, release: () => Unit)
+    * blocks; `release()` unpersists them (and deletes their reliable-
+    * checkpoint files, if any) once every downstream action on `labels`
+    * has run. Without the handle a long-lived session leaks one label
+    * frame's blocks per clustering call (the loop frees every SUPERSEDED
+    * round, but someone must free the last one). `rounds` is the number
+    * of propagation rounds to convergence — the scale diagnostic
+    * (O(log diameter) expected; see SCALE.md). */
+  final case class ComponentsHandle(labels: DataFrame, rounds: Int,
+                                    release: () => Unit)
 
   private[graft] def componentsOf(pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame =
@@ -467,19 +590,13 @@ object Dedup {
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.Row
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    // checkpoint as an owned RDD[Row]: truncates lineage like
-    // Dataset.localCheckpoint, but keeps the handle for unpersist.
-    // Reliable mode persists FIRST (checkpointing re-runs the lineage
-    // otherwise: the count job computes once, the checkpoint write would
-    // compute again), then writes the round to the checkpoint dir.
-    def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
-      val rdd = df.rdd
-      if (checkpointDir.isDefined) { rdd.persist(); rdd.checkpoint() }
-      else rdd.localCheckpoint()
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
+    withCheckpointDir(spark, checkpointDir) {
+    // checkpoint as an owned RDD[Row] via [[materializeOwned]]: truncates
+    // lineage like Dataset.localCheckpoint, but keeps the handle so each
+    // superseded round's blocks AND checkpoint files are retired as soon
+    // as the next round is materialized.
+    def materialize(df: DataFrame): (DataFrame, RDD[Row]) =
+      materializeOwned(df, checkpointDir.isDefined)
     val (edges, edgesRdd) = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -511,15 +628,16 @@ object Dedup {
           .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
             col("old")))
       changed = next.filter(col("component") =!= col("old")).count()
-      labelsRdd.unpersist(blocking = false)
-      propagatedRdd.unpersist(blocking = false)
+      retire(spark, labelsRdd)
+      retire(spark, propagatedRdd)
       labels = next.select("id", "component")
       labelsRdd = nextRdd
       iter += 1
     }
-    edgesRdd.unpersist(blocking = false)
+    retire(spark, edgesRdd)
     val finalRdd = labelsRdd
-    ComponentsHandle(labels, () => finalRdd.unpersist(blocking = false))
+    ComponentsHandle(labels, iter, () => retire(spark, finalRdd))
+    }
   }
 
   /** Near-dup CLUSTERS: [[componentsOf]] over the [[minhashLsh]] pair
@@ -529,19 +647,25 @@ object Dedup {
     * the row set proves the iterative Spark loop reaches the true
     * transitive closure — not just the pairs it happened to see first. */
   /** Converged component labels over the memoized pair graph, memoized
-    * with the same key/lifetime discipline as [[minhashPairsCached]]:
-    * [[nearDupComponents]] and [[dedupedCorpusClustered]] both need them,
-    * and the CC loop (driver-coordinated rounds) is the one subplan worth
-    * never running twice. The labels frame is even smaller than the pair
-    * set (one row per clustered doc), and the memo owns the final round's
-    * storage — the deliberate, bounded version of what would otherwise be
-    * a per-call leak. */
+    * with the same key/lifetime/checkpoint discipline as
+    * [[minhashPairsCached]] (sessionUUID keys, stopped-session sweep,
+    * [[clearMemos]], [[CheckpointDirConf]]): [[nearDupComponents]] and
+    * [[dedupedCorpusClustered]] both need them, and the CC loop
+    * (driver-coordinated rounds) is the one subplan worth never running
+    * twice. The labels frame is even smaller than the pair set (one row
+    * per clustered doc), and the memo owns the final round's storage via
+    * the [[ComponentsHandle]] — the deliberate, bounded version of what
+    * would otherwise be a per-call leak. */
   private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def componentsCached(spark: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "#" + dir
-    componentsMemo.computeIfAbsent(key, _ =>
-      componentsOf(minhashPairsCached(spark, dir).select("doc_a", "doc_b")))
+    new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
+  private[graft] def componentsCached(spark: SparkSession, dir: String): DataFrame = {
+    sweepStopped()
+    componentsMemo.computeIfAbsent(memoKey(spark, dir), _ => {
+      val handle = componentsOfManaged(
+        minhashPairsCached(spark, dir).select("doc_a", "doc_b"),
+        confCheckpointDir(spark))
+      MemoEntry(handle.labels, spark, handle.release)
+    }).df
   }
 
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =

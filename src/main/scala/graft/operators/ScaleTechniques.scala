@@ -41,17 +41,36 @@ object ScaleTechniques {
       .groupBy("key")
       .agg(sum("partial_sum").as("total"), sum("partial_cnt").as("cnt"))
 
+  /** True iff `hash()` cannot evaluate the type: MapType anywhere in the
+    * tree (maps are unordered, Spark rejects them in hash/comparisons). */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   /** Salted join for a skewed FACT side against a non-broadcastable
     * dimension: the fact side gets a deterministic salt in [0, salts),
     * the dimension side is replicated `salts`× (explode of a literal
     * range), and the join key becomes (key, salt) — the hot key's rows
     * land on `salts` reducers instead of one. Replication costs `salts`×
     * the dimension size, which is the explicit trade against reducer
-    * skew. The salt hashes EVERY fact column so rows of the hot key
-    * spread by their non-key content. */
+    * skew.
+    *
+    * The salt hashes every HASHABLE fact column (map-typed columns are
+    * skipped — `hash` rejects MapType), so rows of the hot key spread by
+    * their non-key content. Degenerate case, documented on purpose: rows
+    * of a hot key that are fully identical (or differ only in map
+    * columns) share one salt and still land on one reducer — a content
+    * hash cannot separate identical content. Callers with that shape
+    * should pre-aggregate the duplicates (a count column both dedups and
+    * preserves join multiplicity) rather than salt them. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
-      contentSalt(fact.columns.toSeq.map(col), salts))
+    val hashable = fact.schema.fields.filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name)).toSeq
+    val saltCols = if (hashable.nonEmpty) hashable else Seq(col(key))
+    val saltedFact = fact.withColumn("_salt", contentSalt(saltCols, salts))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")

@@ -75,6 +75,48 @@ class DedupClusterSpec extends AnyFunSuite {
     managed.release() // frees the converged labels' storage; results are collected
   }
 
+  test("clearMemos frees the memoized pair/components blocks") {
+    Dedup.clearMemos()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashPairsCached(spark, Sf).count()
+    Dedup.componentsCached(spark, Sf).count()
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "memo build should pin checkpoint blocks")
+    Dedup.clearMemos()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pinned.intersect(after).isEmpty,
+      s"memo blocks still pinned after clearMemos: ${pinned.intersect(after)}")
+  }
+
+  test("memo layer honors spark.graft.checkpointDir: same labels, files cleaned on release") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Dedup.clearMemos()
+    val viaLocal = Dedup.nearDupComponents(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Dedup.clearMemos()
+    val ckptDir = Files.createTempDirectory("graft-memo-ckpt").toString
+    spark.conf.set(Dedup.CheckpointDirConf, ckptDir)
+    try {
+      val viaReliable = Dedup.nearDupComponents(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(viaReliable == viaLocal && viaLocal.nonEmpty)
+      // the memoized frames are backed by reliable checkpoint files...
+      def files() = Files.walk(Paths.get(ckptDir)).iterator().asScala
+        .count(Files.isRegularFile(_))
+      assert(files() > 0, s"expected checkpoint files under $ckptDir")
+      // ...which release() deletes, so repeated pipeline runs cannot
+      // accumulate checkpoint dirs
+      Dedup.clearMemos()
+      assert(files() == 0, s"checkpoint files must be cleaned on release")
+      // global context state was restored (ADVICE: setCheckpointDir leak)
+      assert(!spark.sparkContext.getCheckpointDir.exists(_.contains(ckptDir)))
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      Dedup.clearMemos()
+    }
+  }
+
   test("binned interval join returns exactly the broadcast-NLJ answer") {
     val nlj = EventsOps.valueTierJoin(spark, Sf).collect().toSeq
     val binned = EventsOps.valueTierJoinBinned(spark, Sf).collect().toSeq
