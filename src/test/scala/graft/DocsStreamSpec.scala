@@ -64,6 +64,77 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("band-index snapshot ROTATION: restart against a rebuilt snapshot screens the enlarged corpus, exactly-once") {
+    // the production refresh flow end to end: stream screens batch 1
+    // against snapshot A; a batch job folds the processed docs into
+    // snapshot B (A + batch 1, same catalog table, bucketed write);
+    // the stream restarts from its checkpoint against B and screens
+    // batch 2 — whose matches must include docs that exist ONLY in the
+    // rebuilt snapshot — without reprocessing batch 1.
+    import java.nio.file.{Files, Path, Paths}
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.001"
+    val inputDir = Files.createTempDirectory("graft-rot-in")
+    val out = Files.createTempDirectory("graft-rot-sink").toString
+    val ckpt = Files.createTempDirectory("graft-rot-ckpt").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpusA = docs.filter(col("doc_id") % 2 === 0)
+    val batch1 = docs.filter(col("doc_id") % 2 === 1)
+    // batch 2: exact copies of five batch-1 docs under fresh ids — their
+    // only guaranteed near-dups (est_jaccard = 1) are batch-1 docs, which
+    // are in snapshot B but NOT in snapshot A
+    val batch2 = batch1.orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+
+    def writeOneFile(df: DataFrame, dest: Path): Unit = {
+      val tmp = Files.createTempDirectory("graft-rot-stage").toString + "/out"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      Files.move(part, dest)
+    }
+    def runStream(): Unit = {
+      val q = DocsStream.nearDupScreen(
+          spark.readStream.schema(DocsStream.docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(inputDir.toString),
+          Dedup.readBandIndex(spark, "rot_snapshot"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000L)
+    }
+    def sunk(): Set[(Long, Long)] = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    Dedup.writeBandIndex(corpusA, "rot_snapshot")      // snapshot A
+    writeOneFile(batch1, inputDir.resolve("batch1.parquet"))
+    runStream()
+    val afterRun1 = sunk()
+    assert(afterRun1.nonEmpty && afterRun1.forall(_._2 % 2 == 0),
+      "run 1 must match only snapshot-A (even-id) corpus docs")
+
+    Dedup.writeBandIndex(corpusA.unionByName(batch1), "rot_snapshot") // snapshot B
+    writeOneFile(batch2, inputDir.resolve("batch2.parquet"))
+    runStream()
+    val afterRun2 = sunk()
+    // exactly-once across the rotation: batch 1's output is preserved
+    // verbatim — not reprocessed against B (a replay would self-match
+    // every batch-1 doc now in the corpus at jaccard 1)
+    assert(afterRun2.filter(_._1 < 1000000L) == afterRun1)
+    assert(afterRun2.forall { case (n, d) => n != d })
+    // and batch 2's matches reach docs that exist only in snapshot B
+    val newMatches = afterRun2.filter(_._1 >= 1000000L)
+    assert(newMatches.exists(_._2 % 2 == 1),
+      "post-rotation matches must include new-corpus (odd-id) docs")
+    // each planted copy found its batch-1 source
+    assert(batch2.select("doc_id").collect().map(_.getLong(0)).forall(id =>
+      newMatches.contains((id, id - 1000000L))))
+  }
+
   test("near-dup screen restart with checkpoint is exactly-once (stateless query)") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
