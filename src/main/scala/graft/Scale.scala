@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Dedup
+import graft.functions.VectorFunctions._
+
+/** Empirical scale evidence for the dedup/ANN 100 TB posture (SCALE.md):
+  * runs the candidate-generating stages on 1×/3×/10× replications of the
+  * sf0.1 corpus and prints per-stage row counts and wall times as a
+  * markdown table. The claim under test: every stage grows LINEARLY in
+  * corpus size (candidates, bucket maxima, CC rounds bounded) — plan
+  * shape says so; this measures it.
+  *
+  * Replication model: replica i PREFIXES every token with a
+  * replica-unique tag (`qzi`) — an injective rename of the vocabulary,
+  * so each replica's shingle multisets are 1:1 images of the base
+  * corpus's (identical within-replica similarity structure) while
+  * replicas are shingle-DISJOINT from each other and from the base.
+  * That is the realistic growth model: new crawl shards share a dup
+  * RATE, not dup partners. (A first attempt INTERLEAVED the tag between
+  * tokens; that manufactures hot `(tag, word, tag)` shingles shared by
+  * most docs in a replica, inflating similarity and reading as a fake
+  * superlinear candidate curve — renaming, not inserting, is the
+  * structure-preserving transform.) Embeddings replicate under fresh
+  * vec_ids with vectors unchanged (new data lands in the same bucket
+  * space).
+  *
+  *   sbt "runMain graft.Scale /root/testdata/sf0.1 1 3 10"
+  */
+object Scale {
+
+  private val ReplicaStride = 10000000L
+
+  /** Base docs plus k-1 tagged, shingle-disjoint replicas. */
+  private[graft] def replicatedDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = graft.sources.Tables.fanOut(graft.sources.Tables.documents(spark, dir))
+    (0 until k).map { i =>
+      if (i == 0) d
+      else d.select(
+        (col("doc_id") + lit(i * ReplicaStride)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"qz$i$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  private[graft] def replicatedEmbeddings(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = graft.sources.Tables.fanOut(graft.sources.Tables.embeddings(spark, dir))
+    (0 until k).map { i =>
+      if (i == 0) e
+      else e.select((col("vec_id") + lit(i * ReplicaStride)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timedCount(df: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val rows = factors.map { k =>
+      System.err.println(s"[scale] factor $k ...")
+      val docs = replicatedDocs(spark, baseDir, k)
+      val nDocs = docs.count()
+
+      val (posting, tPosting) = timedCount(Dedup.shinglesOf(docs))
+      // band-bucket occupancy: the join fan-in dial — a superlinear max
+      // here is the LSH failure mode
+      val bandStats = Dedup.bandIndexOf(docs)
+        .groupBy("band", "band_sig").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("keys"), max("n").as("max_bucket")).head()
+      val (bandKeys, maxBucket) = (bandStats.getLong(0), bandStats.getLong(1))
+      val (cands, tCands) = timedCount(Dedup.minhashCandidatesOf(docs))
+      val t0p = System.nanoTime()
+      val pairs = Dedup.minhashPairsOf(docs)
+      val pairsMat = { val r = pairs.rdd; r.localCheckpoint(); r.count(); r }
+      val nPairs = pairsMat.count()
+      val tPairs = (System.nanoTime() - t0p) / 1e9
+      val pairsDf = spark.createDataFrame(pairsMat, pairs.schema)
+
+      val t0c = System.nanoTime()
+      val cc = Dedup.componentsOfManaged(pairsDf.select("doc_a", "doc_b"))
+      val ccNodes = cc.labels.count()
+      val tCc = (System.nanoTime() - t0c) / 1e9
+      val ccRounds = cc.rounds
+      cc.release()
+      pairsMat.unpersist(blocking = false)
+
+      // simhash: bucket occupancy and candidate volume are the scale
+      // signals; the hamming<=3 OUTPUT count is data-dependent (on this
+      // synthetic ~40-word vocabulary it swings with each replica's hash
+      // draw — see SCALE.md caveat) so it is reported but not graded
+      val shBucketMax = Dedup.simhashBandsOf(docs)
+        .groupBy("band", "band_val").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      val (simhash, tSimhash) = timedCount(Dedup.simhashPairsOf(docs))
+      val (jacc, tJacc) = timedCount(Dedup.ngramJaccardOf(docs))
+
+      // ANN over the replicated embeddings: exact brute-force (10
+      // broadcast queries × corpus) and single-probe bucketed top-3
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nVecs = e.count()
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+      val (_, tBrute) = timedCount(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3))
+      val eb = e.select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), 8).as("bucket"))
+      val vecBucketMax = eb.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      val qb = eb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val (_, tBucket) = timedCount(
+        eb.join(broadcast(qb), Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor"),
+            round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3))
+
+      Seq(
+        s"| ${k}x | $nDocs | $posting | $bandKeys | $maxBucket | $cands | $nPairs | " +
+          s"$ccNodes | $ccRounds | $shBucketMax | $simhash | $jacc | $nVecs | $vecBucketMax |",
+        s"| ${k}x times | — | ${f"$tPosting%.1f"}s | — | — | ${f"$tCands%.1f"}s | " +
+          s"${f"$tPairs%.1f"}s | ${f"$tCc%.1f"}s | — | — | ${f"$tSimhash%.1f"}s | " +
+          s"${f"$tJacc%.1f"}s | ${f"$tBrute%.1f"}s brute | ${f"$tBucket%.1f"}s bucketed |")
+    }
+
+    println("| factor | docs | shingle posting | band keys | max band bucket | " +
+      "candidates | pairs>=0.5 | cc nodes | cc rounds | max simhash bucket | " +
+      "simhash pairs | jaccard pairs | vectors | max vec bucket |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    rows.flatten.foreach(println)
+    spark.stop()
+  }
+}

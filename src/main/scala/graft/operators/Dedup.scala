@@ -55,7 +55,7 @@ object Dedup {
     * ~20× slower here; this shape is one WholeStageCodegen span over the
     * scan. Consumers needing set semantics call `.distinct()`; MinHash
     * doesn't (min is duplicate-insensitive). */
-  private def shinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), tokenize(col("text")).as("toks"))
     val len = greatest(size(col("toks")) - 2, lit(0))
     val zipped = arrays_zip(
@@ -66,9 +66,6 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("z.0"), col("z.1"), col("z.2")).as("g"))
   }
-
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** The (doc_id, sigs, band, band_sig) LSH index of a document frame —
     * the PRECOMPUTED STATIC side of incremental/streaming near-dup
@@ -239,8 +236,23 @@ object Dedup {
     * [[minhashPairsCached]] materializes ([[graft.Plans]] dumps this
     * directly — the registered query's own plan is just a scan of the
     * memoized RDD). */
-  private[graft] def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(minhashSigFrame(shinglePosting(spark, dir)))
+  private[graft] def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[minhashLsh]] over ANY (doc_id, text, …) frame — the library
+    * surface for corpora that are not the `documents` table (unioned
+    * shards, filtered subsets, synthetic scale runs — see
+    * [[graft.Scale]]). Unsorted, unmemoized. */
+  def minhashPairsOf(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashCandidatesOf(docs)
+      .filter(col("est_jaccard") >= threshold)
+
+  /** Band-join candidate pairs BEFORE the similarity threshold — each
+    * candidate exactly once (first-matching-band), with its estimated
+    * Jaccard. Exposed separately so scale runs can measure candidate
+    * growth, the number that decides whether LSH banding holds up. */
+  private[graft] def minhashCandidatesOf(docs: DataFrame): DataFrame = {
+    val bands = bandIndexOf(docs)
     val a = bands.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
       col("band"), col("band_sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"),
@@ -249,7 +261,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .filter(noEarlierBandMatch)
       .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
   }
 
   /** Session conf key selecting RELIABLE (HDFS/S3-backed) checkpoints for
@@ -460,13 +471,22 @@ object Dedup {
     * plan returns exactly the brute-force answer — which is what the
     * oracle computes). Documents with no tokens have no signature and
     * never pair (the oracle mirrors the drop). */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashFrame(Tables.fanOut(Tables.documents(spark, dir)))
-    val bands = sh.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** The per-band (doc_id, sh_lo, sh_hi, band, band_val) index under
+    * [[simhashPairsOf]] — exposed for scale diagnostics (bucket
+    * occupancy is what decides whether the banded self-join holds up). */
+  private[graft] def simhashBandsOf(docs: DataFrame): DataFrame =
+    simhashFrame(docs).select(col("doc_id"), col("sh_lo"), col("sh_hi"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .withColumn("band_val",
         (0 until SimhashBands).foldRight(lit(-1L): org.apache.spark.sql.Column)((bnd, els) =>
           when(col("band") === bnd, simhashBandVal(col("sh_lo"), col("sh_hi"), bnd)).otherwise(els)))
+
+  /** [[simhashPairs]] over ANY (doc_id, text, …) frame. */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val bands = simhashBandsOf(docs)
     val a = bands.select(col("doc_id").as("doc_a"), col("sh_lo").as("lo_a"),
       col("sh_hi").as("hi_a"), col("band"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"), col("sh_lo").as("lo_b"),
@@ -511,8 +531,12 @@ object Dedup {
     * side additionally filters df ≥ 2), set sizes from a per-doc count —
     * no shingle ARRAYS are ever shuffled to pairs (hauling two ~50-string
     * arrays per candidate was 5× the cost of this whole query). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val posting = shinglePosting(spark, dir).distinct()
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[ngramJaccard]] over ANY (doc_id, text, …) frame. */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val posting = shinglesOf(docs).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -43,6 +43,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join tolerates map-typed fact columns (skipped from the salt hash)") {
+    // hash() rejects MapType; the salt must skip such columns instead of
+    // throwing, and answers must still match the plain join
+    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .withColumn("attrs", map(lit("k"), col("o_orderkey").cast("string")))
+    val dim = Tables.customer(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select("o_custkey", "c_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey", "c_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val plain = canon(orders.join(dim, "o_custkey"))
+    val salted = canon(ScaleTechniques.saltedJoin(orders, dim, "o_custkey", 4))
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one hot key carries ~95% of the fact side; with broadcast disabled
     // the sort-merge join would send it all to one reducer — AQE's skew
