@@ -116,6 +116,8 @@ object SparkEntry {
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
+    "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
+    "q_text_repetition"  -> (TextAnalysis.repetitionStats _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -797,6 +799,38 @@ object SparkEntry {
          |  AND ${duckStopHits(TextAnalysis.StopEn)} / len(toks) >= 0.05
          |  AND len(ws) BETWEEN 10 AND 500
          |ORDER BY doc_id""".stripMargin,
+    "q_text_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |                UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |tok AS (SELECT doc_id, $DuckTok AS toks FROM corpus),
+         |grams AS (SELECT doc_id,
+         |            unnest(list_distinct(list_transform(
+         |              range(1, len(toks) - ${TextAnalysis.DecontamN - 2}),
+         |              i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.DecontamN - 1}), ' ')))) AS g
+         |          FROM tok),
+         |ev AS (SELECT doc_id AS eval_doc, g FROM grams
+         |       WHERE doc_id % ${TextAnalysis.EvalMod} = 0 AND doc_id < 1000000),
+         |tr AS (SELECT doc_id, g FROM grams
+         |       WHERE NOT (doc_id % ${TextAnalysis.EvalMod} = 0 AND doc_id < 1000000)),
+         |hits AS (SELECT DISTINCT tr.doc_id, ev.eval_doc FROM tr JOIN ev USING (g))
+         |SELECT doc_id, count(*)::BIGINT AS n_eval_docs
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+         |        len(list_distinct(toks))::BIGINT AS n_dist, toks
+         |      FROM tok WHERE len(toks) >= 2),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |       FROM d),
+         |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         |r AS (SELECT doc_id, max(c)::BIGINT AS top_c, sum(c)::BIGINT AS nb
+         |      FROM bc GROUP BY doc_id)
+         |SELECT d.doc_id, d.n_toks,
+         |       round((d.n_toks - d.n_dist) / d.n_toks::DOUBLE, 4) AS dup_token_frac,
+         |       round(r.top_c / r.nb::DOUBLE, 4) AS top_bigram_frac,
+         |       (round(r.top_c / r.nb::DOUBLE, 4) > ${TextAnalysis.TopBigramMax}) AS flag_repetitive
+         |FROM d JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

@@ -238,4 +238,76 @@ object TextAnalysis {
       .select("doc_id", "rank", "word", "score")
       .orderBy("doc_id", "rank")
   }
+
+  /** N-gram width for [[decontaminate]] and the eval-slice modulus.
+    * Real pipelines screen on 8-13-gram overlap; 5 fits this corpus's
+    * ~25-50-token documents while keeping accidental collisions nil. */
+  val DecontamN = 5
+  val EvalMod = 31
+
+  /** Benchmark DECONTAMINATION — the screen every serious training
+    * pipeline runs before the quality filters: drop training documents
+    * sharing any [[DecontamN]]-gram with the evaluation set, so the
+    * model is never trained on (near-copies of) its own benchmarks.
+    * Returns each contaminated training doc with the number of distinct
+    * eval documents it overlaps.
+    *
+    * The corpus is planted (docs plus an id-shifted copy, as in
+    * [[Dedup.exactGroupsPlanted]]) and the eval slice is
+    * `doc_id % EvalMod == 0` of the originals, so every eval doc has an
+    * exact copy in training and the oracle exercises real contamination
+    * rather than the empty set.
+    *
+    * Scale posture: the eval side is a benchmark suite — thousands of
+    * documents, not billions — so its distinct-gram set is broadcast-
+    * sized and the join costs one narrow pass over the training grams;
+    * the aggregation key space is only the CONTAMINATED docs. The
+    * output feeds a broadcast anti-join to produce the cleaned corpus
+    * (same shape as [[Dedup.dedupedCorpus]]'s drop set). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+    val isEval = col("doc_id") % EvalMod === 0 && col("doc_id") < 1000000L
+    def grams(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), toks(col("text")).as("toks"))
+      .select(col(idAs), explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("g"))
+    grams(corpus.filter(!isEval), "doc_id")
+      .join(broadcast(grams(corpus.filter(isEval), "eval_doc")), "g")
+      .select("doc_id", "eval_doc").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Threshold on the top-bigram fraction above which a document is
+    * flagged repetitive (the Gopher/MassiveText-style rule; compared on
+    * the ROUNDED value so both engines decide boundary cases
+    * identically). */
+  val TopBigramMax = 0.18
+
+  /** Per-document REPETITION signals — the other half of the quality
+    * screen: `dup_token_frac` (fraction of token occurrences that repeat
+    * an earlier token) and `top_bigram_frac` (share of the most frequent
+    * bigram among all bigram occurrences), with the repetitive flag.
+    * Boilerplate, keyboard-mash and template spam score high on both;
+    * the rule-based screen drops them before any model-based scoring.
+    * Two bounded aggregations per doc — the (doc, bigram) key space is
+    * each document's own bigrams, never a global vocabulary. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"), col("toks"))
+    val bigramCounts = d.select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val r = bigramCounts.groupBy("doc_id")
+      .agg(max("c").as("top_c"), sum("c").as("nb"))
+    d.join(r, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        round((col("n_toks") - col("n_dist")) / col("n_toks"), 4).as("dup_token_frac"),
+        round(col("top_c") / col("nb"), 4).as("top_bigram_frac"),
+        (round(col("top_c") / col("nb"), 4) > TopBigramMax).as("flag_repetitive"))
+      .orderBy("doc_id")
+  }
 }
