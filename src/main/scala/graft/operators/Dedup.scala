@@ -28,25 +28,26 @@ object Dedup {
   val MinhashBands = 8   // bands of R = K/BANDS rows
   val MinhashR = 4
   val MinhashP = 2147483647L // 2^31-1, modulus of the permutation hashes
-  // 64-bit simhash carried as TWO 32-bit halves (sh_lo = bits 0..31,
-  // sh_hi = bits 32..63): every intermediate stays strictly positive, so
-  // no sign-bit trap in either engine (1L << 63 is negative in both Spark
-  // and DuckDB BIGINTs). 4 bands of 16 bits = a 65,536-value key space
-  // per band — the band-join bucket size scales as corpus/65k instead of
-  // corpus/256, which is what keeps the self-join linear at 100 TB.
-  val SimhashBits = 64
-  val SimhashBands = 4   // 16-bit bands; hamming<=3 => >=1 band equal (pigeonhole)
+  // Simhash signatures are carried as `bits/32` strictly-positive 32-bit
+  // WORDS (sh_0 = most-significant), so no intermediate ever touches a
+  // BIGINT sign bit in either engine (1L << 63 is negative in both Spark
+  // and DuckDB). The width is a real dial: any multiple of 32 up to 128
+  // (one md5 yields four 32-bit base hashes per token). At 64 bits the 4
+  // bands have 65,536 keys each; at 128 bits they have 2^32 — widening
+  // the signature is how the band-join key space keeps growing when the
+  // corpus does (SCALE.md caveat 1), since hamming<=3 still guarantees
+  // >=1 intact band by pigeonhole at ANY width with 4 bands.
+  val SimhashBits = 64   // width of the REGISTERED query (oracle-pinned)
+  val SimhashBands = 4
   val HammingMax = 3
-  /** Bits per signature half / per band, derived so [[SimhashBits]] is
-    * the real width dial (the two-half carry requires an even split and
-    * bands that tile the halves). */
-  private val SimhashHalfBits = SimhashBits / 2
-  private val SimhashBandBits = SimhashBits / SimhashBands
-  private val SimhashBandMask = (1L << SimhashBandBits) - 1
-  require(SimhashHalfBits * 2 == SimhashBits &&
-    SimhashBandBits * SimhashBands == SimhashBits &&
-    SimhashHalfBits % SimhashBandBits == 0 && SimhashHalfBits <= 32,
-    "simhash width must split into two <=32-bit halves tiled by the bands")
+  private def simhashWords(bits: Int): Int = bits / 32
+  private def simhashBandBits(bits: Int): Int = bits / SimhashBands
+  private def requireSimhashWidth(bits: Int): Unit =
+    require(bits % 32 == 0 && bits >= 32 && bits <= 128 &&
+      bits % SimhashBands == 0 &&
+      (32 % simhashBandBits(bits) == 0 || simhashBandBits(bits) == 32),
+      s"unsupported simhash width $bits: needs 32-bit words from one md5" +
+        " and bands tiling the words")
 
   /** Word-3-gram posting list `(doc_id, g)`, multiset semantics.
     * Shingles are built WITHOUT lambda HOFs — `arrays_zip` of three
@@ -427,43 +428,46 @@ object Dedup {
       .orderBy("new_doc", "dup_of")
   }
 
-  /** 64-bit SimHash over the distinct-token set, relationally: explode
-    * the distinct tokens, derive the two 32-bit token-hash halves as
-    * codegen'd md5/conv columns (hi = md5 hex chars 1-8 → bits 32..63,
-    * lo = chars 9-16 → bits 0..31; codegen CSE evaluates the md5 once),
-    * then partial-aggregate the 64 per-bit ±1 votes
-    * (`sum((h >> j) & 1) * 2 - 1`) per document and assemble each half —
-    * bit j set iff its vote sum is positive. Same math as a nested
-    * per-row lambda fold, but fully inside WholeStageCodegen with
-    * map-side combine. Returns (doc_id, sh_lo, sh_hi). */
-  private def simhashFrame(docs: DataFrame): DataFrame = {
+  /** `bits`-wide SimHash over the distinct-token set, relationally:
+    * explode the distinct tokens, derive the `bits/32` 32-bit token-hash
+    * words as codegen'd md5/conv columns (word j = md5 hex chars
+    * 8j+1..8j+8; codegen CSE evaluates the md5 once), then
+    * partial-aggregate the per-bit ±1 votes (`sum((h >> b) & 1) * 2 - 1`)
+    * per document and assemble each word — bit b set iff its vote sum is
+    * positive. Same math as a nested per-row lambda fold, but fully
+    * inside WholeStageCodegen with map-side combine. Returns
+    * (doc_id, sh_0 … sh_{words-1}). */
+  private def simhashFrame(docs: DataFrame, bits: Int): DataFrame = {
+    requireSimhashWidth(bits)
+    val words = simhashWords(bits)
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(tokenize(col("text")))).as("t"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h_hi"),
-        conv(substring(md5(col("t")), 9, 8), 16, 10).cast("long").as("h_lo"))
-    val votes =
-      (0 until SimhashHalfBits).map(j =>
-        sum(shiftright(col("h_lo"), j).bitwiseAND(1L) * 2L - 1L).as(s"lo$j")) ++
-      (0 until SimhashHalfBits).map(j =>
-        sum(shiftright(col("h_hi"), j).bitwiseAND(1L) * 2L - 1L).as(s"hi$j"))
-    def half(prefix: String) =
-      (0 until SimhashHalfBits).map(j =>
-        when(col(s"$prefix$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      .select(col("doc_id") +:
+        (0 until words).map(j =>
+          conv(substring(md5(col("t")), 8 * j + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+    val votes = (0 until words).flatMap(j =>
+      (0 until 32).map(b =>
+        sum(shiftright(col(s"h$j"), b).bitwiseAND(1L) * 2L - 1L).as(s"v${j}_$b")))
+    def word(j: Int) =
+      (0 until 32).map(b =>
+        when(col(s"v${j}_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), half("lo").as("sh_lo"), half("hi").as("sh_hi"))
+      .select(col("doc_id") +: (0 until words).map(j => word(j).as(s"sh_$j")): _*)
   }
 
-  /** [[SimhashBandBits]]-bit window `band` of the (sh_lo, sh_hi)
-    * signature: bands tile sh_lo first, then sh_hi. */
-  private def simhashBandVal(lo: org.apache.spark.sql.Column,
-                             hi: org.apache.spark.sql.Column,
-                             band: Int): org.apache.spark.sql.Column = {
-    val bandsPerHalf = SimhashHalfBits / SimhashBandBits
-    val src = if (band < bandsPerHalf) lo else hi
-    shiftright(src, (band % bandsPerHalf) * SimhashBandBits)
-      .bitwiseAND(SimhashBandMask)
+  /** Band `band`'s window of the signature words: bands tile word 0
+    * first. At 32-bit bands a band IS a word; narrower bands shift+mask
+    * within their word. */
+  private def simhashBandVal(words: Seq[org.apache.spark.sql.Column],
+                             band: Int, bits: Int): org.apache.spark.sql.Column = {
+    val bb = simhashBandBits(bits)
+    if (bb == 32) words(band)
+    else {
+      val bandsPerWord = 32 / bb
+      shiftright(words(band / bandsPerWord), (band % bandsPerWord) * bb)
+        .bitwiseAND((1L << bb) - 1)
+    }
   }
 
   /** SimHash near-dup pairs with Hamming distance <= 3, found via 4x16-bit
@@ -474,39 +478,53 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
-  /** The per-band (doc_id, sh_lo, sh_hi, band, band_val) index under
+  /** The per-band (doc_id, sh_0…, band, band_val) index under
     * [[simhashPairsOf]] — exposed for scale diagnostics (bucket
     * occupancy is what decides whether the banded self-join holds up). */
-  private[graft] def simhashBandsOf(docs: DataFrame): DataFrame =
-    simhashFrame(docs).select(col("doc_id"), col("sh_lo"), col("sh_hi"),
-        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+  private[graft] def simhashBandsOf(docs: DataFrame,
+                                    bits: Int = SimhashBits): DataFrame = {
+    val wcols = (0 until simhashWords(bits)).map(j => col(s"sh_$j"))
+    simhashFrame(docs, bits)
+      .select(col("doc_id") +: wcols :+
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"): _*)
       .withColumn("band_val",
         (0 until SimhashBands).foldRight(lit(-1L): org.apache.spark.sql.Column)((bnd, els) =>
-          when(col("band") === bnd, simhashBandVal(col("sh_lo"), col("sh_hi"), bnd)).otherwise(els)))
+          when(col("band") === bnd, simhashBandVal(wcols, bnd, bits)).otherwise(els)))
+  }
 
-  /** [[simhashPairs]] over ANY (doc_id, text, …) frame. */
-  def simhashPairsOf(docs: DataFrame): DataFrame = {
-    val bands = simhashBandsOf(docs)
-    val a = bands.select(col("doc_id").as("doc_a"), col("sh_lo").as("lo_a"),
-      col("sh_hi").as("hi_a"), col("band"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sh_lo").as("lo_b"),
-      col("sh_hi").as("hi_b"), col("band"), col("band_val"))
+  /** [[simhashPairs]] over ANY (doc_id, text, …) frame, at any supported
+    * signature width ([[requireSimhashWidth]]; default the registered
+    * 64). Pigeonhole completeness for hamming <= [[HammingMax]] holds at
+    * every width — 4 bands, at most 3 flipped bits — so widening only
+    * grows the band-key space (suite-pinned against brute force at
+    * 128). */
+  def simhashPairsOf(docs: DataFrame, bits: Int = SimhashBits): DataFrame = {
+    val words = simhashWords(bits)
+    val bands = simhashBandsOf(docs, bits)
+    def side(tag: String, idAs: String) = bands.select(
+      col("doc_id").as(idAs) +:
+        (0 until words).map(j => col(s"sh_$j").as(s"${tag}_$j")) :+
+        col("band") :+ col("band_val"): _*)
+    val a = side("a", "doc_a")
+    val b = side("b", "doc_b")
+    def wordsOf(tag: String) = (0 until words).map(j => col(s"${tag}_$j"))
     // classic LSH dedup-without-distinct: a pair sharing k bands appears
     // k times in the join; keep it only at its FIRST matching band (no
-    // earlier band's 16-bit window agrees), so each pair survives exactly
+    // earlier band's window agrees), so each pair survives exactly
     // once — a codegen'd filter replaces a multi-million-row distinct
     // exchange on this data's hot buckets
     val noEarlierMatch = (0 until SimhashBands).map(bnd =>
       when(lit(bnd) < col("band") &&
-        simhashBandVal(col("lo_a"), col("hi_a"), bnd) ===
-          simhashBandVal(col("lo_b"), col("hi_b"), bnd), 1).otherwise(0))
+        simhashBandVal(wordsOf("a"), bnd, bits) ===
+          simhashBandVal(wordsOf("b"), bnd, bits), 1).otherwise(0))
       .reduce(_ + _) === 0
     a.join(b, Seq("band", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(noEarlierMatch)
       .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
-          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
+        (0 until words).map(j =>
+          bit_count(col(s"a_$j").bitwiseXOR(col(s"b_$j"))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .orderBy("doc_a", "doc_b")
   }
