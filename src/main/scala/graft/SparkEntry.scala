@@ -89,6 +89,7 @@ object SparkEntry {
     "q_dedup_exact_planted" -> (Dedup.exactGroupsPlanted _),
     "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
+    "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
@@ -632,6 +633,22 @@ object SparkEntry {
          |       (bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)))::BIGINT AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash_wide" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(list_distinct(toks), t -> md5(t)) AS ms
+         |      FROM tok WHERE len(toks) > 0),
+         |s AS (SELECT doc_id,
+         |${(0 until 4).map(w =>
+           s"""        list_sum(list_transform(range(0, 32), j -> CASE WHEN
+              |          list_sum(list_transform(ms, m -> ((CAST('0x' || substr(m, ${8 * w + 1}, 8) AS BIGINT) >> j) & 1) * 2 - 1)) > 0
+              |          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh_$w""".stripMargin)
+           .mkString(",\n")}
+         |      FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       (${(0 until 4).map(w => s"bit_count(xor(a.sh_$w, b.sh_$w))").mkString(" + ")})::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE ${(0 until 4).map(w => s"bit_count(xor(a.sh_$w, b.sh_$w))").mkString(" + ")} <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

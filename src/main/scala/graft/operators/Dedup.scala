@@ -478,6 +478,13 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
+  /** The 128-bit width-dial variant, registered so the wider signature is
+    * oracle-checked cross-engine, not just suite-pinned. At 32-bit bands
+    * the band-key space is 2^32 per band — the setting a 100 TB corpus
+    * runs (SCALE.md caveat 1). */
+  def simhashPairsWide(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)), bits = 128)
+
   /** The per-band (doc_id, sh_0…, band, band_val) index under
     * [[simhashPairsOf]] — exposed for scale diagnostics (bucket
     * occupancy is what decides whether the banded self-join holds up). */
