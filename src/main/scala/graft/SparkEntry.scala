@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ann_ivf_assign"  -> (SimSearch.ivfAssign _),
     "q_ann_ivf_routed"  -> (SimSearch.ivfRoutedTopK _),
     "q_ann_recall"      -> (SimSearch.annRecall _),
+    "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -119,6 +120,9 @@ object SparkEntry {
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
     "q_text_repetition"  -> (TextAnalysis.repetitionStats _),
+    "q_text_entropy"     -> (TextAnalysis.tokenEntropy _),
+    "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
+    "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -848,6 +852,78 @@ object SparkEntry {
          |       round(r.top_c / r.nb::DOUBLE, 4) AS top_bigram_frac,
          |       (round(r.top_c / r.nb::DOUBLE, 4) > ${TextAnalysis.TopBigramMax}) AS flag_repetitive
          |FROM d JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w)
+         |SELECT doc_id, sum(c)::BIGINT AS n_toks,
+         |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_composition" ->
+      s"""WITH d AS (SELECT source, lang, n_chars,
+         |             len($DuckTok)::BIGINT AS n_toks FROM documents),
+         |cells AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |            sum(n_toks)::BIGINT AS total_tokens,
+         |            round(avg(n_chars), 2) AS avg_chars
+         |          FROM d GROUP BY source, lang),
+         |tot AS (SELECT count(*) AS tot_docs, sum(n_toks) AS tot_toks FROM d)
+         |SELECT source, lang, n_docs, total_tokens, avg_chars,
+         |       round(n_docs / tot_docs::DOUBLE, 4) AS doc_share,
+         |       round(total_tokens / tot_toks::DOUBLE, 4) AS token_share
+         |FROM cells CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+
+    "q_dedup_span_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' '))) AS g
+         |       FROM base),
+         |shared AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM gr JOIN shared USING (g))),
+         |c AS (SELECT doc_id, count(*)::BIGINT AS dup_positions FROM cov GROUP BY doc_id)
+         |SELECT b.doc_id, len(b.toks)::BIGINT AS n_toks,
+         |       coalesce(c.dup_positions, 0)::BIGINT AS dup_positions,
+         |       round(coalesce(c.dup_positions, 0) / len(b.toks)::DOUBLE, 4) AS dup_span_frac
+         |FROM base b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_ann_kmeans" ->
+      """WITH v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+        |             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+        |           FROM embeddings),
+        |seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT cent_id, d, val AS c FROM v JOIN seed USING (vec_id)),
+        |d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+        |       FROM v JOIN c0 USING (d) GROUP BY vec_id, cent_id),
+        |a1 AS (SELECT vec_id, cent_id FROM (
+        |         SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+        |         FROM d1) WHERE rnk = 1),
+        |c1 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a1 USING (vec_id)
+        |       GROUP BY cent_id, d),
+        |d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+        |        FROM v JOIN c1 USING (d) GROUP BY vec_id, cent_id),
+        |a2 AS (SELECT vec_id, cent_id FROM (
+        |         SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+        |         FROM d2t) WHERE rnk = 1),
+        |c2 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a2 USING (vec_id)
+        |       GROUP BY cent_id, d),
+        |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+        |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
+        |a3 AS (SELECT vec_id, cent_id, d2 FROM (
+        |         SELECT vec_id, cent_id, d2,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+        |         FROM d3) WHERE rnk = 1)
+        |SELECT cent_id, count(*)::BIGINT AS n_vectors,
+        |       round(avg(sqrt(d2)), 4) AS mean_dist
+        |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

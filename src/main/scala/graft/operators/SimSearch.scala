@@ -249,4 +249,75 @@ object SimSearch {
       .select("q_id", "bucket", "rank", "neighbor", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** Lloyd iterations for [[kmeansTrain]]. Two is enough to exercise the
+    * full train loop (assign → re-center → re-assign → re-center) while
+    * keeping the cross-engine oracle an unrolled CTE chain. */
+  val KmIters = 2
+  val KmK = 8
+
+  /** Relational k-means TRAINING — the quantizer-training batch job the
+    * IVF seed pick ([[IvfSeedBase]]) stands in for. [[KmIters]] Lloyd
+    * iterations over the embedding corpus, expressed entirely as
+    * joins/aggregations so it runs at corpus scale with no driver-side
+    * state:
+    *
+    *  - vectors live in long form (vec_id, d, v) — one `posexplode`;
+    *  - the centroid frame (cent_id, d, c) is K×dims rows, broadcast
+    *    into each assignment join, so the corpus never shuffles: the
+    *    per-iteration cost is the canonical O(N·K·dims) with map-side
+    *    partial aggregation on both the distance and re-center groupBys;
+    *  - assignment is argmin over squared L2 with a (d2, cent_id)
+    *    tie-break, planned as `WindowGroupLimit` (bounded heap, no
+    *    corpus-sized sort).
+    *
+    * Seeding is deterministic — the [[KmK]] lowest vec_ids, renumbered
+    * 0..K-1 — so the oracle replays training exactly (k-means++ at scale
+    * is a tiny sampled pre-job feeding the same loop). A cluster that
+    * loses all members simply drops out of the centroid frame (classic
+    * Lloyd empty-cluster case; both engines mirror it). Output is the
+    * per-cluster report after the final re-center: population and mean
+    * distance-to-centroid — the numbers that decide whether the
+    * quantizer is balanced enough to ship. Math in double, report
+    * rounded, all orderings totally tie-broken. */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  /** Final per-vector assignment (vec_id, cent_id, d2) after `iters`
+    * Lloyd iterations — the train loop shared by [[kmeansTrainOf]]'s
+    * report and the suite's SSE-monotonicity check. */
+  private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+    val seeds = e.select("vec_id").orderBy("vec_id").limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cent_id"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d2 = vecs.join(broadcast(cents), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+      d2.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select("vec_id", "cent_id", "d2")
+    }
+    def recenter(assigned: DataFrame): DataFrame =
+      vecs.join(assigned.select("vec_id", "cent_id"), "vec_id")
+        .groupBy("cent_id", "d").agg(avg("v").as("c"))
+    val init = vecs.join(broadcast(seeds), "vec_id")
+      .select(col("cent_id"), col("d"), col("v").as("c"))
+    assign((1 to iters).foldLeft(init)((cents, _) => recenter(assign(cents))))
+  }
+
+  /** [[kmeansTrain]] over any (vec_id, embedding) frame. */
+  def kmeansTrainOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
+    kmeansAssignment(e, k, iters)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(sqrt(col("d2"))), 4).as("mean_dist"))
+      .orderBy("cent_id")
+
+  /** Total within-cluster SSE after `iters` iterations — Lloyd's
+    * convergence quantity (provably non-increasing per iteration). */
+  private[graft] def kmeansSse(e: DataFrame, k: Int, iters: Int): Double =
+    kmeansAssignment(e, k, iters).agg(sum("d2")).head.getDouble(0)
 }

@@ -310,4 +310,104 @@ object TextAnalysis {
         (round(col("top_c") / col("nb"), 4) > TopBigramMax).as("flag_repetitive"))
       .orderBy("doc_id")
   }
+
+  /** Per-document token-distribution Shannon entropy — the information-
+    * density quality signal that separates natural prose (high entropy)
+    * from template spam and keyboard mash (low), complementary to
+    * [[repetitionStats]]'s count-based fractions. Computed from the
+    * per-doc term counts via the sufficient-statistics identity
+    * H = log2(n) − (Σ c·log2 c)/n, so the whole thing is two bounded
+    * aggregations — (doc, term) then doc — with no per-doc collection
+    * and map-side partials at every step. Rounded to 4 decimals so both
+    * engines decide identically despite sum-order float drift. Docs with
+    * zero tokens have no distribution and are dropped (oracle mirrors). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropyOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[tokenEntropy]] over any (doc_id, text, …) frame. */
+  def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    t.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), sum(col("c") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_toks"),
+        round(log2(col("n_toks")) - col("clog") / col("n_toks"), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus COMPOSITION report — the governance table every training-
+    * data pipeline publishes with a release: per (source, lang) document
+    * and token counts, mean document length, and each cell's share of
+    * the corpus. The mixing weights that downsample overrepresented
+    * sources are read straight off `doc_share`/`token_share`. One
+    * narrow pass then a groupBy on the |sources|×|langs| key space; the
+    * corpus totals are a 1-row aggregate broadcast back over the cells
+    * (no single-partition window at 100 TB). */
+  def corpusComposition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_toks"))
+    val cells = d.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("total_tokens"),
+      round(avg("n_chars"), 2).as("avg_chars"))
+    val totals = d.agg(count(lit(1)).as("tot_docs"), sum("n_toks").as("tot_toks"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("avg_chars"),
+        round(col("n_docs") / col("tot_docs"), 4).as("doc_share"),
+        round(col("total_tokens") / col("tot_toks"), 4).as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  /** N-gram width for [[dupSpanCoverage]]. Must be wide enough that a
+    * shared span implies real shared provenance, not vocabulary chance:
+    * at the library's 3-token shingle width this corpus's small
+    * vocabulary marks ~92% of positions "duplicated" (pure collision
+    * noise), while at 8 tokens — the low end of the 8-13 range
+    * production screens use — only the planted near-dup passages fire
+    * (47/500 docs, 9% mean coverage at sf0.01). */
+  val SpanN = 8
+
+  /** Cross-document DUPLICATE-SPAN coverage — the substring-level dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, the fraction of token positions
+    * covered by some [[SpanN]]-gram that also appears in ANOTHER
+    * document. Document-level dedup misses boilerplate spans embedded in
+    * otherwise-unique pages; this measures exactly that, and a pipeline
+    * drops or trims docs above a coverage threshold.
+    *
+    * Plan shape: gram occurrences keep their start position
+    * (`posexplode`), the shared-gram set is a groupBy-HAVING on the gram
+    * key, and membership is a co-partitioned equi-join (each occurrence
+    * row matches at most once — no posting self-join, so no quadratic
+    * blowup on hot grams). Coverage is the distinct union of the covered
+    * positions, counted per doc — interval union done relationally. */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverageOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[dupSpanCoverage]] over any (doc_id, text, …) frame at any span
+    * width. */
+  def dupSpanCoverageOf(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val grams = d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("df_docs"))
+      .filter(col("df_docs") >= 2)
+      .select("g")
+    val covered = grams.join(shared, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_positions"))
+    d.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        round(coalesce(col("dup_positions"), lit(0L)) / col("n_toks"), 4)
+          .as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
 }

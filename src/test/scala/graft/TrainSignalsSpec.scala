@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{SimSearch, TextAnalysis}
+
+/** Known-answer and invariant tests for the round-5 training-pipeline
+  * signals: token entropy, duplicate-span coverage, and relational
+  * k-means. The registered queries are hash-checked against DuckDB; these
+  * pin the SEMANTICS on constructed inputs the random corpus cannot be
+  * relied on to exercise (exact entropy values, an exactly-placed shared
+  * span, Lloyd's SSE monotonicity, perfect separation of separable
+  * blobs).
+  */
+class TrainSignalsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token entropy: uniform, skewed and single-token documents") {
+    val docs = Seq(
+      (1L, "a a b b"),        // uniform over 2 types -> exactly 1 bit
+      (2L, "a a a b"),        // H = 2 - 0.75*log2(3) = 0.8113
+      (3L, "x x x x"),        // degenerate -> 0
+      (4L, ""))               // no tokens -> dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(1L -> ((4L, 1.0)), 2L -> ((4L, 0.8113)), 3L -> ((4L, 0.0))))
+  }
+
+  test("duplicate-span coverage: only the cross-doc shared span is counted") {
+    // docs 1 and 2 share one 8-token passage at different offsets; doc 3
+    // repeats a span only WITHIN itself (must not count: the signal is
+    // cross-document); doc 4 is clean.
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma"),              // 11 toks, positions 0-7 covered
+      (2L, s"pre1 pre2 $span post1"),               // 11 toks, positions 2-9 covered
+      (3L, s"$span $span".replace("one", "xone")),  // self-repeat, different tokens
+      (4L, "just some unique words here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpanCoverageOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((11L, 8L, 0.7273)))
+    assert(got(2L) === ((11L, 8L, 0.7273)))
+    assert(got(4L) === ((5L, 0L, 0.0)))
+    // doc 3's repeated span is shared with NO other doc: the 8-gram
+    // straddling the repetition boundary differs from the repeated one,
+    // but the repeat makes each inner 8-gram appear twice in the SAME doc
+    // only -> count(DISTINCT doc) = 1 -> zero coverage
+    assert(got(3L)._2 === 0L)
+  }
+
+  test("k-means: separable blobs are perfectly recovered") {
+    // two tight 3-d blobs; seeds = two lowest vec_ids, one in each blob
+    val e = Seq(
+      (0L, Array(0.0f, 0.1f, 0.0f)), (1L, Array(9.9f, 10.0f, 10.1f)),
+      (2L, Array(0.1f, 0.0f, 0.1f)), (3L, Array(10.1f, 9.9f, 10.0f)),
+      (4L, Array(0.0f, 0.0f, 0.2f)), (5L, Array(10.0f, 10.1f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val rep = SimSearch.kmeansTrainOf(e, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rep.keySet === Set(0L, 1L))
+    assert(rep(0L)._1 === 3L && rep(1L)._1 === 3L)
+    // blob radius ~0.15; converged mean distance must be well under the
+    // inter-blob distance (~17)
+    assert(rep(0L)._2 < 0.5 && rep(1L)._2 < 0.5)
+  }
+
+  test("k-means: Lloyd SSE is non-increasing over iterations on real data") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sse = (0 to 2).map(SimSearch.kmeansSse(e, SimSearch.KmK, _))
+    assert(sse(1) <= sse(0) + 1e-9, s"iteration 1 raised SSE: $sse")
+    assert(sse(2) <= sse(1) + 1e-9, s"iteration 2 raised SSE: $sse")
+    // and training actually moved: the seed pick is not already optimal
+    assert(sse(2) < sse(0))
+  }
+}
