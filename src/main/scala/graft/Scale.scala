@@ -148,6 +148,38 @@ object Scale {
       "simhash pairs | jaccard pairs | vectors | max vec bucket |")
     println("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     rows.flatten.foreach(println)
+
+    // round-5 training-signal stages: duplicate-span coverage (the
+    // membership join's output volume is the quantity that would blow up
+    // on hot grams) and relational k-means (fixed K and dims, so the
+    // per-iteration O(N·K·dims) cost must scale with N alone)
+    import graft.operators.{SimSearch, TextAnalysis}
+    val rows2 = factors.map { k =>
+      System.err.println(s"[scale] factor $k (training signals) ...")
+      val docs = replicatedDocs(spark, baseDir, k)
+      val grams = TextAnalysis.spanGramsOf(docs)
+      val nGrams = grams.count()
+      val shared = TextAnalysis.sharedSpanGramsOf(grams)
+      val nShared = shared.count()
+      // join output BEFORE the distinct: occurrences of shared grams × SpanN
+      val (joinRows, _) = timedCount(grams.join(shared, "g"))
+      val t0s = System.nanoTime()
+      val flagged = TextAnalysis.dupSpanCoverageOf(docs)
+        .filter(col("dup_positions") > 0).count()
+      val tSpan = (System.nanoTime() - t0s) / 1e9
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nVecs = e.count()
+      val t0k = System.nanoTime()
+      val sse = SimSearch.kmeansSse(e, SimSearch.KmK, SimSearch.KmIters)
+      val tKm = (System.nanoTime() - t0k) / 1e9
+      s"| ${k}x | $nGrams | $nShared | $joinRows | $flagged | ${f"$tSpan%.1f"}s | " +
+        s"$nVecs | ${f"$sse%.0f"} | ${f"$tKm%.1f"}s |"
+    }
+    println()
+    println("| factor | span grams | shared grams | join rows | flagged docs | " +
+      "span time | vectors | kmeans sse | kmeans time |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    rows2.foreach(println)
     spark.stop()
   }
 }

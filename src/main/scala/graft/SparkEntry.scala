@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ann_ivf_routed"  -> (SimSearch.ivfRoutedTopK _),
     "q_ann_recall"      -> (SimSearch.annRecall _),
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
+    "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -196,6 +197,40 @@ object SparkEntry {
     * (mirror of `VectorFunctions.dot`). */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  /** DuckDB fragment: sqrt(Σx²) over an arbitrary DOUBLE-castable list
+    * expression (the `embedding`-hardcoded [[DuckNorm]], generalized). */
+  private def duckNormOf(e: String): String =
+    s"sqrt(list_reduce(list_transform($e, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
+
+  /** Shared CTE chain replaying `SimSearch.kmeansAssignment`'s two Lloyd
+    * iterations (seed pick → assign → re-center → assign → re-center),
+    * ending at `c2`, the trained centroid frame in long (cent_id, d, c)
+    * form. Used by both the `q_ann_kmeans` report oracle and the
+    * `q_ann_kmeans_routed` serving oracle. */
+  private val DuckKmeansCtes =
+    """v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+      |        unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      |      FROM embeddings),
+      |seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
+      |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |c0 AS (SELECT cent_id, d, val AS c FROM v JOIN seed USING (vec_id)),
+      |d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+      |       FROM v JOIN c0 USING (d) GROUP BY vec_id, cent_id),
+      |a1 AS (SELECT vec_id, cent_id FROM (
+      |         SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+      |         FROM d1) WHERE rnk = 1),
+      |c1 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a1 USING (vec_id)
+      |       GROUP BY cent_id, d),
+      |d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+      |        FROM v JOIN c1 USING (d) GROUP BY vec_id, cent_id),
+      |a2 AS (SELECT vec_id, cent_id FROM (
+      |         SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+      |         FROM d2t) WHERE rnk = 1),
+      |c2 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a2 USING (vec_id)
+      |       GROUP BY cent_id, d)""".stripMargin
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -893,37 +928,44 @@ object SparkEntry {
          |FROM base b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_ann_kmeans" ->
-      """WITH v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
-        |             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-        |           FROM embeddings),
-        |seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
-        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-        |c0 AS (SELECT cent_id, d, val AS c FROM v JOIN seed USING (vec_id)),
-        |d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-        |       FROM v JOIN c0 USING (d) GROUP BY vec_id, cent_id),
-        |a1 AS (SELECT vec_id, cent_id FROM (
-        |         SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
-        |         FROM d1) WHERE rnk = 1),
-        |c1 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a1 USING (vec_id)
-        |       GROUP BY cent_id, d),
-        |d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-        |        FROM v JOIN c1 USING (d) GROUP BY vec_id, cent_id),
-        |a2 AS (SELECT vec_id, cent_id FROM (
-        |         SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
-        |         FROM d2t) WHERE rnk = 1),
-        |c2 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a2 USING (vec_id)
-        |       GROUP BY cent_id, d),
-        |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-        |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
-        |a3 AS (SELECT vec_id, cent_id, d2 FROM (
-        |         SELECT vec_id, cent_id, d2,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
-        |         FROM d3) WHERE rnk = 1)
-        |SELECT cent_id, count(*)::BIGINT AS n_vectors,
-        |       round(avg(sqrt(d2)), 4) AS mean_dist
-        |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+      s"""WITH $DuckKmeansCtes,
+         |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
+         |a3 AS (SELECT vec_id, cent_id, d2 FROM (
+         |         SELECT vec_id, cent_id, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |         FROM d3) WHERE rnk = 1)
+         |SELECT cent_id, count(*)::BIGINT AS n_vectors,
+         |       round(avg(sqrt(d2)), 4) AS mean_dist
+         |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+
+    "q_ann_kmeans_routed" ->
+      s"""WITH $DuckKmeansCtes,
+         |cl AS (SELECT cent_id, list(c ORDER BY d) AS cent_emb,
+         |         ${duckNormOf("list(c ORDER BY d)")} AS cent_nrm
+         |       FROM c2 GROUP BY cent_id),
+         |e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |crank AS (
+         |  SELECT e.vec_id, cl.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${duckDot("e.embedding", "cl.cent_emb")} / (e.nrm * cl.cent_nrm), 6) DESC,
+         |               cl.cent_id) AS rnk
+         |  FROM e CROSS JOIN cl),
+         |assign AS (SELECT vec_id, cent_id FROM crank WHERE rnk = 1),
+         |cand AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+         |         FROM e JOIN assign a USING (vec_id)),
+         |qc AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, e.nrm AS q_nrm, k.cent_id
+         |       FROM e JOIN crank k USING (vec_id)
+         |       WHERE e.vec_id < 10 AND k.rnk <= 2),
+         |pairs AS (SELECT qc.q_id, c.vec_id AS neighbor,
+         |            round(${duckDot("qc.q_emb", "c.embedding")} / (qc.q_nrm * c.nrm), 6) AS cos
+         |          FROM cand c JOIN qc USING (cent_id) WHERE c.vec_id <> qc.q_id),
+         |ranked AS (SELECT q_id, neighbor, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank"
+         |           FROM pairs)
+         |SELECT q_id, "rank", neighbor, cos FROM ranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

@@ -6,9 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two `array<float>` columns — one fused
-  * codegen'd loop instead of three interpreted higher-order-function
-  * folds (`aggregate(zip_with(...))` ×3 for dot and both norms).
+/** Native cosine similarity over two `array<float>` or `array<double>`
+  * columns (mixed widths allowed — corpus embeddings are float, trained
+  * k-means centroids are double means) — one fused codegen'd loop
+  * instead of three interpreted higher-order-function folds
+  * (`aggregate(zip_with(...))` ×3 for dot and both norms). Element
+  * width is resolved per side at PLAN time and baked into the generated
+  * call as a constant, so the inner loop stays branch-predictable.
   *
   * Numerically IDENTICAL to the built-in composition in
   * `VectorFunctions.cosineBuiltin`: each accumulator is a left-to-right
@@ -22,13 +26,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires two array<float> arguments, got " +
+      s"graft_cosine requires two array<float|double> arguments, got " +
         s"${left.dataType} and ${right.dataType}")
+  }
+
+  private def isDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -36,11 +45,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSimilarity.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSimilarity.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isDouble(left.dataType), isDouble(right.dataType))
 
   protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.expr.CosineSimilarity.kernel($a, $b)")
+      (a, b) => s"graft.functions.expr.CosineSimilarity.kernel($a, $b, " +
+        s"${isDouble(left.dataType)}, ${isDouble(right.dataType)})")
 
   protected override def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -52,7 +63,10 @@ object CosineSimilarity {
     * accumulation (index order, 0.0 seed) — do not reorder or
     * vectorize-with-reassociation; bit-parity with the oracle depends
     * on it. */
-  def kernel(a: ArrayData, b: ArrayData): Double = {
+  def kernel(a: ArrayData, b: ArrayData): Double =
+    kernel(a, b, aDouble = false, bDouble = false)
+
+  def kernel(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): Double = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"graft_cosine: length mismatch (${a.numElements()} vs ${b.numElements()})")
@@ -61,8 +75,8 @@ object CosineSimilarity {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y
       na += x * x
       nb += y * y

@@ -320,4 +320,54 @@ object SimSearch {
     * convergence quantity (provably non-increasing per iteration). */
   private[graft] def kmeansSse(e: DataFrame, k: Int, iters: Int): Double =
     kmeansAssignment(e, k, iters).agg(sum("d2")).head.getDouble(0)
+
+  /** Trained centroids folded back to array form (cent_id, cent_emb):
+    * the persisted quantizer an IVF index stores. `sort_array` over the
+    * collected (d, c) structs makes the dimension order deterministic
+    * regardless of aggregation order. */
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int = KmK,
+                                     iters: Int = KmIters): DataFrame = {
+    val vecs = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+    val assigned = kmeansAssignment(e, k, iters).select("vec_id", "cent_id")
+    vecs.join(assigned, "vec_id")
+      .groupBy("cent_id", "d").agg(avg("v").as("c"))
+      .groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).as("cent_emb"))
+  }
+
+  /** IVF-routed search over the TRAINED quantizer — [[ivfRoutedTopK]]'s
+    * plan with [[kmeansTrainOf]]'s centroids in place of the fixed seed
+    * pick, closing the loop from quantizer training to query serving
+    * (train once as a batch job, persist `cent_emb`, route every query
+    * against it). Same shape and scale posture: centroids broadcast,
+    * assignment is one narrow corpus pass, a query scans only its
+    * `nprobe` disjoint inverted lists. Trained centroids are cluster
+    * MEANS, not corpus members, so no `vec_id != cent_id` special case
+    * exists and every corpus vector is a candidate. */
+  def kmeansRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cents = kmeansCentroids(e)
+      .select(col("cent_id"), col("cent_emb"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(cosine(col("embedding"), col("cent_emb")), 6).as("ccos"))
+    val w0 = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
+    val ranked = scored.withColumn("rnk", row_number().over(w0))
+    val cands = e.join(ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), "vec_id")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(ranked.filter(col("vec_id") < NQueries && col("rnk") <= IvfNProbe)
+        .select(col("vec_id").as("q_id"), col("cent_id")), "q_id")
+    val pairs = cands.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
 }

@@ -388,15 +388,26 @@ object TextAnalysis {
 
   /** [[dupSpanCoverage]] over any (doc_id, text, …) frame at any span
     * width. */
-  def dupSpanCoverageOf(docs: DataFrame, n: Int = SpanN): DataFrame = {
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+  /** Positioned [[SpanN]]-gram occurrences (doc_id, pos, g) under
+    * [[dupSpanCoverageOf]] — exposed for scale diagnostics. */
+  private[graft] def spanGramsOf(docs: DataFrame, n: Int = SpanN): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
-    val grams = d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+      .select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
-    val shared = grams.groupBy("g")
+
+  /** The cross-document shared-gram set under [[dupSpanCoverageOf]]. */
+  private[graft] def sharedSpanGramsOf(grams: DataFrame): DataFrame =
+    grams.groupBy("g")
       .agg(countDistinct("doc_id").as("df_docs"))
       .filter(col("df_docs") >= 2)
       .select("g")
+
+  def dupSpanCoverageOf(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val grams = spanGramsOf(docs, n)
+    val shared = sharedSpanGramsOf(grams)
     val covered = grams.join(shared, "g")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))

@@ -34,6 +34,30 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(rows.length == pairs.length)
   }
 
+  test("double and mixed float/double arrays: kernel == builtin, bit-for-bit") {
+    val rnd = new Random(7)
+    val pairs = (1 to 100).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)((rnd.nextFloat() - 0.5f) * 200f),
+        Seq.fill(n)((rnd.nextDouble() - 0.5) * 200.0))
+    }
+    // float × double (the kmeans-routed shape) and double × double
+    val mixed = pairs.toDF("a", "b")
+      .select(
+        VectorFunctions.cosine(col("a"), col("b")),
+        VectorFunctions.cosineBuiltin(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    val dd = pairs.map { case (a, b) => (a.map(_.toDouble), b) }.toDF("a", "b")
+      .select(
+        VectorFunctions.cosine(col("a"), col("b")),
+        VectorFunctions.cosineBuiltin(col("a"), col("b")))
+      .as[(Double, Double)].collect()
+    (mixed ++ dd).foreach { case (native, builtin) =>
+      assert(java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(builtin))
+    }
+  }
+
   test("zero vector: native kernel yields IEEE NaN (ANSI builtin would throw)") {
     val native = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
       .select(VectorFunctions.cosine(col("a"), col("b")))

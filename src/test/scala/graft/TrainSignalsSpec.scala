@@ -67,6 +67,23 @@ class TrainSignalsSpec extends AnyFunSuite {
     assert(rep(0L)._2 < 0.5 && rep(1L)._2 < 0.5)
   }
 
+  test("trained quantizer beats the seed quantizer on routed recall@3") {
+    // same nprobe=2 routing, only the centroids differ: Lloyd-trained
+    // means vs the fixed seed pick. Deterministic data, deterministic
+    // training -> a stable gap (26 vs 15 of 30 at this SF; the gap holds
+    // at sf0.01 and sf0.1 too: 27/9 and 25/8)
+    val dir = "/root/testdata/sf0.001"
+    val exact = SimSearch.bruteForceTopK(spark, dir)
+      .filter(col("rank") <= 3).select("q_id", "neighbor")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "neighbor").join(exact, Seq("q_id", "neighbor")).count()
+    val trained = hits(SimSearch.kmeansRoutedTopK(spark, dir))
+    val seeded = hits(SimSearch.ivfRoutedTopK(spark, dir, SimSearch.IvfNProbe))
+    assert(trained > seeded,
+      s"training should improve routed recall: trained=$trained seeded=$seeded")
+    assert(trained >= 24, s"trained recall collapsed: $trained/30")
+  }
+
   test("k-means: Lloyd SSE is non-increasing over iterations on real data") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sse = (0 to 2).map(SimSearch.kmeansSse(e, SimSearch.KmK, _))
