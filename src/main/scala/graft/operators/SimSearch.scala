@@ -283,30 +283,48 @@ object SimSearch {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainOf(Tables.fanOut(Tables.embeddings(spark, dir)))
 
-  /** Final per-vector assignment (vec_id, cent_id, d2) after `iters`
-    * Lloyd iterations — the train loop shared by [[kmeansTrainOf]]'s
-    * report and the suite's SSE-monotonicity check. */
-  private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = e.select(col("vec_id"), posexplode(col("embedding")))
+  /** Embeddings in long (vec_id, d, v) form, double math. */
+  private def kmeansLongForm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
+
+  /** One assignment pass: argmin squared-L2 against a broadcast centroid
+    * frame, (d2, cent_id) tie-break, planned as WindowGroupLimit. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = vecs.join(broadcast(cents), "d")
+      .groupBy("vec_id", "cent_id")
+      .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+    d2.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("vec_id", "cent_id", "d2")
+  }
+
+  /** The trained centroid frame (cent_id, d, c) after `iters` Lloyd
+    * iterations — exactly `iters` re-centers past the seed pick. This IS
+    * the persisted quantizer: [[kmeansCentroids]] folds it to array
+    * form and [[kmeansRoutedTopK]] routes against it, so serving and
+    * the oracle's unrolled chain agree on WHICH centroid generation is
+    * the index. (Deriving centroids from the final assignment instead
+    * would silently add a half-iteration — caught by the sf0.001 oracle
+    * where training had not yet converged.) */
+  private def kmeansTrainedCents(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = kmeansLongForm(e)
     val seeds = e.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cent_id"))
-    def assign(cents: DataFrame): DataFrame = {
-      val d2 = vecs.join(broadcast(cents), "d")
-        .groupBy("vec_id", "cent_id")
-        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
-      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-      d2.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-        .select("vec_id", "cent_id", "d2")
-    }
     def recenter(assigned: DataFrame): DataFrame =
       vecs.join(assigned.select("vec_id", "cent_id"), "vec_id")
         .groupBy("cent_id", "d").agg(avg("v").as("c"))
     val init = vecs.join(broadcast(seeds), "vec_id")
       .select(col("cent_id"), col("d"), col("v").as("c"))
-    assign((1 to iters).foldLeft(init)((cents, _) => recenter(assign(cents))))
+    (1 to iters).foldLeft(init)((cents, _) => recenter(kmeansAssign(vecs, cents)))
   }
+
+  /** Final per-vector assignment (vec_id, cent_id, d2) after `iters`
+    * Lloyd iterations — the train loop shared by [[kmeansTrainOf]]'s
+    * report and the suite's SSE-monotonicity check. */
+  private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters))
 
   /** [[kmeansTrain]] over any (vec_id, embedding) frame. */
   def kmeansTrainOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
@@ -326,16 +344,11 @@ object SimSearch {
     * collected (d, c) structs makes the dimension order deterministic
     * regardless of aggregation order. */
   private[graft] def kmeansCentroids(e: DataFrame, k: Int = KmK,
-                                     iters: Int = KmIters): DataFrame = {
-    val vecs = e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
-    val assigned = kmeansAssignment(e, k, iters).select("vec_id", "cent_id")
-    vecs.join(assigned, "vec_id")
-      .groupBy("cent_id", "d").agg(avg("v").as("c"))
+                                     iters: Int = KmIters): DataFrame =
+    kmeansTrainedCents(e, k, iters)
       .groupBy("cent_id")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("cent_emb"))
-  }
 
   /** IVF-routed search over the TRAINED quantizer — [[ivfRoutedTopK]]'s
     * plan with [[kmeansTrainOf]]'s centroids in place of the fixed seed
