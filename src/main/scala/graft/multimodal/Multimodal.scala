@@ -38,6 +38,20 @@ final case class ImageFeatures(
     channels: Int,
     ok: Boolean)
 
+/** REAL decoded audio features (see [[Multimodal.decodeAudio]]): format
+  * parameters and duration from the container header, or `ok = false`
+  * for payloads no installed reader accepts. */
+final case class AudioFeatures(
+    media_id: Long,
+    mime: String,
+    n_bytes: Int,
+    sample_rate: Int,
+    channels: Int,
+    bits_per_sample: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    ok: Boolean)
+
 /** Multimodal-column operators.
   *
   * The media decode/feature-extract libraries are NOT in this
@@ -92,8 +106,9 @@ object Multimodal {
     * as [[decodeStub]] — one lazy pass, per-row work only — and decode
     * failures degrade to `ok = false` rows instead of task failures (at
     * corpus scale SOME payloads are always corrupt; a decode job that
-    * dies on the first bad byte stream never finishes). Audio/video
-    * remain stubs: those codecs genuinely are not in the JDK. */
+    * dies on the first bad byte stream never finishes). PCM audio is
+    * likewise real ([[decodeAudio]]); only compressed-codec audio and
+    * video demux remain stubs — those genuinely are not in the JDK. */
   def decodeImage(records: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
@@ -113,6 +128,42 @@ object Multimodal {
               i.getWidth, i.getHeight, i.getRaster.getNumBands, ok = true)
           case None =>
             ImageFeatures(r.media_id, r.mime, r.content.length, 0, 0, 0, ok = false)
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (the WAV/AIFF/AU PCM
+    * readers ship in the JDK, like ImageIO's PNG reader): sample rate,
+    * channel count, sample width and frame count from the parsed
+    * container, duration derived as frames/rate. Same contract as
+    * [[decodeImage]] — `mapPartitions`, one lazy pass, and ANY per-row
+    * decode failure (unsupported container, truncated or corrupt
+    * header) degrades to an `ok = false` row, never a dead task. Only
+    * compressed codecs (MP3/AAC/Opus) remain outside the JDK; video
+    * demux likewise — those stay stubbed. */
+  def decodeAudio(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val parsed =
+          try {
+            val s = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.content))
+            try {
+              val f = s.getFormat
+              Some((f.getSampleRate.toInt, f.getChannels,
+                f.getSampleSizeInBits, s.getFrameLength))
+            } finally s.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((rate, ch, bits, frames)) =>
+            val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else 0L
+            AudioFeatures(r.media_id, r.mime, r.content.length,
+              rate, ch, bits, frames, durMs, ok = true)
+          case None =>
+            AudioFeatures(r.media_id, r.mime, r.content.length,
+              0, 0, 0, 0L, 0L, ok = false)
         }
       }
     }

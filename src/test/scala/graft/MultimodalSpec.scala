@@ -66,6 +66,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!badFeat.ok && badFeat.width == 0)
   }
 
+  test("decodeAudio: real javax.sound decode of committed PCM WAV fixtures") {
+    // (name, sample rate, channels, frame count) from the fixture generator
+    val fixtures = Seq(
+      ("tone_8k_mono_100.wav", 8000, 1, 100L),
+      ("tone_44k_stereo_441.wav", 44100, 2, 441L),
+      ("tone_16k_mono_320.wav", 16000, 1, 320L))
+    val records = spark.createDataset(fixtures.zipWithIndex.map {
+      case ((name, _, _, _), i) =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/root/repo/fixtures/media/$name"))
+        MediaRecord(i.toLong, "audio/wav", bytes)
+    })
+    val feats = Multimodal.decodeAudio(records).collect().sortBy(_.media_id)
+    fixtures.zip(feats).foreach { case ((_, rate, ch, n), f) =>
+      assert(f.ok, s"fixture ${f.media_id} should decode")
+      assert(f.sample_rate == rate && f.channels == ch && f.n_frames == n)
+      assert(f.bits_per_sample == 16)
+      assert(f.duration_ms == n * 1000L / rate)
+    }
+    assert(Multimodal.decodeAudio(records).rdd.getNumPartitions ==
+      records.rdd.getNumPartitions)
+    // corrupt and non-audio payloads degrade to ok=false rows
+    val bad = spark.createDataset(Seq(
+      MediaRecord(98L, "audio/wav", Array[Byte](82, 73, 70, 70, 0, 0)), // truncated RIFF
+      MediaRecord(99L, "audio/wav", "not audio at all".getBytes)))
+    val badFeats = Multimodal.decodeAudio(bad).collect()
+    assert(badFeats.forall(f => !f.ok && f.sample_rate == 0))
+  }
+
   test("resizeStub: narrow, content-in/content-out, size tracks target") {
     val records = Multimodal.mediaFromDocuments(spark, dir)
       .select("media_id", "mime", "content").as[MediaRecord]
