@@ -67,6 +67,7 @@ object SparkEntry {
     "q_count_distinct" -> (Relational.distinctPartsPerFlag _),
     "q_approx_distinct" -> (Relational.approxDistinctUsers _),
     "q_approx_quantile" -> (Relational.approxQuantilePrices _),
+    "q_sketch_cms"      -> (Relational.cmsTopWords _),
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
@@ -558,6 +559,28 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_rows, true AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the CMS hashes are md5-derived, so DuckDB rebuilds the IDENTICAL
+    // sketch — estimates compare bit-for-bit, no envelope needed
+    "q_sketch_cms" ->
+      s"""WITH tok AS (SELECT unnest($DuckTok) AS word FROM documents),
+         |occ AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word),
+         |js AS (SELECT unnest(range(0, ${Relational.CmsDepth})) AS j),
+         |contrib AS (SELECT j,
+         |    CAST('0x' || substr(md5(j::VARCHAR || '#' || word), 1, 8) AS BIGINT)
+         |      % ${Relational.CmsWidth} AS bucket, cnt
+         |  FROM occ CROSS JOIN js),
+         |sketch AS (SELECT j, bucket, sum(cnt)::BIGINT AS bucket_total
+         |           FROM contrib GROUP BY j, bucket),
+         |top AS (SELECT word, cnt FROM occ ORDER BY cnt DESC, word LIMIT 20),
+         |probes AS (SELECT word, cnt, j,
+         |    CAST('0x' || substr(md5(j::VARCHAR || '#' || word), 1, 8) AS BIGINT)
+         |      % ${Relational.CmsWidth} AS bucket
+         |  FROM top CROSS JOIN js)
+         |SELECT word, cnt AS exact_cnt, min(bucket_total)::BIGINT AS cms_est,
+         |       (min(bucket_total) >= cnt) AS never_underestimates
+         |FROM probes JOIN sketch USING (j, bucket)
+         |GROUP BY word, cnt ORDER BY exact_cnt DESC, word""".stripMargin,
 
     "q_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,

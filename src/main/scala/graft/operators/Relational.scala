@@ -302,6 +302,51 @@ object Relational {
           .as("within_tol"))
       .orderBy("l_returnflag")
 
+  /** Count-Min Sketch geometry: 4 independent md5-derived hash rows ×
+    * 256 buckets. ε = e/w ≈ 1.06% of the stream length, δ = e^-d ≈ 1.8%. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** COUNT-MIN SKETCH over the corpus token stream, queried for the
+    * exact top-20 words — the third sketch beside HLL and the rank
+    * sketch, and unlike those it is EXACTLY cross-engine: the d hash
+    * rows are md5-derived (the only hash both engines share), every
+    * count is integer, so DuckDB rebuilds the identical sketch and the
+    * oracle checks estimates bit-for-bit, not an envelope. The output
+    * pins the structural CMS guarantee `est >= exact` per word.
+    *
+    * Scale posture: the sketch IS the point — the (j, bucket) table is
+    * d×w = 1,024 rows no matter the corpus; construction pre-aggregates
+    * per word (sketch addition is linear, so summing per-word counts
+    * into buckets equals streaming per-occurrence updates) and the
+    * probe join touches 20×d rows against the 1,024-row sketch. At
+    * 100 TB this is one narrow pass + a groupBy on a CONSTANT key
+    * space — the shape that makes heavy-hitter queries cheap when the
+    * vocabulary itself no longer fits anywhere. */
+  def cmsTopWords(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenize
+    val occ = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    def bucket(j: Int) =
+      pmod(conv(substring(md5(concat_ws("#", lit(j.toString), col("word"))), 1, 8),
+        16, 10).cast("long"), lit(CmsWidth.toLong))
+    val contrib = (0 until CmsDepth).map(j =>
+      occ.select(lit(j).as("j"), bucket(j).as("bucket"), col("cnt")))
+      .reduce(_ unionByName _)
+    val sketch = contrib.groupBy("j", "bucket").agg(sum("cnt").as("bucket_total"))
+    val top = occ.orderBy(desc("cnt"), asc("word")).limit(20)
+    val probes = (0 until CmsDepth).map(j =>
+      top.select(col("word"), col("cnt"), lit(j).as("j"), bucket(j).as("bucket")))
+      .reduce(_ unionByName _)
+    probes.join(sketch, Seq("j", "bucket"))
+      .groupBy("word", "cnt")
+      .agg(min("bucket_total").as("cms_est"))
+      .select(col("word"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).as("never_underestimates"))
+      .orderBy(desc("exact_cnt"), asc("word"))
+  }
+
   /** UNION / INTERSECT / EXCEPT in one tagged result: which nations have
     * customers vs suppliers. */
   def nationSetOps(spark: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,21 @@ class TrainSignalsSpec extends AnyFunSuite {
     assert(rep(0L)._2 < 0.5 && rep(1L)._2 < 0.5)
   }
 
+  test("k-means: duplicate seeds tie-break to cent 0; the emptied cluster drops out") {
+    // seeds are the two lowest vec_ids and they are IDENTICAL vectors:
+    // every vector's two distances are exactly equal-by-construction,
+    // the (d2, cent_id) tie-break sends everything to cent 0, and the
+    // emptied cluster vanishes from the report (classic Lloyd
+    // empty-cluster dropout, documented in kmeansTrainOf)
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.2f, 0.9f)), (3L, Array(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val rep = SimSearch.kmeansTrainOf(e, k = 2, iters = 2).collect()
+    assert(rep.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(rep.head.getLong(1) === 4L)
+  }
+
   test("trained quantizer beats the seed quantizer on routed recall@3") {
     // same nprobe=2 routing, only the centroids differ: Lloyd-trained
     // means vs the fixed seed pick. Deterministic data, deterministic
