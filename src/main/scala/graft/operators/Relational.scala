@@ -319,10 +319,12 @@ object Relational {
     * d×w = 1,024 rows no matter the corpus; construction pre-aggregates
     * per word (sketch addition is linear, so summing per-word counts
     * into buckets equals streaming per-occurrence updates) and the
-    * probe join touches 20×d rows against the 1,024-row sketch. At
-    * 100 TB this is one narrow pass + a groupBy on a CONSTANT key
-    * space — the shape that makes heavy-hitter queries cheap when the
-    * vocabulary itself no longer fits anywhere. */
+    * probe join touches 20×d rows against the 1,024-row sketch. The
+    * corpus→vocabulary aggregation under all five consumers is ONE
+    * shared subplan — AQE's exchange reuse materializes it once (7
+    * `ReusedExchange`s in the executed plan, PLANS-verified) — so at
+    * 100 TB the corpus is scanned once and every hash row works over
+    * vocabulary-sized input. */
   def cmsTopWords(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenize
     val occ = Tables.fanOut(Tables.documents(spark, dir))
