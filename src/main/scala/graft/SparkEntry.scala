@@ -77,6 +77,7 @@ object SparkEntry {
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
     "q_events_sliding"  -> (EventsOps.slidingTypeCounts _),
+    "q_events_retention" -> (EventsOps.retentionCohorts _),
     "q_events_sessions" -> (EventsOps.userSessions _),
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
@@ -493,6 +494,16 @@ object SparkEntry {
         |SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M') AS win_start,
         |       event_type, count(*)::BIGINT AS n_events
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       (day - cohort_day)::BIGINT AS day_n,
+        |       count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM ud JOIN first USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -178,4 +178,32 @@ object EventsOps {
       .select("day", "event_type", "n", "share")
       .orderBy("day", "event_type")
   }
+
+  /** Day-N RETENTION cohorts — the staple growth-analytics rollup: users
+    * grouped by their first-seen day, counted on each subsequent day they
+    * return (day_n = 0 is the cohort size itself). Day 0..7 horizon.
+    *
+    * Shape: distinct (user, day) activity first — one exchange keyed by
+    * user — then the first-seen min and the cohort rollup reuse that
+    * same user-keyed partitioning; the final groupBy key space is
+    * |days| × 8. No windows, no self-join of the event log against
+    * itself: the cohort join is user-keyed against the (small) first-seen
+    * frame, so the plan holds when the log is the 100 TB table. Dates
+    * cross the oracle as strings (the temporal-parity rule). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ud.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_n"),
+        col("user_id"))
+      .filter(col("day_n") <= 7)
+      .groupBy("cohort_day", "day_n")
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_n"), col("n_users"))
+      .orderBy("cohort_day", "day_n")
+  }
 }
