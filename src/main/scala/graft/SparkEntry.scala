@@ -124,6 +124,7 @@ object SparkEntry {
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
     "q_text_repetition"  -> (TextAnalysis.repetitionStats _),
     "q_text_entropy"     -> (TextAnalysis.tokenEntropy _),
+    "q_text_chunk"       -> (TextAnalysis.chunkSequences _),
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
 
@@ -929,6 +930,20 @@ object SparkEntry {
          |SELECT doc_id, sum(c)::BIGINT AS n_toks,
          |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunk" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |d AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |ch AS (SELECT doc_id,
+         |         unnest(range(0, ((len(toks) - 1) // ${TextAnalysis.ChunkStride}) + 1)) AS chunk_idx,
+         |         unnest(list_transform(range(0, ((len(toks) - 1) // ${TextAnalysis.ChunkStride}) + 1),
+         |           i -> list_slice(toks, i * ${TextAnalysis.ChunkStride} + 1,
+         |                           i * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkSize}))) AS chunk
+         |       FROM d)
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |       len(chunk)::BIGINT AS chunk_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_composition" ->
       s"""WITH d AS (SELECT source, lang, n_chars,

@@ -360,6 +360,38 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** Chunk geometry for [[chunkSequences]]: window of 16 tokens advancing
+    * by 12 — a 4-token overlap, the miniature of the 2048/1792-style
+    * sliding windows training prep uses so no span is ever split across
+    * a context boundary without also appearing whole in one chunk. */
+  val ChunkSize = 16
+  val ChunkStride = 12
+
+  /** Context-window CHUNKING — split every document into fixed-size
+    * overlapping token windows, the step that turns cleaned documents
+    * into model-ready sequences (the counterpart of [[packSequences]],
+    * which bins short docs; this splits long ones). Chunk starts are
+    * 0, stride, 2·stride, …: every token is covered, consecutive chunks
+    * overlap by size − stride, the last chunk may be short (kept — at
+    * real scale a min-length filter composes after). All per-doc work is
+    * collection expressions over the token array (`transform` +
+    * `slice`), so the scan stage stays narrow and nothing shuffles but
+    * the final oracle ordering; chunk identity crosses engines as the
+    * md5 of the joined tokens. */
+  def chunkSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val nChunks = floor((size(col("toks")) - 1) / lit(ChunkStride)).cast("int")
+    d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks),
+          i => slice(col("toks"), i * ChunkStride + 1, lit(ChunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** N-gram width for [[dupSpanCoverage]]. Must be wide enough that a
     * shared span implies real shared provenance, not vocabulary chance:
     * at the library's 3-token shingle width this corpus's small
