@@ -109,6 +109,7 @@ object SparkEntry {
     "q_ann_recall"      -> (SimSearch.annRecall _),
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
+    "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -1015,6 +1016,24 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    "q_ann_quantize_int8" ->
+      """WITH vl AS (SELECT vec_id, label,
+        |              unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+        |            FROM embeddings),
+        |s AS (SELECT vec_id, label, max(abs(v)) / 127.0 AS scale
+        |      FROM vl GROUP BY vec_id, label),
+        |c AS (SELECT vec_id, label, scale,
+        |        CASE WHEN scale > 0 THEN round(v / scale) ELSE 0.0 END AS q, v
+        |      FROM vl JOIN s USING (vec_id, label)),
+        |pv AS (SELECT vec_id, label, scale,
+        |         avg((v - q * scale) * (v - q * scale)) AS mse,
+        |         max(abs(q)) AS max_code
+        |       FROM c GROUP BY vec_id, label, scale)
+        |SELECT label, count(*)::BIGINT AS n_vectors,
+        |       round(avg(CASE WHEN scale > 0 THEN mse / (scale * scale) ELSE 0.0 END), 4) AS nmse,
+        |       (max(max_code) <= 127.0) AS codes_in_range
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

@@ -339,6 +339,38 @@ object SimSearch {
   private[graft] def kmeansSse(e: DataFrame, k: Int, iters: Int): Double =
     kmeansAssignment(e, k, iters).agg(sum("d2")).head.getDouble(0)
 
+  /** Symmetric INT8 quantization audit — the storage-compression step a
+    * vector index runs before persisting (4× smaller than float32, and
+    * the precision SIMD distance kernels consume). Per vector: scale =
+    * max|v| / 127, code = round(v/scale), reconstruction v' = code·scale.
+    * The report is per label: the normalized reconstruction error
+    * (mean over dims of err²/scale² — dimensionless, ≈1/12 for uniform
+    * rounding error, so the number is readable and stable to round) and
+    * the structural guarantee that every code fits int8. One narrow
+    * pass in long form, two bounded groupBys (per-vector then
+    * per-label); nothing shuffles at corpus width. Cross-engine parity:
+    * both engines round doubles half-away-from-zero, and every input to
+    * `round` is the same pair of doubles in both. */
+  def quantizeInt8Report(spark: SparkSession, dir: String): DataFrame = {
+    val vl = kmeansLongForm(Tables.fanOut(Tables.embeddings(spark, dir)))
+      .join(Tables.embeddings(spark, dir).select("vec_id", "label"), "vec_id")
+    val scaled = vl.groupBy("vec_id", "label")
+      .agg((max(abs(col("v"))) / 127.0).as("scale"))
+    val codes = vl.join(scaled, Seq("vec_id", "label"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        when(col("scale") > 0, round(col("v") / col("scale"))).otherwise(0.0).as("q"),
+        col("v"))
+      .withColumn("err", col("v") - col("q") * col("scale"))
+    val perVec = codes.groupBy("vec_id", "label", "scale")
+      .agg(avg(col("err") * col("err")).as("mse"), max(abs(col("q"))).as("max_code"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(when(col("scale") > 0, col("mse") / (col("scale") * col("scale")))
+          .otherwise(0.0)), 4).as("nmse"),
+        (max(col("max_code")) <= 127.0).as("codes_in_range"))
+      .orderBy("label")
+  }
+
   /** Trained centroids folded back to array form (cent_id, cent_emb):
     * the persisted quantizer an IVF index stores. `sort_array` over the
     * collected (d, c) structs makes the dimension order deterministic
