@@ -40,7 +40,11 @@ object Scale {
       if (i == 0) d
       else d.select(
         (col("doc_id") + lit(i * ReplicaStride)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"qz$i$$1").as("text"),
+        // the "z" terminator makes the tag prefix-free for ANY factor:
+        // without it, replica 11's "qz11"+t collides with replica 1's
+        // rename of a token starting with "1", silently breaking the
+        // cross-replica disjointness the whole growth model rests on
+        regexp_replace(col("text"), "(\\S+)", s"qz${i}z$$1").as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
   }

@@ -157,8 +157,12 @@ object Multimodal {
             } finally s.close()
           } catch { case scala.util.control.NonFatal(_) => None }
         parsed match {
-          case Some((rate, ch, bits, frames)) =>
-            val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else 0L
+          case Some((rate, ch, bits, rawFrames)) =>
+            // streamed containers may carry no length (AudioSystem
+            // NOT_SPECIFIED = -1): clamp so a successfully-decoded format
+            // never publishes a negative frame count into aggregations
+            val frames = math.max(rawFrames, 0L)
+            val durMs = if (rate > 0) frames * 1000L / rate else 0L
             AudioFeatures(r.media_id, r.mime, r.content.length,
               rate, ch, bits, frames, durMs, ok = true)
           case None =>

@@ -31,9 +31,11 @@ object Dedup {
   // Simhash signatures are carried as `bits/32` strictly-positive 32-bit
   // WORDS (sh_0 = most-significant), so no intermediate ever touches a
   // BIGINT sign bit in either engine (1L << 63 is negative in both Spark
-  // and DuckDB). The width is a real dial: any multiple of 32 up to 128
-  // (one md5 yields four 32-bit base hashes per token). At 64 bits the 4
-  // bands have 65,536 keys each; at 128 bits they have 2^32 — widening
+  // and DuckDB). The width dial is 32, 64 or 128 bits — the 4 bands must
+  // tile the 32-bit words, which rules out 96 (its 24-bit bands would
+  // straddle a word boundary); one md5 yields the four 32-bit base
+  // hashes per token that 128 needs. At 64 bits the 4 bands have 65,536
+  // keys each; at 128 bits they have 2^32 — widening
   // the signature is how the band-join key space keeps growing when the
   // corpus does (SCALE.md caveat 1), since hamming<=3 still guarantees
   // >=1 intact band by pigeonhole at ANY width with 4 bands.
@@ -355,7 +357,11 @@ object Dedup {
       while (it.hasNext) {
         val e = it.next()
         if (e.getValue.session.sparkContext.isStopped) {
-          // context gone => blocks are already gone; just drop the entry
+          // blocks died with the context, but reliable-checkpoint FILES
+          // did not — release() deletes them (its unpersist is a guarded
+          // no-op against the stopped context)
+          try e.getValue.release()
+          catch { case scala.util.control.NonFatal(_) => () }
           it.remove()
         }
       }
@@ -382,7 +388,11 @@ object Dedup {
     * so repeated clustering calls cannot accumulate checkpoint dirs. */
   private def retire(spark: SparkSession,
                      rdd: org.apache.spark.rdd.RDD[_]): Unit = {
-    rdd.unpersist(blocking = false)
+    // unpersist guarded separately: on an already-stopped context it
+    // throws, but the reliable-checkpoint FILES below must still be
+    // deleted — surviving the context is exactly what they are for
+    try rdd.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
     rdd.getCheckpointFile.foreach { f =>
       try {
         val p = new org.apache.hadoop.fs.Path(f)
@@ -394,13 +404,15 @@ object Dedup {
     }
   }
 
-  /** Run `body` with the context checkpoint dir set to `dir`, RESTORING
-    * the previous dir after — `setCheckpointDir` mutates global
+  /** Run `body` with the context checkpoint dir set to `dir`, restoring
+    * the previous LOCATION after — `setCheckpointDir` mutates global
     * SparkContext state, and leaving it pointed at the last caller's dir
-    * breaks concurrent users of the same context. (Spark resolves the
-    * dir to a fresh UUID subdir per set; "restore" re-sets the previous
-    * RESOLVED dir, which is stable.) Checkpoint FILES written under it
-    * outlive the restore and are deleted by [[retire]]. */
+    * breaks concurrent users of the same context. Exact restore is
+    * impossible (every set resolves to a NEW UUID subdir), so the
+    * restore re-sets the previous resolved dir's PARENT — the path the
+    * caller originally passed — keeping their checkpoints rooted where
+    * they intended with no per-call nesting. Checkpoint FILES written
+    * under our dir outlive the restore and are deleted by [[retire]]. */
   private def withCheckpointDir[T](spark: SparkSession,
                                    dir: Option[String])(body: => T): T =
     dir match {
@@ -409,7 +421,13 @@ object Dedup {
         val sc = spark.sparkContext
         val prev = sc.getCheckpointDir
         sc.setCheckpointDir(d)
-        try body finally sc.setCheckpointDir(prev.orNull)
+        try body finally {
+          prev match {
+            case Some(p) => sc.setCheckpointDir(
+              new org.apache.hadoop.fs.Path(p).getParent.toString)
+            case None => sc.setCheckpointDir(null)
+          }
+        }
     }
 
   /** INCREMENTAL near-dup — the production shape: screen a NEW batch
@@ -709,12 +727,25 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
   private[graft] def componentsCached(spark: SparkSession, dir: String): DataFrame = {
     sweepStopped()
-    componentsMemo.computeIfAbsent(memoKey(spark, dir), _ => {
+    val key = memoKey(spark, dir)
+    val hit = componentsMemo.get(key)
+    if (hit != null) hit.df
+    else {
+      // built OUTSIDE any computeIfAbsent: the build consults
+      // minhashPairsCached, whose stopped-session sweep iterates (and may
+      // mutate) THIS map — forbidden inside a CHM mapping function. The
+      // benign same-key race just releases the losing build.
       val handle = componentsOfManaged(
         minhashPairsCached(spark, dir).select("doc_a", "doc_b"),
         confCheckpointDir(spark))
-      MemoEntry(handle.labels, spark, handle.release)
-    }).df
+      val entry = MemoEntry(handle.labels, spark, handle.release)
+      val prev = componentsMemo.putIfAbsent(key, entry)
+      if (prev == null) entry.df
+      else {
+        try entry.release() catch { case scala.util.control.NonFatal(_) => () }
+        prev.df
+      }
+    }
   }
 
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =

@@ -124,14 +124,43 @@ object SimSearch {
     * assignment (which inverted list the vector lives in), rnk<=nprobe is
     * a query's probe list. One narrow pass against a broadcast centroid
     * table; `WindowGroupLimit` bounds the per-vector ranking. */
-  private def ivfRanked(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+  /** Per-vector centroid ranking against ANY (cent_id, cent_emb)
+    * quantizer frame — the seed pick ([[ivfRanked]]) and the trained
+    * k-means centroids ([[kmeansRoutedTopK]]) share this body, so a
+    * routing fix can never silently apply to one quantizer and not the
+    * other. */
+  private def rankedAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         round(cosine(col("embedding"), col("cent_emb")), 6).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cent_id"))
     scored.withColumn("rnk", row_number().over(w))
+  }
+
+  private def ivfRanked(e: DataFrame): DataFrame =
+    rankedAgainst(e,
+      e.filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
+
+  /** Routed top-3 serving over a prebuilt [[rankedAgainst]] frame: each
+    * vector lives in its rnk=1 inverted list, each query scans its
+    * top-`nprobe` disjoint lists via the cent_id equi-join — shared by
+    * both registered routed queries. */
+  private def routedTopK(e: DataFrame, ranked: DataFrame, nprobe: Int): DataFrame = {
+    val cands = e.join(ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), "vec_id")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(ranked.filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("cent_id")), "q_id")
+    val pairs = cands.join(broadcast(q), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
   }
 
   /** Per-vector IVF assignment (vec_id, cent_id, cos): each vector's
@@ -168,23 +197,7 @@ object SimSearch {
 
   def ivfRoutedTopK(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-    val ranked = ivfRanked(e)
-    val cands = e.join(ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), "vec_id")
-    // a query's probe list: its top-nprobe centroids, replicated one row
-    // per probed list (pairwise-distinct cent_ids => no candidate dedup)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(ranked.filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
-        .select(col("vec_id").as("q_id"), col("cent_id")), "q_id")
-    val pairs = cands.join(broadcast(q), Seq("cent_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("q_id", "rank", "neighbor", "cos")
-      .orderBy("q_id", "rank")
+    routedTopK(e, ivfRanked(e), nprobe)
   }
 
   /** Recall@3 of every approximate plan against the exact answer — the
@@ -352,8 +365,12 @@ object SimSearch {
     * both engines round doubles half-away-from-zero, and every input to
     * `round` is the same pair of doubles in both. */
   def quantizeInt8Report(spark: SparkSession, dir: String): DataFrame = {
-    val vl = kmeansLongForm(Tables.fanOut(Tables.embeddings(spark, dir)))
-      .join(Tables.embeddings(spark, dir).select("vec_id", "label"), "vec_id")
+    // label rides the posexplode projection — NOT a join back onto a
+    // second embeddings scan, which would shuffle the N×dims long form
+    // just to recover a column the source row already had
+    val vl = Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("col").cast("double").as("v"))
     val scaled = vl.groupBy("vec_id", "label")
       .agg((max(abs(col("v"))) / 127.0).as("scale"))
     val codes = vl.join(scaled, Seq("vec_id", "label"))
@@ -393,26 +410,6 @@ object SimSearch {
     * exists and every corpus vector is a candidate. */
   def kmeansRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-    val cents = kmeansCentroids(e)
-      .select(col("cent_id"), col("cent_emb"))
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(cosine(col("embedding"), col("cent_emb")), 6).as("ccos"))
-    val w0 = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
-    val ranked = scored.withColumn("rnk", row_number().over(w0))
-    val cands = e.join(ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), "vec_id")
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(ranked.filter(col("vec_id") < NQueries && col("rnk") <= IvfNProbe)
-        .select(col("vec_id").as("q_id"), col("cent_id")), "q_id")
-    val pairs = cands.join(broadcast(q), Seq("cent_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("q_id", "rank", "neighbor", "cos")
-      .orderBy("q_id", "rank")
+    routedTopK(e, rankedAgainst(e, kmeansCentroids(e)), IvfNProbe)
   }
 }

@@ -51,5 +51,8 @@ class SimhashWidthSpec extends AnyFunSuite {
   test("unsupported widths are rejected") {
     intercept[IllegalArgumentException](Dedup.simhashPairsOf(docs, bits = 48))
     intercept[IllegalArgumentException](Dedup.simhashPairsOf(docs, bits = 256))
+    // 96 is a 32-multiple but its 24-bit bands would straddle word
+    // boundaries — the dial is exactly {32, 64, 128}
+    intercept[IllegalArgumentException](Dedup.simhashPairsOf(docs, bits = 96))
   }
 }
