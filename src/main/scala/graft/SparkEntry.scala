@@ -73,6 +73,7 @@ object SparkEntry {
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
     "q_pivot"          -> (Relational.returnFlagPivot _),
     "q_stats_moments"  -> (Relational.flagQtyPriceStats _),
+    "q_quality_audit"  -> (Relational.qualityAudit _),
 
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_events_sessions" -> (EventsOps.userSessions _),
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
+    "q_events_funnel"   -> (EventsOps.funnelConversion _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
     "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
@@ -120,6 +122,8 @@ object SparkEntry {
     "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
+    "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
+    "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
@@ -488,6 +492,33 @@ object SparkEntry {
         |  round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    // planted rows generated from Relational.AuditPlanted (single source
+    // of truth); "constraint" needs quoting — reserved in DuckDB
+    "q_quality_audit" -> {
+      val planted = Relational.AuditPlanted
+        .map { case (k, q, f) =>
+          s"($k, CAST($q AS DOUBLE), ${f.map("'" + _ + "'").getOrElse("NULL")})" }
+        .mkString(", ")
+      s"""WITH planted(l_orderkey, l_quantity, l_returnflag) AS (VALUES $planted),
+         |li AS (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+         |       UNION ALL SELECT * FROM planted),
+         |row_local AS (SELECT count(*)::BIGINT AS n_checked,
+         |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_range,
+         |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null
+         |  FROM li),
+         |orphan AS (SELECT count(*)::BIGINT AS v_ri FROM li
+         |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)),
+         |dup AS (SELECT count(*)::BIGINT AS n_keys,
+         |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS v_dup
+         |  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1))
+         |SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS "constraint",
+         |       v_ri AS n_violations, n_checked FROM row_local, orphan
+         |UNION ALL SELECT 'lineitem.l_quantity > 0', v_range, n_checked FROM row_local
+         |UNION ALL SELECT 'lineitem.l_returnflag NOT NULL', v_null, n_checked FROM row_local
+         |UNION ALL SELECT 'orders.o_orderkey UNIQUE', v_dup, n_keys FROM dup
+         |ORDER BY "constraint"""".stripMargin
+    },
+
     "q_events_sliding" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
         |w AS (SELECT event_type,
@@ -544,6 +575,23 @@ object SparkEntry {
         |SELECT day, event_type, n,
         |       round(n / (sum(n) OVER (PARTITION BY day)), 4) AS share
         |FROM daily ORDER BY day, event_type""".stripMargin,
+
+    // min-time-chained funnel: a step counts only at-or-after the user's
+    // arrival at the previous step (same epoch-exact ts comparisons)
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.t GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t GROUP BY 1)
+        |SELECT 1::BIGINT AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM v)::BIGINT AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        |ORDER BY step""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (
@@ -1058,6 +1106,60 @@ object SparkEntry {
         |WHERE (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100)
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Efraimidis–Spirakis A-Res with the same content-hash uniform; the
+    // double sampling key stays internal to both engines (ordering only)
+    "q_sample_weighted" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ln((CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) + 0.5)
+         |       / 4294967296.0) / n_chars AS key
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rnk
+         |  FROM scored)
+         |SELECT lang, rnk, doc_id, n_chars FROM ranked
+         |WHERE rnk <= ${TextAnalysis.WeightedK} ORDER BY lang, rnk""".stripMargin,
+
+    // change batch rebuilt bit-for-bit from the snapshot + the planted
+    // inserts (CorpusMerge.InsertedDocs is the single source of truth)
+    "q_merge_upsert" -> {
+      val ins = CorpusMerge.InsertedDocs
+        .map { case (id, t, l, s) => s"($id, '$t', '$l', '$s')" }
+        .mkString(", ")
+      s"""WITH inserted(doc_id, text, lang, source) AS (VALUES $ins),
+         |batch AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN 'D'
+         |         WHEN doc_id % 97 = 0 THEN 'U' END AS op,
+         |    text || ' [rev2]' AS text, lang, source
+         |  FROM documents WHERE doc_id % 101 = 0 OR doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id, 'I', text, lang, source FROM inserted),
+         |merged AS (
+         |  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+         |    CASE WHEN c.op IN ('U', 'I') THEN c.text ELSE s.text END AS text,
+         |    CASE WHEN c.op IN ('U', 'I') THEN c.source ELSE s.source END AS source
+         |  FROM documents s FULL OUTER JOIN batch c ON s.doc_id = c.doc_id
+         |  WHERE c.op IS NULL OR c.op <> 'D'),
+         |actions AS (
+         |  SELECT source,
+         |    sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END)::BIGINT AS n_ins,
+         |    sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_upd,
+         |    sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_del
+         |  FROM batch GROUP BY source),
+         |after AS (
+         |  SELECT source, count(*)::BIGINT AS rows_after,
+         |    sum(length(text))::BIGINT AS chars_after
+         |  FROM merged GROUP BY source)
+         |SELECT coalesce(a.source, b.source) AS source,
+         |  coalesce(rows_after, 0) AS rows_after,
+         |  coalesce(chars_after, 0) AS chars_after,
+         |  coalesce(n_ins, 0) AS n_ins, coalesce(n_upd, 0) AS n_upd,
+         |  coalesce(n_del, 0) AS n_del
+         |FROM after a FULL OUTER JOIN actions b ON a.source = b.source
+         |ORDER BY source""".stripMargin
+    },
 
     "q_text_pack" ->
       s"""WITH d AS (SELECT doc_id, lang, doc_id % ${TextAnalysis.PackShards} AS shard,

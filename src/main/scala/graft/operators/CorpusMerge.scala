@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Snapshot maintenance for a living corpus: apply a change batch
+  * (inserts / updates / deletes) to the current snapshot — the MERGE /
+  * upsert step every incremental ingestion pipeline runs between
+  * crawls. The reference engine has no notion of mutation (it re-reads
+  * a static directory per run, `asio_deep/main.cpp:230-234`); this is
+  * extension surface mandated by the 100 TB pipeline brief.
+  *
+  * Scale posture: one equi-shuffle of snapshot and batch on the key —
+  * the batch is typically orders of magnitude smaller, so AQE plans the
+  * probe side broadcast when it fits. At warehouse scale the same
+  * expression runs partition-pruned (copy-on-write only the partitions
+  * the batch touches); nothing here collects or iterates on the driver.
+  */
+object CorpusMerge {
+
+  /** Change-op column values. */
+  val OpInsert = "I"; val OpUpdate = "U"; val OpDelete = "D"
+
+  /** Generic keyed MERGE: full-outer join snapshot × changes, then
+    * resolve per row — delete drops, update/insert take the change
+    * row's payload, unmatched snapshot rows carry. `payload` columns
+    * must exist on both sides. */
+  def mergeUpsert(snapshot: DataFrame, changes: DataFrame,
+      key: String, payload: Seq[String]): DataFrame = {
+    val s = snapshot.select((key +: payload).map(c => col(c).as(s"s_$c")): _*)
+    val c = changes.select(col("op") +: (key +: payload).map(n => col(n).as(s"c_$n")): _*)
+    def pick(n: String): Column =
+      when(col("op").isin(OpUpdate, OpInsert), col(s"c_$n")).otherwise(col(s"s_$n"))
+    s.join(c, s(s"s_$key") === c(s"c_$key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= OpDelete)
+      .select(coalesce(col(s"s_$key"), col(s"c_$key")).as(key) +:
+        payload.map(n => pick(n).as(n)): _*)
+  }
+
+  /** Deterministic change batch over `documents` — derived from the
+    * snapshot itself so the query needs no side files and the oracle
+    * can rebuild it bit-for-bit: every doc_id ≡ 0 (mod 101) is deleted,
+    * every remaining doc_id ≡ 0 (mod 97) gets a text revision, and
+    * three new documents arrive. Delete wins on overlap (ids divisible
+    * by both). */
+  val InsertedDocs: Seq[(Long, String, String, String)] = Seq(
+    (9200001L, "merge batch arrival one", "en", "planted_merge"),
+    (9200002L, "merge batch arrival two", "de", "planted_merge"),
+    (9200003L, "merge batch arrival three", "fr", "planted_merge"))
+
+  def changeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.documents(spark, dir)
+    val touched = snap
+      .filter(col("doc_id") % 101 === 0 || col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 101 === 0, lit(OpDelete)).otherwise(lit(OpUpdate)).as("op"),
+        concat(col("text"), lit(" [rev2]")).as("text"),
+        col("lang"), col("source"))
+    val inserted = InsertedDocs.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), lit(OpInsert).as("op"), col("text"), col("lang"), col("source"))
+    touched.unionByName(inserted)
+  }
+
+  /** The registered query: apply the batch, then summarize per source —
+    * action counts from the batch plus post-merge row/char totals from
+    * the merged frame, proving the payload actually changed (updated
+    * text carries the revision suffix into `chars_after`). Exact BIGINT
+    * output only. */
+  def mergeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(spark, dir)
+    val batch = changeBatch(spark, dir)
+    val merged = mergeUpsert(snap, batch, "doc_id", Seq("text", "lang", "source"))
+    val actions = batch.groupBy("source")
+      .agg(sum(when(col("op") === OpInsert, 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("op") === OpUpdate, 1L).otherwise(0L)).as("n_upd"),
+        sum(when(col("op") === OpDelete, 1L).otherwise(0L)).as("n_del"))
+    merged.groupBy("source")
+      .agg(count(lit(1)).as("rows_after"),
+        sum(length(col("text"))).cast("long").as("chars_after"))
+      .join(actions, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        coalesce(col("chars_after"), lit(0L)).as("chars_after"),
+        coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+        coalesce(col("n_upd"), lit(0L)).as("n_upd"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"))
+      .orderBy("source")
+  }
+}

@@ -179,6 +179,48 @@ object EventsOps {
       .orderBy("day", "event_type")
   }
 
+  /** Ordered funnel steps for [[funnelConversion]]. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered FUNNEL conversion: how many users reached each step of
+    * view → click → purchase, where a step only counts if it happens
+    * at-or-after the user's arrival at the previous step (min-time
+    * chaining, the standard product-analytics semantics).
+    *
+    * Shape: one user-keyed min-aggregation per step, each joined back
+    * user-keyed to the (strictly smaller) frame of users who reached the
+    * previous step — every exchange in the plan is on user_id, so all
+    * three aggs and both joins reuse ONE partitioning, and no step ever
+    * self-joins the event log. The funnel frame shrinks monotonically,
+    * so at 100 TB the joins after step 1 run against a fraction of the
+    * user space; the final output is |steps| rows. Timestamps compare
+    * as exact epoch micros (the temporal-parity rule — second-granularity
+    * rounding would disagree at step boundaries). */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    // users-at-step frames: (user_id, t_k) with t_k = earliest arrival.
+    val reached = FunnelSteps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val mine = ev.filter(col("event_type") === step)
+        val gated = prev match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("user_id"), col("t").as("t_prev")), "user_id")
+              .filter(col("ts") >= col("t_prev"))
+        }
+        Some(gated.groupBy("user_id").agg(min("ts").as("t")))
+    }.flatten
+    reached.zip(FunnelSteps).zipWithIndex
+      .map { case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit((i + 1).toLong).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("step")
+  }
+
   /** Day-N RETENTION cohorts — the staple growth-analytics rollup: users
     * grouped by their first-seen day, counted on each subsequent day they
     * return (day_n = 0 is the cohort size itself). Day 0..7 horizon.

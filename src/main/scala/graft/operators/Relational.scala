@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -420,5 +420,55 @@ object Relational {
                (col("n").cast("double") * (col("n") - 1))), 6)
           .as("stddev_qty"))
       .orderBy("l_returnflag")
+  }
+
+  /** Planted constraint violations for [[qualityAudit]] — the synthetic
+    * generator emits perfectly clean tables, so without planting, the
+    * audit would only ever prove the zero case (the r1 empty-dedup
+    * trap). Each row trips exactly the violations named in its text:
+    * an orphan order key, a non-positive quantity, a NULL return flag.
+    * Single source of truth — the oracle VALUES clause mirrors this
+    * list. Fields: (orderkey, quantity, returnflag). */
+  val AuditPlanted: Seq[(Long, Double, Option[String])] = Seq(
+    (88000001L, 10.0, Some("N")), // orphan l_orderkey (orders max is SF-bounded)
+    (1L, -5.0, Some("N")),        // range violation, valid key
+    (1L, 10.0, None))             // NULL return flag, valid key
+
+  /** Declarative DATA-QUALITY audit — the admission gate a pipeline runs
+    * before promoting a batch: referential integrity, range, not-null and
+    * key-uniqueness constraints, each reported as (constraint,
+    * n_violations, n_checked). All row-local checks fold into ONE
+    * partial→final aggregation pass over lineitem (additive counters, no
+    * per-constraint scans); the RI check is the single extra exchange —
+    * a left-anti join keyed on the order key that AQE broadcasts when
+    * the key set fits. Nothing here grows with constraint count: adding
+    * a row-local rule is one more SUM column in the same pass. */
+  def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = AuditPlanted
+      .map { case (k, q, f) => (k, q, f.orNull) }
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .unionByName(planted)
+    val orders = Tables.orders(spark, dir)
+    val rowLocal = li.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_range"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("v_null"))
+    val orphans = li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_ri"))
+    val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("v_dup"))
+    val base = rowLocal.crossJoin(orphans).crossJoin(dupKeys) // 1×1×1 rows
+    def check(name: String, viol: Column, checked: Column) =
+      base.select(lit(name).as("constraint"), viol.as("n_violations"),
+        checked.as("n_checked"))
+    check("lineitem.l_orderkey -> orders.o_orderkey", col("v_ri"), col("n_checked"))
+      .unionByName(check("lineitem.l_quantity > 0", col("v_range"), col("n_checked")))
+      .unionByName(check("lineitem.l_returnflag NOT NULL", col("v_null"), col("n_checked")))
+      .unionByName(check("orders.o_orderkey UNIQUE", col("v_dup"), col("n_keys")))
+      .orderBy("constraint")
   }
 }

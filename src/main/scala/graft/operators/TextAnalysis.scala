@@ -146,6 +146,40 @@ object TextAnalysis {
       .orderBy("lang", "source")
   }
 
+  /** Per-language take for [[weightedSample]]. */
+  val WeightedK = 20
+
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-Res):
+    * per language, the [[WeightedK]] documents with the largest key
+    * ln(u)/w, where w is the document's weight (n_chars — longer docs
+    * proportionally likelier, the standard size-weighted training-mix
+    * draw) and u ∈ (0,1) is a CONTENT-hash uniform, not `rand()` — the
+    * same md5-bucket trick as [[stratifiedSample]], so the draw is
+    * reproducible across runs, engines, and partitionings. ln(u)/w
+    * orders identically to the textbook u^(1/w) and stays in a
+    * numerically tame range. Narrow per-row scoring in the scan stage +
+    * one rank window per language; at corpus scale the window input is
+    * cut first by a per-partition top-k (WindowGroupLimit pushes k below
+    * the exchange), so the shuffle carries ≤ k rows per partition, not
+    * the corpus. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    // u in (0,1): 32-bit md5 prefix, +0.5 to dodge exact 0 (ln(0) = -inf
+    // would still order correctly, but keep the key finite).
+    val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val key = log(u) / col("n_chars")
+    val byLang = Window.partitionBy("lang")
+      .orderBy(desc("key"), asc("doc_id"))
+    Tables.documents(spark, dir)
+      // the key stays internal (exact BIGINT/strings only cross the
+      // oracle hash); doc_id breaks the (measure-zero) double ties.
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("key"))
+      .withColumn("rnk", row_number().over(byLang))
+      .filter(col("rnk") <= WeightedK)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Context-window capacity and shard fan-out for [[packSequences]]. */
   val PackCapacity = 4096L
   val PackShards = 8
