@@ -121,6 +121,36 @@ object EventsStream {
       .toDF()
   }
 
+  /** Attribution horizon for [[clickPurchaseAttribution]]. */
+  val AttributionWindow = "INTERVAL 1 HOUR"
+
+  /** STREAM-STREAM interval join — the attribution staple: every
+    * (click, purchase) pair by the same user where the purchase lands
+    * within [[AttributionWindow]] at-or-after the click. Both sides are
+    * the same watermarked stream (a stream self-join), and the join
+    * condition carries explicit time bounds, which is what makes it
+    * scale: the bounds + watermark tell Spark exactly how long a
+    * buffered row can still match, so each side's join state is evicted
+    * after watermark + horizon — O(in-flight interval), independent of
+    * stream length. Without the time bounds the state would grow
+    * forever, which Spark rejects for append output. */
+  def clickPurchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(AttributionWindow))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("value"))
+  }
+
   /** Demo main: replays an events directory as a bounded stream and runs
     * the hourly aggregation to completion (AvailableNow), printing the
     * final row count. `args(0)` = sf dir (default sf0.001). */

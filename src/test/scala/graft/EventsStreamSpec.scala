@@ -60,6 +60,37 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(sunk.select("event_id").distinct().count() == expected)
   }
 
+  test("stream-stream interval join == the batch attribution join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.clickPurchaseAttribution(
+        EventsStream.readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("attr_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("attr_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the same inner interval join on the static table
+    val ev = graft.sources.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(EventsStream.AttributionWindow))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup collapses a doubled stream to the distinct events") {
     val dir = "/root/testdata/sf0.001"
     val src = EventsStream.readEvents(spark, dir)

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventsOps, Relational, TextAnalysis}
+
+/** Invariants of the governance/admission operators: the quality audit
+  * counts exactly the planted violations on the otherwise-clean corpus,
+  * the funnel is monotone, and the weighted sample is a deterministic
+  * function of content — independent of partitioning.
+  */
+class PipelineGovernanceSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quality audit finds exactly the planted violations") {
+    val rows = Relational.qualityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nLineitem = graft.sources.Tables.lineitem(spark, dir).count() +
+      Relational.AuditPlanted.size
+    assert(rows("lineitem.l_orderkey -> orders.o_orderkey") == (1L, nLineitem))
+    assert(rows("lineitem.l_quantity > 0") == (1L, nLineitem))
+    assert(rows("lineitem.l_returnflag NOT NULL") == (1L, nLineitem))
+    // generator keys are unique; n_checked for uniqueness = key count
+    val (dup, keys) = rows("orders.o_orderkey UNIQUE")
+    assert(dup == 0L && keys == graft.sources.Tables.orders(spark, dir).count())
+  }
+
+  test("funnel user counts are monotonically non-increasing") {
+    val steps = EventsOps.funnelConversion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(steps.map(_._2).toSeq == EventsOps.FunnelSteps)
+    assert(steps.head._3 > 0)
+    steps.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3)
+      case _ =>
+    }
+  }
+
+  test("weighted sample is invariant to input partitioning") {
+    def run(parts: Int) = {
+      val docs = graft.sources.Tables.documents(spark, dir).repartition(parts)
+      // same expression chain as the registered query, on the
+      // repartitioned frame
+      val u = (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double") + 0.5) /
+        lit(4294967296.0)
+      val key = log(u) / col("n_chars")
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("key"), asc("doc_id"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"), key.as("key"))
+        .withColumn("rnk", row_number().over(byLang))
+        .filter(col("rnk") <= TextAnalysis.WeightedK)
+        .select("lang", "rnk", "doc_id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val a = run(1)
+    val b = run(7)
+    assert(a == b)
+    assert(a.nonEmpty)
+    // exactly K rows per language (corpus >> K at every SF)
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.size == TextAnalysis.WeightedK)
+    }
+  }
+
+  test("weighted sampling favors heavier documents") {
+    // the sampled set's mean n_chars should exceed the corpus mean —
+    // the point of size-weighting (probabilistic but deterministic
+    // here: fixed corpus + content-hash uniforms)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = TextAnalysis.weightedSample(spark, dir)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean)
+  }
+}
