@@ -14,7 +14,8 @@ object Plans {
     "q_ann_brute_force", "q_events_sessions", "q_asof_join",
     "q_dedup_keep_set", "q_range_join_binned", "q_salted_join",
     "q_ann_ivf_assign", "q_text_pack", "q_dedup_span_coverage",
-    "q_ann_kmeans", "q_ann_kmeans_routed", "q_sketch_cms")
+    "q_ann_kmeans", "q_ann_kmeans_routed", "q_sketch_cms",
+    "q_events_funnel", "q_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_pivot"          -> (Relational.returnFlagPivot _),
     "q_stats_moments"  -> (Relational.flagQtyPriceStats _),
     "q_quality_audit"  -> (Relational.qualityAudit _),
+    "q_exact_quantile" -> (Relational.exactPercentiles _),
 
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
@@ -83,6 +84,8 @@ object SparkEntry {
     "q_events_json"     -> (EventsOps.propsKeyHistogram _),
     "q_events_daily_share" -> (EventsOps.dailyTypeShare _),
     "q_events_funnel"   -> (EventsOps.funnelConversion _),
+    "q_events_transitions" -> (EventsOps.typeTransitions _),
+    "q_events_scd2"     -> (EventsOps.stateIntervals _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
     "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
@@ -492,6 +495,16 @@ object SparkEntry {
         |  round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    // both engines compute the same interpolated exact quantile
+    // (sort-based, rank = p*(n-1)); rounding absorbs the last-ulp
+    // difference of the interpolation arithmetic
+    "q_exact_quantile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |       count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // planted rows generated from Relational.AuditPlanted (single source
     // of truth); "constraint" needs quoting — reserved in DuckDB
     "q_quality_audit" -> {
@@ -592,6 +605,27 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
         |ORDER BY step""".stripMargin,
+
+    "q_events_transitions" ->
+      """WITH seq AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*)::BIGINT AS n
+        |FROM seq WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_scd2" ->
+      """WITH iv AS (
+        |  SELECT event_type, ts,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_intervals,
+        |       sum(epoch_us(valid_to) - epoch_us(ts))::BIGINT AS dwell_us
+        |FROM iv WHERE valid_to IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH clicks AS (

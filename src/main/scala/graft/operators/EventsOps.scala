@@ -179,6 +179,40 @@ object EventsOps {
       .orderBy("day", "event_type")
   }
 
+  /** First-order TRANSITION matrix over per-user event sequences —
+    * the behavioral-analytics staple (and the Markov-chain sufficient
+    * statistic): for consecutive events of the same user, count each
+    * (from_type, to_type) pair. One lag window per user (single shuffle
+    * on user_id, state = 1 row), then a |types|² group-by — bounded key
+    * space regardless of log size. */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** SCD2-style STATE INTERVALS: treat each event as a state change and
+    * build validity ranges [ts, next ts) per user with `lead` — the
+    * temporal-table construction every warehouse runs for slowly
+    * changing dimensions. Open (last) intervals are excluded so every
+    * reported duration is exact. Summarized per state: interval count
+    * and total dwell time in exact epoch micros. Same single user-keyed
+    * window shuffle as the other sequence ops. */
+  def stateIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .filter(col("valid_to").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(unix_micros(col("valid_to")) - unix_micros(col("ts"))).as("dwell_us"))
+      .orderBy("event_type")
+  }
+
   /** Ordered funnel steps for [[funnelConversion]]. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
 

@@ -422,6 +422,22 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** EXACT grouped percentiles (median / p90) — the exact complement to
+    * the approx_percentile sketch path: Spark's `percentile` does a
+    * full sort-based exact computation with linear interpolation, the
+    * same definition as the oracle's quantile_cont. Exactness costs a
+    * per-group sort of the values — the right tool for bounded groups
+    * or final reporting; the sketch variant (`q_approx_quantile`)
+    * remains the scale path for per-key percentiles over raw logs. */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Planted constraint violations for [[qualityAudit]] — the synthetic
     * generator emits perfectly clean tables, so without planting, the
     * audit would only ever prove the zero case (the r1 empty-dedup

@@ -65,6 +65,28 @@ class PipelineGovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions and SCD2 intervals conserve the event count") {
+    // each user with n events contributes exactly n-1 consecutive pairs,
+    // to both the transition matrix and the closed state intervals
+    val ev = graft.sources.Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    val transitions = EventsOps.typeTransitions(spark, dir)
+      .agg(sum("n")).head().getLong(0)
+    val intervals = EventsOps.stateIntervals(spark, dir)
+      .agg(sum("n_intervals")).head().getLong(0)
+    assert(transitions == expected)
+    assert(intervals == expected)
+  }
+
+  test("exact quantiles bracket correctly: median <= p90, groups complete") {
+    val rows = Relational.exactPercentiles(spark, dir).collect()
+    assert(rows.length == 3) // A / N / R
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2))
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("weighted sampling favors heavier documents") {
     // the sampled set's mean n_chars should exceed the corpus mean —
     // the point of size-weighting (probabilistic but deterministic
