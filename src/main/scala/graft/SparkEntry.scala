@@ -127,6 +127,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
+    "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
@@ -1193,6 +1194,31 @@ object SparkEntry {
          |  coalesce(n_del, 0) AS n_del
          |FROM after a FULL OUTER JOIN actions b ON a.source = b.source
          |ORDER BY source""".stripMargin
+    },
+
+    // the IVM oracle is the FULL RECOMPUTE over the merged corpus —
+    // equality proves the delta retract/apply algebra
+    "q_merge_ivm" -> {
+      val ins = CorpusMerge.InsertedDocs
+        .map { case (id, t, l, s) => s"($id, '$t', '$l', '$s')" }
+        .mkString(", ")
+      s"""WITH inserted(doc_id, text, lang, source) AS (VALUES $ins),
+         |batch AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN 'D'
+         |         WHEN doc_id % 97 = 0 THEN 'U' END AS op,
+         |    text || ' [rev2]' AS text, lang, source
+         |  FROM documents WHERE doc_id % 101 = 0 OR doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id, 'I', text, lang, source FROM inserted),
+         |merged AS (
+         |  SELECT CASE WHEN c.op IN ('U', 'I') THEN c.text ELSE s.text END AS text,
+         |    CASE WHEN c.op IN ('U', 'I') THEN c.lang ELSE s.lang END AS lang,
+         |    CASE WHEN c.op IN ('U', 'I') THEN c.source ELSE s.source END AS source
+         |  FROM documents s FULL OUTER JOIN batch c ON s.doc_id = c.doc_id
+         |  WHERE c.op IS NULL OR c.op <> 'D')
+         |SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |       sum(length(text))::BIGINT AS total_chars
+         |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "q_text_pack" ->

@@ -63,6 +63,45 @@ object CorpusMerge {
     touched.unionByName(inserted)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE: keep a per-(lang, source) aggregate
+    * view (doc count, char total) current under the change batch by
+    * computing DELTAS, never rescanning the corpus. The old values a
+    * delete/update must retract come from ONE batch-keyed join against
+    * the snapshot (O(batch) rows probe it; at warehouse scale that's a
+    * broadcast of the batch keys into the snapshot scan, or an index
+    * lookup — either way cost scales with the batch, not the corpus),
+    * and the maintained view itself is the small aggregate table a real
+    * deployment already has materialized. The ORACLE recomputes the
+    * view from the fully-merged corpus — equality proves the
+    * retract/apply algebra, which is the entire correctness risk of
+    * IVM. Groups whose count reaches zero are dropped, as a recompute
+    * would. */
+  def incrementalViewMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(spark, dir)
+    val batch = changeBatch(spark, dir)
+    // the pre-existing materialized view (small: |langs|×|sources|)
+    val oldView = snap.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n0"), sum(length(col("text"))).cast("long").as("c0"))
+    // per-change contributions; old payload via a batch-keyed join
+    val old = snap.select(col("doc_id"), length(col("text")).cast("long").as("old_len"))
+    val delta = batch
+      .join(old, Seq("doc_id"), "left")
+      .select(col("lang"), col("source"),
+        when(col("op") === OpInsert, 1L)
+          .when(col("op") === OpDelete, -1L).otherwise(0L).as("ddocs"),
+        when(col("op") === OpInsert, length(col("text")).cast("long"))
+          .when(col("op") === OpDelete, -col("old_len"))
+          .otherwise(length(col("text")).cast("long") - col("old_len")).as("dchars"))
+      .groupBy("lang", "source")
+      .agg(sum("ddocs").as("dn"), sum("dchars").as("dc"))
+    oldView.join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang", "source")
+  }
+
   /** The registered query: apply the batch, then summarize per source —
     * action counts from the batch plus post-merge row/char totals from
     * the merged frame, proving the payload actually changed (updated

@@ -91,6 +91,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter pruning injects into a selective join") {
+    // at 100 TB the dominant join cost is scanning fact rows that the
+    // dim-side filter will discard anyway; Spark's runtime bloom filter
+    // builds a filter from the (filtered) creation side and pushes it
+    // into the application-side scan. Local parquet is far below the
+    // 10GB application-side default, so lower the thresholds to prove
+    // the mechanism fires and prunes correctly here
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val sel = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      val n = joined.count()
+      val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"),
+        s"expected an injected runtime bloom filter, plan:\n$plan")
+      // pruning must not change the answer
+      val expected = li.join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k")),
+        col("l_orderkey") === col("k")).count()
+      assert(n == expected && n > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
