@@ -128,6 +128,7 @@ object SparkEntry {
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
+    "q_zorder_values"    -> (Layout.zorderValues _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
@@ -1195,6 +1196,17 @@ object SparkEntry {
          |FROM after a FULL OUTER JOIN actions b ON a.source = b.source
          |ORDER BY source""".stripMargin
     },
+
+    // the bit-interleave terms are generated from the same Scala
+    // constants as the Spark kernel (Layout.zValueSqlTerms)
+    "q_zorder_values" ->
+      s"""WITH d AS (
+         |  SELECT event_id,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events)
+         |SELECT event_id, (${Layout.zValueSqlTerms("a", "b")}) AS zval
+         |FROM d ORDER BY zval DESC, event_id LIMIT 50""".stripMargin,
 
     // the IVM oracle is the FULL RECOMPUTE over the merged corpus —
     // equality proves the delta retract/apply algebra

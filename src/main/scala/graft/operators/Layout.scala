@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Storage-LAYOUT operators: multi-dimensional clustering (Z-order) and
+  * small-file compaction — the table-maintenance half of scan
+  * performance at 100 TB. Row-group and file skipping only prune when
+  * each file covers a NARROW range of the filtered column; a layout
+  * sorted by one column leaves every other column's min/max spanning
+  * the whole domain. Z-ordering interleaves the bits of several
+  * normalized columns so files are clustered in ALL of them at once,
+  * which is what makes `WHERE a BETWEEN … AND b BETWEEN …` scans prune
+  * on both predicates. The reference materializes plain text with no
+  * layout control (`FileProcessorRedOutput`); this is extension
+  * surface for the parquet lake the brief targets.
+  */
+object Layout {
+
+  /** Bits per dimension for the interleave (two dims → 2·bits total).
+    * 8 bits/dim = 256 buckets/dim, plenty for file-level clustering —
+    * the curve only has to separate files, not rows. */
+  val ZBits = 8
+
+  /** Z-VALUE kernel: interleave the low [[ZBits]] bits of two
+    * non-negative ints (a in even positions, b in odd). Pure integer
+    * expression tree — codegen'd, no UDF; the oracle mirrors the same
+    * shift/mask arithmetic term by term. */
+  def zValue(a: Column, b: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** Min-max normalize a column onto [0, 2^[[ZBits]]): one aggregate
+    * pass computes the bounds (at warehouse scale these come free from
+    * table stats), then a narrow per-row rescale. Constant columns map
+    * to 0. */
+  private def normalized(df: DataFrame, c: String): Column = {
+    val Array(lo, hi) = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val span = if (hi > lo) hi - lo else 1.0
+    least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << ZBits)),
+      lit((1 << ZBits) - 1)).cast("long")
+  }
+
+  /** Z-ORDERED WRITE: normalize both cluster columns, range-partition
+    * by the interleaved z-value into `files` output files, sort within
+    * each, write parquet. Range partitioning samples the z-values (one
+    * extra narrow pass) and gives each file a contiguous curve segment
+    * — the property that bounds every file's per-dimension extent.
+    * Cost: one shuffle of the data being rewritten, the same as any
+    * table-maintenance OPTIMIZE job; readers then prune on BOTH
+    * dimensions forever after. */
+  def zorderWrite(df: DataFrame, cols: (String, String), files: Int,
+      path: String): Unit = {
+    val z = zValue(normalized(df, cols._1), normalized(df, cols._2)).as("zval")
+    df.withColumn("zval", z)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-FILE min/max extents of `cols` in a parquet directory — the
+    * evidence tool for layout quality (footer stats surfaced as a
+    * DataFrame; a lakehouse keeps these in the table manifest). The
+    * per-file extent fraction of the domain is exactly the expected
+    * fraction of files a point/range predicate on that column must
+    * read. */
+  def fileRangeStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Small-file COMPACTION: rewrite a directory into ⌈bytes/target⌉
+    * files. The metadata killer at scale is file COUNT, not bytes —
+    * a million 100 KB files cost a million opens/list entries per
+    * scan. Uses coalesce (no shuffle) since compaction only merges;
+    * returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(inPath)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n).write.mode("overwrite").parquet(outPath)
+    n
+  }
+
+  /** Registered query: the z-value kernel over the events table on the
+    * two natural filter dimensions (user, value) — top 50 events by
+    * z-value with unique tiebreak. Uses fixed [0, 2^ZBits) domains
+    * derived the same way in the oracle so the bit arithmetic is
+    * engine-independent. */
+  def zorderValues(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
+    ev.select(col("event_id"), zValue(a, b).as("zval"))
+      .orderBy(desc("zval"), asc("event_id"))
+      .limit(50)
+  }
+
+  /** The exact SQL mirror of [[zValue]]'s shift/mask terms, generated
+    * from the same constants — single source of truth for the oracle. */
+  def zValueSqlTerms(a: String, b: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"(($a & ${1L << i}) << $i)", s"(($b & ${1L << i}) << ${i + 1})")
+    }.mkString(" | ")
+}
