@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
     "q_dedup_clusters"      -> (Dedup.nearDupComponents _),
     "q_dedup_keep_clustered" -> (Dedup.dedupedCorpusClustered _),
+    "q_split_leakage_safe"  -> (Dedup.leakageSafeSplit _),
 
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
+    "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -770,6 +772,27 @@ object SparkEntry {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // split is a hash of the near-dup GROUP key, so no component can
+    // straddle train/test; singletons group under their own doc_id
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $DuckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |g AS (SELECT d.lang, coalesce(c.component, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN comps c ON d.doc_id = c.id)
+         |SELECT CASE WHEN (CAST('0x' || substr(md5(grp::VARCHAR), 1, 8) AS BIGINT)
+         |                  % 100) < ${graft.operators.Dedup.TrainBuckets}
+         |            THEN 'train' ELSE 'test' END AS split,
+         |       lang, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT grp)::BIGINT AS n_groups
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // 64-bit signature carried as two 32-bit halves (mirror of
     // Dedup.simhashFrame: hi = md5 hex chars 1-8, lo = chars 9-16). The
     // oracle is BRUTE FORCE over all pairs — a stronger check than
@@ -1142,6 +1165,22 @@ object SparkEntry {
         |WHERE (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100)
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // same whitespace tokenizer and md5 order as the Spark side; the
+    // budget filter runs on the running sum, not per-row truncation
+    "q_sample_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+         |             md5(text) AS h
+         |           FROM documents),
+         |c AS (SELECT lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_tokens)::BIGINT AS tokens_used
+         |FROM c WHERE cum <= ${TextAnalysis.BudgetTokens}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Efraimidis–Spirakis A-Res with the same content-hash uniform; the
     // double sampling key stays internal to both engines (ordering only)

@@ -793,6 +793,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train fraction (of 100 hash buckets) for [[leakageSafeSplit]]. */
+  val TrainBuckets = 80
+
+  /** LEAKAGE-SAFE train/test split: assign documents to splits by their
+    * near-dup COMPONENT, not by doc_id — a near-duplicate of a training
+    * document in the test set is silent contamination, and a per-doc
+    * split plants exactly that. Every doc's group key is its component
+    * label (its own id when unclustered), the split is a content-hash
+    * bucket OF THE GROUP, so by construction no component can straddle
+    * the boundary. Output is the per-(split, lang) doc/group census; the
+    * structural no-straddle guarantee is suite-asserted on the actual
+    * pair set. Costs one left join of the corpus against the (small)
+    * clustered-docs frame on doc_id — the components are the memoized
+    * frame the other dedup actions already share. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val comps = componentsCached(spark, dir)
+      .select(col("id").as("doc_id"), col("component"))
+    val grouped = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    val bucket = conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    grouped
+      .withColumn("split",
+        when(bucket < TrainBuckets, lit("train")).otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+      .orderBy("split", "lang")
+  }
+
   /** Embedding near-dup: top-3 most-similar pairs per label, with pair
     * generation blocked on (label, `bucketBits`-bit sign bucket) — the
     * same IVF-style coarse quantizer as [[SimSearch.lshBucketedTopK]] —

@@ -180,6 +180,34 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** Per-language token budget for [[tokenBudgetSample]]. */
+  val BudgetTokens = 8000L
+
+  /** TOKEN-BUDGET selection — "give me ~N tokens per language": documents
+    * stream in content-hash order (deterministic, unbiased by doc_id or
+    * arrival) and are kept while the per-language running token sum fits
+    * the budget. The hash order makes the selected set a reproducible
+    * uniform sample of the language regardless of partitioning or
+    * engine. One running-sum window per language; at corpus scale the
+    * same selection runs as a two-pass hash-threshold (estimate the
+    * cutoff hash from a token-count quantile sketch, then a narrow
+    * filter) — the window form is the exact spec that path must match.
+    * Reports the census, not the docs: per lang, docs kept and tokens
+    * actually used. */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+    val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= BudgetTokens)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_used"))
+      .orderBy("lang")
+  }
+
   /** Context-window capacity and shard fan-out for [[packSequences]]. */
   val PackCapacity = 4096L
   val PackShards = 8

@@ -87,6 +87,40 @@ class PipelineGovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: no near-dup pair straddles train/test") {
+    import graft.operators.Dedup
+    val comps = Dedup.nearDupComponents(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(docId: Long): String = {
+      val grp = comps.getOrElse(docId, docId).toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(grp.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      if (md % 100 < Dedup.TrainBuckets) "train" else "test"
+    }
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles the split")
+    }
+    // and the census adds up to the corpus
+    val census = Dedup.leakageSafeSplit(spark, dir).collect()
+    assert(census.map(_.getLong(2)).sum ==
+      graft.sources.Tables.documents(spark, dir).count())
+    assert(census.map(_.getString(0)).distinct.sorted.toSeq == Seq("test", "train"))
+  }
+
+  test("token-budget selection never exceeds the budget, per language") {
+    val rows = TextAnalysis.tokenBudgetSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= TextAnalysis.BudgetTokens, r.getString(0))
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("weighted sampling favors heavier documents") {
     // the sampled set's mean n_chars should exceed the corpus mean —
     // the point of size-weighting (probabilistic but deterministic
