@@ -86,6 +86,7 @@ object SparkEntry {
     "q_events_funnel"   -> (EventsOps.funnelConversion _),
     "q_events_transitions" -> (EventsOps.typeTransitions _),
     "q_events_scd2"     -> (EventsOps.stateIntervals _),
+    "q_events_rolling"  -> (EventsOps.rollingUserActivity _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
     "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
@@ -609,6 +610,15 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
         |ORDER BY step""".stripMargin,
+
+    "q_events_rolling" ->
+      s"""SELECT event_id, user_id,
+         |  count(*) OVER w AS n_1h,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2) AS sum_1h
+         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |  RANGE BETWEEN ${EventsOps.RollingHorizonUs} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "q_events_transitions" ->
       """WITH seq AS (

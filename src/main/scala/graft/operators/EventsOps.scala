@@ -179,6 +179,31 @@ object EventsOps {
       .orderBy("day", "event_type")
   }
 
+  /** Lookback horizon for [[rollingUserActivity]], in microseconds. */
+  val RollingHorizonUs = 3600000000L
+
+  /** ROLLING time-window features per event — "activity in the hour
+    * before this event", the standard online-feature shape — via a
+    * RANGE frame over exact epoch micros (a ROWS frame would count a
+    * fixed number of events, not a fixed look-back duration, and ties
+    * at the frame edge would be partition-order dependent; the RANGE
+    * frame's membership is a pure function of the timestamps). One
+    * exchange on user_id; per-row state is the in-horizon buffer,
+    * bounded by event rate × horizon. Sums run in DECIMAL so the
+    * double total is partition-order independent. */
+  def rollingUserActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-RollingHorizonUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 2))
+      .select("event_id", "user_id", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
   /** First-order TRANSITION matrix over per-user event sequences —
     * the behavioral-analytics staple (and the Markov-chain sufficient
     * statistic): for consecutive events of the same user, count each
