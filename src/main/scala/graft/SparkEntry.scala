@@ -87,6 +87,7 @@ object SparkEntry {
     "q_events_transitions" -> (EventsOps.typeTransitions _),
     "q_events_scd2"     -> (EventsOps.stateIntervals _),
     "q_events_rolling"  -> (EventsOps.rollingUserActivity _),
+    "q_events_anomaly"  -> (EventsOps.anomalousDays _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
     "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
@@ -140,6 +141,14 @@ object SparkEntry {
     "q_text_chunk"       -> (TextAnalysis.chunkSequences _),
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
+    "q_text_collocations" -> (TextAnalysis.collocationsTop _),
+
+    // ---- profiling / governance surface ----
+    "q_profile_columns"  -> (Profiling.columnProfile _),
+    "q_profile_histogram" -> (Profiling.totalpriceHistogram _),
+
+    // ---- graph surface (beside the CC loop in Dedup) ----
+    "q_graph_pagerank" -> (Graph.pagerankTop _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -1444,5 +1453,105 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, bucket, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // robust monitor: exact interpolated medians (quantile_cont ≡ Spark
+    // `percentile`); float literals forced through double arithmetic so
+    // both engines standardize with the identical constant
+    "q_events_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |         event_type, count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+         |        FROM daily GROUP BY 1),
+         |dev AS (SELECT d.day, d.event_type, d.n, m.med,
+         |          abs(d.n - m.med) AS absdev
+         |        FROM daily d JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+         |        FROM dev GROUP BY 1),
+         |scored AS (SELECT dev.day, dev.event_type, dev.n, dev.med, mad.mad,
+         |             CASE WHEN mad.mad > 0
+         |               THEN (dev.n - dev.med) / (${EventsOps.MadSigma} * mad.mad)
+         |               ELSE 0.0 END AS z
+         |           FROM dev JOIN mad USING (event_type))
+         |SELECT day, event_type, n, round(med, 1) AS med, round(mad, 1) AS mad,
+         |       round(z, 4) AS z, (abs(z) > ${EventsOps.AnomalyZ}) AS is_anomaly
+         |FROM scored ORDER BY day, event_type""".stripMargin,
+
+    // unpivot → one grouped pass, exactly the Spark stack() plan's algebra;
+    // values profile as strings (binary collation in both engines)
+    "q_profile_columns" ->
+      """WITH u AS (
+        |  SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS val FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents)
+        |SELECT col_name, count(*)::BIGINT AS n_rows,
+        |       sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |       count(DISTINCT val)::BIGINT AS n_distinct,
+        |       min(val) AS min_val, max(val) AS max_val,
+        |       round(avg(length(val)), 2) AS avg_len
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "q_profile_histogram" ->
+      s"""SELECT floor(o_totalprice / ${Profiling.HistWidth})::BIGINT AS bucket,
+         |       count(*)::BIGINT AS n,
+         |       round(min(o_totalprice), 2) AS lo,
+         |       round(max(o_totalprice), 2) AS hi,
+         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unrolled power iteration, one CTE pair per step (the same
+    // fixed-iteration replay discipline as the CC and k-means oracles);
+    // (1.0::DOUBLE - d) forces the double subtraction Spark performs —
+    // DuckDB's bare (1 - 0.85) is exact DECIMAL and lands on a different
+    // double
+    "q_graph_pagerank" -> {
+      val d = Graph.Damping
+      val steps = (1 to Graph.PrIters).map { k =>
+        val (prev, inf, cur) = (s"r${k - 1}", s"i$k", s"r$k")
+        s"""$inf AS (SELECT e.dst, sum($prev.r / $prev.deg) AS inflow
+           |      FROM e JOIN $prev ON e.src = $prev.node GROUP BY 1),
+           |$cur AS (SELECT $prev.node, $prev.deg,
+           |           (1.0::DOUBLE - $d) / n.n + $d * coalesce($inf.inflow, 0.0) AS r
+           |         FROM $prev CROSS JOIN n
+           |         LEFT JOIN $inf ON $prev.node = $inf.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |           WHERE a.l_partkey <> b.l_partkey),
+         |d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         |r0 AS (SELECT d.src AS node, d.deg, 1.0 / n.n AS r FROM d CROSS JOIN n),
+         |$steps
+         |SELECT node, deg, round(r${Graph.PrIters}.r * n.n, 4) AS norm_rank
+         |FROM r${Graph.PrIters} CROSS JOIN n
+         |ORDER BY norm_rank DESC, node LIMIT ${Graph.PrTopK}""".stripMargin
+    },
+
+    // Church–Hanks PMI with a frequency floor; every factor an
+    // integer-valued double, assembled in the same literal shape as the
+    // Spark expression so ln sees identical arguments
+    "q_text_collocations" ->
+      s"""WITH tok AS (SELECT $DuckTok AS toks FROM documents),
+         |tot AS (SELECT sum(len(toks))::DOUBLE AS n_tok,
+         |               sum(greatest(len(toks) - 1, 0))::DOUBLE AS n_big
+         |        FROM tok),
+         |uni AS (SELECT unnest(toks) AS word FROM tok),
+         |u AS (SELECT word, count(*)::BIGINT AS n_w FROM uni GROUP BY 1),
+         |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+         |       FROM tok WHERE len(toks) >= 2),
+         |p AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM bg GROUP BY 1
+         |      HAVING count(*) >= ${TextAnalysis.CollocMinCount}),
+         |s AS (SELECT p.bigram, p.n_ab, ua.n_w AS n_a, ub.n_w AS n_b
+         |      FROM p JOIN u ua ON split_part(p.bigram, ' ', 1) = ua.word
+         |             JOIN u ub ON split_part(p.bigram, ' ', 2) = ub.word)
+         |SELECT bigram, n_ab, n_a, n_b,
+         |       round(ln(n_ab::DOUBLE * t.n_tok * t.n_tok /
+         |                (t.n_big * n_a * n_b)), 4) AS pmi
+         |FROM s CROSS JOIN tot t
+         |ORDER BY pmi DESC, bigram LIMIT ${TextAnalysis.CollocTopK}""".stripMargin,
   )
 }

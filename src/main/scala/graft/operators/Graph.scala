@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative GRAPH analytics expressed relationally — the second graph
+  * workload beside connected-components (Dedup.componentsOf): PageRank
+  * over the part co-purchase graph. Link analysis over a derived graph
+  * is a training-data staple (domain authority for crawl prioritization,
+  * citation rank for document weighting); the co-purchase graph stands in
+  * because the corpus ships no explicit edges.
+  *
+  * Everything is joins + aggregations on (node, rank) frames — no driver
+  * state, no collect — so the loop runs at any corpus scale with the
+  * canonical one-shuffle-per-iteration cost, and a fixed iteration count
+  * keeps the cross-engine oracle an unrolled CTE chain (the same
+  * fixed-point-vs-fixed-iterations trade [[Dedup.componentsOf]] documents
+  * for CC; production runs to convergence with the identical step body).
+  */
+object Graph {
+
+  /** Power iterations for [[pagerankTop]]. Three exercises the full
+    * scatter→gather→damp loop twice past initialization while keeping
+    * the DuckDB oracle a readable unrolled chain; production loops the
+    * same step to an L1-delta stop. */
+  val PrIters = 3
+
+  /** Standard damping factor. */
+  val Damping = 0.85
+
+  /** Ranked nodes emitted by [[pagerankTop]]. */
+  val PrTopK = 20
+
+  /** Undirected co-purchase edges: parts sharing an order, both
+    * directions, deduped. The self-join is keyed by the order — order
+    * size is bounded by construction (an order has a handful of lines),
+    * so the per-key fan-out is O(size²) with a small constant and the
+    * edge build scales linearly in orders. Both directions are kept so
+    * the graph is symmetric: every node then has out-degree ≥ 1 and the
+    * dangling-mass term of general PageRank vanishes by construction. */
+  private[graft] def copurchaseEdges(li: DataFrame): DataFrame = {
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    a.join(b, "ok").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** PageRank over [[copurchaseEdges]], top [[PrTopK]] by rank.
+    *
+    * Per iteration: scatter rank/degree along edges (equi-join on the
+    * source node), gather by destination (map-side-combined sum), damp.
+    * Both the join and the gather key by node id, so AQE reuses one
+    * hash partitioning across the whole loop; per-iteration state is
+    * the (node, rank) frame — N rows, never materialized on the driver.
+    * The rank vector and the degree frame are the same size, so neither
+    * side broadcasts: this is the genuinely-large × genuinely-large
+    * join shape, left to sort-merge/AQE exactly like the CC loop.
+    *
+    * Emitted rank is normalized to N×r (1.0 = uniform mass), rounded;
+    * the top-k cut orders by the ROUNDED rank with a node tie-break so
+    * both engines cut the identical set. Structurally equal nodes
+    * (identical neighborhoods) get exactly equal ranks and are resolved
+    * by the same tie-break. */
+  def pagerankTop(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(copurchaseEdges(Tables.lineitem(spark, dir)))
+      .select(col("node"), col("deg"),
+        round(col("r") * col("n"), 4).as("norm_rank"))
+      .orderBy(desc("norm_rank"), asc("node"))
+      .limit(PrTopK)
+
+  /** The full (node, deg, n, r) rank frame after [[PrIters]] damped
+    * power iterations over a symmetric `(src, dst)` edge frame.
+    * Separate from the top-k cut so invariants (mass conservation,
+    * degree correlation) are testable on the whole vector. */
+  private[graft] def pagerankRanks(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    val init = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("deg"), col("n"),
+        (lit(1.0) / col("n")).as("r"))
+    (1 to PrIters).foldLeft(init) { (cur, _) =>
+      val inflow = edges
+        .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
+        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
+      // left join: symmetric edges mean every node HAS inflow, but the
+      // general damped step keeps the (1-d)/N floor explicit
+      cur.select(col("node"), col("deg"), col("n"))
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("n"),
+          (lit(1 - Damping) / col("n") +
+            lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dataset PROFILING — the `ANALYZE TABLE`-grade statistics pass every
+  * engine runs before planning and every data-governance pipeline runs
+  * before ingest: per-column null counts, exact NDV, value bounds, and
+  * width. The reference engine has no profiling surface (its only
+  * "schema" is the word/count pair, SURVEY.md §1.2); this is part of the
+  * extension surface the brief mandates for a 100 TB corpus, where
+  * knowing a column's NDV and null fraction decides join strategies and
+  * catches ingest regressions (a lang column whose NDV jumps from 6 to
+  * 600 is a parser bug, not new languages).
+  */
+object Profiling {
+
+  /** Per-column profile of `documents` in ONE logical pass.
+    *
+    * Shape: the table is UNPIVOTED via `stack` — a Generate (map-side
+    * row expansion, factor = #columns, no shuffle) — into narrow
+    * (col_name, val) rows, so the whole profile is a single groupBy
+    * with ONE distinct aggregate instead of five separate
+    * `countDistinct(c)` aggregates over the wide table (which Catalyst
+    * plans as an Expand with one replica per distinct agg — same ×5 row
+    * blowup but with full-width rows and a 5-way grouped shuffle).
+    * Spark plans the single-distinct form as two back-to-back
+    * hash aggregates: partial per (col_name, val) map-side, so the
+    * shuffle carries at most one row per distinct value — NOT one per
+    * input row — and the final 5-key merge sees only pre-aggregated
+    * partials from each task (the 5-key space is not a skew hazard for
+    * exactly that reason).
+    *
+    * At 100 TB the one-line swap is `approx_count_distinct` (HLL, no
+    * per-value shuffle rows at all); the exact form is registered
+    * because the oracle can replay it bit-for-bit. Values cross as
+    * strings so one frame can carry every column's min/max (binary
+    * collation in both engines); numeric columns profile their decimal
+    * rendering, which preserves null/NDV exactly and bounds loosely —
+    * the governance signals this pass exists for.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(expr(
+        """stack(5,
+          |  'doc_id',  cast(doc_id as string),
+          |  'lang',    lang,
+          |  'n_chars', cast(n_chars as string),
+          |  'source',  source,
+          |  'text',    text) as (col_name, val)""".stripMargin))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("val")).as("n_distinct"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"),
+        round(avg(length(col("val"))), 2).as("avg_len"))
+      .orderBy("col_name")
+
+  /** Histogram bucket width for [[totalpriceHistogram]], in price units.
+    * Fixed (not derived from min/max) so the profile is a single scan
+    * and bucket identities are stable across corpus snapshots — the
+    * property that lets day-over-day histograms diff cleanly. */
+  val HistWidth = 25000.0
+
+  /** Equi-width HISTOGRAM over `orders.o_totalprice` — the distribution
+    * profile behind CBO selectivity estimates and drift monitors.
+    * Bucket = floor(v / width): a pure per-row projection, so the whole
+    * histogram is one map-side-combined groupBy over ~tens of bucket
+    * keys; at any corpus size the shuffle carries #tasks × #buckets
+    * pre-aggregated rows. Per-bucket bounds come along for free and
+    * make the output self-describing. Sums run in DECIMAL so the
+    * reported total is partition-order independent. */
+  def totalpriceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / HistWidth).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("total"))
+      .orderBy("bucket")
+}

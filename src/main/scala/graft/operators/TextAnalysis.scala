@@ -110,6 +110,64 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(20)
 
+  /** Minimum bigram frequency for [[collocationsTop]] — PMI is unstable
+    * on rare pairs (a hapax bigram of two hapax words maxes the score),
+    * so collocation miners always floor the pair count. */
+  val CollocMinCount = 5
+
+  /** Collocations emitted by [[collocationsTop]]. */
+  val CollocTopK = 30
+
+  /** PMI COLLOCATION mining — the lexical-association pass tokenizer and
+    * vocabulary builders run over a corpus: score each adjacent word
+    * pair by pointwise mutual information,
+    * `ln(P(ab) / (P(a)·P(b)))` with P estimated from corpus counts, and
+    * keep the top [[CollocTopK]] above the [[CollocMinCount]] frequency
+    * floor. High-PMI pairs ("new york"-style units) are what a BPE-ish
+    * vocabulary should fuse; the floor plus PMI is the classic
+    * Church–Hanks formulation.
+    *
+    * Shape: one tokenize pass feeds BOTH count frames — bigram counts
+    * (explode of adjacent pairs) and unigram counts — each a map-side-
+    * combined groupBy; the scalar totals ride a broadcast 1-row frame
+    * exactly like tf-idf's N. The pair frame joins its two unigram
+    * legs by word — both sides pre-aggregated to vocabulary size, far
+    * below corpus size, and the frequency floor is applied BEFORE the
+    * joins so only qualifying pairs shuffle. P(ab) normalizes by the
+    * bigram total, P(a)/P(b) by the token total; every factor is an
+    * integer-valued double assembled in the same literal shape as the
+    * oracle, so both engines take ln of identical doubles. Top-k is a
+    * TakeOrderedAndProject on (pmi desc, bigram) — never a global
+    * sort. */
+  def collocationsTop(spark: SparkSession, dir: String): DataFrame = {
+    val tokd = Tables.fanOut(Tables.documents(spark, dir))
+      .select(toks(col("text")).as("toks"))
+    val uni = tokd.select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    // scalar totals in one pass over the token-count column — no second
+    // explode; doubles so the PMI ratio stays in one numeric domain at
+    // any corpus size (a pure-integer numerator overflows i64 at scale)
+    val totals = tokd.agg(
+      sum(size(col("toks"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("double").as("n_big"))
+    val pairs = tokd
+      .select(explode(wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CollocMinCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    pairs
+      .join(uni.select(col("word").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("word").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(
+          col("n_ab").cast("double") * col("n_tok") * col("n_tok") /
+            (col("n_big") * col("n_a") * col("n_b"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(CollocTopK)
+  }
+
   /** The quality-filter ACTION: the documents a pipeline keeps after the
     * cheap screens — bounded punctuation density, a minimum English-
     * stopword ratio, and a token-count range. Pure narrow filtering; the

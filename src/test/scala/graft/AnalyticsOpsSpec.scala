@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{EventsOps, Graph, Profiling, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariants for the profiling / anomaly / graph / collocation operators
+  * that the DuckDB hash oracle can't express: algebraic identities
+  * (PageRank mass conservation, profile row accounting) and internal
+  * consistency of the scored outputs.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("columnProfile accounts for every row of every column") {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val prof = Profiling.columnProfile(spark, dir).collect()
+    assert(prof.length == 5)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nDocs, r.getAs[String]("col_name"))
+      assert(r.getAs[Long]("n_null") + r.getAs[Long]("n_distinct") > 0)
+    }
+    val byCol = prof.map(r => r.getAs[String]("col_name") -> r).toMap
+    // doc_id is the primary key: NDV == row count, no nulls
+    assert(byCol("doc_id").getAs[Long]("n_distinct") == nDocs)
+    assert(byCol("doc_id").getAs[Long]("n_null") == 0L)
+    // lang is a low-cardinality enum
+    assert(byCol("lang").getAs[Long]("n_distinct") < 20)
+  }
+
+  test("histogram buckets partition the rows and bound their values") {
+    val hist = Profiling.totalpriceHistogram(spark, dir).collect()
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(hist.map(_.getAs[Long]("n")).sum == nOrders)
+    hist.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Double]("lo") >= b * Profiling.HistWidth - 0.005)
+      assert(r.getAs[Double]("hi") < (b + 1) * Profiling.HistWidth + 0.005)
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+  }
+
+  test("anomaly grid covers all (day, type) cells and flags agree with z") {
+    val scored = EventsOps.anomalousDays(spark, dir).collect()
+    val cells = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type")).distinct().count()
+    assert(scored.length == cells)
+    scored.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > EventsOps.AnomalyZ))
+      // MAD-standardization is centered: z must be 0 when n == med
+      if (r.getAs[Long]("n").toDouble == r.getAs[Double]("med"))
+        assert(z == 0.0)
+    }
+  }
+
+  test("pagerank conserves unit mass and degree matches the edge frame") {
+    val edges = Graph.copurchaseEdges(Tables.lineitem(spark, dir))
+    // symmetry: (a,b) present iff (b,a) present
+    val asym = edges
+      .join(edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_anti")
+    assert(asym.count() == 0)
+    val ranks = Graph.pagerankRanks(edges)
+    val total = ranks.agg(sum("r")).head.getDouble(0)
+    // damped PR over a symmetric graph (no dangling mass) sums to 1
+    assert(math.abs(total - 1.0) < 1e-9, s"mass = $total")
+    // deg column is the true out-degree
+    val badDeg = ranks.join(
+      edges.groupBy("src").agg(count(lit(1)).as("true_deg")),
+      col("node") === col("src"))
+      .filter(col("deg") =!= col("true_deg"))
+    assert(badDeg.count() == 0)
+  }
+
+  test("collocations respect the frequency floor and rank by pmi") {
+    val rows = TextAnalysis.collocationsTop(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_ab") >= TextAnalysis.CollocMinCount))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // spot-check the PMI arithmetic on the top row
+    val docs = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokenize(col("text")).as("toks"))
+    val nTok = docs.agg(sum(size(col("toks")))).head.getLong(0).toDouble
+    val nBig = docs.agg(sum(greatest(size(col("toks")) - 1, lit(0))))
+      .head.getLong(0).toDouble
+    val top = rows.head
+    val expect = math.log(
+      top.getAs[Long]("n_ab").toDouble * nTok * nTok /
+        (nBig * top.getAs[Long]("n_a") * top.getAs[Long]("n_b")))
+    assert(math.abs(top.getAs[Double]("pmi") - expect) < 1e-3)
+  }
+}
