@@ -143,9 +143,12 @@ object SparkEntry {
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
+    "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
+
     // ---- profiling / governance surface ----
     "q_profile_columns"  -> (Profiling.columnProfile _),
     "q_profile_histogram" -> (Profiling.totalpriceHistogram _),
+    "q_profile_eqdepth"  -> (Profiling.eqdepthHistogram _),
 
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
@@ -1493,6 +1496,39 @@ object SparkEntry {
         |       min(val) AS min_val, max(val) AS max_val,
         |       round(avg(length(val)), 2) AS avg_len
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // exact interpolated quartile boundaries (quantile_cont ≡ Spark
+    // `percentile`); value==boundary only when the boundary IS a data
+    // point (interpolation weight 0), so bucketing never hinges on a
+    // floating last-ulp
+    "q_profile_eqdepth" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |                  quantile_cont(o_totalprice, 0.5)  AS q2,
+        |                  quantile_cont(o_totalprice, 0.75) AS q3
+        |           FROM orders)
+        |SELECT CASE WHEN o_totalprice <= b.q1 THEN 0
+        |            WHEN o_totalprice <= b.q2 THEN 1
+        |            WHEN o_totalprice <= b.q3 THEN 2
+        |            ELSE 3 END::BIGINT AS quartile,
+        |       count(*)::BIGINT AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BPE inner step: adjacent char pairs over the distinct-word frame,
+    // weighted by word frequency — substr windows mirror the Spark
+    // transform(sequence(...)) lambda exactly
+    "q_text_bpe_step" ->
+      s"""WITH tok AS (SELECT $DuckTok AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS word FROM tok),
+         |v AS (SELECT word, count(*)::BIGINT AS n_w FROM w
+         |      GROUP BY 1 HAVING length(word) >= 2),
+         |pairs AS (SELECT n_w, unnest(list_transform(range(1, length(word)),
+         |            i -> substr(word, i, 2))) AS pair
+         |          FROM v)
+         |SELECT pair, sum(n_w)::BIGINT AS freq FROM pairs
+         |GROUP BY pair ORDER BY freq DESC, pair LIMIT ${TextAnalysis.BpeTopK}""".stripMargin,
 
     "q_profile_histogram" ->
       s"""SELECT floor(o_totalprice / ${Profiling.HistWidth})::BIGINT AS bucket,

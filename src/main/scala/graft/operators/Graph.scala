@@ -72,24 +72,46 @@ object Graph {
   /** The full (node, deg, n, r) rank frame after [[PrIters]] damped
     * power iterations over a symmetric `(src, dst)` edge frame.
     * Separate from the top-k cut so invariants (mass conservation,
-    * degree correlation) are testable on the whole vector. */
-  private[graft] def pagerankRanks(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n = deg.agg(count(lit(1)).cast("double").as("n"))
-    val init = deg.crossJoin(broadcast(n))
-      .select(col("src").as("node"), col("deg"), col("n"),
-        (lit(1.0) / col("n")).as("r"))
-    (1 to PrIters).foldLeft(init) { (cur, _) =>
-      val inflow = edges
-        .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
-        .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
-      // left join: symmetric edges mean every node HAS inflow, but the
-      // general damped step keeps the (1-d)/N floor explicit
-      cur.select(col("node"), col("deg"), col("n"))
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"), col("deg"), col("n"),
-          (lit(1 - Damping) / col("n") +
-            lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+    * degree correlation) are testable on the whole vector.
+    *
+    * Like every relational loop here (CC, Lloyd), each round's state is
+    * MATERIALIZED before the next builds on it — the rank frame is
+    * referenced twice per step (scatter join + damped update), so a
+    * lazily-stacked plan re-derives it 2^k times: the un-materialized
+    * form of this query planned 47 scans of lineitem for 3 iterations.
+    * Materialization goes through Dedup's owned-RDD machinery: the edge
+    * frame and each round truncate lineage via localCheckpoint (or
+    * persist+reliable checkpoint when `spark.graft.checkpointDir` is
+    * set — the executor-loss-tolerant mode a cluster run should use),
+    * and each superseded round's storage is retired as soon as its
+    * successor is materialized, so the loop holds ONE round of state
+    * plus the edges at any moment. */
+  private[graft] def pagerankRanks(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val (edges, _) = materialize(edges0)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = deg.agg(count(lit(1)).cast("double").as("n"))
+      val (init, initRdd) = materialize(deg.crossJoin(broadcast(n))
+        .select(col("src").as("node"), col("deg"), col("n"),
+          (lit(1.0) / col("n")).as("r")))
+      (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
+        val inflow = edges
+          .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
+          .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
+        // left join: symmetric edges mean every node HAS inflow, but the
+        // general damped step keeps the (1-d)/N floor explicit
+        val (next, nextRdd) = materialize(
+          cur.select(col("node"), col("deg"), col("n"))
+            .join(inflow, col("node") === col("dst"), "left")
+            .select(col("node"), col("deg"), col("n"),
+              (lit(1 - Damping) / col("n") +
+                lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
+        Dedup.retire(spark, curRdd)
+        (next, nextRdd)
+      }._1
     }
   }
 }

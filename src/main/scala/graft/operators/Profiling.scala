@@ -85,4 +85,38 @@ object Profiling {
         round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
           .as("total"))
       .orderBy("bucket")
+
+  /** EQUI-DEPTH histogram (quartiles) over `o_totalprice` — the histogram
+    * CBOs actually keep: equal-mass buckets adapt to skew that fixed-width
+    * buckets smear. Two passes: exact interpolated quartile boundaries
+    * (one `percentile` aggregate → a 1-row broadcast), then a bucket
+    * assignment that is a pure per-row comparison chain feeding a 4-key
+    * map-side-combined groupBy. At 100 TB the boundary pass swaps to
+    * `approx_percentile` (same plan shape, sketch merge instead of sort);
+    * the exact form is registered because the oracle can replay it.
+    *
+    * Boundary determinism: an input value can only EQUAL a boundary when
+    * the interpolation weight is 0 and the boundary IS a data value —
+    * exact in both engines — so bucket membership never hinges on a
+    * floating last-ulp. */
+  def eqdepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.agg(
+      percentile(col("o_totalprice"), lit(0.25)).as("q1"),
+      percentile(col("o_totalprice"), lit(0.5)).as("q2"),
+      percentile(col("o_totalprice"), lit(0.75)).as("q3"))
+    orders.crossJoin(broadcast(bounds))
+      .select(
+        when(col("o_totalprice") <= col("q1"), 0L)
+          .when(col("o_totalprice") <= col("q2"), 1L)
+          .when(col("o_totalprice") <= col("q3"), 2L)
+          .otherwise(3L).as("quartile"),
+        col("o_totalprice"))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("quartile")
+  }
 }

@@ -168,6 +168,38 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** Merge candidates emitted by [[bpeMergeStep]]. */
+  val BpeTopK = 20
+
+  /** One BPE TRAINING STEP — the inner loop of byte-pair-encoding
+    * tokenizer training: count every adjacent character pair across the
+    * corpus (weighted by word frequency) and emit the top merge
+    * candidates. Real BPE training repeats this step, re-segmenting
+    * after each merge; one step is the representative relational kernel
+    * (the re-segmentation loop is a driver-side fold over this exact
+    * frame, just like the CC/PageRank iteration pattern).
+    *
+    * Shape: pair generation runs over the DISTINCT-WORD frame, not the
+    * token stream — the classic BPE optimization (count each word once,
+    * weight by frequency), which shrinks the explode input from corpus
+    * token count to vocabulary size. Pairs come from a collection
+    * lambda over substring windows (codegen-friendly, no UDF), and the
+    * weighted count is one map-side-combined groupBy on a key space
+    * bounded by |alphabet|². Top-k is a TakeOrderedAndProject. */
+  def bpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("n_w"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("n_w").as("freq"))
+      .orderBy(desc("freq"), asc("pair"))
+      .limit(BpeTopK)
+  }
+
   /** The quality-filter ACTION: the documents a pipeline keeps after the
     * cheap screens — bounded punctuation density, a minimum English-
     * stopword ratio, and a token-count range. Pure narrow filtering; the

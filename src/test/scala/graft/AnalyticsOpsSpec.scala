@@ -76,6 +76,60 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(badDeg.count() == 0)
   }
 
+  test("pagerank reliable-checkpoint mode matches the localCheckpoint mode") {
+    import graft.operators.Dedup
+    val local = Graph.pagerankTop(spark, dir).collect().toSeq
+    val ck = java.nio.file.Files.createTempDirectory("graft-pr-ck").toString
+    spark.conf.set(Dedup.CheckpointDirConf, ck)
+    try {
+      val reliable = Graph.pagerankTop(spark, dir).collect().toSeq
+      assert(local == reliable)
+      // retired rounds must not leave checkpoint files behind (only the
+      // surviving final round + edges may remain until GC)
+      val leftover = java.nio.file.Files.walk(java.nio.file.Paths.get(ck))
+        .filter((p: java.nio.file.Path) => java.nio.file.Files.isRegularFile(p))
+        .count()
+      assert(leftover <= 2 * 64, s"checkpoint files left: $leftover")
+    } finally {
+      spark.conf.unset(Dedup.CheckpointDirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    }
+  }
+
+  test("equi-depth quartiles hold near-equal mass and ordered bounds") {
+    val rows = Profiling.eqdepthHistogram(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("quartile")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val ns = rows.map(_.getAs[Long]("n"))
+    val total = ns.sum
+    // equal-mass property: every bucket within a few rows of total/4
+    // (ties on boundary values account for the slack)
+    ns.foreach(n => assert(math.abs(n - total / 4.0) <= total * 0.05, ns.toSeq))
+    // buckets tile the domain in order
+    val his = rows.map(_.getAs[Double]("hi"))
+    val los = rows.map(_.getAs[Double]("lo"))
+    his.zip(los.tail).foreach { case (hi, nextLo) => assert(hi <= nextLo) }
+  }
+
+  test("bpe step counts weighted adjacent char pairs") {
+    import spark.implicits._
+    val rows = TextAnalysis.bpeMergeStep(spark, dir).collect()
+    assert(rows.length == TextAnalysis.BpeTopK)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // cross-check the top pair's frequency against a direct token scan
+    val top = rows.head.getAs[String]("pair")
+    val direct = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .filter(col("pair") === top)
+      .count()
+    assert(direct == rows.head.getAs[Long]("freq"))
+  }
+
   test("collocations respect the frequency floor and rank by pmi") {
     val rows = TextAnalysis.collocationsTop(spark, dir).collect()
     assert(rows.nonEmpty)
