@@ -184,6 +184,55 @@ object Scale {
       "span time | vectors | kmeans sse | kmeans time |")
     println("|---|---|---|---|---|---|---|---|---|")
     rows2.foreach(println)
+
+    // graph stages: k disjoint copies of the co-purchase graph (order and
+    // part keys shifted per replica), so every count must grow EXACTLY k×
+    // and any superlinearity is algorithmic. Oriented wedges are the
+    // triangle-enumeration cost driver; PageRank runs its full 3-iteration
+    // loop on the RAW (dense) graph so the per-iteration join cost is
+    // stressed at 10× the edge volume.
+    import graft.operators.Graph
+    val rows3 = factors.map { k =>
+      System.err.println(s"[scale] factor $k (graph) ...")
+      val li = replicatedLineitemKeys(spark, baseDir, k)
+      val (rawEdges, tRaw) = timedCount(Graph.copurchaseEdges(li))
+      val t0e = System.nanoTime()
+      val rec = Graph.recurringEdges(li, Graph.TriMinSupport)
+      val nRec = rec.count()
+      val tRec = (System.nanoTime() - t0e) / 1e9
+      val deg = rec.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val oriented = Graph.orientedEdges(rec, deg)
+      val (wedges, _) = timedCount(
+        oriented.as("e1").join(oriented.as("e2"), col("e1.v") === col("e2.u")))
+      val t0t = System.nanoTime()
+      val tri = Graph.triangleCounts(rec)
+        .agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0) / 3
+      val tTri = (System.nanoTime() - t0t) / 1e9
+      val t0r = System.nanoTime()
+      val prNodes = Graph.pagerankRanks(Graph.copurchaseEdges(li)).count()
+      val tPr = (System.nanoTime() - t0r) / 1e9
+      s"| ${k}x | $rawEdges | ${f"$tRaw%.1f"}s | $nRec | ${f"$tRec%.1f"}s | " +
+        s"$wedges | $tri | ${f"$tTri%.1f"}s | $prNodes | ${f"$tPr%.1f"}s |"
+    }
+    println()
+    println("| factor | raw edges | edge time | recurring edges | rec time | " +
+      "oriented wedges | triangles | tri time | pr nodes | pr time (3 iters) |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
+    rows3.foreach(println)
     spark.stop()
+  }
+
+  /** (l_orderkey, l_partkey) pairs for k disjoint copies of the
+    * co-purchase graph — both keys shifted by a replica stride, so
+    * replicas share no orders and no parts. */
+  private[graft] def replicatedLineitemKeys(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val li = graft.sources.Tables.fanOut(graft.sources.Tables.lineitem(spark, dir))
+      .select("l_orderkey", "l_partkey")
+    (0 until k).map { i =>
+      if (i == 0) li
+      else li.select(
+        (col("l_orderkey") + lit(i * ReplicaStride)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * ReplicaStride)).as("l_partkey"))
+    }.reduce(_ unionByName _)
   }
 }

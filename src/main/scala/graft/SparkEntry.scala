@@ -103,6 +103,7 @@ object SparkEntry {
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
+    "q_dedup_editdist"      -> (Dedup.editDistanceVerify _),
     "q_dedup_clusters"      -> (Dedup.nearDupComponents _),
     "q_dedup_keep_clustered" -> (Dedup.dedupedCorpusClustered _),
     "q_split_leakage_safe"  -> (Dedup.leakageSafeSplit _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
+    "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
     "q_profile_columns"  -> (Profiling.columnProfile _),
@@ -152,6 +154,7 @@ object SparkEntry {
 
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
+    "q_graph_triangles" -> (Graph.triangleStats _),
 
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
@@ -733,6 +736,25 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact-verify stage over the LSH pairs: same pair set, Levenshtein
+    // on the capped lowered prefix; 1.0 - dist/max_len stays in exact
+    // binary arithmetic whenever max_len is a power of two
+    "q_dedup_editdist" ->
+      s"""WITH $DuckMinhashCtes,
+         |pr AS (SELECT doc_a, doc_b, est_jaccard FROM est
+         |       WHERE est_jaccard >= 0.5),
+         |v AS (SELECT pr.doc_a, pr.doc_b, pr.est_jaccard,
+         |        levenshtein(substr(lower(da.text), 1, ${Dedup.EditPrefix}),
+         |                    substr(lower(db.text), 1, ${Dedup.EditPrefix})) AS edit_dist,
+         |        greatest(length(substr(lower(da.text), 1, ${Dedup.EditPrefix})),
+         |                 length(substr(lower(db.text), 1, ${Dedup.EditPrefix}))) AS max_len
+         |      FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+         |              JOIN documents db ON db.doc_id = pr.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard, edit_dist,
+         |       round(1.0 - edit_dist / max_len, 4) AS edit_sim,
+         |       (1.0 - edit_dist / max_len) >= ${Dedup.EditSimThreshold} AS confirmed
+         |FROM v ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $DuckMinhashCtes,
          |cand2 AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
@@ -1565,6 +1587,50 @@ object SparkEntry {
          |FROM r${Graph.PrIters} CROSS JOIN n
          |ORDER BY norm_rank DESC, node LIMIT ${Graph.PrTopK}""".stripMargin
     },
+
+    // degree-ordered triangle enumeration over the support-floored
+    // co-purchase graph; each triangle found once at its lowest
+    // (deg, id) corner, then credited to all three
+    "q_graph_triangles" ->
+      s"""WITH ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         |              count(*) AS w
+         |            FROM lineitem a JOIN lineitem b
+         |              ON a.l_orderkey = b.l_orderkey
+         |            WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM ew WHERE w >= ${Graph.TriMinSupport}),
+         |d AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |o AS (SELECT e.src AS u, e.dst AS v FROM e
+         |      JOIN d du ON du.node = e.src JOIN d dv ON dv.node = e.dst
+         |      WHERE du.deg < dv.deg
+         |         OR (du.deg = dv.deg AND e.src < e.dst)),
+         |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |      FROM o e1 JOIN o e2 ON e1.v = e2.u
+         |      JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+         |      UNION ALL SELECT c FROM t),
+         |pc AS (SELECT node, count(*)::BIGINT AS triangles FROM n GROUP BY 1)
+         |SELECT pc.node, d.deg, pc.triangles,
+         |       round(pc.triangles * 2.0 / (d.deg * (d.deg - 1)), 4) AS clustering
+         |FROM pc JOIN d ON d.node = pc.node
+         |ORDER BY triangles DESC, pc.node LIMIT ${Graph.TriTopK}""".stripMargin,
+
+    // one shared window (total order on n_chars, doc_id) feeds ntile,
+    // percent_rank and cume_dist; aggregation collapses to the stage grid
+    "q_window_ntile" ->
+      s"""WITH r AS (SELECT lang, n_chars,
+         |    ntile(${TextAnalysis.CurriculumStages})
+         |      OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stage,
+         |    percent_rank()
+         |      OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+         |    cume_dist()
+         |      OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd
+         |  FROM documents)
+         |SELECT lang, stage, count(*) AS docs,
+         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |       round(avg(n_chars), 2) AS avg_chars,
+         |       round(max(pr), 4) AS max_pct_rank,
+         |       round(max(cd), 4) AS max_cume_dist
+         |FROM r GROUP BY lang, stage ORDER BY lang, stage""".stripMargin,
 
     // Church–Hanks PMI with a frequency floor; every factor an
     // integer-valued double, assembled in the same literal shape as the

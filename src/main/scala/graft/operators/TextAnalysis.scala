@@ -605,4 +605,42 @@ object TextAnalysis {
           .as("dup_span_frac"))
       .orderBy("doc_id")
   }
+
+  /** Stages for [[curriculumStages]]. */
+  val CurriculumStages = 4
+
+  /** Curriculum staging: per language, rank documents by length and cut
+    * the ranking into [[CurriculumStages]] equal-count stages (short →
+    * long is the classic length-curriculum schedule), reporting each
+    * stage's population and length envelope. Covers the rank-family
+    * window functions the surface lacked: `ntile` assigns the stage,
+    * `percent_rank`/`cume_dist` pin the stage boundary positions — all
+    * three share ONE window (single sort, single pass), and the
+    * (n_chars, doc_id) ordering is a total order so every engine cuts
+    * identical stages.
+    *
+    * Scale: a per-lang ntile is a per-lang global SORT — fine while the
+    * per-partition volume fits an executor sort spill, which a 5-value
+    * partition key at 100 TB does NOT. The scalable form of equal-count
+    * staging is [[Profiling.eqdepthHistogram]]'s pattern: compute the
+    * stage BOUNDARIES from exact/approx quantiles and broadcast them
+    * into a per-row comparison — same stages, no per-key sort. This
+    * query is the exact-rank semantics; its scaladoc is the map to the
+    * scale path. */
+  def curriculumStages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val w = Window.partitionBy("lang").orderBy(asc("n_chars"), asc("doc_id"))
+    docs.select(col("lang"), col("n_chars"),
+        ntile(CurriculumStages).over(w).cast("long").as("stage"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .groupBy("lang", "stage")
+      .agg(count(lit(1)).as("docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(max("pr"), 4).as("max_pct_rank"),
+        round(max("cd"), 4).as("max_cume_dist"))
+      .orderBy("lang", "stage")
+  }
 }

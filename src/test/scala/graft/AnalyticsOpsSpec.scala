@@ -76,6 +76,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(badDeg.count() == 0)
   }
 
+  test("triangle counts match a planted graph and an id-ordered recount") {
+    import spark.implicits._
+    // planted: triangles {1,2,3} {1,2,4} {1,3,4} {2,3,4} {4,5,6}
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (4, 6), (5, 6))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Int]("node") -> r).toMap
+    val expected = Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 4L, 5 -> 1L, 6 -> 1L)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (n, t) =>
+      assert(got(n).getAs[Long]("triangles") == t, s"node $n")
+    }
+    // node 4: deg 5, 4 triangles -> clustering 2*4/(5*4) = 0.4
+    assert(got(4).getAs[Long]("deg") == 5L)
+    assert(got(4).getAs[Double]("clustering") == 0.4)
+
+    // independent recount on the real graph: orient by plain node id
+    // instead of (deg, id) — different enumeration order, same triangles
+    val real = Graph.recurringEdges(
+      Tables.lineitem(spark, dir), Graph.TriMinSupport)
+    val o = real.filter(col("src") < col("dst"))
+    val idOrdered = o.as("e1")
+      .join(o.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(o.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .count()
+    val degOrdered = Graph.triangleCounts(real)
+      .agg(sum("triangles")).head.getLong(0)
+    assert(degOrdered == 3 * idOrdered, s"deg-ordered $degOrdered vs id $idOrdered")
+  }
+
+  test("curriculum stages partition each language into near-equal cuts") {
+    val rows = TextAnalysis.curriculumStages(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      // stages cover every document exactly once
+      assert(rs.map(_.getAs[Long]("docs")).sum == perLang(lang))
+      // ntile balance: stage sizes differ by at most one
+      val sizes = rs.map(_.getAs[Long]("docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang: ${sizes.toSeq}")
+      // stages are ordered by length: envelopes must not overlap
+      val sorted = rs.sortBy(_.getAs[Long]("stage"))
+      sorted.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Long]("max_chars") <= hi.getAs[Long]("min_chars"))
+        case _ => ()
+      }
+      // the last stage's cume_dist reaches exactly 1
+      assert(sorted.last.getAs[Double]("max_cume_dist") == 1.0)
+    }
+  }
+
   test("pagerank reliable-checkpoint mode matches the localCheckpoint mode") {
     import graft.operators.Dedup
     val local = Graph.pagerankTop(spark, dir).collect().toSeq

@@ -59,6 +59,40 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.contains((0L, 3L)) && !m.contains((1L, 3L)) && !m.contains((2L, 3L)))
   }
 
+  test("edit-distance verify grades every LSH pair against a reference DP") {
+    // reference Levenshtein: classic O(nm) two-row DP
+    def lev(a: String, b: String): Int = {
+      var prev = (0 to b.length).toArray
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1)
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.take(Dedup.EditPrefix)).toMap
+    val pairs = Dedup.minhashLsh(spark, dir).count()
+    val rows = Dedup.editDistanceVerify(spark, dir).collect()
+    // verify stage covers the whole candidate set, nothing more
+    assert(rows.length == pairs && rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (docs(r.getAs[Long]("doc_a")), docs(r.getAs[Long]("doc_b")))
+      assert(r.getAs[Long]("edit_dist") == lev(a, b).toLong)
+      val sim = 1.0 - lev(a, b).toDouble / math.max(a.length, b.length)
+      assert(math.abs(r.getAs[Double]("edit_sim") - sim) < 5e-5)
+      assert(r.getAs[Boolean]("confirmed") == (sim >= Dedup.EditSimThreshold))
+    }
+    // the identical pair is confirmed at distance zero
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(m((0L, 1L)).getAs[Long]("edit_dist") == 0L)
+    assert(m((0L, 1L)).getAs[Boolean]("confirmed"))
+  }
+
   test("simhash: identical texts at hamming 0; near texts within 3 bits") {
     val m = Dedup.simhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
