@@ -68,6 +68,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.approxDistinctUsers _),
     "q_approx_quantile" -> (Relational.approxQuantilePrices _),
     "q_sketch_cms"      -> (Relational.cmsTopWords _),
+    "q_sketch_hll_merge" -> (Relational.hllMergeUsers _),
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
@@ -683,6 +684,15 @@ object SparkEntry {
     "q_approx_quantile" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_rows, true AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // merged-sketch estimate stays Spark-side; the oracle checks the
+    // shard count, the exact distinct, and the envelope verdict
+    "q_sketch_hll_merge" ->
+      """SELECT event_type,
+        |       count(DISTINCT CAST(ts AS DATE))::BIGINT AS n_days,
+        |       count(DISTINCT user_id)::BIGINT AS exact_users,
+        |       true AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the CMS hashes are md5-derived, so DuckDB rebuilds the IDENTICAL
     // sketch — estimates compare bit-for-bit, no envelope needed

@@ -170,13 +170,13 @@ object Graph {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
-      val (edges, _) = materialize(edges0)
+      val (edges, edgesRdd) = materialize(edges0)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = deg.agg(count(lit(1)).cast("double").as("n"))
       val (init, initRdd) = materialize(deg.crossJoin(broadcast(n))
         .select(col("src").as("node"), col("deg"), col("n"),
           (lit(1.0) / col("n")).as("r")))
-      (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
+      val result = (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
         val inflow = edges
           .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
           .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
@@ -191,6 +191,13 @@ object Graph {
         Dedup.retire(spark, curRdd)
         (next, nextRdd)
       }._1
+      // the final round is self-contained (its RDD holds the rank rows),
+      // so the EDGE frame — the big pin, |E| rows vs |V| for the ranks —
+      // is released before returning; repeated calls previously
+      // accumulated one 2.4M-row block set each at sf0.1, and the
+      // storage pressure taxed every later query in a long session
+      Dedup.retire(spark, edgesRdd)
+      result
     }
   }
 }

@@ -302,6 +302,48 @@ object Relational {
           .as("within_tol"))
       .orderBy("l_returnflag")
 
+  /** lgConfigK for [[hllMergeUsers]]: 2¹² registers → σ ≈ 1.04/√4096 ≈
+    * 1.6% relative error, well inside the 5% check envelope. */
+  val HllLgK = 12
+
+  /** MERGEABLE-sketch distinct counting: one HLL sketch per (type, day)
+    * shard, daily sketches unioned into the per-type total — the
+    * re-aggregation pattern a 100 TB pipeline actually runs. Raw data
+    * is sketched ONCE at ingest granularity (here: day); every later
+    * rollup (weekly, all-time, ad-hoc type filters) merges the tiny
+    * binary sketches instead of rescanning events, which is what makes
+    * distinct-count dashboards O(shards), not O(corpus). Spark 4's
+    * DataSketches functions (`hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`) carry the sketch as a first-class binary
+    * column, so the daily frame is a normal table a warehouse would
+    * persist beside its aggregates.
+    *
+    * Cross-engine rules as [[approxDistinctUsers]]: the estimate stays
+    * Spark-side (DataSketches binaries are not portable arithmetic);
+    * only the group key, exact integer counts, and the envelope
+    * boolean cross to DuckDB. The suite additionally pins merge
+    * consistency: union-of-daily-sketches ≈ one-shot sketch over the
+    * same rows. */
+  def hllMergeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(HllLgK)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"))
+    // exact reference on a pre-deduped frame (same Expand-rewrite
+    // avoidance as approxDistinctUsers); 3-row join side broadcasts
+    val exact = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) / col("exact_users") <= 0.05)
+          .as("within_tol"))
+      .orderBy("event_type")
+  }
+
   /** Count-Min Sketch geometry: 4 independent md5-derived hash rows ×
     * 256 buckets. ε = e/w ≈ 1.06% of the stream length, δ = e^-d ≈ 1.8%. */
   val CmsDepth = 4

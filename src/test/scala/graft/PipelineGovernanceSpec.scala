@@ -27,6 +27,29 @@ class PipelineGovernanceSpec extends AnyFunSuite {
     assert(dup == 0L && keys == graft.sources.Tables.orders(spark, dir).count())
   }
 
+  test("hll merge: union of daily sketches tracks the one-shot sketch") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(Relational.HllLgK)).as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("m"))
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(Relational.HllLgK))).as("o"))
+    merged.join(oneShot, "event_type").collect().foreach { r =>
+      val (m, o) = (r.getAs[Long]("m").toDouble, r.getAs[Long]("o").toDouble)
+      // same registers, same data: merge may promote the target type but
+      // the estimates must agree to well under the sketch's own sigma
+      assert(math.abs(m - o) / o < 0.01, s"${r.getString(0)}: $m vs $o")
+    }
+    // and the registered query's envelope holds
+    val rows = Relational.hllMergeUsers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_tol")))
+  }
+
   test("funnel user counts are monotonically non-increasing") {
     val steps = EventsOps.funnelConversion(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
