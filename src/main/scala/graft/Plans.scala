@@ -15,7 +15,8 @@ object Plans {
     "q_dedup_keep_set", "q_range_join_binned", "q_salted_join",
     "q_ann_ivf_assign", "q_text_pack", "q_dedup_span_coverage",
     "q_ann_kmeans", "q_ann_kmeans_routed", "q_sketch_cms",
-    "q_events_funnel", "q_merge_upsert")
+    "q_events_funnel", "q_merge_upsert", "q_graph_triangles",
+    "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
