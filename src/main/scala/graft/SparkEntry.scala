@@ -49,6 +49,17 @@ object SparkEntry {
         .withColumnRenamed("key", "file")
         .orderBy("file", "word")),
 
+    // same per-file word count, but scanned through the graft-lines
+    // DSv2 connector (the reference's FileProcessorInput contract —
+    // ceil(lines/2000) per-file partitions — as a real Spark source),
+    // so the connector SPI path itself earns an oracle row
+    "wc_v2_source" -> ((s, _) =>
+      WordCount.perKey(
+          s.read.format("graft-lines").load(PerFileCorpus),
+          regexp_extract(col("file"), "[^/]+$", 0), col("line"))
+        .withColumnRenamed("key", "file")
+        .orderBy("file", "word")),
+
     // ---- relational surface ----
     "q1_pricing"       -> (Relational.pricingSummary _),
     "q3_top_revenue"   -> (Relational.topRevenueOrders _),
@@ -336,6 +347,17 @@ object SparkEntry {
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
 
     "wc_per_file" ->
+      s"""WITH lines AS (
+         |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
+         |         unnest(string_split(content, chr(10))) AS text
+         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
+         |SELECT file, word, count(*) AS cnt FROM tok
+         |GROUP BY file, word ORDER BY file, word""".stripMargin,
+
+    // identical oracle to wc_per_file: the v2 connector must read the
+    // same corpus byte-identically
+    "wc_v2_source" ->
       s"""WITH lines AS (
          |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
          |         unnest(string_split(content, chr(10))) AS text
