@@ -49,12 +49,16 @@ class LinesSource extends TableProvider with DataSourceRegister {
     LinesSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // properties arrive with original-case keys; match options the way
+    // every built-in source does — case-insensitively
+    val opts = new CaseInsensitiveStringMap(properties)
     new LinesTable(
-      Option(properties.get("path")).getOrElse(
+      Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("graft-lines: path is required")),
-      Option(properties.get("linesPerPartition")).map(_.toInt)
+      Option(opts.get("linesPerPartition")).map(_.toInt)
         .getOrElse(LinesSource.DefaultLinesPerPartition))
+  }
 }
 
 object LinesSource {
