@@ -80,6 +80,7 @@ object SparkEntry {
     "q_approx_quantile" -> (Relational.approxQuantilePrices _),
     "q_sketch_cms"      -> (Relational.cmsTopWords _),
     "q_sketch_hll_merge" -> (Relational.hllMergeUsers _),
+    "q_assoc_rules"     -> (Relational.associationRules _),
     "q_set_ops"        -> (Relational.nationSetOps _),
     "q_top_orders"     -> (Relational.topOrders _),
     "q_sql_scalar_subquery" -> (Relational.sqlAboveAvgBalance _),
@@ -1619,6 +1620,29 @@ object SparkEntry {
          |FROM r${Graph.PrIters} CROSS JOIN n
          |ORDER BY norm_rank DESC, node LIMIT ${Graph.PrTopK}""".stripMargin
     },
+
+    // 2-itemset association rules: the support floor applies BEFORE the
+    // supports join (a-priori pruning), both rule directions from each
+    // undirected pair, ordered by the rounded lift with a unique tiebreak
+    "q_assoc_rules" ->
+      s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+         |                 FROM lineitem),
+         |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM baskets),
+         |s AS (SELECT item, count(*)::BIGINT AS supp FROM baskets GROUP BY 1),
+         |p AS (SELECT a.item AS ia, b.item AS ib, count(*)::BIGINT AS supp_ab
+         |      FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+         |      GROUP BY 1, 2 HAVING count(*) >= ${Relational.RuleMinSupport}),
+         |d AS (SELECT ia AS antecedent, ib AS consequent, supp_ab FROM p
+         |      UNION ALL SELECT ib, ia, supp_ab FROM p)
+         |SELECT d.antecedent, d.consequent, d.supp_ab,
+         |       sa.supp AS supp_a, sb.supp AS supp_b,
+         |       round(d.supp_ab / sa.supp, 4) AS confidence,
+         |       round(d.supp_ab * n.n_baskets / (sa.supp * sb.supp), 4) AS lift
+         |FROM d JOIN s sa ON sa.item = d.antecedent
+         |       JOIN s sb ON sb.item = d.consequent
+         |CROSS JOIN n
+         |ORDER BY lift DESC, antecedent, consequent
+         |LIMIT ${Relational.RuleTopK}""".stripMargin,
 
     // degree-ordered triangle enumeration over the support-floored
     // co-purchase graph; each triangle found once at its lowest

@@ -344,6 +344,49 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Support floor and output size for [[associationRules]]. */
+  val RuleMinSupport = 2
+  val RuleTopK = 20
+
+  /** Market-basket association rules over order baskets: for part pairs
+    * co-purchased in at least [[RuleMinSupport]] orders, both directed
+    * rules with confidence = supp(a,b)/supp(a) and
+    * lift = N·supp(a,b)/(supp(a)·supp(b)), top [[RuleTopK]] by lift.
+    * The 2-itemset core of frequent-itemset mining, expressed as the
+    * same order-keyed self-join the co-purchase graph uses: per-basket
+    * fan-out is O(basket²) with baskets bounded by construction, pair
+    * support is a map-side-combined count, and the support floor prunes
+    * the pair table BEFORE the supports join — the a-priori property
+    * (a pair can't beat a floor its items don't) keeps every later
+    * stage sized by surviving pairs, not the catalog². Item supports
+    * join in by key; the N scalar is a 1-row broadcast cross. */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.fanOut(Tables.lineitem(spark, dir))
+    // per-basket distinct so multi-line items count one support each
+    val baskets = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val n = baskets.select(countDistinct(col("ok")).as("n_baskets"))
+    val itemSupp = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val a = baskets.select(col("ok"), col("item").as("ia"))
+    val b = baskets.select(col("ok"), col("item").as("ib"))
+    val pairs = a.join(b, "ok").filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= RuleMinSupport)
+    val directed = pairs.select(col("ia").as("antecedent"), col("ib").as("consequent"), col("supp_ab"))
+      .unionByName(pairs.select(col("ib").as("antecedent"), col("ia").as("consequent"), col("supp_ab")))
+    directed
+      .join(itemSupp.select(col("item").as("antecedent"), col("supp").as("supp_a")), "antecedent")
+      .join(itemSupp.select(col("item").as("consequent"), col("supp").as("supp_b")), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        col("supp_a"), col("supp_b"),
+        round(col("supp_ab") / col("supp_a"), 4).as("confidence"),
+        round(col("supp_ab") * col("n_baskets") / (col("supp_a") * col("supp_b")), 4)
+          .as("lift"))
+      .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
+      .limit(RuleTopK)
+  }
+
   /** Count-Min Sketch geometry: 4 independent md5-derived hash rows ×
     * 256 buckets. ε = e/w ≈ 1.06% of the stream length, δ = e^-d ≈ 1.8%. */
   val CmsDepth = 4

@@ -27,6 +27,30 @@ class PipelineGovernanceSpec extends AnyFunSuite {
     assert(dup == 0L && keys == graft.sources.Tables.orders(spark, dir).count())
   }
 
+  test("association rules: algebraic invariants of support/confidence/lift") {
+    val rows = Relational.associationRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ab, a, b) = (r.getAs[Long]("supp_ab"), r.getAs[Long]("supp_a"),
+        r.getAs[Long]("supp_b"))
+      assert(ab >= Relational.RuleMinSupport)
+      // pair support can never exceed either item's support
+      assert(ab <= math.min(a, b))
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0 && conf <= 1.0)
+      assert(math.abs(conf - (ab.toDouble / a)) < 5e-5)
+    }
+    // lift is direction-symmetric: when both directions survive the
+    // top-k cut they must carry the identical lift
+    val byPair = rows.groupBy(r => {
+      val (x, y) = (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent"))
+      (math.min(x, y), math.max(x, y))
+    })
+    byPair.values.filter(_.length == 2).foreach { pair =>
+      assert(pair(0).getAs[Double]("lift") == pair(1).getAs[Double]("lift"))
+    }
+  }
+
   test("hll merge: union of daily sketches tracks the one-shot sketch") {
     import graft.sources.Tables
     val ev = Tables.events(spark, dir)
