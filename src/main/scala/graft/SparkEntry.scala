@@ -164,6 +164,7 @@ object SparkEntry {
     "q_profile_columns"  -> (Profiling.columnProfile _),
     "q_profile_histogram" -> (Profiling.totalpriceHistogram _),
     "q_profile_eqdepth"  -> (Profiling.eqdepthHistogram _),
+    "q_profile_skew"     -> (Profiling.keySkewProfile _),
 
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
@@ -1551,6 +1552,21 @@ object SparkEntry {
         |       min(val) AS min_val, max(val) AS max_val,
         |       round(avg(length(val)), 2) AS avg_len
         |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    // join-key frequency skew report: top-k hot keys ranked after the
+    // cut, key-space summary carried on every row
+    "q_profile_skew" ->
+      s"""WITH c AS (SELECT l_partkey, count(*)::BIGINT AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |s AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+         |             max(cnt) AS max_cnt FROM c),
+         |t AS (SELECT l_partkey, cnt FROM c
+         |      ORDER BY cnt DESC, l_partkey LIMIT ${Profiling.SkewTopK})
+         |SELECT row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank,
+         |       l_partkey, cnt, s.n_keys,
+         |       round(cnt / s.n_rows, 6) AS share,
+         |       round(cnt * s.n_keys / s.n_rows, 4) AS x_mean
+         |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
 
     // exact interpolated quartile boundaries (quantile_cont ≡ Spark
     // `percentile`); value==boundary only when the boundary IS a data

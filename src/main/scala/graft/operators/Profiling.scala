@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Dataset PROFILING — the `ANALYZE TABLE`-grade statistics pass every
@@ -118,5 +119,40 @@ object Profiling {
         round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("quartile")
+  }
+
+  /** Hot keys reported by [[keySkewProfile]]. */
+  val SkewTopK = 10
+
+  /** JOIN-KEY skew profile — the diagnostic a 100 TB job runs BEFORE
+    * deciding whether a join needs salting ([[ScaleTechniques]]) or can
+    * rely on AQE's skew split: per-key frequencies of `l_partkey`, the
+    * [[SkewTopK]] hottest keys with their share and their multiple of
+    * the mean, plus the key-space summary (distinct keys, mean rows per
+    * key) carried on every row so the report is one self-contained
+    * frame.
+    *
+    * Plan shape: the per-key count is one map-side-combined groupBy;
+    * the summary is a second tiny agg over the key frame (n_keys rows,
+    * not corpus rows) broadcast into the result; the hot-key cut is
+    * `TakeOrderedAndProject` (never a global sort), and ranking happens
+    * AFTER the cut on the k-row frame, so no corpus-sized window
+    * exists. Every stage is sized by the key space or by k. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.fanOut(Tables.lineitem(spark, dir))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(desc("cnt"), asc("l_partkey")).limit(SkewTopK)
+    val w = Window.orderBy(desc("cnt"), asc("l_partkey"))
+    top.crossJoin(broadcast(summary))
+      .select(
+        row_number().over(w).cast("long").as("rank"),
+        col("l_partkey"), col("cnt"), col("n_keys"),
+        round(col("cnt") / col("n_rows"), 6).as("share"),
+        round(col("cnt") * col("n_keys") / col("n_rows"), 4).as("x_mean"))
+      .orderBy("rank")
   }
 }

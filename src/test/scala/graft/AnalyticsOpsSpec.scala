@@ -76,6 +76,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(badDeg.count() == 0)
   }
 
+  test("skew profile ranks the true hottest keys with exact shares") {
+    val rows = Profiling.keySkewProfile(spark, dir).collect()
+    assert(rows.length == Profiling.SkewTopK)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to Profiling.SkewTopK.toLong))
+    // descending frequency, unique-tiebroken
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse)
+    // cross-check the report against directly computed frequencies
+    val li = Tables.lineitem(spark, dir)
+    val trueCounts = li.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRows = li.count().toDouble
+    rows.foreach { r =>
+      val k = r.getAs[Long]("l_partkey")
+      assert(r.getAs[Long]("cnt") == trueCounts(k))
+      assert(r.getAs[Long]("n_keys") == trueCounts.size.toLong)
+      assert(math.abs(r.getAs[Double]("share") - trueCounts(k) / nRows) < 1e-6)
+    }
+    // the rank-1 key really is the global max
+    assert(rows.head.getAs[Long]("cnt") == trueCounts.values.max)
+  }
+
   test("triangle counts match a planted graph and an id-ordered recount") {
     import spark.implicits._
     // planted: triangles {1,2,3} {1,2,4} {1,3,4} {2,3,4} {4,5,6}
