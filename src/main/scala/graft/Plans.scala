@@ -16,7 +16,8 @@ object Plans {
     "q_ann_ivf_assign", "q_text_pack", "q_dedup_span_coverage",
     "q_ann_kmeans", "q_ann_kmeans_routed", "q_sketch_cms",
     "q_events_funnel", "q_merge_upsert", "q_graph_triangles",
-    "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist")
+    "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist",
+    "q_assoc_rules", "q_profile_skew")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
