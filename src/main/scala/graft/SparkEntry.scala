@@ -113,6 +113,8 @@ object SparkEntry {
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_prefix_join"   -> (Dedup.prefixFilterJoin _),
+    "q_dedup_recall"        -> (Dedup.lshRecallAudit _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
+    "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
     "q_text_decontaminate" -> (TextAnalysis.decontaminate _),
@@ -789,6 +792,29 @@ object SparkEntry {
          |       round(1.0 - edit_dist / max_len, 4) AS edit_sim,
          |       (1.0 - edit_dist / max_len) >= ${Dedup.EditSimThreshold} AS confirmed
          |FROM v ORDER BY doc_a, doc_b""".stripMargin,
+    // DuckDB re-derives BOTH sides independently — exact Jaccard truth
+    // from the posting self-join and the bit-exact minhash band
+    // candidates — so the hash-match pins the measured recall itself
+    "q_dedup_recall" ->
+      s"""WITH $DuckMinhashCtes,
+         |posting AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM posting GROUP BY doc_id),
+         |inter2 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |           FROM posting x JOIN posting y
+         |             ON x.g = y.g AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b,
+         |            least((10 * inter) // (na.n + nb.n - inter), 9) AS decile
+         |          FROM inter2 JOIN sizes na ON na.doc_id = doc_a
+         |                      JOIN sizes nb ON nb.doc_id = doc_b
+         |          WHERE inter * 2 >= na.n + nb.n - inter),
+         |hits AS (SELECT t.decile,
+         |           CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS h
+         |         FROM truth t LEFT JOIN cand c
+         |           ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT decile, count(*)::BIGINT AS n_true, sum(h)::BIGINT AS n_caught,
+         |       round(sum(h) / count(*), 4) AS recall
+         |FROM hits GROUP BY decile ORDER BY decile""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH $DuckMinhashCtes,
          |cand2 AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
@@ -930,6 +956,30 @@ object SparkEntry {
          |                 JOIN sizes nb ON nb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM j
          |WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""".stripMargin,
+    // The naive ALL-PAIRS computation, on purpose: the Spark side runs the
+    // prefix-filtered plan, so the hash-match machine-checks that the
+    // prefix cut is lossless at t = 0.5, not merely that the arithmetic
+    // agrees.
+    "q_dedup_prefix_join" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |sh AS (SELECT doc_id, $DuckShingles AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |posting AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+         |dfs AS (SELECT g, count(*) AS df FROM posting GROUP BY g),
+         |kept AS (SELECT doc_id, g, df FROM posting JOIN dfs USING (g)
+         |         WHERE df <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM kept x JOIN kept y
+         |            ON x.g = y.g AND x.doc_id < y.doc_id
+         |          WHERE x.df >= 2 AND y.df >= 2
+         |          GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |        round(inter / (na.n + nb.n - inter), 4) AS jaccard
+         |      FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |                 JOIN sizes nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT label, vec_id, embedding,
          |             $DuckBucket AS bucket, $DuckNorm AS nrm
@@ -1316,6 +1366,18 @@ object SparkEntry {
 
     // the bit-interleave terms are generated from the same Scala
     // constants as the Spark kernel (Layout.zValueSqlTerms)
+    "q_export_shards" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+         |s AS (SELECT doc_id, text, h,
+         |        CAST('0x' || substr(h, 1, 8) AS BIGINT) AS hx,
+         |        CAST('0x' || substr(h, 1, 8) AS BIGINT) % ${Layout.ExportShards} AS shard
+         |      FROM d)
+         |SELECT shard, count(*)::BIGINT AS docs,
+         |       sum(len($DuckTok))::BIGINT AS tokens,
+         |       sum(length(text))::BIGINT AS chars,
+         |       sum(hx)::BIGINT AS hash_sum,
+         |       min(h) AS h_min, max(h) AS h_max
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q_zorder_values" ->
       s"""WITH d AS (
          |  SELECT event_id,

@@ -312,6 +312,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), estJaccard.as("est_jaccard"))
   }
 
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    lshRecallAuditOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** Recall audit of the MinHash+LSH candidate screen against EXACT
+    * Jaccard ground truth, reported per similarity decile: for every
+    * true pair with J ≥ 0.5, did the band join surface it? This is the
+    * measurement that justifies the (K=32, 8×4) banding choice — theory
+    * says the catch probability is 1−(1−J⁴)⁸ (≈0.4 at J=0.5, ≈0.99 at
+    * J=0.8), and this query checks the deployed pipeline against it.
+    *
+    * Ground truth is the full posting self-join (deliberately naive,
+    * and deliberately UNCAPPED — MinHash estimates Jaccard over the
+    * complete distinct shingle sets, so the truth must too); at 100 TB
+    * the audit runs on a content-hash-sampled subcorpus, exactly like
+    * [[SimSearch]]'s `q_ann_recall` — sampling the AUDIT is how
+    * production measures recall without paying all-pairs on the corpus.
+    * Decile boundaries are integer-exact ((10·|∩|) div |∪|, J ≥ 0.5 as
+    * 2·|∩| ≥ |∪|), so bucketing can never hinge on a float ulp. */
+  private[graft] def lshRecallAuditOf(docs: DataFrame): DataFrame = {
+    val posting = shinglesOf(docs).distinct()
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posting.alias("x")
+      .join(posting.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("u", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 2 >= col("u"))
+      .select(col("doc_a"), col("doc_b"),
+        least(expr("(10 * inter) div u"), lit(9L)).as("decile"))
+    val caught = minhashCandidatesOf(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(caught, Seq("doc_a", "doc_b"), "left")
+      .withColumn("h", coalesce(col("hit"), lit(0L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_true"), sum("h").as("n_caught"))
+      .select(col("decile"), col("n_true"), col("n_caught"),
+        round(col("n_caught") / col("n_true"), 4).as("recall"))
+      .orderBy("decile")
+  }
+
   /** Session conf key selecting RELIABLE (HDFS/S3-backed) checkpoints for
     * every lineage-truncating dedup path — the memoized pair graph, the
     * memoized component labels, and each [[componentsOfManaged]] round.
@@ -642,6 +686,84 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Jaccard threshold of the prefix-filtering join — higher than
+    * [[ngramJaccardOf]]'s 0.3 because prefix filtering's pruning power is
+    * proportional to the threshold (prefix length is n − ⌈t·n⌉ + 1, so
+    * t = 0.5 joins only ~half of each doc's shingles). */
+  val PrefixJoinThreshold = 0.5
+
+  def prefixFilterJoin(spark: SparkSession, dir: String): DataFrame =
+    prefixFilterJoinOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** EXACT Jaccard-threshold set-similarity self-join by prefix filtering
+    * (the AllPairs/PPJoin family): order each doc's kept shingle set by
+    * global rarity (df asc, shingle — a total order both engines agree
+    * on), emit only the first n − ⌈t·n⌉ + 1 tokens of each doc into the
+    * candidate join, verify exact Jaccard on the candidates. Lossless by
+    * the prefix-filtering principle: J(a,b) ≥ t forces an overlap of at
+    * least ⌈t·|a|⌉ tokens, so by pigeonhole some shared token lands in
+    * both prefixes. The registered oracle is the NAIVE all-pairs
+    * computation, so the hash-match is a machine check of losslessness,
+    * not just of the arithmetic.
+    *
+    * This is the EXACT counterpart of MinHash+LSH: same candidate-then-
+    * verify shape, but zero false negatives and no signature tuning. At
+    * 100 TB the candidate join is bounded twice over — the df ≤
+    * [[MaxShingleDf]] cap bounds per-token fan-out, and the prefix cut
+    * removes the ~t fraction of each doc's tokens that are globally
+    * COMMONEST (rarity order means the skipped suffix holds exactly the
+    * tokens that would have exploded the join). Verification cost is
+    * O(candidates × avg set size), all id-keyed hash joins. */
+  def prefixFilterJoinOf(docs: DataFrame,
+                         t: Double = PrefixJoinThreshold): DataFrame = {
+    val (kept, sizes, cand) = prefixStages(docs, t)
+    val slim = kept.select("doc_id", "g")
+    val inter = cand
+      .join(slim.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(slim.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The shared front half of the prefix join: the kept (df-capped)
+    * posting representation, per-doc set sizes, and the candidate pairs
+    * the prefix cut admits. `cand` is exposed via [[prefixCandidatesOf]]
+    * for the spec's pruning assertion and SCALE growth counts. */
+  private def prefixStages(docs: DataFrame,
+                           t: Double): (DataFrame, DataFrame, DataFrame) = {
+    val posting = shinglesOf(docs).distinct()
+    val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // Prefix membership is decided on the FULL kept set (the theorem
+    // needs the first p tokens of the whole ordering); df = 1 tokens are
+    // dropped only AFTERWARDS — a singleton can never match, so removing
+    // it from the join is lossless and keeps the hot side slim.
+    val prefix = kept.join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1 &&
+        col("df") >= 2)
+      .select("doc_id", "g")
+    val cand = prefix.alias("x")
+      .join(prefix.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    (kept, sizes, cand)
+  }
+
+  private[graft] def prefixCandidatesOf(docs: DataFrame,
+                                        t: Double = PrefixJoinThreshold): DataFrame =
+    prefixStages(docs, t)._3
 
   /** Iteration cap for [[componentsOf]]. With pointer jumping each round
     * at least halves every propagation chain, so convergence needs

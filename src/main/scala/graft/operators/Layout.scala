@@ -113,4 +113,56 @@ object Layout {
     (0 until ZBits).flatMap { i =>
       Seq(s"(($a & ${1L << i}) << $i)", s"(($b & ${1L << i}) << ${i + 1})")
     }.mkString(" | ")
+
+  /** Shard count of the REGISTERED export query — tiny because the test
+    * corpus is; a 100 TB export uses thousands (the formula is
+    * shard-count-agnostic, it only changes the modulus). */
+  val ExportShards = 8
+
+  /** doc → (h = md5(text), hx = first 8 hex digits as int, shard).
+    * Content-addressed, so assignment is a pure function of the data:
+    * stable across reruns, ingestion order, partitioning, and engine
+    * (DuckDB derives the identical shard from the identical md5). */
+  private def sharded(docs: DataFrame, shards: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .withColumn("hx",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("shard", col("hx") % shards)
+
+  /** Registered query: the MANIFEST of a deterministic sharded training
+    * export — per shard: doc/token/char totals, an additive content
+    * checksum, and the shard's hash range. The export itself
+    * ([[exportWrite]]) assigns shard = content-hash mod N and orders
+    * WITHIN each shard by the full hash: a content-addressed global
+    * shuffle, so any contiguous slice of any shard is an unbiased
+    * corpus sample and training never needs a separate shuffle pass.
+    *
+    * Every manifest column is distributive (count/sum/min/max — the
+    * checksum is a SUM of per-doc hash ints, order-insensitive and
+    * map-side combined), so the manifest costs one pass at any scale
+    * and shard manifests from incremental exports MERGE by addition. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame =
+    sharded(Tables.fanOut(Tables.documents(spark, dir)), ExportShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(graft.functions.TextFunctions.tokenize(col("text")))
+          .cast("long")).as("tokens"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        sum(col("hx")).as("hash_sum"),
+        min("h").as("h_min"), max("h").as("h_max"))
+      .orderBy("shard")
+
+  /** The WRITE side: one directory per shard, rows hash-ordered within
+    * it. `repartition(shards, shard)` gives each shard exactly one
+    * writing task (collisions just mean a task writes two dirs), and
+    * the within-partition sort makes file CONTENT deterministic — two
+    * exports of the same corpus are row-identical, which is what makes
+    * training jobs resumable and shard-level caching sound. */
+  def exportWrite(docs: DataFrame, path: String,
+                  shards: Int = ExportShards): Unit =
+    sharded(docs, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "h")
+      .select("doc_id", "text", "h", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }
