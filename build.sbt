@@ -31,10 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g: the bench runs 100+ queries through one local[32] JVM; at 8g
+  // 32g: the bench runs 110+ queries through one local[32] JVM; at 8g
   // the heap-pressure GC drag inflated unrelated sub-second queries up
   // to ~3x (measured at sf0.1: q_window_lag 3.4s -> 1.1s, ngram-jaccard
-  // 8.5s -> 3.5s after the raise, both back at their round-4 numbers)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8.5s -> 3.5s after a raise to 24g, both back at their round-4
+  // numbers), and late-run inflation reappeared at 24g once the query
+  // count passed ~108 — the box has 125 GiB, so headroom is free
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
 Global / excludeLintKeys += showSuccess

@@ -66,8 +66,21 @@ object Bench {
         timed("build:components") { Dedup.componentsCached(spark, dir); () })
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the run to named queries — the
+    // single-query regression-chase mode. The memo builds still run
+    // whenever a selected query consumes the memoized pair/label frames,
+    // so a filtered number means the same thing as a full-run number.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    buildEntries(warmDir)
+      .filter(n => only.forall(_.contains(n)))
+    val memoConsumers = Set("q_dedup_minhash_lsh", "q_dedup_editdist",
+      "q_dedup_clusters", "q_dedup_keep_set", "q_dedup_keep_clustered",
+      "q_split_leakage_safe", "q_dedup_incremental")
+    val needBuilds = names.exists(memoConsumers)
+    def builds(dir: String): Seq[(String, Double)] =
+      if (needBuilds) buildEntries(dir) else Seq.empty
+    builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
     // Two measured passes at the target SF, keep the per-query MIN: the
     // first pass charges cold OS page-cache / parquet-footer I/O to
@@ -75,10 +88,12 @@ object Bench {
     // manufactured phantom round-over-round regressions. The min of two
     // warm-ish runs is the steady-state number a cluster would see.
     def pass(): Map[String, Double] =
-      (buildEntries(sfDir) ++ names.map(n => n -> run(n, sfDir))).toMap
+      (builds(sfDir) ++ names.map(n => n -> run(n, sfDir))).toMap
     val pass1 = pass()
     val pass2 = pass()
-    val allNames = Seq("build:minhash_pairs", "build:components") ++ names
+    val allNames =
+      (if (needBuilds) Seq("build:minhash_pairs", "build:components")
+       else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

@@ -59,8 +59,16 @@ object Scale {
   }
 
   def main(args: Array[String]): Unit = {
-    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+    val baseDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
+    // optional `--sections=dedup,signals,graph,prefix` limits the run to
+    // named sections (each prints an independent table), so adding a new
+    // stage doesn't force a full re-measure of the others
+    val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
+      a.stripPrefix("--sections=").split(",").toSet }
+      .getOrElse(Set("dedup", "signals", "graph", "prefix"))
+    val plain = args.filterNot(_.startsWith("--"))
+    val factors = if (plain.length > 1) plain.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,7 +85,7 @@ object Scale {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
-    val rows = factors.map { k =>
+    val rows = factors.filter(_ => sections("dedup")).map { k =>
       System.err.println(s"[scale] factor $k ...")
       val docs = replicatedDocs(spark, baseDir, k)
       val nDocs = docs.count()
@@ -147,18 +155,20 @@ object Scale {
           s"${f"$tJacc%.1f"}s | ${f"$tBrute%.1f"}s brute | ${f"$tBucket%.1f"}s bucketed |")
     }
 
-    println("| factor | docs | shingle posting | band keys | max band bucket | " +
-      "candidates | pairs>=0.5 | cc nodes | cc rounds | max simhash bucket | " +
-      "simhash pairs | jaccard pairs | vectors | max vec bucket |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
-    rows.flatten.foreach(println)
+    if (sections("dedup")) {
+      println("| factor | docs | shingle posting | band keys | max band bucket | " +
+        "candidates | pairs>=0.5 | cc nodes | cc rounds | max simhash bucket | " +
+        "simhash pairs | jaccard pairs | vectors | max vec bucket |")
+      println("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+      rows.flatten.foreach(println)
+    }
 
     // round-5 training-signal stages: duplicate-span coverage (the
     // membership join's output volume is the quantity that would blow up
     // on hot grams) and relational k-means (fixed K and dims, so the
     // per-iteration O(N·K·dims) cost must scale with N alone)
     import graft.operators.{SimSearch, TextAnalysis}
-    val rows2 = factors.map { k =>
+    val rows2 = factors.filter(_ => sections("signals")).map { k =>
       System.err.println(s"[scale] factor $k (training signals) ...")
       val docs = replicatedDocs(spark, baseDir, k)
       val grams = TextAnalysis.spanGramsOf(docs)
@@ -179,11 +189,13 @@ object Scale {
       s"| ${k}x | $nGrams | $nShared | $joinRows | $flagged | ${f"$tSpan%.1f"}s | " +
         s"$nVecs | ${f"$sse%.0f"} | ${f"$tKm%.1f"}s |"
     }
-    println()
-    println("| factor | span grams | shared grams | join rows | flagged docs | " +
-      "span time | vectors | kmeans sse | kmeans time |")
-    println("|---|---|---|---|---|---|---|---|---|")
-    rows2.foreach(println)
+    if (sections("signals")) {
+      println()
+      println("| factor | span grams | shared grams | join rows | flagged docs | " +
+        "span time | vectors | kmeans sse | kmeans time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rows2.foreach(println)
+    }
 
     // graph stages: k disjoint copies of the co-purchase graph (order and
     // part keys shifted per replica), so every count must grow EXACTLY k×
@@ -192,7 +204,7 @@ object Scale {
     // loop on the RAW (dense) graph so the per-iteration join cost is
     // stressed at 10× the edge volume.
     import graft.operators.Graph
-    val rows3 = factors.map { k =>
+    val rows3 = factors.filter(_ => sections("graph")).map { k =>
       System.err.println(s"[scale] factor $k (graph) ...")
       val li = replicatedLineitemKeys(spark, baseDir, k)
       val (rawEdges, tRaw) = timedCount(Graph.copurchaseEdges(li))
@@ -214,11 +226,41 @@ object Scale {
       s"| ${k}x | $rawEdges | ${f"$tRaw%.1f"}s | $nRec | ${f"$tRec%.1f"}s | " +
         s"$wedges | $tri | ${f"$tTri%.1f"}s | $prNodes | ${f"$tPr%.1f"}s |"
     }
-    println()
-    println("| factor | raw edges | edge time | recurring edges | rec time | " +
-      "oriented wedges | triangles | tri time | pr nodes | pr time (3 iters) |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
-    rows3.foreach(println)
+    if (sections("graph")) {
+      println()
+      println("| factor | raw edges | edge time | recurring edges | rec time | " +
+        "oriented wedges | triangles | tri time | pr nodes | pr time (3 iters) |")
+      println("|---|---|---|---|---|---|---|---|---|---|")
+      rows3.foreach(println)
+    }
+
+    // prefix-filter join: candidates vs the naive shared-shingle pair
+    // volume is the MEASURED pruning ratio, and both must grow linearly
+    // (replicas are shingle-disjoint, so cross-replica pairs are
+    // impossible by construction — any superlinear growth is algorithmic)
+    val rows4 = factors.filter(_ => sections("prefix")).map { k =>
+      System.err.println(s"[scale] factor $k (prefix join) ...")
+      val docs = replicatedDocs(spark, baseDir, k)
+      val posting = Dedup.shinglesOf(docs).distinct()
+      val (naive, tNaive) = timedCount(
+        posting.alias("x")
+          .join(posting.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id"), col("y.doc_id")).distinct())
+      val (pCands, tCand) = timedCount(Dedup.prefixCandidatesOf(docs))
+      val t0 = System.nanoTime()
+      val nPairs = Dedup.prefixFilterJoinOf(docs).count()
+      val tJoin = (System.nanoTime() - t0) / 1e9
+      s"| ${k}x | $naive | ${f"$tNaive%.1f"}s | $pCands | ${f"$tCand%.1f"}s | " +
+        s"${f"${100.0 * (naive - pCands) / naive}%.1f"}%% | $nPairs | ${f"$tJoin%.1f"}s |"
+    }
+    if (sections("prefix")) {
+      println()
+      println("| factor | shared-shingle pairs | naive time | prefix candidates | " +
+        "cand time | pruned | pairs>=0.5 | join time |")
+      println("|---|---|---|---|---|---|---|---|")
+      rows4.foreach(println)
+    }
     spark.stop()
   }
 

@@ -717,53 +717,98 @@ object Dedup {
     * O(candidates × avg set size), all id-keyed hash joins. */
   def prefixFilterJoinOf(docs: DataFrame,
                          t: Double = PrefixJoinThreshold): DataFrame = {
-    val (kept, sizes, cand) = prefixStages(docs, t)
-    val slim = kept.select("doc_id", "g")
-    val inter = cand
-      .join(slim.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(slim.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val (docsets, cand) = prefixStages(docs, t)
+    // Verify on the per-doc ARRAYS, not an exploded posting: two id-keyed
+    // hash joins haul one bounded (~doc-length) array per side per
+    // candidate, and `array_intersect` counts the overlap in place.
+    // (The first cut exploded candidates × tokens through two more
+    // shuffles — ~50× the rows for the same answer; arrays lose for the
+    // NAIVE join's huge candidate set (see ngramJaccardOf's note) but win
+    // here exactly because the prefix cut made candidates scarce.)
+    // Intersect the plain STRING arrays (`toks.g` field extraction, a
+    // codegen'd projection): `array_intersect` only takes its hash-set
+    // fast path for atomic element types — on the (df, g) struct arrays
+    // it degrades to an interpreted quadratic ordering scan, which turned
+    // the verify stage into minutes at sf0.1.
+    val a = docsets.select(col("doc_id").as("doc_a"),
+      col("toks.g").as("gs_a"), col("n").as("na"))
+    val b = docsets.select(col("doc_id").as("doc_b"),
+      col("toks.g").as("gs_b"), col("n").as("nb"))
+    // The threshold filter references `inter` ONCE, in integer form:
+    // round₄(i/u) ≥ t  ⟺  i/u ≥ t − 5·10⁻⁵  ⟺  (100000+c)·i ≥ c·(na+nb)
+    // with c = 100000·t − 5 and u = na+nb−i substituted out. Written as
+    // `jaccard >= t` the pushdown would inline TWO array_intersect calls
+    // into the join condition (predicate substitution has no
+    // common-subexpression guard, and ArrayIntersect is interpreted) —
+    // the single-reference form halves the per-candidate verify cost.
+    // Exactness: a boundary tie needs u ≥ 20000 distinct shingles per
+    // pair (20000·u grid vs ~1e-16 double error), far beyond any doc.
+    val c = math.round(100000.0 * t - 5)
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(lit(100000L + c) * col("inter") >= lit(c) * (col("na") + col("nb")))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= t)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The shared front half of the prefix join: the kept (df-capped)
-    * posting representation, per-doc set sizes, and the candidate pairs
-    * the prefix cut admits. `cand` is exposed via [[prefixCandidatesOf]]
-    * for the spec's pruning assertion and SCALE growth counts. */
+  /** The shared front half of the prefix join: `docsets` — ONE row per
+    * doc holding its kept shingle set as a rarity-SORTED (df, g) struct
+    * array plus its size — and `cand`, the candidate pairs the prefix
+    * cut admits. A single `groupBy(doc_id)` with `sort_array` replaces
+    * both the per-doc size aggregate and a `row_number` window (the
+    * struct sort IS the global (df asc, g) rarity order, applied per
+    * doc), so the whole front half costs one doc_id shuffle instead of
+    * a window shuffle plus a separate size shuffle. */
   private def prefixStages(docs: DataFrame,
-                           t: Double): (DataFrame, DataFrame, DataFrame) = {
+                           t: Double): (DataFrame, DataFrame) = {
     val posting = shinglesOf(docs).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    // df = 1 tokens can never match ANYTHING (they exist in exactly one
+    // doc): they can't generate a candidate and can't contribute to an
+    // intersection. They only matter through the COUNTS — the set size n
+    // (jaccard denominator, prefix length) — and since df-ascending
+    // order puts every df=1 token before every df≥2 token, the first p
+    // tokens of the full ordering contain exactly max(0, p − c1) df≥2
+    // tokens, all at the FRONT of the df≥2-only sorted array. So the
+    // arrays carry only df≥2 tokens (collect_list skips the nulled-out
+    // singletons) and c1 keeps the arithmetic exact — in a Zipf corpus
+    // most shingles are df=1, so this is the difference between hauling
+    // the corpus and hauling its repeated fraction.
+    val docsets = kept
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+          when(col("df") >= 2, struct(col("df"), col("g"))))).as("toks"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("n", size(col("toks")) + col("c1"))
     // Prefix membership is decided on the FULL kept set (the theorem
-    // needs the first p tokens of the whole ordering); df = 1 tokens are
-    // dropped only AFTERWARDS — a singleton can never match, so removing
-    // it from the join is lossless and keeps the hot side slim.
-    val prefix = kept.join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(order))
-      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1 &&
-        col("df") >= 2)
-      .select("doc_id", "g")
+    // needs the first p = n − ⌈t·n⌉ + 1 tokens of the whole ordering).
+    val prefix = docsets
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1),
+          greatest(
+            (col("n") - ceil(lit(t) * col("n")) + 1 - col("c1")).cast("int"),
+            lit(0)))).as("tk"))
+      .select(col("doc_id"), col("n"), col("tk.g").as("g"))
+    // The PPJoin LENGTH filter rides the join: J ≥ t forces
+    // min(na,nb) ≥ t·max(na,nb), so size-mismatched pairs never reach
+    // the distinct or the verify. The 1e-9 slack makes the float product
+    // err only toward KEEPING a boundary pair (verification stays exact).
     val cand = prefix.alias("x")
       .join(prefix.alias("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")).cast("double") >=
+            lit(t) * greatest(col("x.n"), col("y.n")) - lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    (kept, sizes, cand)
+    (docsets, cand)
   }
 
   private[graft] def prefixCandidatesOf(docs: DataFrame,
                                         t: Double = PrefixJoinThreshold): DataFrame =
-    prefixStages(docs, t)._3
+    prefixStages(docs, t)._2
 
   /** Iteration cap for [[componentsOf]]. With pointer jumping each round
     * at least halves every propagation chain, so convergence needs

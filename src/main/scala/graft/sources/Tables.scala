@@ -67,6 +67,12 @@ object Tables {
       if (files.isEmpty) df.rdd.getNumPartitions < target
       else fanOutSmall.computeIfAbsent(files.sorted.mkString(",") + "#" + target,
         _ => df.rdd.getNumPartitions < target)
+    // Round-robin on purpose, even though round-robin exchanges never
+    // canonicalize equal (so self-join branches re-scan the small input
+    // rather than reuse one stage): a hash-repartition on the lead key
+    // was tried and benched severalfold slower on the dedup self-joins —
+    // the changed partition stats flip AQE's downstream join picks,
+    // which costs far more than the duplicated tiny scan saves.
     if (small) df.repartition(target) else df
   }
 
