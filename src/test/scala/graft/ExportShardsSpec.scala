@@ -56,6 +56,38 @@ class ExportShardsSpec extends AnyFunSuite {
     assert(hs.nonEmpty && hs == hs.sorted)
   }
 
+  test("incremental exports merge by addition: manifest(A ∪ B) = manifest(A) + manifest(B)") {
+    // every manifest column is distributive, so two batch exports'
+    // manifests must sum to the combined corpus's manifest (min/max
+    // checked as elementwise min/max) — the contract that lets a 100 TB
+    // export run incrementally without re-scanning history
+    val d1 = Files.createTempDirectory("graft-exp-a").toString
+    val d2 = Files.createTempDirectory("graft-exp-b").toString
+    val d12 = Files.createTempDirectory("graft-exp-ab").toString
+    def writeDocs(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = docs.filter(col("doc_id") < 32)
+    val b = docs.filter(col("doc_id") >= 32)
+    writeDocs(a, d1); writeDocs(b, d2); writeDocs(a.unionByName(b), d12)
+    def manifest(dir: String) = Layout.exportManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (ma, mb, mab) = (manifest(d1), manifest(d2), manifest(d12))
+    mab.foreach { case (shard, r) =>
+      def f(m: Map[Long, org.apache.spark.sql.Row], i: Int): Long =
+        m.get(shard).map(_.getLong(i)).getOrElse(0L)
+      assert(r.getLong(1) == f(ma, 1) + f(mb, 1), s"docs shard $shard")
+      assert(r.getLong(2) == f(ma, 2) + f(mb, 2), s"tokens shard $shard")
+      assert(r.getLong(3) == f(ma, 3) + f(mb, 3), s"chars shard $shard")
+      assert(r.getLong(4) == f(ma, 4) + f(mb, 4), s"hash_sum shard $shard")
+      val mins = Seq(ma, mb).flatMap(_.get(shard)).map(_.getString(5))
+      assert(r.getString(5) == mins.min, s"h_min shard $shard")
+      val maxs = Seq(ma, mb).flatMap(_.get(shard)).map(_.getString(6))
+      assert(r.getString(6) == maxs.max, s"h_max shard $shard")
+    }
+  }
+
   test("manifest totals reconcile with the corpus") {
     val dir = Files.createTempDirectory("graft-export-man").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))

@@ -79,4 +79,25 @@ class FormatsSpec extends AnyFunSuite {
     val files = new java.io.File(out, "final_output").listFiles().map(_.getName).toSet
     assert(files == Set("a.txt", "b.txt"))
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // the lake ingestion reality: batch 2 adds a column batch 1 lacks;
+    // a mergeSchema read must union the schemas and null-fill the gap
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.parquet(s"$path/batch=1")
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v1", "v2")
+      .write.parquet(s"$path/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "v1", "v2"))
+    val rows = merged.select("id", "v2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(30.0))
+    // and the evolved column still supports pushdown on the new batch
+    val filtered = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("v2") > 35.0)
+    assert(filtered.collect().map(_.getAs[Long]("id")).toSeq == Seq(4L))
+  }
 }
