@@ -168,6 +168,8 @@ object SparkEntry {
     "q_profile_histogram" -> (Profiling.totalpriceHistogram _),
     "q_profile_eqdepth"  -> (Profiling.eqdepthHistogram _),
     "q_profile_skew"     -> (Profiling.keySkewProfile _),
+    "q_profile_drift"    -> (Profiling.driftReport _),
+    "q_dedup_keep_best"  -> (Dedup.dedupedCorpusBest _),
 
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
@@ -874,6 +876,30 @@ object SparkEntry {
          |FROM documents d
          |JOIN exact_keep USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // keep-longest policy: the oracle ranks with a row_number window
+    // (the naive spec), the Spark side uses a map-side-combinable
+    // struct-argmax — same survivor per component by construction
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $DuckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comps AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+         |               d.n_chars
+         |        FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+         |ranked AS (SELECT doc_id, row_number() OVER
+         |             (PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn
+         |           FROM grp),
+         |kept AS (SELECT doc_id FROM ranked WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN kept USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // split is a hash of the near-dup GROUP key, so no component can
@@ -1629,6 +1655,32 @@ object SparkEntry {
          |       round(cnt / s.n_rows, 6) AS share,
          |       round(cnt * s.n_keys / s.n_rows, 4) AS x_mean
          |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
+
+    // PSI drift between the doc_id-parity snapshots; 0.5-per-bucket
+    // additive smoothing over the fixed 10-bucket spine (empty buckets
+    // included), natural log rounded at 6 decimals in both engines
+    "q_profile_drift" ->
+      s"""WITH d AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+         |             least(n_chars // 100, ${Profiling.DriftBuckets - 1}) AS bucket
+         |           FROM documents),
+         |counts AS (SELECT bucket,
+         |             sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |             sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+         |           FROM d GROUP BY bucket),
+         |spine AS (SELECT unnest(range(0, ${Profiling.DriftBuckets})) AS bucket),
+         |filled AS (SELECT s.bucket,
+         |           coalesce(n_ref, 0)::BIGINT AS n_ref,
+         |           coalesce(n_cur, 0)::BIGINT AS n_cur
+         |         FROM spine s LEFT JOIN counts c ON c.bucket = s.bucket),
+         |tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM filled),
+         |p AS (SELECT bucket, n_ref, n_cur,
+         |        (n_ref + 0.5) / (t_ref + ${0.5 * Profiling.DriftBuckets}) AS p_ref,
+         |        (n_cur + 0.5) / (t_cur + ${0.5 * Profiling.DriftBuckets}) AS p_cur
+         |      FROM filled CROSS JOIN tot)
+         |SELECT bucket, n_ref, n_cur,
+         |       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+         |FROM p ORDER BY bucket""".stripMargin,
 
     // exact interpolated quartile boundaries (quantile_cont ≡ Spark
     // `percentile`); value==boundary only when the boundary IS a data

@@ -1006,6 +1006,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Dedup ACTION with a QUALITY keep policy: per near-dup component,
+    * keep the LONGEST document (max n_chars, min doc_id tiebreak) —
+    * the keep-longest policy of Lee et al.'s dedup pipeline, where the
+    * shortest copy is usually the truncated one. Differs from
+    * [[dedupedCorpusClustered]] (canonical min-id representative) in
+    * WHICH doc survives, not how many: both keep one per component.
+    *
+    * The argmax is `max(struct(n_chars, -doc_id))` under a component-
+    * keyed groupBy — a map-side-combinable aggregate, deliberately NOT
+    * a corpus-wide row_number window (same answer, but a window would
+    * sort every group's rows; the struct-max carries one value per
+    * group through the exchange). Exact duplicates tie on n_chars and
+    * fall to min-id, agreeing with the exact-keep rule. */
+  def dedupedCorpusBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val comps = componentsCached(spark, dir)
+    val grp = d.join(comps, d("doc_id") === comps("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"), col("n_chars"))
+    val kept = grp.groupBy("grp")
+      .agg(max(struct(col("n_chars").as("len"),
+        (-col("doc_id")).as("neg_id"))).as("best"))
+      .select((-col("best.neg_id")).as("doc_id"))
+    d.join(kept, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Train fraction (of 100 hash buckets) for [[leakageSafeSplit]]. */
   val TrainBuckets = 80
 

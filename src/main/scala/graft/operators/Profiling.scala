@@ -155,4 +155,52 @@ object Profiling {
         round(col("cnt") * col("n_keys") / col("n_rows"), 4).as("x_mean"))
       .orderBy("rank")
   }
+
+  /** Bucket count of the drift report — fixed, so the smoothing
+    * denominator and the bucket spine are corpus-independent. */
+  val DriftBuckets = 10
+
+  /** Population-stability drift report between two corpus snapshots —
+    * the monitor a training pipeline runs when a new crawl lands:
+    * bucket a feature (n_chars, width 100, capped at [[DriftBuckets]]
+    * deciles), compare the reference and current distributions, and
+    * report each bucket's PSI contribution
+    * (p_cur − p_ref)·ln(p_cur/p_ref). The conventional reading: total
+    * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 investigate.
+    *
+    * Snapshots here are the deterministic doc_id parity split (the
+    * driver's corpus has no ingest timestamps); production passes two
+    * real snapshot frames. Proportions carry 0.5-per-bucket additive
+    * smoothing over the FULL fixed spine (empty buckets included via a
+    * `spark.range` left join), so PSI is defined when a bucket empties
+    * on one side — the exact situation the monitor exists to catch.
+    *
+    * One corpus pass (map-side-combined conditional counts), then
+    * arithmetic over [[DriftBuckets]] rows with the totals broadcast —
+    * nothing downstream of the first aggregate scales with the corpus. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(
+        when(col("doc_id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("snap"),
+        least(expr("n_chars div 100"), lit(DriftBuckets - 1L)).as("bucket"))
+    val counts = d.groupBy("bucket").agg(
+      sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val spine = spark.range(DriftBuckets).select(col("id").as("bucket"))
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val sm = lit(0.5 * DriftBuckets)
+    full.crossJoin(broadcast(tot))
+      .withColumn("p_ref", (col("n_ref") + 0.5) / (col("t_ref") + sm))
+      .withColumn("p_cur", (col("n_cur") + 0.5) / (col("t_cur") + sm))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+          .as("psi_term"))
+      .orderBy("bucket")
+  }
 }
