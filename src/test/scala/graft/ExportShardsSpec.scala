@@ -88,6 +88,55 @@ class ExportShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental export: per-batch manifests merge to the corpus manifest") {
+    // the production flow: docs arrive as micro-batches, each batch is
+    // exported to its own dated prefix via foreachBatch, and the batch
+    // manifests ADD up to the manifest of the whole corpus — no history
+    // re-scan, exactly the additivity the batch test proves, driven
+    // through the real streaming machinery
+    import org.apache.spark.sql.streaming.Trigger
+    val inputDir = Files.createTempDirectory("graft-sexp-in")
+    val exportRoot = Files.createTempDirectory("graft-sexp-out").toString
+    val ckpt = Files.createTempDirectory("graft-sexp-ckpt").toString
+    val fullDir = Files.createTempDirectory("graft-sexp-full").toString
+    def writeBatchFile(from: Int, until: Int, name: String): Unit =
+      docs.filter(col("doc_id") >= from && col("doc_id") < until)
+        .coalesce(1).write.parquet(inputDir.resolve(name).toString)
+    writeBatchFile(0, 20, "b1")
+    writeBatchFile(20, 64, "b2")
+    val schema = docs.schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inputDir.toString + "/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Layout.exportWrite(batch, s"$exportRoot/batch=$id"): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000L)
+    // manifest of each batch export, summed per shard
+    val batchDirs = new java.io.File(exportRoot).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(batchDirs.length == 2)
+    val summed = batchDirs
+      .map(d => spark.read.parquet(d)
+        .groupBy("shard").agg(count(lit(1)).as("docs"),
+          sum(length(col("text")).cast("long")).as("chars")))
+      .reduce(_ unionByName _)
+      .groupBy("shard").agg(sum("docs").as("docs"), sum("chars").as("chars"))
+    // manifest of the corpus exported in one shot
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
+    val whole = Layout.exportManifest(spark, fullDir)
+      .select("shard", "docs", "chars")
+    val a = summed.orderBy("shard").collect().map(_.toSeq).toSeq
+    val b = whole.orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("manifest totals reconcile with the corpus") {
     val dir = Files.createTempDirectory("graft-export-man").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
