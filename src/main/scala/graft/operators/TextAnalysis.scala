@@ -643,4 +643,63 @@ object TextAnalysis {
         round(max("cd"), 4).as("max_cume_dist"))
       .orderBy("lang", "stage")
   }
+
+  /** Bigram LANGUAGE-MODEL quality score — the CCNet/KenLM-style filter
+    * behind "perplexity" columns in training-data pipelines: train an
+    * add-one-smoothed bigram model ON THE CORPUS ITSELF, then score each
+    * document by its mean log-likelihood under that model,
+    * `avg(ln((c(a,b)+1)/(c(a)+V)))` over the doc's adjacent token pairs.
+    * Boilerplate-heavy documents score high (their bigrams dominate the
+    * model), outliers low — the standard self-scoring pass that feeds a
+    * percentile cut (pair with [[Profiling.eqdepthHistogram]] for the
+    * threshold). Unlike [[tokenEntropy]]/[[repetitionStats]] (within-doc
+    * signals) the model is CROSS-document: a doc is judged against the
+    * corpus distribution.
+    *
+    * Shape: the doc-bigram frame comes from the same zip-of-slices
+    * kernel as [[Dedup.shinglesOf]] (codegen'd, no HOF lambdas). Both
+    * model frames are map-side-combined group-bys that collapse to
+    * vocabulary size — far below corpus size — before anything joins;
+    * the vocab-size scalar rides a broadcast 1-row frame like tf-idf's
+    * N. The scoring join (corpus bigrams × bigram counts) is the one
+    * corpus-sized shuffle; its hot keys ("of the") fan out rows, not
+    * partners — 1 model row per key — so AQE's skew split handles them.
+    * At 100 TB the model side is additionally pruned to a top-V
+    * vocabulary with an OOV bucket (a counts-frame filter; the plan
+    * shape is unchanged), which is exactly how KenLM-scale filters
+    * bound model size. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[lmScore]] over ANY (doc_id, lang, text) frame. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val tokd = docs
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
+    val len = greatest(size(col("toks")) - 1, lit(0))
+    val dbig = tokd
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), len),
+          slice(col("toks"), lit(2), len))).as("z"))
+      .select(col("doc_id"), col("lang"),
+        col("z.0").as("a"), col("z.1").as("b"))
+    val cab = dbig.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // context count c(a) = Σ_b c(a,b): occurrences of a AS A CONTEXT —
+    // counted over the bigram frame, not the token stream, so the
+    // conditional rows sum to 1 (each doc's last token is no context)
+    val ca = dbig.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val v = tokd.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    dbig
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        log((col("c_ab") + 1).cast("double") /
+          (col("c_a") + col("v")).cast("double")).as("ll"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("ll")), 4).as("avg_ll"))
+      .orderBy("doc_id")
+  }
 }

@@ -226,4 +226,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         (nBig * top.getAs[Long]("n_a") * top.getAs[Long]("n_b")))
     assert(math.abs(top.getAs[Double]("pmi") - expect) < 1e-3)
   }
+
+  test("lm score matches the hand-computed add-one bigram likelihood") {
+    // corpus: "a b a b" and "x y" → cab = {(a,b):2, (b,a):1, (x,y):1},
+    // ca = {a:2, b:1, x:1}, V = |{a,b,x,y}| = 4
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b a b"), (2L, "en", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.lmScoreOf(docs).collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val d1 = (2 * math.log(3.0 / 6) + math.log(2.0 / 5)) / 3
+    val d2 = math.log(2.0 / 5)
+    assert(byId(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(byId(1L).getAs[Double]("avg_ll") - d1) < 1e-3)
+    assert(byId(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(math.abs(byId(2L).getAs[Double]("avg_ll") - d2) < 1e-3)
+    // a doc made of corpus-frequent bigrams scores above an outlier doc
+    assert(byId(1L).getAs[Double]("avg_ll") > byId(2L).getAs[Double]("avg_ll") - 1e-9)
+  }
 }
