@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_containment" -> (Dedup.containmentPairs _),
     "q_dedup_prefix_join"   -> (Dedup.prefixFilterJoin _),
     "q_dedup_recall"        -> (Dedup.lshRecallAudit _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
@@ -963,6 +964,40 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE ${(0 until 4).map(w => s"bit_count(xor(a.sh_$w, b.sh_$w))").mkString(" + ")} <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // planted corpus (bounded slice + char-truncated copies) and the
+    // same df-capped kernel as the jaccard oracle; jaccard_missed is the
+    // machine check that containment finds pairs the 0.5 screen misses
+    "q_dedup_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < ${Dedup.ContainmentPlantDocs}
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         substr(text, 1, greatest(n_chars // 3, 40)) AS text
+         |  FROM documents WHERE doc_id < ${Dedup.ContainmentPlantDocs}),
+         |tok AS (SELECT doc_id, $DuckTok AS toks FROM corpus),
+         |sh AS (SELECT doc_id, $DuckShingles AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |posting AS (SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh),
+         |dfs AS (SELECT g, count(*) AS df FROM posting GROUP BY g),
+         |kept AS (SELECT doc_id, g, df FROM posting JOIN dfs USING (g)
+         |         WHERE df <= 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |          FROM kept x JOIN kept y
+         |            ON x.g = y.g AND x.doc_id < y.doc_id
+         |          WHERE x.df >= 2 AND y.df >= 2
+         |          GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, na.n AS na, nb.n AS nb,
+         |        round(inter / least(na.n, nb.n), 4) AS containment,
+         |        round(inter / (na.n + nb.n - inter), 4) AS jaccard
+         |      FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |                 JOIN sizes nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, na, nb, containment, jaccard,
+         |       (jaccard < 0.5) AS jaccard_missed
+         |FROM c WHERE containment >= ${Dedup.ContainmentThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |sh AS (SELECT doc_id, $DuckShingles AS shingles

@@ -667,8 +667,13 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(Tables.fanOut(Tables.documents(spark, dir)))
 
-  /** [[ngramJaccard]] over ANY (doc_id, text, …) frame. */
-  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+  /** Shared slim-intersection kernel under [[ngramJaccardOf]] and
+    * [[containmentPairsOf]]: per-doc kept-shingle set sizes and pairwise
+    * intersection COUNTS (df ∈ [2, [[MaxShingleDf]]] posting self-join —
+    * singletons can't intersect, hot shingles are dropped from the
+    * representation). Returns (sizes, inter); no shingle arrays are ever
+    * shuffled to pairs. */
+  private def keptSetStats(docs: DataFrame): (DataFrame, DataFrame) = {
     val posting = shinglesOf(docs).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
@@ -678,12 +683,70 @@ object Dedup {
       .join(joinable.alias("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    (sizes, inter)
+  }
+
+  /** [[ngramJaccard]] over ANY (doc_id, text, …) frame. */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val (sizes, inter) = keptSetStats(docs)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Containment floor for [[containmentPairs]] — Broder's asymmetric
+    * measure: C = |S_A ∩ S_B| / min(|S_A|, |S_B|). */
+  val ContainmentThreshold = 0.8
+
+  /** Documents used for the planted-containment corpus (bounded slice so
+    * the self-join audit stays constant-cost at any SF, like
+    * [[TextAnalysis.fingerprints]]'s doc_id cap). */
+  val ContainmentPlantDocs = 400
+
+  /** CONTAINMENT near-dup detection — the asymmetric case symmetric
+    * Jaccard MISSES: a short document fully embedded in a long one has
+    * C ≈ 1 but J ≈ |A|/|B|, far below any Jaccard threshold when the
+    * length ratio is large. This is how quote extraction, boilerplate-
+    * wrapped copies, and benchmark text pasted inside larger pages are
+    * caught (Broder's containment, the companion measure to resemblance).
+    *
+    * The raw corpus has no true containment-only pairs (probed: every
+    * C ≥ 0.8 pair also has J ≥ 0.5), so the registered query PLANTS
+    * them — the [[ContainmentPlantDocs]] slice unioned with copies
+    * truncated to the first third of their characters (id-shifted, the
+    * [[exactGroupsPlanted]] pattern). The oracle then machine-checks the
+    * claim that matters: the `jaccard_missed` column marks pairs the
+    * 0.5 Jaccard screen would NOT have surfaced (422 of 460 at sf0.01).
+    *
+    * Scale: same df-capped slim-posting kernel as [[ngramJaccardOf]]
+    * ([[keptSetStats]]) — intersection counts only, no arrays to pairs,
+    * candidate volume bounded by the df cap. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < ContainmentPlantDocs)
+    val truncated = base.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      col("text").substr(lit(1),
+        greatest((col("n_chars") / 3).cast("int"), lit(40))).as("text"))
+    containmentPairsOf(
+      Tables.fanOut(base.select("doc_id", "text").unionByName(truncated)))
+  }
+
+  /** [[containmentPairs]] over ANY (doc_id, text, …) frame. */
+  def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val (sizes, inter) = keptSetStats(docs)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        round(col("inter") / least(col("na"), col("nb")), 4).as("containment"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .withColumn("jaccard_missed", col("jaccard") < 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
