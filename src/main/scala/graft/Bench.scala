@@ -86,11 +86,22 @@ object Bench {
     // so a filtered number means the same thing as a full-run number.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail LOUDLY on names that match nothing — a typo would otherwise
+    // filter the run to zero queries and exit 0 with an empty table
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // every registered query that reads minhashPairsCached/componentsCached
+    // (callers: minhashLsh, editDistanceVerify, dedupedCorpus* ×3,
+    // nearDupComponents, leakageSafeSplit) — keep in sync with
+    // Dedup.scala's memo call sites
     val memoConsumers = Set("q_dedup_minhash_lsh", "q_dedup_editdist",
       "q_dedup_clusters", "q_dedup_keep_set", "q_dedup_keep_clustered",
-      "q_split_leakage_safe", "q_dedup_incremental")
+      "q_dedup_keep_best", "q_split_leakage_safe")
     val needBuilds = names.exists(memoConsumers)
     def builds(dir: String): Seq[(String, Double)] =
       if (needBuilds) buildEntries(dir) else Seq.empty

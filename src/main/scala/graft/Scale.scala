@@ -64,9 +64,15 @@ object Scale {
     // optional `--sections=dedup,signals,graph,prefix` limits the run to
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
+    val knownSections = Set("dedup", "signals", "graph", "prefix")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
-      a.stripPrefix("--sections=").split(",").toSet }
-      .getOrElse(Set("dedup", "signals", "graph", "prefix"))
+      a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
+      .getOrElse(knownSections)
+    // fail LOUDLY on a typo'd section — it would otherwise run zero
+    // stages, print nothing, and exit 0 after spinning up the JVM
+    require((sections -- knownSections).isEmpty,
+      s"unknown --sections: ${(sections -- knownSections).toSeq.sorted.mkString(", ")} " +
+        s"(known: ${knownSections.toSeq.sorted.mkString(", ")})")
     val plain = args.filterNot(_.startsWith("--"))
     val factors = if (plain.length > 1) plain.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

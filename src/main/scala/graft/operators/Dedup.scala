@@ -826,6 +826,16 @@ object Dedup {
     * a window shuffle plus a separate size shuffle. */
   private def prefixStages(docs: DataFrame,
                            t: Double): (DataFrame, DataFrame) = {
+    // The VERIFY stage (and the oracle) accept round₄(J) ≥ t, i.e. the
+    // band J ≥ t − 5·10⁻⁵ — so every CANDIDATE-pruning bound below must
+    // be lossless for that relaxed threshold, not exact t: a pair at
+    // J = t − 2·10⁻⁵ (rounds to t) with ~20k-shingle docs could
+    // otherwise be cut by a bound computed from t that the verify would
+    // have kept (size 9999 vs 20000: least < t·greatest but the rounded
+    // Jaccard still passes). Candidates only grow by the sliver between
+    // the two thresholds; the verify stays exact, so results are
+    // unchanged at any SF where the sliver is empty.
+    val tc = t - 5e-5
     val posting = shinglesOf(docs).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
@@ -847,23 +857,24 @@ object Dedup {
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("c1"))
       .withColumn("n", size(col("toks")) + col("c1"))
     // Prefix membership is decided on the FULL kept set (the theorem
-    // needs the first p = n − ⌈t·n⌉ + 1 tokens of the whole ordering).
+    // needs the first p = n − ⌈tc·n⌉ + 1 tokens of the whole ordering,
+    // with tc the relaxed threshold above).
     val prefix = docsets
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
           greatest(
-            (col("n") - ceil(lit(t) * col("n")) + 1 - col("c1")).cast("int"),
+            (col("n") - ceil(lit(tc) * col("n")) + 1 - col("c1")).cast("int"),
             lit(0)))).as("tk"))
       .select(col("doc_id"), col("n"), col("tk.g").as("g"))
-    // The PPJoin LENGTH filter rides the join: J ≥ t forces
-    // min(na,nb) ≥ t·max(na,nb), so size-mismatched pairs never reach
+    // The PPJoin LENGTH filter rides the join: J ≥ tc forces
+    // min(na,nb) ≥ tc·max(na,nb), so size-mismatched pairs never reach
     // the distinct or the verify. The 1e-9 slack makes the float product
     // err only toward KEEPING a boundary pair (verification stays exact).
     val cand = prefix.alias("x")
       .join(prefix.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
-            lit(t) * greatest(col("x.n"), col("y.n")) - lit(1e-9))
+            lit(tc) * greatest(col("x.n"), col("y.n")) - lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     (docsets, cand)
