@@ -355,11 +355,15 @@ object SparkEntry {
         |SELECT word, count(*) AS cnt FROM tok GROUP BY word
         |ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
 
+    // glob '*' (not '*.txt'): the Spark sides read EVERY regular file in
+    // the dir (spark.read.text / the v2 connector's listFiles), so the
+    // oracle must too — a stray non-.txt fixture would otherwise diverge
+    // the engines in a way that looks like a connector bug
     "wc_per_file" ->
       s"""WITH lines AS (
          |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
          |         unnest(string_split(content, chr(10))) AS text
-         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |  FROM read_text('$PerFileCorpus/*')),
          |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
          |SELECT file, word, count(*) AS cnt FROM tok
          |GROUP BY file, word ORDER BY file, word""".stripMargin,
@@ -370,7 +374,7 @@ object SparkEntry {
       s"""WITH lines AS (
          |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
          |         unnest(string_split(content, chr(10))) AS text
-         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |  FROM read_text('$PerFileCorpus/*')),
          |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
          |SELECT file, word, count(*) AS cnt FROM tok
          |GROUP BY file, word ORDER BY file, word""".stripMargin,
@@ -384,7 +388,7 @@ object SparkEntry {
       s"""WITH lines AS (
          |  SELECT regexp_extract(filename, '[^/]+$$') AS file,
          |         unnest(string_split(content, chr(10))) AS text
-         |  FROM read_text('$PerFileCorpus/*.txt')),
+         |  FROM read_text('$PerFileCorpus/*')),
          |tok AS (SELECT file, unnest($DuckTok) AS word FROM lines)
          |SELECT file, word, count(*) AS cnt FROM tok
          |GROUP BY file, word ORDER BY file, word""".stripMargin,
@@ -1676,7 +1680,9 @@ object SparkEntry {
          |               ELSE 0.0 END AS z
          |           FROM dev JOIN mad USING (event_type))
          |SELECT day, event_type, n, round(med, 1) AS med, round(mad, 1) AS mad,
-         |       round(z, 4) AS z, (abs(z) > ${EventsOps.AnomalyZ}) AS is_anomaly
+         |       round(z, 4) AS z,
+         |       (abs(z) > ${EventsOps.AnomalyZ}
+         |        OR (mad = 0 AND n <> med)) AS is_anomaly
          |FROM scored ORDER BY day, event_type""".stripMargin,
 
     // unpivot → one grouped pass, exactly the Spark stack() plan's algebra;
@@ -1831,10 +1837,13 @@ object SparkEntry {
     // degree-ordered triangle enumeration over the support-floored
     // co-purchase graph; each triangle found once at its lowest
     // (deg, id) corner, then credited to all three
+    // items dedupes (order, part) first so the support floor counts
+    // DISTINCT co-occurring orders, mirroring recurringEdges
     "q_graph_triangles" ->
-      s"""WITH ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |ew AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
          |              count(*) AS w
-         |            FROM lineitem a JOIN lineitem b
+         |            FROM items a JOIN items b
          |              ON a.l_orderkey = b.l_orderkey
          |            WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
          |e AS (SELECT src, dst FROM ew WHERE w >= ${Graph.TriMinSupport}),

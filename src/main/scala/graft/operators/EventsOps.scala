@@ -329,7 +329,13 @@ object EventsOps {
         round(col("med"), 1).as("med"),
         round(col("mad"), 1).as("mad"),
         round(col("z"), 4).as("z"),
-        (abs(col("z")) > AnomalyZ).as("is_anomaly"))
+        // MAD = 0 (a majority of days share one count — common for
+        // low-volume types and short windows) would otherwise make every
+        // row unflaggable with z pinned to 0: exactly the burst days the
+        // monitor exists for. With a degenerate scale, ANY deviation
+        // from the median is the anomaly signal.
+        (abs(col("z")) > AnomalyZ ||
+          (col("mad") === 0 && col("n") =!= col("med"))).as("is_anomaly"))
       .orderBy("day", "event_type")
   }
 

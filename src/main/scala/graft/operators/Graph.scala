@@ -57,8 +57,16 @@ object Graph {
     * sparse at 100 TB while the floor itself is one map-side-combined
     * count on the same order-keyed self-join. */
   private[graft] def recurringEdges(li: DataFrame, minSupport: Int): DataFrame = {
-    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
-    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    // one row per (order, part) FIRST — TPC-H repeats l_partkey across an
+    // order's lines, and counting line-PAIRS would let a single order
+    // with a twice-listed part satisfy the floor by itself. Support must
+    // mean "co-occurs in ≥ minSupport DISTINCT orders" (the same
+    // per-basket distinct [[associationRules]] applies). The distinct is
+    // keyed by (order, part) — map-side combined, linear in lines.
+    val items = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    val a = items.select(col("ok"), col("p").as("src"))
+    val b = items.select(col("ok"), col("p").as("dst"))
     a.join(b, "ok").filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minSupport)

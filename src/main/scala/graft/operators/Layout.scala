@@ -34,16 +34,27 @@ object Layout {
         .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
     }
 
-  /** Min-max normalize a column onto [0, 2^[[ZBits]]): one aggregate
-    * pass computes the bounds (at warehouse scale these come free from
-    * table stats), then a narrow per-row rescale. Constant columns map
-    * to 0. */
-  private def normalized(df: DataFrame, c: String): Column = {
-    val Array(lo, hi) = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
-    val span = if (hi > lo) hi - lo else 1.0
-    least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << ZBits)),
-      lit((1 << ZBits) - 1)).cast("long")
+  /** Min-max normalize both cluster columns onto [0, 2^[[ZBits]]): ONE
+    * aggregate pass computes all four bounds (at warehouse scale these
+    * come free from table stats), then a narrow per-row rescale.
+    * Constant columns map to 0; an all-null column is a usable error,
+    * not an NPE. */
+  private def normalizedPair(df: DataFrame, c1: String, c2: String)
+      : (Column, Column) = {
+    val row = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def bound(i: Int, c: String): Double = {
+      require(!row.isNullAt(i), s"zorderWrite: cluster column $c is all-null")
+      row.getDouble(i)
+    }
+    def scale(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(1 << ZBits)),
+        lit((1 << ZBits) - 1)).cast("long")
+    }
+    (scale(c1, bound(0, c1), bound(1, c1)),
+      scale(c2, bound(2, c2), bound(3, c2)))
   }
 
   /** Z-ORDERED WRITE: normalize both cluster columns, range-partition
@@ -51,12 +62,13 @@ object Layout {
     * each, write parquet. Range partitioning samples the z-values (one
     * extra narrow pass) and gives each file a contiguous curve segment
     * — the property that bounds every file's per-dimension extent.
-    * Cost: one shuffle of the data being rewritten, the same as any
-    * table-maintenance OPTIMIZE job; readers then prune on BOTH
-    * dimensions forever after. */
+    * Cost: one bounds pass + one shuffle of the data being rewritten,
+    * the same as any table-maintenance OPTIMIZE job; readers then prune
+    * on BOTH dimensions forever after. */
   def zorderWrite(df: DataFrame, cols: (String, String), files: Int,
       path: String): Unit = {
-    val z = zValue(normalized(df, cols._1), normalized(df, cols._2)).as("zval")
+    val (n1, n2) = normalizedPair(df, cols._1, cols._2)
+    val z = zValue(n1, n2).as("zval")
     df.withColumn("zval", z)
       .repartitionByRange(files, col("zval"))
       .sortWithinPartitions("zval")
@@ -162,7 +174,12 @@ object Layout {
                   shards: Int = ExportShards): Unit =
     sharded(docs, shards)
       .repartition(shards, col("shard"))
-      .sortWithinPartitions("shard", "h")
+      // doc_id tiebreak: duplicate TEXTS share h (md5 of text), and
+      // without a unique final key their relative order would be
+      // shuffle-arrival order — two exports of a corpus with exact
+      // dupes (which dedup corpora have by construction) would not be
+      // row-identical, breaking the determinism contract above
+      .sortWithinPartitions("shard", "h", "doc_id")
       .select("doc_id", "text", "h", "shard")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

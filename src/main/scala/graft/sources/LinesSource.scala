@@ -97,21 +97,47 @@ private class LinesScan(path: String, linesPerPartition: Int,
 
   /** One InputPartition per (file, 2000-line range): the reference's
     * ⌈lines/2000⌉ split (`processFile`: `ceil` @0x21490), computed — as
-    * the reference computes it — by counting lines up front. Files are
-    * listed in sorted order so partition numbering is deterministic. */
+    * the reference computes it — by counting lines up front. The SAME
+    * counting pass records the byte offset of each partition's first
+    * line, so every reader SEEKS to its range instead of re-parsing the
+    * file from byte 0 and dropping lines — without the offsets a file
+    * with L lines cost ~L²/(2·lpp) line parses across its readers
+    * (quadratic in file size), and the old `drop(startLine.toInt)`
+    * silently wrapped past 2³¹ lines. Files are listed in sorted order
+    * so partition numbering is deterministic. */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).sortBy(_.getName)
     files.flatMap { f =>
-      val lines = {
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().size finally src.close()
-      }
-      val nParts = math.max(1, math.ceil(lines.toDouble / linesPerPartition).toInt)
+      // one streaming byte pass: line count + partition start offsets.
+      // Line semantics match BufferedReader.readLine (\n terminators; a
+      // final line without a trailing newline still counts).
+      val offsets = scala.collection.mutable.ArrayBuffer(0L)
+      var lines = 0L
+      var pendingContent = false
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f), 1 << 16)
+      try {
+        var pos = 0L
+        var b = in.read()
+        while (b >= 0) {
+          pos += 1
+          if (b == '\n') {
+            lines += 1
+            if (lines % linesPerPartition == 0) offsets += pos
+            pendingContent = false
+          } else pendingContent = true
+          b = in.read()
+        }
+      } finally in.close()
+      if (pendingContent) lines += 1
+      val nParts = math.max(1,
+        math.ceil(lines.toDouble / linesPerPartition).toInt)
       (0 until nParts).map { p =>
-        LinesPartition(f.getAbsolutePath, p, p.toLong * linesPerPartition,
-          math.min(lines.toLong, (p + 1).toLong * linesPerPartition))
+        LinesPartition(f.getAbsolutePath, p, offsets(p),
+          math.min(lines, (p + 1).toLong * linesPerPartition) -
+            p.toLong * linesPerPartition)
       }
     }.toArray[InputPartition]
   }
@@ -121,7 +147,7 @@ private class LinesScan(path: String, linesPerPartition: Int,
 }
 
 private case class LinesPartition(file: String, part: Int,
-    startLine: Long, endLine: Long) extends InputPartition
+    startOffset: Long, nLines: Long) extends InputPartition
 
 private class LinesReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -129,12 +155,16 @@ private class LinesReaderFactory(required: StructType)
     new LinesReader(partition.asInstanceOf[LinesPartition], required)
 }
 
-/** Streams its line range; only the pruned columns are materialized. */
+/** SEEKS to its partition's byte offset (recorded at planning) and
+  * streams exactly its line range; only the pruned columns are
+  * materialized. */
 private class LinesReader(p: LinesPartition, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val source = scala.io.Source.fromFile(p.file, "UTF-8")
-  private val it = source.getLines().drop(p.startLine.toInt)
-  private var read = p.endLine - p.startLine
+  private val stream = new java.io.FileInputStream(p.file)
+  stream.getChannel.position(p.startOffset)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(stream, java.nio.charset.StandardCharsets.UTF_8))
+  private var read = p.nLines
   private var current: String = _
 
   // resolve the projection ONCE, not per row
@@ -146,9 +176,13 @@ private class LinesReader(p: LinesPartition, required: StructType)
     })
   private val fileVal = UTF8String.fromString(p.file)
 
-  override def next(): Boolean =
-    if (read > 0 && it.hasNext) { current = it.next(); read -= 1; true }
-    else false
+  override def next(): Boolean = {
+    if (read > 0) {
+      current = reader.readLine()
+      read -= 1
+      current != null
+    } else false
+  }
 
   override def get(): InternalRow =
     InternalRow.fromSeq(cols.toSeq.map {
@@ -157,5 +191,5 @@ private class LinesReader(p: LinesPartition, required: StructType)
       case 2 => UTF8String.fromString(current)
     })
 
-  override def close(): Unit = source.close()
+  override def close(): Unit = reader.close()
 }

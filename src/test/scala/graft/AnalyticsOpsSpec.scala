@@ -50,7 +50,12 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(scored.length == cells)
     scored.foreach { r =>
       val z = r.getAs[Double]("z")
-      assert(r.getAs[Boolean]("is_anomaly") == (math.abs(z) > EventsOps.AnomalyZ))
+      val degenerate = r.getAs[Double]("mad") == 0.0 &&
+        r.getAs[Long]("n").toDouble != r.getAs[Double]("med")
+      // flag = z-threshold, OR the MAD=0 fallback (degenerate scale:
+      // any deviation from the median is the signal)
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(z) > EventsOps.AnomalyZ || degenerate))
       // MAD-standardization is centered: z must be 0 when n == med
       if (r.getAs[Long]("n").toDouble == r.getAs[Double]("med"))
         assert(z == 0.0)

@@ -63,4 +63,27 @@ class LinesSourceSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
     assert(scans.head.fieldNames.toSeq == Seq("line"))
   }
+
+  test("seeked partitions carry exactly their line range") {
+    // each reader SEEKS to a byte offset recorded at planning; a wrong
+    // offset would shift/corrupt lines at a partition boundary, which
+    // per-partition counts alone cannot catch — so pin each partition's
+    // CONTENT against the file's true n-line chunks
+    import scala.jdk.CollectionConverters._
+    val n = 3
+    val f = new java.io.File(corpus).listFiles().filter(_.isFile)
+      .sortBy(_.getName).head
+    val expected = java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq
+    val rows = spark.read.format("graft-lines")
+      .option("linesPerPartition", n).load(corpus)
+      .filter(col("file") === f.getAbsolutePath)
+      .select("part", "line").collect()
+    val byPart = rows.groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+    val chunks = expected.grouped(n).toSeq
+    assert(byPart.keySet == chunks.indices.toSet)
+    chunks.zipWithIndex.foreach { case (chunk, p) =>
+      assert(byPart(p) == chunk.sorted, s"partition $p of ${f.getName}")
+    }
+  }
 }
