@@ -132,6 +132,7 @@ object SparkEntry {
     "q_ann_ivf_assign"  -> (SimSearch.ivfAssign _),
     "q_ann_ivf_routed"  -> (SimSearch.ivfRoutedTopK _),
     "q_ann_recall"      -> (SimSearch.annRecall _),
+    "q_dedup_semantic"  -> (SimSearch.semanticDedup _),
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
@@ -1335,6 +1336,27 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH $DuckKmeansCtes,
+         |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
+         |a3 AS (SELECT vec_id, cent_id FROM (
+         |         SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |         FROM d3) WHERE rnk = 1),
+         |e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |m AS (SELECT e.vec_id, e.embedding, e.nrm, a.cent_id
+         |      FROM e JOIN a3 a USING (vec_id)),
+         |pairs AS (SELECT b.vec_id, a.cent_id, a.vec_id AS dup_of,
+         |            round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+         |          FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+         |thr AS (SELECT * FROM pairs WHERE cos >= ${SimSearch.SemTau}),
+         |w AS (SELECT vec_id, cent_id, dup_of, cos,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, dup_of) AS rnk
+         |      FROM thr)
+         |SELECT vec_id, cent_id, dup_of, cos FROM w WHERE rnk = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "q_ann_quantize_int8" ->
       """WITH vl AS (SELECT vec_id, label,

@@ -412,4 +412,61 @@ object SimSearch {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     routedTopK(e, rankedAgainst(e, kmeansCentroids(e)), IvfNProbe)
   }
+
+  /** Cosine threshold for [[semanticDedup]]: calibrated to this
+    * synthetic corpus (within-cluster cosine tops out near 0.55; real
+    * text embeddings run SemDeDup at 0.95+) — the threshold is the
+    * policy dial, the PLAN is what transfers. */
+  val SemTau = 0.40
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): where MinHash/SimHash catch lexical near-copies,
+    * this catches semantically redundant pairs that share almost no
+    * surface text — cluster the embedding space with the trained
+    * k-means quantizer ([[kmeansTrainedCents]], the same frame the IVF
+    * serving path routes against), then compare vectors ONLY within
+    * their cluster and drop every vector with a τ-close LOWER-id
+    * cluster-mate ([[SemTau]]).
+    *
+    * Survivor policy is the library's standard greedy pairwise rule —
+    * drop the higher id of each τ-close pair, exactly
+    * [[graft.operators.Dedup.dedupedCorpus]]'s near-dup convention
+    * (chains resolve per-pair, not per-component; the text path ships
+    * the cluster-correct and quality-policy variants, which compose
+    * here unchanged). The paper's keep-farthest-from-centroid
+    * tie-break is one `orderBy` swap away. Each dropped vector reports its best
+    * witness — highest cosine, then lowest id — so the output doubles
+    * as an audit trail of WHY each drop happened.
+    *
+    * Scale: the all-pairs comparison is confined to clusters — cost is
+    * Σ n_c², and K is the dial that bounds it (the paper runs K ≈
+    * 0.01 %·N on LAION so n_c stays ~10⁴ regardless of corpus size; K
+    * here matches the oracle-unrolled [[KmK]]). Assignment is the
+    * already-trained quantizer: one broadcast-join pass over the
+    * corpus. The pair join is keyed on cent_id (co-partitioned, no
+    * cross product), and the witness window partitions by the dropped
+    * vector — `WindowGroupLimit` bounds it before the shuffle. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  /** [[semanticDedup]] over any (vec_id, embedding) frame, with the
+    * cluster count / train length / threshold as explicit dials. */
+  def semanticDedupOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters,
+      tau: Double = SemTau): DataFrame = {
+    val members = e.join(
+      kmeansAssignment(e, k, iters).select("vec_id", "cent_id"), "vec_id")
+    val a = members.select(col("cent_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("keep_emb"))
+    val b = members.select(col("cent_id"), col("vec_id"), col("embedding"))
+    val close = a.join(b, "cent_id")
+      .filter(col("keep_id") < col("vec_id"))
+      .select(col("cent_id"), col("vec_id"), col("keep_id"),
+        round(cosine(col("keep_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("keep_id"))
+    close.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("keep_id").as("dup_of"), col("cos"))
+      .orderBy("vec_id")
+  }
 }
