@@ -47,6 +47,21 @@ object DocsStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** Unbounded document ingest off a `graft-log` stream — the
+    * message-bus twin of [[readDocs]]: each log record is one document
+    * as a JSON line (newlines inside `text` are JSON-escaped, which is
+    * what makes JSON-lines a valid log framing). Malformed records
+    * parse to null doc_ids and are dropped LOUDLY-countable upstream
+    * rather than crashing the query — the standard bad-record posture
+    * of a bus consumer. Offsets, pacing, and exactly-once come from
+    * the source ([[graft.sources.LogSource]]); this is just the
+    * parse. */
+  def readDocsLog(spark: SparkSession, logDir: String): DataFrame =
+    spark.readStream.format("graft-log").load(logDir)
+      .select(from_json(col("value"), docSchema).as("doc"))
+      .select("doc.*")
+      .filter(col("doc_id").isNotNull)
+
   /** Per-row word-3-gram shingles of `text` (same tokenizer kernel and
     * shingle definition as the batch path, as one array expression). */
   private def shingleArray(text: Column): Column = {

@@ -162,4 +162,42 @@ class DocsStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sunk.sorted == expected.sorted) // Seq compare: dupes would differ
   }
+
+  test("graft-log message-bus ingest feeds the screen: tailed JSON docs " +
+      "== batch incrementalMinhash") {
+    import java.nio.file.{Files, StandardOpenOption}
+    import java.nio.charset.StandardCharsets
+    import org.apache.spark.sql.functions.{struct, to_json}
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // the producer side: odd-id docs as JSON lines (driver-side collect
+    // is test harness only — a real producer writes the bus)
+    val lines = docs.filter(col("doc_id") % 2 === 1)
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))))
+      .collect().map(_.getString(0))
+    val logDir = Files.createTempDirectory("graft-docslog")
+    def produce(batch: Seq[String]): Unit =
+      Files.write(logDir.resolve("docs.log"),
+        batch.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val (first, rest) = lines.toSeq.splitAt(lines.length / 2)
+    produce(first)
+    val corpusBands = Dedup.bandIndexOf(docs.filter(col("doc_id") % 2 === 0))
+    val q = DocsStream.nearDupScreen(
+        DocsStream.readDocsLog(spark, logDir.toString), corpusBands)
+      .writeStream.format("memory").queryName("neardup_log")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      produce(rest) // docs landing while the consumer is live
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_log").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Dedup.incrementalMinhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
