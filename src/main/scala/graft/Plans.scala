@@ -18,7 +18,7 @@ object Plans {
     "q_events_funnel", "q_merge_upsert", "q_graph_triangles",
     "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist",
     "q_assoc_rules", "q_profile_skew", "q_dedup_prefix_join",
-    "q_export_shards")
+    "q_export_shards", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -69,7 +69,7 @@ object Scale {
     // optional `--sections=dedup,signals,graph,prefix` limits the run to
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
-    val knownSections = Set("dedup", "signals", "graph", "prefix")
+    val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -271,6 +271,42 @@ object Scale {
         "cand time | pruned | pairs>=0.5 | join time |")
       println("|---|---|---|---|---|---|---|---|")
       rows4.foreach(println)
+    }
+
+    // semantic dedup: the claim under test is the SemDeDup scale dial —
+    // with K FIXED the within-cluster pair volume (Σ n_c·(n_c−1)/2, the
+    // exact cosine-join cost) grows ~quadratically in corpus size; with
+    // K ∝ N it stays ~linear. Pair volume is computed from cluster
+    // sizes (no pair materialization), so the deliberately-bad fixed-K
+    // configuration is measured without paying its cosine pass; the
+    // full dedup (train + pairs + witnesses) runs only at the
+    // production setting K ∝ N.
+    val rows5 = factors.filter(_ => sections("semantic")).map { k =>
+      System.err.println(s"[scale] factor $k (semantic dedup) ...")
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nVecs = e.count()
+      def pairVolume(kk: Int): (Long, Long) = {
+        val sizes = SimSearch.kmeansAssignment(e, kk, SimSearch.KmIters)
+          .groupBy("cent_id").agg(count(lit(1)).as("n"))
+        val r = sizes.agg(max("n"),
+          sum(col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val (maxFixed, pairsFixed) = pairVolume(SimSearch.KmK)
+      val (maxScaled, pairsScaled) = pairVolume(SimSearch.KmK * k)
+      val t0 = System.nanoTime()
+      val drops = SimSearch.semanticDedupOf(e, SimSearch.KmK * k,
+        SimSearch.KmIters).count()
+      val tSem = (System.nanoTime() - t0) / 1e9
+      s"| ${k}x | $nVecs | ${SimSearch.KmK} | $maxFixed | $pairsFixed | " +
+        s"${SimSearch.KmK * k} | $maxScaled | $pairsScaled | $drops | ${f"$tSem%.1f"}s |"
+    }
+    if (sections("semantic")) {
+      println()
+      println("| factor | vectors | K fixed | max cluster | pair volume | " +
+        "K scaled | max cluster | pair volume | drops | dedup time |")
+      println("|---|---|---|---|---|---|---|---|---|---|")
+      rows5.foreach(println)
     }
     spark.stop()
   }
