@@ -148,6 +148,7 @@ object SparkEntry {
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
     "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
+    "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -1399,6 +1400,38 @@ object SparkEntry {
         |WHERE (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100)
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // temperature mix: rates rounded to 6dp in BOTH engines before the
+    // keep comparison, so no libm-pow ulp can flip a draw verdict
+    "q_mix_temperature" ->
+      s"""WITH counts AS (SELECT lang, count(*)::BIGINT AS n_docs
+         |                FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n_total,
+         |          sum(pow(n_docs::DOUBLE, ${TextAnalysis.MixAlpha})) AS z
+         |        FROM counts),
+         |rates AS (SELECT lang, n_docs, n_total,
+         |            n_docs::DOUBLE / n_total AS p,
+         |            pow(n_docs::DOUBLE, ${TextAnalysis.MixAlpha}) / z AS q,
+         |            round(pow(n_docs::DOUBLE, ${TextAnalysis.MixAlpha}) / z
+         |              * n_total::DOUBLE / n_docs, 6) AS rate
+         |          FROM counts CROSS JOIN tot),
+         |drawn AS (SELECT d.lang, count(*)::BIGINT AS docs_out
+         |          FROM documents d
+         |          JOIN rates r USING (lang)
+         |          CROSS JOIN unnest(range(0, ceil(r.rate)::INT)) AS t(rep)
+         |          WHERE (CAST('0x' || substr(md5(d.text || ':' || rep), 1, 8)
+         |                   AS BIGINT)::DOUBLE + 0.5) / 4294967296.0
+         |                < r.rate - rep
+         |          GROUP BY d.lang),
+         |mixed AS (SELECT r.lang, r.n_docs,
+         |            round(r.p, 6) AS p_natural, round(r.q, 6) AS q_target,
+         |            round(r.q / r.p, 6) AS boost, r.rate,
+         |            coalesce(dr.docs_out, 0)::BIGINT AS docs_out
+         |          FROM rates r LEFT JOIN drawn dr USING (lang))
+         |SELECT lang, n_docs, p_natural, q_target, boost, rate, docs_out,
+         |       round(docs_out::DOUBLE / (SELECT sum(docs_out) FROM mixed), 6)
+         |         AS achieved_share
+         |FROM mixed ORDER BY lang""".stripMargin,
 
     // same whitespace tokenizer and md5 order as the Spark side; the
     // budget filter runs on the running sum, not per-row truncation

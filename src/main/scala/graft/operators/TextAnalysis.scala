@@ -702,4 +702,72 @@ object TextAnalysis {
         round(avg(col("ll")), 4).as("avg_ll"))
       .orderBy("doc_id")
   }
+
+  /** Temperature exponent for [[temperatureMix]] — the mC4/XLM-R α:
+    * sampling shares ∝ p^α, so α=1 keeps the natural distribution and
+    * α→0 approaches uniform. 0.5 is a standard mid-dial setting. */
+  val MixAlpha = 0.5
+
+  /** TEMPERATURE-BASED language mixing (the mC4 §3.1 / XLM-R §3.1
+    * rebalancing step): natural per-language shares p_l are flattened
+    * to q_l ∝ p_l^[[MixAlpha]], and the mixture is REALIZED as a
+    * deterministic replicate-and-thin draw at a same-size budget
+    * (B = N: keep the corpus size, reshape its composition) — so the
+    * per-language rate is exactly the boost q_l/p_l, above 1 for
+    * low-resource languages, which repeat ⌈r_l⌉ times with the
+    * fractional replica thinned by a content-hash uniform (replica id
+    * salts the hash, so copies draw independent uniforms and the
+    * expected copy count is exactly r_l). Output is the governance
+    * census: natural share, target share, boost factor, realized docs,
+    * and achieved share — the table a pretraining run signs off on.
+    *
+    * Determinism across engines: rates are rounded to 6 decimals
+    * BEFORE the keep comparison (both engines compare the same exact
+    * threshold against the same 2⁻³²-grid uniforms, so no libm-pow ulp
+    * can flip a verdict), and the draw keys on md5(text, ':', replica)
+    * — reproducible under any partitioning, any engine.
+    *
+    * Scale: one map-side-combined census pass (|langs| rows), the
+    * rates frame broadcast back onto the corpus scan, replication via
+    * a bounded `sequence` explode (⌈max r_l⌉ copies, and only for
+    * upsampled languages), and a final |langs|-key census. No window,
+    * no corpus shuffle — the draw decisions are row-local. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[temperatureMix]] over any (lang, text) frame. */
+  def temperatureMixOf(d: DataFrame): DataFrame = {
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n_total"),
+      sum(pow(col("n_docs").cast("double"), MixAlpha)).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_total"),
+        (col("n_docs") / col("n_total")).as("p"),
+        (pow(col("n_docs").cast("double"), MixAlpha) / col("z")).as("q"))
+      .withColumn("rate",
+        round(col("q") * col("n_total").cast("double") / col("n_docs"), 6))
+    val drawn = d.join(broadcast(rates.select("lang", "rate")), "lang")
+      .select(col("lang"), col("rate"),
+        explode(sequence(lit(0), ceil(col("rate")).cast("int") - 1)).as("rep"),
+        col("text"))
+      // replica r survives iff u < rate − r: full copies keep
+      // unconditionally, the marginal copy thins to the fraction
+      .filter((conv(substring(md5(concat_ws(":", col("text"), col("rep"))), 1, 8),
+          16, 10).cast("double") + 0.5) / lit(4294967296.0) <
+        col("rate") - col("rep"))
+      .groupBy("lang").agg(count(lit(1)).as("docs_out"))
+    val mixed = rates.join(drawn, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("q"), 6).as("q_target"),
+        round(col("q") / col("p"), 6).as("boost"),
+        col("rate"),
+        coalesce(col("docs_out"), lit(0L)).as("docs_out"))
+    val outTot = mixed.agg(sum("docs_out").as("out_total"))
+    mixed.crossJoin(broadcast(outTot))
+      .select(col("lang"), col("n_docs"), col("p_natural"), col("q_target"),
+        col("boost"), col("rate"), col("docs_out"),
+        round(col("docs_out") / col("out_total"), 6).as("achieved_share"))
+      .orderBy("lang")
+  }
 }
