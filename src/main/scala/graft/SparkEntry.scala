@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
+    "q_ann_pca"         -> (SimSearch.pcaPower _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -1337,6 +1338,41 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.pcaPowerOf step for step: fixed-point BIGINT
+    // scatter (exact integer sums — no float drift), then two power
+    // steps whose every float fold runs in explicit dimension order
+    // (list(... ORDER BY d), sequential list_reduce = Spark's
+    // aggregate over array_sort(collect_list), 0.0 seed ≡ first-element
+    // seed in IEEE), so loadings are bit-identical across engines.
+    "q_ann_pca" ->
+      """WITH vl AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+        |         unnest(list_transform(embedding,
+        |           x -> round(x::DOUBLE * 1000000, 0)::BIGINT)) AS vi
+        |  FROM embeddings),
+        |sc AS (SELECT a.d AS d1, b.d AS d2, sum(a.vi * b.vi) AS s
+        |       FROM vl a JOIN vl b USING (vec_id) GROUP BY 1, 2),
+        |w0 AS (SELECT DISTINCT d1 AS d, 0.125::DOUBLE AS x FROM sc),
+        |m1 AS (SELECT d1 AS d,
+        |         list_reduce(list(s::DOUBLE * w0.x ORDER BY d2), (a, b) -> a + b) AS x
+        |       FROM sc JOIN w0 ON sc.d2 = w0.d GROUP BY d1),
+        |w1 AS (SELECT d, x / (SELECT sqrt(list_reduce(list(x * x ORDER BY d),
+        |                        (a, b) -> a + b)) FROM m1) AS x FROM m1),
+        |m2 AS (SELECT d1 AS d,
+        |         list_reduce(list(s::DOUBLE * w1.x ORDER BY d2), (a, b) -> a + b) AS x
+        |       FROM sc JOIN w1 ON sc.d2 = w1.d GROUP BY d1),
+        |w2 AS (SELECT d, x / (SELECT sqrt(list_reduce(list(x * x ORDER BY d),
+        |                        (a, b) -> a + b)) FROM m2) AS x FROM m2),
+        |m3 AS (SELECT d1 AS d,
+        |         list_reduce(list(s::DOUBLE * w2.x ORDER BY d2), (a, b) -> a + b) AS x
+        |       FROM sc JOIN w2 ON sc.d2 = w2.d GROUP BY d1),
+        |lam AS (SELECT sqrt(list_reduce(list(x * x ORDER BY d),
+        |                      (a, b) -> a + b)) AS lambda FROM m3),
+        |tr AS (SELECT sum(s) AS t FROM sc WHERE d1 = d2)
+        |SELECT w2.d, round(w2.x, 6) AS loading,
+        |       round(lam.lambda / tr.t, 6) AS eigval_frac
+        |FROM w2 CROSS JOIN lam CROSS JOIN tr ORDER BY w2.d""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $DuckKmeansCtes,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -411,6 +411,81 @@ object SimSearch {
   def kmeansRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     routedTopK(e, rankedAgainst(e, kmeansCentroids(e)), IvfNProbe)
+  }
+
+  /** Fixed-point scale for the PCA scatter matrix: embedding values are
+    * quantized to `round(v·10⁶)` BIGINTs so every scatter entry is an
+    * EXACT integer sum — immune to partition-order float drift. Bound:
+    * |vi| ≤ 10⁶ (unit-ish floats), so an entry is ≤ N·10¹² and stays
+    * inside both Long and the 2⁵³ double-exact range for N ≲ 8·10³
+    * corpus rows per... per scatter cell N ≤ 9·10⁶ before Long risk and
+    * N ≤ 9·10³ before the double CAST of a cell could round — at larger
+    * N drop the scale a digit per 100×. */
+  val PcaScale = 1000000L
+  val PcaIters = 2
+
+  /** Relational PCA by POWER ITERATION — the dimensionality-reduction
+    * step a vector index runs before IVF/PQ (FAISS's PCA-then-quantize
+    * pipeline), expressed entirely as joins/aggregations like
+    * [[kmeansTrainOf]]:
+    *
+    *  - the D×D scatter matrix S = Σ v·vᵀ (uncentered second moment —
+    *    these embeddings are zero-mean by construction, and uncentered
+    *    scatter keeps every entry an exact integer) is built from the
+    *    long form by a vec_id self-join: O(N·D²) — the canonical
+    *    covariance cost, sampled at 100 TB exactly as production PCA
+    *    training samples;
+    *  - [[PcaIters]] unrolled power steps w ← normalize(S·w) from the
+    *    binary-exact seed w₀ = 1/8 per dimension; each mat-vec is a
+    *    join against the D²-row scatter frame, each fold over doubles
+    *    runs in EXPLICIT dimension order (`array_sort(collect_list)`
+    *    then a sequential `aggregate`), so both engines add the same
+    *    values in the same order and the loadings are bit-identical —
+    *    the same determinism discipline as [[graft.functions
+    *    .VectorFunctions.dot]], lifted from array order to frame order;
+    *  - the eigenvalue estimate λ = ‖S·w‖ over the final normalized w,
+    *    reported as the scale-free explained fraction λ / trace(S).
+    *
+    * Output: one row per dimension (d, loading, eigval_frac) — the
+    * projection direction serving code dots against, plus the quantity
+    * that decides how many components a real reduction keeps. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    pcaPowerOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  def pcaPowerOf(e: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val vl = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("d"),
+        // round() is HALF_UP = away-from-zero on ties, matching DuckDB
+        round(col("col").cast("double") * PcaScale, 0).cast("long").as("vi"))
+    val scatter = vl.select(col("vec_id"), col("d").as("d1"), col("vi").as("v1"))
+      .join(vl.select(col("vec_id"), col("d").as("d2"), col("vi").as("v2")), "vec_id")
+      .groupBy("d1", "d2").agg(sum(col("v1") * col("v2")).as("s"))
+
+    // deterministic sequential fold of `term` in `ord` order — the
+    // frame-level analog of VectorFunctions.dot's array fold
+    def foldOrdered(ord: Column, term: Column): Column =
+      aggregate(array_sort(collect_list(struct(ord.as("o"), term.as("t")))),
+        lit(0.0), (acc, e) => acc + e.getField("t"))
+
+    def matVec(w: DataFrame): DataFrame =
+      scatter.join(w.select(col("d").as("d2"), col("x")), "d2")
+        .groupBy(col("d1").as("d"))
+        .agg(foldOrdered(col("d2"), col("s").cast("double") * col("x")).as("x"))
+    def norm2(w: DataFrame): DataFrame =
+      w.agg(sqrt(foldOrdered(col("d"), col("x") * col("x"))).as("nrm"))
+    def normalized(w: DataFrame): DataFrame =
+      w.crossJoin(broadcast(norm2(w))).select(col("d"), (col("x") / col("nrm")).as("x"))
+
+    val w0 = scatter.select(col("d1").as("d")).distinct()
+      .select(col("d"), lit(0.125).as("x")) // 1/8: binary-exact seed
+    val w = (1 to iters).foldLeft(w0)((cur, _) => normalized(matVec(cur)))
+    val lambda = norm2(matVec(w)).select(col("nrm").as("lambda"))
+    val trace = scatter.filter(col("d1") === col("d2"))
+      .agg(sum("s").as("tr")) // exact integer total energy
+    w.crossJoin(broadcast(lambda)).crossJoin(broadcast(trace))
+      .select(col("d"), round(col("x"), 6).as("loading"),
+        round(col("lambda") / col("tr"), 6).as("eigval_frac"))
+      .orderBy("d")
   }
 
   /** Cosine threshold for [[semanticDedup]]: calibrated to this
