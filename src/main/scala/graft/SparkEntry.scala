@@ -137,6 +137,7 @@ object SparkEntry {
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
     "q_ann_pca"         -> (SimSearch.pcaPower _),
+    "q_ann_pq"          -> (SimSearch.pqTopK _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -1373,6 +1374,50 @@ object SparkEntry {
         |SELECT w2.d, round(w2.x, 6) AS loading,
         |       round(lam.lambda / tr.t, 6) AS eigval_frac
         |FROM w2 CROSS JOIN lam CROSS JOIN tr ORDER BY w2.d""".stripMargin,
+
+    // Replays SimSearch.pqTopKOf: per-subspace codebooks (seed = first
+    // 16 vectors' subvectors, one Lloyd refine), corpus encoding, then
+    // ADC — every engine-side float sum feeds a 6dp round before any
+    // rank, and ranks tie-break on the unique neighbor id.
+    "q_ann_pq" ->
+      """WITH v0 AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+        |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, d, d // 8 AS sub, val FROM v0),
+        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT sub, code_id, d, val AS c FROM v JOIN seeds USING (vec_id)),
+        |d1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+        |       FROM v JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, code_id FROM (
+        |         SELECT vec_id, sub, code_id,
+        |           row_number() OVER (PARTITION BY vec_id, sub
+        |             ORDER BY d2, code_id) AS rnk
+        |         FROM d1) WHERE rnk = 1),
+        |c1 AS (SELECT sub, code_id, d, avg(val) AS c
+        |       FROM v JOIN a1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+        |enc2 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+        |         FROM v JOIN c1 USING (sub, d) GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, code_id FROM (
+        |            SELECT vec_id, sub, code_id,
+        |              row_number() OVER (PARTITION BY vec_id, sub
+        |                ORDER BY d2, code_id) AS rnk
+        |            FROM enc2) WHERE rnk = 1),
+        |lut AS (SELECT v.vec_id AS q_id, sub, code_id,
+        |          sum((val - c) * (val - c)) AS sub_d2
+        |        FROM v JOIN c1 USING (sub, d) WHERE v.vec_id < 10
+        |        GROUP BY 1, 2, 3),
+        |adc AS (SELECT q_id, codes.vec_id AS neighbor,
+        |          round(sum(sub_d2), 6) AS adc_d2
+        |        FROM codes JOIN lut USING (sub, code_id)
+        |        WHERE codes.vec_id <> q_id GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, neighbor, adc_d2,
+        |             row_number() OVER (PARTITION BY q_id
+        |               ORDER BY adc_d2, neighbor) AS "rank"
+        |           FROM adc)
+        |SELECT q_id, "rank", neighbor, adc_d2 FROM ranked
+        |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $DuckKmeansCtes,

@@ -488,6 +488,100 @@ object SimSearch {
       .orderBy("d")
   }
 
+  /** Product-quantization geometry: [[PqM]] subspaces of dims/M
+    * dimensions, [[PqK]] codewords per subspace — 64 float dims compress
+    * to 8 bytes/vector (one code per subspace), the 32× compression that
+    * makes a 100 TB corpus's index RAM-resident. One Lloyd refine past
+    * the deterministic seed pick keeps the cross-engine oracle one
+    * unrolled CTE generation (the iteration count is the training dial,
+    * exactly as in [[KmIters]]). */
+  val PqM = 8
+  val PqK = 16
+  val PqIters = 1
+
+  /** PRODUCT QUANTIZATION with asymmetric distance computation (ADC) —
+    * Jégou et al. 2011, the compressed-domain serving path FAISS pairs
+    * with IVF routing ([[ivfRoutedTopK]]) and PCA rotation
+    * ([[pcaPowerOf]]):
+    *
+    *  - TRAIN: an independent [[PqK]]-codeword k-means per subspace —
+    *    the same deterministic seed-then-Lloyd loop as
+    *    [[kmeansTrainedCents]], with `sub` riding every key, so all M
+    *    sub-quantizers train in ONE set of joins/aggregations (no
+    *    per-subspace driver loop);
+    *  - ENCODE: argmin codeword per (vector, subspace) — the corpus's
+    *    only full-width pass; what persists is N×[[PqM]] small codes;
+    *  - SERVE: per query, a [[PqM]]×[[PqK]] lookup table of exact
+    *    subspace distances to every codeword (query side stays
+    *    UN-quantized — the "asymmetric" in ADC), broadcast; a
+    *    candidate's approximate distance is then M table lookups summed
+    *    via one equi-join + groupBy, never touching candidate floats.
+    *
+    * At 100 TB the ADC scan runs per inverted list (IVF routes, PQ
+    * scores) — here it scans the whole corpus, which IS brute-force ADC,
+    * the honest flat-index baseline. Ranking follows the library's
+    * cross-engine discipline: rank on the 6dp-ROUNDED distance with a
+    * unique neighbor tie-break, so a last-ulp float divergence between
+    * engines can never flip an emitted row. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  /** Long form with the subspace key: (vec_id, sub, d, v). */
+  private def pqLongForm(e: DataFrame): DataFrame = {
+    val width = lit(64 / PqM)
+    kmeansLongForm(e).withColumn("sub", (col("d") / width).cast("int"))
+  }
+
+  /** Trained per-subspace codebook (sub, code_id, d, c): seeds are the
+    * [[PqK]] lowest vec_ids' subvectors (one seed pick shared by every
+    * subspace), then [[PqIters]] Lloyd refines. Empty codewords drop
+    * out, mirroring [[kmeansTrainedCents]]. */
+  private def pqCodebook(e: DataFrame): DataFrame = {
+    val vecs = pqLongForm(e)
+    val seeds = e.select("vec_id").orderBy("vec_id").limit(PqK)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("code_id"))
+    val init = vecs.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("code_id"), col("d"), col("v").as("c"))
+    (1 to PqIters).foldLeft(init) { (cents, _) =>
+      vecs.join(pqAssign(vecs, cents).select("vec_id", "sub", "code_id"),
+          Seq("vec_id", "sub"))
+        .groupBy("sub", "code_id", "d").agg(avg("v").as("c"))
+    }
+  }
+
+  /** Per-(vector, subspace) argmin codeword against a broadcast
+    * codebook — (d2, code_id) tie-break, WindowGroupLimit-planned. */
+  private def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = vecs.join(broadcast(cents), Seq("sub", "d"))
+      .groupBy("vec_id", "sub", "code_id")
+      .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code_id"))
+    d2.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("vec_id", "sub", "code_id", "d2")
+  }
+
+  def pqTopKOf(e: DataFrame): DataFrame = {
+    val book = pqCodebook(e)
+    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
+    // per-query exact subspace distance to EVERY codeword: Nq×M×K rows,
+    // the classic ADC lookup table, broadcast to the code scan
+    val lut = pqLongForm(e.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
+      .join(broadcast(book), Seq("sub", "d"))
+      .groupBy("q_id", "sub", "code_id")
+      .agg(sum(pow(col("qv") - col("c"), 2)).as("sub_d2"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor"))
+      .agg(round(sum("sub_d2"), 6).as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "adc_d2")
+      .orderBy("q_id", "rank")
+  }
+
   /** Cosine threshold for [[semanticDedup]]: calibrated to this
     * synthetic corpus (within-cluster cosine tops out near 0.55; real
     * text embeddings run SemDeDup at 0.95+) — the threshold is the
