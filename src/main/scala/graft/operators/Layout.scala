@@ -182,4 +182,22 @@ object Layout {
       .sortWithinPartitions("shard", "h", "doc_id")
       .select("doc_id", "text", "h", "shard")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** CO-LOCATED join layout: persist a table bucketed AND bucket-sorted
+    * by its join key. Two tables written with the same key and bucket
+    * count join with ZERO exchanges — the bucketed layout IS the
+    * shuffle, paid once at write time and amortized over every
+    * subsequent join (the classic warehouse fact/dim contract; at
+    * 100 TB this turns the repeated biggest shuffle of a workload into
+    * a property of the data). Catalog table, not a path write —
+    * bucketing metadata lives in the catalog (same constraint as
+    * [[graft.operators.Dedup.writeBandIndex]], which proves the
+    * one-sided version of this plan for the LSH index).
+    * `LayoutSpec` pins the two-sided plan: no `ShuffleExchangeExec`
+    * under EITHER side of the join. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -85,4 +85,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(outPath).agg(sum("event_id")).head().getLong(0) ==
       ev.agg(sum("event_id")).head().getLong(0))
   }
+
+  test("co-bucketed tables join with ZERO exchanges on either side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    Layout.writeBucketed(orders, "t_orders_bkt", "custkey", 4)
+    Layout.writeBucketed(cust, "t_cust_bkt", "custkey", 4)
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("t_orders_bkt")
+        .join(spark.table("t_cust_bkt"), "custkey")
+      def exchanges(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case e: ShuffleExchangeExec => e }
+      // the bucketed layout provides the join-key partitioning on BOTH
+      // sides: the write-time shuffle replaces every run-time one
+      assert(exchanges(j.queryExecution.executedPlan).isEmpty,
+        j.queryExecution.executedPlan.toString)
+      // answer parity with the plain (shuffling) join
+      val plain = orders.join(cust, "custkey")
+      assert(j.count() == plain.count())
+      assert(math.abs(j.agg(sum("o_totalprice")).head().getDouble(0) -
+        plain.agg(sum("o_totalprice")).head().getDouble(0)) < 1e-6)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
+    }
+  }
 }
