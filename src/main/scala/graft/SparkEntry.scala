@@ -164,6 +164,7 @@ object SparkEntry {
     "q_text_lm_score"    -> (TextAnalysis.lmScore _),
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
+    "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
@@ -1299,6 +1300,43 @@ object SparkEntry {
          |       coalesce(c.dup_positions, 0)::BIGINT AS dup_positions,
          |       round(coalesce(c.dup_positions, 0) / len(b.toks)::DOUBLE, 4) AS dup_span_frac
          |FROM base b LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Replays TextAnalysis.boilerplateStrip: the crawl view (footers
+    // from the SAME Scala list, so the planted text can never drift),
+    // span grams thresholded at BoilerMinDf docs, coverage union,
+    // per-source governance report.
+    "q_text_boilerplate" ->
+      s"""WITH f(source, footer) AS (VALUES ${
+            TextAnalysis.BoilerFooters.map { case (s, t) => s"('$s', '$t')" }.mkString(", ")}),
+         |crawl AS (SELECT d.doc_id, d.source,
+         |            CASE WHEN f.footer IS NULL THEN d.text
+         |                 ELSE d.text || ' ' || f.footer END AS text
+         |          FROM documents d LEFT JOIN f USING (source)),
+         |tok AS (SELECT doc_id, source, $DuckTok AS toks FROM crawl),
+         |base AS (SELECT doc_id, source, toks FROM tok WHERE len(toks) >= 1),
+         |gr AS (SELECT doc_id, source,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' '))) AS g
+         |       FROM base),
+         |boiler AS (SELECT g FROM gr GROUP BY g
+         |           HAVING count(DISTINCT doc_id) >= ${TextAnalysis.BoilerMinDf}),
+         |hits AS (SELECT doc_id, source, p, g FROM gr JOIN boiler USING (g)),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM hits)),
+         |rem AS (SELECT doc_id, count(*)::BIGINT AS removed FROM cov GROUP BY doc_id),
+         |bg AS (SELECT source, count(DISTINCT g)::BIGINT AS boiler_grams
+         |       FROM hits GROUP BY source),
+         |agg AS (SELECT b.source, count(*)::BIGINT AS n_docs,
+         |          sum(len(b.toks))::BIGINT AS tokens_total,
+         |          sum(coalesce(rem.removed, 0))::BIGINT AS tokens_removed
+         |        FROM base b LEFT JOIN rem USING (doc_id) GROUP BY b.source)
+         |SELECT agg.source, n_docs, tokens_total,
+         |       coalesce(bg.boiler_grams, 0)::BIGINT AS boiler_grams,
+         |       tokens_removed,
+         |       round(tokens_removed / tokens_total::DOUBLE, 4) AS removed_frac
+         |FROM agg LEFT JOIN bg USING (source) ORDER BY agg.source""".stripMargin,
 
     "q_ann_kmeans" ->
       s"""WITH $DuckKmeansCtes,

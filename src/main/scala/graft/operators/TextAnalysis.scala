@@ -606,6 +606,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document-frequency threshold for [[boilerplateStrip]]: a span
+    * repeated across ≥ this many documents is boilerplate, not content.
+    * Calibrated against the measured organic ceiling (max cross-doc
+    * 8-gram df is 3 at sf0.01; the planted footers hit df=25) — at
+    * production scale this is a per-corpus percentile, the same dial. */
+  val BoilerMinDf = 10
+
+  /** Planted per-source boilerplate footers — the synthetic corpus has
+    * no boilerplate (the zero-case trap [[PiiPlanted]] documents), so
+    * EVEN-numbered sources get a canonical footer appended in the crawl
+    * view and odd sources stay clean: the report must prove both the
+    * hit and the clean case. Single source of truth — the oracle's
+    * VALUES clause is generated from this list. Each footer embeds its
+    * source name, so no 8-gram is shared ACROSS sources. */
+  val BoilerFooters: Seq[(String, String)] =
+    (0 until 20 by 2).map(i => s"src$i" ->
+      s"all rights reserved src$i archive subscribe to the src$i newsletter terms apply")
+
+  /** CCNet/C4-style BOILERPLATE REMOVAL — the crawl-cleaning action
+    * that runs before any quality or dedup stage: spans repeated
+    * near-verbatim across many pages of a site (footers, nav, cookie
+    * banners) carry no training signal and poison n-gram statistics.
+    * CCNet drops duplicated paragraphs by hash; this corpus is
+    * structureless (no newlines), so the unit falls back to the
+    * [[SpanN]]-gram span machinery of [[dupSpanCoverageOf]] — same
+    * grams, but thresholded at [[BoilerMinDf]] documents (removal)
+    * instead of 2 (measurement), and aggregated per SOURCE, the
+    * governance grain a crawl pipeline acts on.
+    *
+    * Plan shape: the gram-df groupBy is the one corpus-wide shuffle
+    * (key space = distinct grams); the surviving boilerplate set is
+    * bounded by total-occurrences/[[BoilerMinDf]] — high-df-few-keys by
+    * definition — so AQE broadcasts the membership join; coverage is
+    * the distinct union of covered positions (≤ corpus tokens), and
+    * everything after is |sources|-sized. No stage is quadratic in
+    * documents or grams. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val footers = broadcast(BoilerFooters.toDF("source", "footer"))
+    val crawl = Tables.fanOut(Tables.documents(spark, dir))
+      .join(footers, Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("footer").isNull, col("text"))
+          .otherwise(concat_ws(" ", col("text"), col("footer"))).as("text"))
+    boilerplateStripOf(crawl)
+  }
+
+  /** [[boilerplateStrip]] over any (doc_id, source, text) frame. */
+  def boilerplateStripOf(docs: DataFrame, n: Int = SpanN,
+                         minDf: Int = BoilerMinDf): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    // source rides the projection (not a join-back onto a second scan)
+    val grams = d.select(col("doc_id"), col("source"),
+        posexplode(wordNgrams(col("toks"), n)))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("g"))
+    val boiler = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("df_docs"))
+      .filter(col("df_docs") >= minDf)
+      .select("g")
+    val hits = grams.join(boiler, "g")
+    val removed = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("removed"))
+    val perSource = d
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("tokens_total"),
+        sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
+    val gramsPerSource = hits.groupBy("source")
+      .agg(countDistinct("g").as("boiler_grams"))
+    perSource.join(gramsPerSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
+        col("tokens_removed"),
+        round(col("tokens_removed") / col("tokens_total"), 4).as("removed_frac"))
+      .orderBy("source")
+  }
+
   /** Stages for [[curriculumStages]]. */
   val CurriculumStages = 4
 
