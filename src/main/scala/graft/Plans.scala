@@ -18,7 +18,8 @@ object Plans {
     "q_events_funnel", "q_merge_upsert", "q_graph_triangles",
     "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist",
     "q_assoc_rules", "q_profile_skew", "q_dedup_prefix_join",
-    "q_export_shards", "q_dedup_semantic")
+    "q_export_shards", "q_dedup_semantic",
+    "q_ann_pq", "q_ann_pca", "q_text_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
