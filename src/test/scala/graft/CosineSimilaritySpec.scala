@@ -64,4 +64,11 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .as[Double].head()
     assert(native.isNaN)
   }
+
+  test("graft_cosine is SQL-callable via SparkSessionExtensions") {
+    val v = spark.sql(
+      "SELECT graft_cosine(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
 }
