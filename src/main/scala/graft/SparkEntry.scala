@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
     "q_ann_pca"         -> (SimSearch.pcaPower _),
     "q_ann_pq"          -> (SimSearch.pqTopK _),
+    "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
     "q_text_lang_id"     -> (TextAnalysis.langIdConfusion _),
@@ -265,12 +266,12 @@ object SparkEntry {
     * ending at `c2`, the trained centroid frame in long (cent_id, d, c)
     * form. Used by both the `q_ann_kmeans` report oracle and the
     * `q_ann_kmeans_routed` serving oracle. */
-  private val DuckKmeansCtes =
-    """v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+  private def duckKmeansCtesOver(src: String): String =
+    s"""v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
       |        unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-      |      FROM embeddings),
+      |      FROM $src),
       |seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
-      |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |         FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT 8)),
       |c0 AS (SELECT cent_id, d, val AS c FROM v JOIN seed USING (vec_id)),
       |d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
       |       FROM v JOIN c0 USING (d) GROUP BY vec_id, cent_id),
@@ -288,6 +289,10 @@ object SparkEntry {
       |         FROM d2t) WHERE rnk = 1),
       |c2 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a2 USING (vec_id)
       |       GROUP BY cent_id, d)""".stripMargin
+
+  /** Shared CTE chain replaying `SimSearch.kmeansTrainedCents` over the
+    * full embeddings table (seed pick → two Lloyd re-centers → `c2`). */
+  private val DuckKmeansCtes = duckKmeansCtesOver("embeddings")
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -1412,6 +1417,52 @@ object SparkEntry {
         |SELECT w2.d, round(w2.x, 6) AS loading,
         |       round(lam.lambda / tr.t, 6) AS eigval_frac
         |FROM w2 CROSS JOIN lam CROSS JOIN tr ORDER BY w2.d""".stripMargin,
+
+    // Replays SimSearch.embeddingDrift: quantizer trained on the even
+    // (reference) snapshot via the shared kmeans chain, both snapshots
+    // assigned to the FROZEN centroids, smoothed PSI per cluster. The
+    // planted +0.3 shift on vec_id%10<3 of the odd snapshot is mirrored
+    // structurally (CASE outside the lambda, all-double math).
+    "q_profile_embedding_drift" ->
+      s"""WITH refsnap AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |cursnap AS (SELECT vec_id,
+         |              CASE WHEN vec_id % 10 < 3
+         |                THEN list_transform(embedding, x -> x::DOUBLE + ${SimSearch.DriftShift}::DOUBLE)
+         |                ELSE list_transform(embedding, x -> x::DOUBLE) END AS embedding
+         |            FROM embeddings WHERE vec_id % 2 = 1),
+         |${duckKmeansCtesOver("refsnap")},
+         |vcur AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+         |           unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |         FROM cursnap),
+         |dref AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |         FROM v JOIN c2 USING (d) GROUP BY 1, 2),
+         |aref AS (SELECT vec_id, cent_id FROM (
+         |           SELECT vec_id, cent_id,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |           FROM dref) WHERE rnk = 1),
+         |dcur AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |         FROM vcur JOIN c2 USING (d) GROUP BY 1, 2),
+         |acur AS (SELECT vec_id, cent_id FROM (
+         |           SELECT vec_id, cent_id,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |           FROM dcur) WHERE rnk = 1),
+         |spine AS (SELECT DISTINCT cent_id FROM c2),
+         |cnt AS (SELECT s.cent_id,
+         |          coalesce(r.n, 0)::BIGINT AS n_ref,
+         |          coalesce(u.n, 0)::BIGINT AS n_cur
+         |        FROM spine s
+         |        LEFT JOIN (SELECT cent_id, count(*)::BIGINT AS n FROM aref GROUP BY 1) r USING (cent_id)
+         |        LEFT JOIN (SELECT cent_id, count(*)::BIGINT AS n FROM acur GROUP BY 1) u USING (cent_id)),
+         |tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur,
+         |          count(*)::BIGINT AS k FROM cnt),
+         |p AS (SELECT cent_id, n_ref, n_cur,
+         |        (n_ref + 0.5::DOUBLE) / (t_ref + 0.5::DOUBLE * k) AS p_ref,
+         |        (n_cur + 0.5::DOUBLE) / (t_cur + 0.5::DOUBLE * k) AS p_cur
+         |      FROM cnt CROSS JOIN tot)
+         |SELECT cent_id, n_ref, n_cur,
+         |       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+         |FROM p ORDER BY cent_id""".stripMargin,
 
     // Replays SimSearch.pqTopKOf: per-subspace codebooks (seed = first
     // 16 vectors' subvectors, one Lloyd refine), corpus encoding, then

@@ -488,6 +488,69 @@ object SimSearch {
       .orderBy("d")
   }
 
+  /** Constant offset added to every dimension of the planted drifted
+    * slice in [[embeddingDrift]]'s "new" snapshot — large enough to move
+    * a vector's nearest trained centroid, so the monitor has real
+    * spatial drift to catch (the synthetic snapshots would otherwise
+    * split evenly — the zero-case trap again). */
+  val DriftShift = 0.3
+
+  /** EMBEDDING-DRIFT monitor — population-stability (PSI) over the
+    * cluster shares of the TRAINED quantizer, the embedding-space analog
+    * of `Profiling.driftReport`'s value-histogram PSI and the standard
+    * "did the new crawl move in embedding space" production monitor:
+    * train k-means on the reference snapshot (even vec_ids — the same
+    * Lloyd loop the IVF serving path uses), assign BOTH snapshots to
+    * those frozen centroids, and compare per-cluster shares with the
+    * library's smoothed PSI arithmetic. The new snapshot (odd vec_ids)
+    * carries a planted [[DriftShift]] offset on vec_id%10<3, so the
+    * report must show mass leaving some clusters and arriving in others.
+    *
+    * Scale posture: training and both assignment passes are the audited
+    * `q_ann_kmeans` shape (broadcast K×dims centroid frame, one narrow
+    * corpus pass each, WindowGroupLimit argmins); everything after the
+    * per-cluster counts is K-sized. The spine is the TRAINED centroid
+    * set, so emptied clusters stay defined (smoothing keeps ln finite),
+    * exactly as the histogram monitor handles emptied buckets. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val ref = e.filter(col("vec_id") % 2 === 0)
+    val cur = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 < 3,
+            transform(col("embedding"), x => x.cast("double") + lit(DriftShift)))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("embedding"))
+    embeddingDriftOf(ref, cur)
+  }
+
+  /** [[embeddingDrift]] over any (vec_id, embedding) reference/new
+    * snapshot pair; the quantizer is trained on `ref` ONLY (frozen
+    * index — assignment drift is the signal, not re-training). */
+  def embeddingDriftOf(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val cents = kmeansTrainedCents(ref, KmK, KmIters)
+    def counts(df: DataFrame, as: String) =
+      kmeansAssign(kmeansLongForm(df), cents)
+        .groupBy("cent_id").agg(count(lit(1)).as(as))
+    val full = cents.select("cent_id").distinct()
+      .join(counts(ref, "n_ref"), Seq("cent_id"), "left")
+      .join(counts(cur, "n_cur"), Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      count(lit(1)).as("k_live"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("p_ref", (col("n_ref") + 0.5) / (col("t_ref") + col("k_live") * 0.5))
+      .withColumn("p_cur", (col("n_cur") + 0.5) / (col("t_cur") + col("k_live") * 0.5))
+      .select(col("cent_id"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)
+          .as("psi_term"))
+      .orderBy("cent_id")
+  }
+
   /** Product-quantization geometry: [[PqM]] subspaces of dims/M
     * dimensions, [[PqK]] codewords per subspace — 64 float dims compress
     * to 8 bytes/vector (one code per subspace), the 32× compression that
