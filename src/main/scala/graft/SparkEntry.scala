@@ -186,6 +186,9 @@ object SparkEntry {
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
     "q_multimodal_dedup" -> (graft.multimodal.Multimodal.mediaDedupPlanted _),
+    // rows-only (no oracleSql entry BY DESIGN): DuckDB cannot decode the
+    // PNG payloads this query hashes — ImageHashSpec is the exact gate
+    "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
     // produce exactly the unsalted answer (salting redistributes partial

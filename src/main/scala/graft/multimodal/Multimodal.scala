@@ -223,6 +223,181 @@ object Multimodal {
       .orderBy("content_md5")
   }
 
+  /** 64-bit perceptual difference hash of one decoded image (see
+    * [[dHash]]); `ok = false` when no installed reader decodes the
+    * payload. */
+  final case class ImageHash(media_id: Long, ok: Boolean, dhash: Long)
+
+  /** Perceptual dHash over the DECODED raster — the image analog of
+    * SimHash for text: exact binary dedup ([[mediaDedupPlanted]]) misses
+    * re-encoded or slightly-edited copies of the same picture, which is
+    * most image duplication in a crawl. The classic dHash recipe,
+    * all-integer so every engine/JVM computes identical bits:
+    * luminance = 299r+587g+114b (scaled BT.601, no float), box-averaged
+    * onto a 9×8 grid with integer cell boundaries (`x·w/9`), and bit
+    * (x,y) = [cell(x+1,y) > cell(x,y)] — 64 horizontal gradients.
+    * Gradients survive re-encoding, small edits and brightness shifts
+    * (a constant offset cancels in the comparison), which is exactly
+    * what the suite pins. Same `mapPartitions` + NonFatal contract as
+    * [[decodeImage]]: a corrupt payload yields `ok = false`, never a
+    * dead task. */
+  def dHash(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(i) if i.getWidth >= 9 && i.getHeight >= 8 =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            // integer box-average of scaled-luminance over a 9x8 grid
+            val cell = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val gy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = i.getRGB(x, y)
+                val lum = 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                cell(gy)(x * 9 / w) += lum
+                x += 1
+              }
+              y += 1
+            }
+            val cnt = Array.ofDim[Long](8, 9)
+            y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { cnt(y * 8 / h)(x * 9 / w) += 1; x += 1 }
+              y += 1
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                // compare MEANS via cross-multiplied integer sums — no
+                // division, so no rounding policy to keep in sync
+                if (cell(gy)(gx + 1) * cnt(gy)(gx) > cell(gy)(gx) * cnt(gy)(gx + 1))
+                  hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            ImageHash(r.media_id, ok = true, hash)
+          case _ => ImageHash(r.media_id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** Hamming threshold for [[imageNearDup]]: dHash bits are 64
+    * near-independent gradients, so ≤6 differing bits is the standard
+    * "same picture, different encode/edit" band. */
+  val DHashMaxHamming = 6
+
+  /** Banded near-dup pairing over [[dHash]] values — the same
+    * LSH-banding plan as text SimHash (`Dedup.simhashPairs`): 4×16-bit
+    * bands key the candidate join; pairs within hamming ≤3 are
+    * GUARANTEED a fully-agreeing band (pigeonhole), pairs at 4–6 are
+    * found with the usual partial LSH recall (gradient edits cluster
+    * bits, so in practice they band together — the text SimHash screen
+    * makes the identical trade); `bit_count(xor)` verifies, and the
+    * first-matching-band filter keeps each pair once without a
+    * distinct. Corpus never self-joins outside band buckets; the
+    * 65,536-key band space grows with the catalog. */
+  def imageNearDup(hashes: DataFrame,
+                   maxHamming: Int = DHashMaxHamming): DataFrame = {
+    val banded = hashes.filter(col("ok"))
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_sig", expr("shiftright(dhash, band * 16) & 65535"))
+    val a = banded.select(col("media_id").as("id_a"), col("dhash").as("h_a"),
+      col("band"), col("band_sig"))
+    val b = banded.select(col("media_id").as("id_b"), col("dhash").as("h_b"),
+      col("band"), col("band_sig"))
+    val earlier = (0 until 4).map(k =>
+      when(col("band") > k,
+        shiftright(col("h_a"), k * 16).bitwiseAND(lit(0xffffL)) ===
+          shiftright(col("h_b"), k * 16).bitwiseAND(lit(0xffffL)))
+        .otherwise(lit(false)))
+      .reduce(_ || _)
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(!earlier) // first matching band only — each pair kept once
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Registered pHash near-dup query (ROWS-ONLY — no DuckDB oracle: the
+    * oracle engine cannot decode PNG, which is exactly why the recipe
+    * exists; `ImageHashSpec` carries the exact-arithmetic evidence on
+    * controlled images, and this query runs the same real codec →
+    * dHash → banded-join pipeline over a corpus-sized image set at the
+    * driver surface). One deterministic PNG per document (checkerboard
+    * whose periods derive from doc_id — drawn and encoded with the real
+    * JDK codec), every 10th image re-drawn with a small block edit under
+    * a planted id, then [[dHash]] + [[imageNearDup]]. The single
+    * summary row reports planted-pair recall and the hamming spread —
+    * the numbers an image-dedup rollout watches. */
+  def phashNearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val PlantShift = 1000000L
+    val recs: Dataset[MediaRecord] =
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.flatMap { id =>
+            def draw(perturbed: Boolean): Array[Byte] = {
+              val (w, h) = (72, 48)
+              val (px, py) = (4 + (id % 13).toInt, 4 + ((id / 13) % 13).toInt)
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val on = (x / px + y / py) % 2 == 0
+                  val edit = perturbed && x / 8 == 1 && y / 8 == 2
+                  val v =
+                    if (edit) 0x20c020
+                    else if (on) 0xe0e0e0
+                    else 0x202020
+                  img.setRGB(x, y, v)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              out.toByteArray
+            }
+            val base = MediaRecord(id, "image/png", draw(perturbed = false))
+            if (id % 10 == 0)
+              Seq(base, MediaRecord(id + PlantShift, "image/png", draw(perturbed = true)))
+            else Seq(base)
+          }
+        }
+    val hashes = dHash(recs)
+    val pairs = imageNearDup(hashes.toDF())
+    val planted = col("id_b") === col("id_a") + PlantShift
+    val nImages = hashes.agg(
+      count(lit(1)).as("n_images"),
+      sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
+      sum(when(col("media_id") >= PlantShift, 1L).otherwise(0L)).as("planted_expected"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(planted, 1L).otherwise(0L)).as("planted_found"),
+        max(when(planted, col("hamming"))).cast("long").as("planted_max_hamming"))
+      .crossJoin(broadcast(nImages))
+      .select("n_images", "n_undecodable", "planted_expected",
+        "planted_found", "n_pairs", "planted_max_hamming")
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

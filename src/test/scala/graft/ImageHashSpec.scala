@@ -1,0 +1,92 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{MediaRecord, Multimodal}
+
+/** Perceptual-hash tests over REAL in-memory PNGs: the dHash of a
+  * lightly edited or brightness-shifted image must sit within the
+  * near-dup band of the original, a structurally different image must
+  * not, and corrupt payloads must degrade to ok=false. Images are drawn
+  * and PNG-encoded in-test (java.awt + ImageIO — deterministic), so the
+  * decode → downsample → gradient pipeline runs on genuine codec
+  * output, not fixtures of itself. */
+class ImageHashSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def png(f: (Int, Int) => Int, w: Int = 72, h: Int = 48): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def rgb(r: Int, g: Int, b: Int): Int =
+    (r.max(0).min(255) << 16) | (g.max(0).min(255) << 8) | b.max(0).min(255)
+
+  // a diagonal gradient with a bright block — structured content
+  private def base(x: Int, y: Int): Int =
+    if (x / 8 == 2 && y / 8 == 1) rgb(240, 240, 240)
+    else rgb(x * 3, y * 5, (x + y) * 2)
+
+  private lazy val records = Seq(
+    MediaRecord(0L, "image/png", png(base)),
+    // small local edit: one 8x8 block recolored
+    MediaRecord(1L, "image/png", png((x, y) =>
+      if (x / 8 == 7 && y / 8 == 4) rgb(10, 200, 10) else base(x, y))),
+    // global brightness shift: gradients unchanged
+    MediaRecord(2L, "image/png", png((x, y) => {
+      val v = base(x, y)
+      rgb(((v >> 16) & 0xff) + 12, ((v >> 8) & 0xff) + 12, (v & 0xff) + 12)
+    })),
+    // structurally different: inverted diagonal, no block
+    MediaRecord(3L, "image/png", png((x, y) => rgb(255 - x * 3, 255 - y * 5, x))),
+    // corrupt payload
+    MediaRecord(4L, "image/png", Array[Byte](0x50, 0x4e, 0x47, 0x00))
+  ).toDS()
+
+  private lazy val hashes = Multimodal.dHash(records).collect()
+    .map(r => r.media_id -> r).toMap
+
+  private def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  test("decode contract: real PNGs hash ok, corrupt payload degrades") {
+    assert((0L to 3L).forall(hashes(_).ok))
+    assert(!hashes(4L).ok && hashes(4L).dhash == 0L)
+  }
+
+  test("edits and brightness shifts stay within the near-dup band") {
+    assert(hamming(hashes(0L).dhash, hashes(1L).dhash) <= Multimodal.DHashMaxHamming)
+    // constant luminance offset cancels in the gradient comparison
+    assert(hamming(hashes(0L).dhash, hashes(2L).dhash) <= 2)
+  }
+
+  test("a structurally different image is far in hamming space") {
+    assert(hamming(hashes(0L).dhash, hashes(3L).dhash) > 20)
+  }
+
+  test("imageNearDup pairs the edited copies, not the different image") {
+    val pairs = Multimodal.imageNearDup(Multimodal.dHash(records).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // each pair exactly once (first-matching-band discipline)
+    val all = Multimodal.imageNearDup(Multimodal.dHash(records).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.distinct.length)
+  }
+
+  test("registered planted query: full recall of the planted edits") {
+    val row = Multimodal.phashNearDupPlanted(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(row.getLong(1) == 0)                  // every PNG decodes
+    assert(row.getLong(2) > 0)                   // plants exist
+    assert(row.getLong(3) == row.getLong(2))     // planted_found == expected
+    assert(row.getLong(5) <= Multimodal.DHashMaxHamming)
+  }
+}
