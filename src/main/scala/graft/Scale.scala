@@ -69,7 +69,7 @@ object Scale {
     // optional `--sections=dedup,signals,graph,prefix` limits the run to
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
-    val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic")
+    val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic", "boiler")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -307,6 +307,39 @@ object Scale {
         "K scaled | max cluster | pair volume | drops | dedup time |")
       println("|---|---|---|---|---|---|---|---|---|---|")
       rows5.foreach(println)
+    }
+
+    // Boilerplate strip: the claim under test is that the BOILER SET is
+    // corpus-INDEPENDENT — site templates don't multiply with content —
+    // so the membership join's build side stays broadcastable at any
+    // scale while grams/coverage grow linearly. Replicas share the same
+    // per-source footers (the crawl view plants them AFTER replication,
+    // as a real recrawl re-serves the same template), and replica
+    // content grams are qz-prefixed disjoint, so organic df cannot
+    // creep toward the threshold.
+    val rows6 = factors.filter(_ => sections("boiler")).map { k =>
+      System.err.println(s"[scale] factor $k (boilerplate) ...")
+      val crawl = graft.operators.TextAnalysis.crawlViewOf(
+        replicatedDocs(spark, baseDir, k))
+      val nDocs = crawl.count()
+      val grams = graft.operators.TextAnalysis.spanGramsOf(crawl)
+      val (nGrams, _) = timedCount(grams)
+      val nBoiler = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= graft.operators.TextAnalysis.BoilerMinDf)
+        .count()
+      val t0 = System.nanoTime()
+      val rep = graft.operators.TextAnalysis.boilerplateStripOf(crawl).collect()
+      val tRep = (System.nanoTime() - t0) / 1e9
+      val removed = rep.map(_.getLong(4)).sum
+      s"| ${k}x | $nDocs | $nGrams | $nBoiler | $removed | ${f"$tRep%.1f"}s |"
+    }
+    if (sections("boiler")) {
+      println()
+      println("| factor | docs | gram occurrences | boiler grams | " +
+        "tokens removed | report time |")
+      println("|---|---|---|---|---|---|")
+      rows6.foreach(println)
     }
     spark.stop()
   }

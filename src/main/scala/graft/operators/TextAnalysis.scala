@@ -642,15 +642,20 @@ object TextAnalysis {
     * the distinct union of covered positions (≤ corpus tokens), and
     * everything after is |sources|-sized. No stage is quadratic in
     * documents or grams. */
-  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(
+      crawlViewOf(Tables.fanOut(Tables.documents(spark, dir))))
+
+  /** The planted crawl view: [[BoilerFooters]] appended per source —
+    * shared by the registered query and the Scale growth harness. */
+  private[graft] def crawlViewOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val footers = broadcast(BoilerFooters.toDF("source", "footer"))
-    val crawl = Tables.fanOut(Tables.documents(spark, dir))
-      .join(footers, Seq("source"), "left")
+    docs.join(footers, Seq("source"), "left")
       .select(col("doc_id"), col("source"),
         when(col("footer").isNull, col("text"))
           .otherwise(concat_ws(" ", col("text"), col("footer"))).as("text"))
-    boilerplateStripOf(crawl)
   }
 
   /** [[boilerplateStrip]] over any (doc_id, source, text) frame. */
