@@ -528,7 +528,12 @@ object SimSearch {
     * snapshot pair; the quantizer is trained on `ref` ONLY (frozen
     * index — assignment drift is the signal, not re-training). */
   def embeddingDriftOf(ref: DataFrame, cur: DataFrame): DataFrame = {
-    val cents = kmeansTrainedCents(ref, KmK, KmIters)
+    // train ONCE and materialize the K×dims frame (512 rows): three
+    // consumers (two assignment passes + the spine) would otherwise
+    // each replay the full Lloyd subtree — this is the "persist the
+    // trained quantizer" step a production monitor does anyway, scoped
+    // to this plan (not a cross-query memo)
+    val cents = kmeansTrainedCents(ref, KmK, KmIters).localCheckpoint()
     def counts(df: DataFrame, as: String) =
       kmeansAssign(kmeansLongForm(df), cents)
         .groupBy("cent_id").agg(count(lit(1)).as(as))
