@@ -166,6 +166,7 @@ object SparkEntry {
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
     "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
+    "q_text_boilerplate_apply" -> (TextAnalysis.boilerplateApply _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
@@ -1345,6 +1346,35 @@ object SparkEntry {
          |       tokens_removed,
          |       round(tokens_removed / tokens_total::DOUBLE, 4) AS removed_frac
          |FROM agg LEFT JOIN bg USING (source) ORDER BY agg.source""".stripMargin,
+
+    // The APPLY action: the oracle md5-hashes every cleaned text, so
+    // both engines must drop the exact same token positions and rebuild
+    // the exact same surviving sequence.
+    "q_text_boilerplate_apply" ->
+      s"""WITH f(source, footer) AS (VALUES ${
+            TextAnalysis.BoilerFooters.map { case (s, t) => s"('$s', '$t')" }.mkString(", ")}),
+         |crawl AS (SELECT d.doc_id, d.source,
+         |            CASE WHEN f.footer IS NULL THEN d.text
+         |                 ELSE d.text || ' ' || f.footer END AS text
+         |          FROM documents d LEFT JOIN f USING (source)),
+         |tok AS (SELECT doc_id, $DuckTok AS toks FROM crawl),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' '))) AS g
+         |       FROM base),
+         |boiler AS (SELECT g FROM gr GROUP BY g
+         |           HAVING count(DISTINCT doc_id) >= ${TextAnalysis.BoilerMinDf}),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM gr JOIN boiler USING (g))),
+         |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
+         |            unnest(toks) AS tok FROM base),
+         |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t))
+         |SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ann_kmeans" ->
       s"""WITH $DuckKmeansCtes,

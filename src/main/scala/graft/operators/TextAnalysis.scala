@@ -694,6 +694,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** The boilerplate-removal ACTION to [[boilerplateStrip]]'s report:
+    * per document, the text REBUILT from the positions no boilerplate
+    * span covers — what actually flows to the next pipeline stage. The
+    * oracle hash-matches the md5 of every cleaned text, so the engines
+    * must agree on the exact surviving token sequence, not just counts.
+    * Rebuild is one corpus-token-sized groupBy: kept (pos, token) rows
+    * fold back via an ordered `array_sort(collect_list(struct))` — the
+    * same deterministic-rebuild discipline as the PCA folds. */
+  def boilerplateApply(spark: SparkSession, dir: String): DataFrame =
+    boilerplateApplyOf(crawlViewOf(Tables.fanOut(Tables.documents(spark, dir))))
+
+  def boilerplateApplyOf(docs: DataFrame, n: Int = SpanN,
+                         minDf: Int = BoilerMinDf): DataFrame = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val grams = d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val boiler = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("df_docs"))
+      .filter(col("df_docs") >= minDf)
+      .select("g")
+    val covered = grams.join(boiler, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = d.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Stages for [[curriculumStages]]. */
   val CurriculumStages = 4
 

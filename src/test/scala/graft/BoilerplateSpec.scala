@@ -51,4 +51,25 @@ class BoilerplateSpec extends AnyFunSuite {
       n = 8, minDf = 3).collect()
     assert(result.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("apply action rebuilds exactly the uncovered token sequence") {
+    val cleaned = TextAnalysis.boilerplateApplyOf(corpus, n = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // source-a docs lose the 9 footer tokens, keeping their 3 unique ones
+    (0 until 6).foreach { i =>
+      val (n, hash) = cleaned(i.toLong)
+      assert(n == 3)
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"u${i}x u${i}y u${i}z".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(hash == expect, s"doc $i")
+    }
+    // source-b docs are untouched: all 9 tokens survive
+    assert(cleaned(10L)._1 == 9 && cleaned(11L)._1 == 9)
+    // totals reconcile with the report's removal accounting
+    val removedTotal = result.map(_.getLong(4)).sum
+    val keptTotal = cleaned.values.map(_._1).sum
+    val allTokens = result.map(_.getLong(2)).sum
+    assert(keptTotal + removedTotal == allTokens)
+  }
 }

@@ -81,6 +81,30 @@ class ImageHashSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length)
   }
 
+  test("binaryFile source ingests on-disk PNGs into the hash pipeline") {
+    // the production ingest path for raw media: spark.read.format
+    // ("binaryFile") over a directory → (path, content) rows → the same
+    // decode/hash pipeline as any other binary column
+    import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgs")
+    java.nio.file.Files.write(dir.resolve("img0.png"), png(base))
+    java.nio.file.Files.write(dir.resolve("img1.png"),
+      png((x, y) => if (x / 8 == 7 && y / 8 == 4) rgb(10, 200, 10) else base(x, y)))
+    val recs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+      .select(
+        element_at(fsplit(element_at(fsplit(col("path"), "/"), -1), "\\."), 1)
+          .substr(4, 9).cast("long").as("media_id"),
+        org.apache.spark.sql.functions.lit("image/png").as("mime"),
+        col("content"))
+      .as[MediaRecord]
+    val hs = Multimodal.dHash(recs).collect().map(r => r.media_id -> r.dhash).toMap
+    assert(hs.keySet == Set(0L, 1L))
+    assert(hs(0L) == hashes(0L).dhash) // identical bytes → identical hash
+    assert(hamming(hs(0L), hs(1L)) <= Multimodal.DHashMaxHamming)
+  }
+
   test("registered planted query: full recall of the planted edits") {
     val row = Multimodal.phashNearDupPlanted(spark, "/root/testdata/sf0.001")
       .collect().head
