@@ -100,6 +100,7 @@ object SparkEntry {
     "q_events_transitions" -> (EventsOps.typeTransitions _),
     "q_events_scd2"     -> (EventsOps.stateIntervals _),
     "q_events_rolling"  -> (EventsOps.rollingUserActivity _),
+    "q_events_decay"    -> (EventsOps.decayedUserFeatures _),
     "q_events_anomaly"  -> (EventsOps.anomalousDays _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
@@ -675,6 +676,23 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
         |ORDER BY step""".stripMargin,
+
+    // Replays EventsOps.decayedUserFeaturesOf: exact integer-micro
+    // deltas, per-term DECIMAL quantization before the sum (absorbs
+    // libm-pow ulps and makes partials order-independent), 4dp report.
+    "q_events_decay" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         |tm AS (SELECT max(ts_us) AS t_max FROM ev),
+         |w AS (SELECT user_id,
+         |        CAST(pow(2.0, (ts_us - t_max)::DOUBLE / ${EventsOps.DecayHalfLifeUs}.0)
+         |          AS DECIMAL(18,6)) AS wq,
+         |        CAST(pow(2.0, (ts_us - t_max)::DOUBLE / ${EventsOps.DecayHalfLifeUs}.0)
+         |          * value AS DECIMAL(28,6)) AS wvq
+         |      FROM ev CROSS JOIN tm)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |       round(CAST(sum(wq) AS DOUBLE), 4) AS decayed_count,
+         |       round(CAST(sum(wvq) AS DOUBLE), 4) AS decayed_value
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_rolling" ->
       s"""SELECT event_id, user_id,

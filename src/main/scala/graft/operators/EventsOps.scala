@@ -204,6 +204,47 @@ object EventsOps {
       .orderBy("event_id")
   }
 
+  /** Half-life for [[decayedUserFeatures]] in epoch micros (6 h): the
+    * freshness dial of decayed counters. */
+  val DecayHalfLifeUs = 21600000000L
+
+  /** Exponentially DECAYED per-user activity counters — the freshness-
+    * weighted feature (recent activity counts more) every ranking /
+    * recommendation feature store maintains. The scalable formulation
+    * is decay-to-a-FIXED-reference: weight each event by
+    * 2^((ts − T_ref)/half-life) and SUM — a distributive aggregate
+    * (map-side combined, any partitioning), unlike the per-event
+    * recursive EWMA which is order-serial by definition. Shift
+    * invariance does the serving-time work: decayed(T) =
+    * decayed(T_ref) · 2^((T_ref − T)/hl), so one stored number serves
+    * any query time without rescanning history.
+    *
+    * Cross-engine discipline: Δt is exact integer micros and the
+    * reference is the corpus max (a 1-row broadcast, no driver
+    * round-trip); each libm `pow` term is quantized to DECIMAL(·,6)
+    * BEFORE summing, so partials are partition-order independent and a
+    * last-ulp pow divergence between engines is absorbed by the
+    * quantization grid, not summed 60k times. */
+  def decayedUserFeatures(spark: SparkSession, dir: String): DataFrame =
+    decayedUserFeaturesOf(
+      Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")))
+
+  def decayedUserFeaturesOf(ev: DataFrame,
+                            halfLifeUs: Long = DecayHalfLifeUs): DataFrame = {
+    val tmax = ev.agg(max("ts_us").as("t_max"))
+    val w = pow(lit(2.0),
+      (col("ts_us") - col("t_max")).cast("double") / halfLifeUs.toDouble)
+    ev.crossJoin(broadcast(tmax))
+      .withColumn("wq", w.cast("decimal(18,6)"))
+      .withColumn("wvq", (w * col("value")).cast("decimal(28,6)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("wq").cast("double"), 4).as("decayed_count"),
+        round(sum("wvq").cast("double"), 4).as("decayed_value"))
+      .orderBy("user_id")
+  }
+
   /** First-order TRANSITION matrix over per-user event sequences —
     * the behavioral-analytics staple (and the Markov-chain sufficient
     * statistic): for consecutive events of the same user, count each

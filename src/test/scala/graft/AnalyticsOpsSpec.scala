@@ -250,4 +250,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // a doc made of corpus-frequent bigrams scores above an outlier doc
     assert(byId(1L).getAs[Double]("avg_ll") > byId(2L).getAs[Double]("avg_ll") - 1e-9)
   }
+
+  test("decayed features: closed-form weights, shift-invariant ratios") {
+    import spark.implicits._
+    val hl = EventsOps.DecayHalfLifeUs
+    // user 1: events at T and T-hl (weights 1, 0.5); user 2: at T only
+    val ev = Seq((1L, 1000L * hl, 10.0), (1L, 999L * hl, 4.0),
+      (2L, 1000L * hl, 7.0)).toDF("user_id", "ts_us", "value")
+    val got = EventsOps.decayedUserFeaturesOf(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 2)
+    assert(got(1L).getDouble(2) == 1.5)        // 1 + 2^-1
+    assert(got(1L).getDouble(3) == 12.0)       // 10 + 0.5*4
+    assert(got(2L).getDouble(2) == 1.0 && got(2L).getDouble(3) == 7.0)
+    // distributivity: same answer under any repartitioning
+    val again = EventsOps.decayedUserFeaturesOf(ev.repartition(3)).collect()
+      .map(_.toSeq).toSet
+    assert(again == got.values.map(_.toSeq).toSet)
+  }
 }
