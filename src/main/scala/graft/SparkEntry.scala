@@ -64,6 +64,8 @@ object SparkEntry {
     "q1_pricing"       -> (Relational.pricingSummary _),
     "q3_top_revenue"   -> (Relational.topRevenueOrders _),
     "q5_region_revenue" -> (Relational.regionRevenue _),
+    "q7_volume_shipping" -> (Relational.volumeShipping _),
+    "q8_market_share"   -> (Relational.marketShare _),
     "q_brand_revenue"  -> (Relational.brandRevenue _),
     "q_semi_join"      -> (Relational.customersWithOpenOrders _),
     "q_anti_join"      -> (Relational.customersWithoutOrders _),
@@ -449,6 +451,39 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH vols AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM part, lineitem, orders, customer, supplier,
+        |       nation n1, region, nation n2
+        |  WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_suppkey = l_suppkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND r_name = 'EUROPE' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share,
+        |  round(CAST(sum(vol) AS DOUBLE), 2) AS total_volume
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

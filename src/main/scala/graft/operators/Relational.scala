@@ -120,6 +120,79 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** TPC-H Q7-shaped VOLUME SHIPPING: bilateral trade revenue between
+    * two nations by ship year. The scale-correct form filters BOTH
+    * nation dims to the two names BEFORE their joins (each broadcast
+    * nation join then semi-prunes the supplier/customer legs to ~2/25
+    * of their rows ahead of the big three-way join), with only the
+    * cross-pair residual left as a post-join filter. Date range reaches
+    * the lineitem scan as a pushed predicate. Decimal partials keep the
+    * revenue partition-order independent. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (natA, natB) = ("NATION_3", "NATION_7")
+    val pair = Seq(natA, natB)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === natA && col("cust_nation") === natB) ||
+        (col("supp_nation") === natB && col("cust_nation") === natA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shaped NATIONAL MARKET SHARE: one nation's share of the
+    * supply volume for a part type sold into one region, by order year.
+    * Selective dims first — part type and the customer-side
+    * nation→region chain prune before the fact joins — and the share is
+    * a conditional-sum / total-sum ratio inside ONE aggregation pass
+    * (no self-join of the filtered frame against itself). */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val target = "NATION_3"
+    val p = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val nCust = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+    val nSupp = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round((sum(when(col("supp_nation") === target, vol)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(vol).cast("double")), 4).as("mkt_share"),
+        round(sum(vol).cast("double"), 2).as("total_volume"))
+      .orderBy("o_year")
+  }
+
   /** LEFT SEMI join (EXISTS): customers having at least one open order. */
   def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
