@@ -141,6 +141,7 @@ object SparkEntry {
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
     "q_ann_pca"         -> (SimSearch.pcaPower _),
     "q_ann_pq"          -> (SimSearch.pqTopK _),
+    "q_ann_pq_recall"   -> (SimSearch.pqRecall _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
@@ -300,6 +301,52 @@ object SparkEntry {
   /** Shared CTE chain replaying `SimSearch.kmeansTrainedCents` over the
     * full embeddings table (seed pick → two Lloyd re-centers → `c2`). */
   private val DuckKmeansCtes = duckKmeansCtesOver("embeddings")
+
+  /** CTE chain replaying `SimSearch.pqTopKOf` through `ranked` (the ADC
+    * ranking per query) — shared by the PQ serving oracle and the PQ
+    * recall audit, so the audit measures the shipped chain verbatim. */
+  private val DuckPqCtes =
+    """v0 AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+      |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, d, d // 8 AS sub, val FROM v0),
+      |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |c0 AS (SELECT sub, code_id, d, val AS c FROM v JOIN seeds USING (vec_id)),
+      |d1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+      |       FROM v JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, sub, code_id FROM (
+      |         SELECT vec_id, sub, code_id,
+      |           row_number() OVER (PARTITION BY vec_id, sub
+      |             ORDER BY d2, code_id) AS rnk
+      |         FROM d1) WHERE rnk = 1),
+      |c1 AS (SELECT sub, code_id, d, avg(val) AS c
+      |       FROM v JOIN a1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+      |enc2 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+      |         FROM v JOIN c1 USING (sub, d) GROUP BY 1, 2, 3),
+      |codes AS (SELECT vec_id, sub, code_id FROM (
+      |            SELECT vec_id, sub, code_id,
+      |              row_number() OVER (PARTITION BY vec_id, sub
+      |                ORDER BY d2, code_id) AS rnk
+      |            FROM enc2) WHERE rnk = 1),
+      |lut AS (SELECT v.vec_id AS q_id, sub, code_id,
+      |          sum((val - c) * (val - c)) AS sub_d2
+      |        FROM v JOIN c1 USING (sub, d) WHERE v.vec_id < 10
+      |        GROUP BY 1, 2, 3),
+      |adc AS (SELECT q_id, codes.vec_id AS neighbor,
+      |          round(sum(sub_d2), 6) AS adc_d2
+      |        FROM codes JOIN lut USING (sub, code_id)
+      |        WHERE codes.vec_id <> q_id GROUP BY 1, 2),
+      |ranked AS (SELECT q_id, neighbor, adc_d2,
+      |             row_number() OVER (PARTITION BY q_id
+      |               ORDER BY adc_d2, neighbor) AS "rank"
+      |           FROM adc)""".stripMargin
+
+  private val DuckPqSql =
+    s"""WITH $DuckPqCtes
+       |SELECT q_id, "rank", neighbor, adc_d2 FROM ranked
+       |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -1554,45 +1601,31 @@ object SparkEntry {
     // 16 vectors' subvectors, one Lloyd refine), corpus encoding, then
     // ADC — every engine-side float sum feeds a 6dp round before any
     // rank, and ranks tie-break on the unique neighbor id.
-    "q_ann_pq" ->
-      """WITH v0 AS (
-        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-        |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-        |  FROM embeddings),
-        |v AS (SELECT vec_id, d, d // 8 AS sub, val FROM v0),
-        |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
-        |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |c0 AS (SELECT sub, code_id, d, val AS c FROM v JOIN seeds USING (vec_id)),
-        |d1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-        |       FROM v JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
-        |a1 AS (SELECT vec_id, sub, code_id FROM (
-        |         SELECT vec_id, sub, code_id,
-        |           row_number() OVER (PARTITION BY vec_id, sub
-        |             ORDER BY d2, code_id) AS rnk
-        |         FROM d1) WHERE rnk = 1),
-        |c1 AS (SELECT sub, code_id, d, avg(val) AS c
-        |       FROM v JOIN a1 USING (vec_id, sub) GROUP BY 1, 2, 3),
-        |enc2 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-        |         FROM v JOIN c1 USING (sub, d) GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, code_id FROM (
-        |            SELECT vec_id, sub, code_id,
-        |              row_number() OVER (PARTITION BY vec_id, sub
-        |                ORDER BY d2, code_id) AS rnk
-        |            FROM enc2) WHERE rnk = 1),
-        |lut AS (SELECT v.vec_id AS q_id, sub, code_id,
-        |          sum((val - c) * (val - c)) AS sub_d2
-        |        FROM v JOIN c1 USING (sub, d) WHERE v.vec_id < 10
-        |        GROUP BY 1, 2, 3),
-        |adc AS (SELECT q_id, codes.vec_id AS neighbor,
-        |          round(sum(sub_d2), 6) AS adc_d2
-        |        FROM codes JOIN lut USING (sub, code_id)
-        |        WHERE codes.vec_id <> q_id GROUP BY 1, 2),
-        |ranked AS (SELECT q_id, neighbor, adc_d2,
-        |             row_number() OVER (PARTITION BY q_id
-        |               ORDER BY adc_d2, neighbor) AS "rank"
-        |           FROM adc)
-        |SELECT q_id, "rank", neighbor, adc_d2 FROM ranked
-        |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+    "q_ann_pq" -> DuckPqSql,
+
+    // The PQ recall audit: ADC top-3 (the shared chain, verbatim the
+    // serving oracle) intersected with the exact L2 top-3 per query.
+    "q_ann_pq_recall" ->
+      s"""WITH $DuckPqCtes,
+         |exact AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
+         |            round(list_reduce(list_transform(
+         |              list_zip(q.embedding, e.embedding),
+         |              p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),
+         |              (a, b) -> a + b), 6) AS d2
+         |          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |          WHERE q.vec_id < 10),
+         |exact3 AS (SELECT q_id, neighbor FROM (
+         |             SELECT q_id, neighbor,
+         |               row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY d2, neighbor) AS rnk
+         |             FROM exact) WHERE rnk <= 3),
+         |adc3 AS (SELECT q_id, neighbor FROM ranked WHERE "rank" <= 3),
+         |hits AS (SELECT q_id, count(*)::BIGINT AS hits
+         |         FROM exact3 JOIN adc3 USING (q_id, neighbor) GROUP BY q_id),
+         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
+         |SELECT q_id, coalesce(hits, 0)::BIGINT AS hits,
+         |       round(coalesce(hits, 0) / 3.0, 4) AS recall
+         |FROM qs LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $DuckKmeansCtes,

@@ -19,6 +19,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Sequential-fold SQUARED L2 distance in double precision — same
+    * bit-identical cross-engine contract as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Cosine similarity as built-in collection expressions, structured as
     * dot/(sqrt(aa)*sqrt(bb)) — the shape the oracle mirrors, kept as the
     * reference implementation the native kernel is property-checked

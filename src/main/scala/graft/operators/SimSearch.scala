@@ -650,6 +650,37 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
+    * compressed-domain path: per query, how many of the exact squared-L2
+    * top-3 the ADC top-3 recovers. This is the number that decides the
+    * PQ geometry (M, K, iters) before a rollout: ADC error is bounded by
+    * quantization distortion, so recall measured on a sample IS the
+    * production acceptance test. Exact side ranks on the 6dp-rounded
+    * fold-exact L2 with a neighbor tie-break (the library's cross-engine
+    * ranking discipline); the ADC side is [[pqTopKOf]] verbatim, so the
+    * audit measures the shipped plan, not a re-derivation. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    pqRecallOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  def pqRecallOf(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exactScored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(l2sq(col("q_emb"), col("embedding")), 6).as("d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("neighbor"))
+    val exact3 = exactScored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select("q_id", "neighbor")
+    val adc3 = pqTopKOf(e).select("q_id", "neighbor")
+    val hits = exact3.join(adc3, Seq("q_id", "neighbor"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    q.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 3.0, 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Cosine threshold for [[semanticDedup]]: calibrated to this
     * synthetic corpus (within-cluster cosine tops out near 0.55; real
     * text embeddings run SemDeDup at 0.95+) — the threshold is the

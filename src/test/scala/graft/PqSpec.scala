@@ -68,4 +68,13 @@ class PqSpec extends AnyFunSuite {
     val again = SimSearch.pqTopKOf(planted.repartition(7)).collect()
     assert(result.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("recall audit reads 1.0 on the lossless codebook") {
+    // ADC == exact distance here, so the exact top-3 and ADC top-3 are
+    // the same set for every query — the audit must certify it
+    val rows = SimSearch.pqRecallOf(planted).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(1) == 3), rows.map(_.toSeq).mkString(";"))
+    assert(rows.forall(_.getDouble(2) == 1.0))
+  }
 }
