@@ -66,6 +66,7 @@ object SparkEntry {
     "q5_region_revenue" -> (Relational.regionRevenue _),
     "q7_volume_shipping" -> (Relational.volumeShipping _),
     "q8_market_share"   -> (Relational.marketShare _),
+    "q13_custdist"      -> (Relational.customerDistribution _),
     "q_brand_revenue"  -> (Relational.brandRevenue _),
     "q_semi_join"      -> (Relational.customersWithOpenOrders _),
     "q_anti_join"      -> (Relational.customersWithoutOrders _),
@@ -498,6 +499,14 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

@@ -193,6 +193,24 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q13-shaped CUSTOMER DISTRIBUTION: how many customers placed
+    * exactly k orders, INCLUDING the zero-order customers a plain inner
+    * join would silently drop (the classic left-outer + count(non-null)
+    * idiom — count(o_orderkey) counts matches, not rows). Two-level
+    * aggregation: per-customer counts (corpus-keyed, map-side combined)
+    * collapse to a |distinct k|-sized key space for the distribution —
+    * nothing after the first aggregate scales with the corpus. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   /** LEFT SEMI join (EXISTS): customers having at least one open order. */
   def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
