@@ -67,6 +67,11 @@ object SparkEntry {
     "q7_volume_shipping" -> (Relational.volumeShipping _),
     "q8_market_share"   -> (Relational.marketShare _),
     "q13_custdist"      -> (Relational.customerDistribution _),
+    "q15_top_supplier"  -> (Relational.topSupplier _),
+    "q17_small_qty"     -> (Relational.smallQtyRevenue _),
+    "q21_waiting_supplier" -> (Relational.waitingSuppliers _),
+    "q22_idle_customers" -> (Relational.idleHighBalanceCustomers _),
+    "q11_important_parts" -> (Relational.importantParts _),
     "q_brand_revenue"  -> (Relational.brandRevenue _),
     "q_semi_join"      -> (Relational.customersWithOpenOrders _),
     "q_anti_join"      -> (Relational.customersWithoutOrders _),
@@ -540,6 +545,64 @@ object SparkEntry {
         |    / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share,
         |  round(CAST(sum(vol) AS DOUBLE), 2) AS total_volume
         |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the correlated-subquery form of Q17: the hash-match against the
+    // windowed Spark plan machine-checks the decorrelation rewrite
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND CAST(l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // the double-correlated EXISTS/NOT EXISTS form of Q21: the hash-match
+    // proves the per-order-aggregate rewrite equivalent
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+        |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+        |       WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q11_important_parts" ->
+      """WITH vals AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val_d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, round(CAST(val_d AS DOUBLE), 2) AS value
+        |FROM vals
+        |WHERE val_d * 10000 > (SELECT sum(val_d) FROM vals) * 7
+        |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

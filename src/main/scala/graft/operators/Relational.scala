@@ -212,6 +212,140 @@ object Relational {
   }
 
   /** LEFT SEMI join (EXISTS): customers having at least one open order. */
+  /** TPC-H Q15-shaped TOP SUPPLIER: the supplier(s) whose quarterly
+    * revenue equals the maximum over all suppliers. The "view + scalar
+    * max" of the SQL form becomes an aggregate plus a ONE-ROW broadcast
+    * join against its own max — no global sort, no window over the whole
+    * supplier frame (a `rank() OVER ()` with no partition key would pull
+    * every supplier row through one task at 100 TB). Revenue sums in
+    * DECIMAL so the max-equality comparison is partition-order exact —
+    * a double sum could make Spark and the oracle disagree about which
+    * supplier is "the" max by one ulp. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, dir),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev").cast("double"), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17-shaped SMALL-QUANTITY REVENUE: average yearly revenue lost
+    * if small-quantity orders (below 20% of the part's average quantity)
+    * were no longer filled, for one brand. The correlated per-part AVG
+    * subquery of the SQL form decorrelates into ONE window over the
+    * brand-filtered lineitems — a single shuffle on partkey computes
+    * sum(qty)/count per part and the threshold test in the same pass
+    * (the classic agg-then-self-join plan scans lineitem twice). The
+    * threshold is evaluated in INTEGERS — qty < 0.2·avg ⟺ 5·qty·cnt <
+    * sum_qty with integral quantities — so no float division can flip a
+    * boundary row between engines. Per-part group size is bounded (a part
+    * appears in ~30 lineitems at any SF), so window state never grows
+    * with the corpus. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum("qty").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("qty") * lit(5) * col("cnt") < col("sum_qty"))
+      .agg(round((sum(col("l_extendedprice").cast("decimal(18,4)")) /
+        lit(7.0)).cast("double"), 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q21-shaped WAITING SUPPLIER: suppliers of one nation who were
+    * the ONLY supplier with a returned ('R') item in a multi-supplier
+    * finished order (the data has no commit/receipt dates, so the return
+    * flag stands in for "late" — the plan shape is Q21's). The double
+    * correlated EXISTS / NOT EXISTS of the SQL form — which naively
+    * executes as two more passes over lineitem per outer row — becomes
+    * ONE per-order aggregate: n_supp = distinct suppliers in the order,
+    * n_late_supp = distinct suppliers with an R item; the Q21 condition
+    * is exactly n_supp ≥ 2 ∧ n_late_supp = 1. The ORACLE is written in
+    * the EXISTS form, so the hash-match machine-checks the rewrite. Both
+    * the aggregate and the joins key on l_orderkey — one shuffle
+    * partitioning reused across the whole plan. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).filter(col("n_name") === "NATION_5")
+      .select(col("n_nationkey").as("s_nk"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("s_nk"))
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val perOrder = l.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+        .as("n_late_supp"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    l.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-shaped IDLE HIGH-BALANCE CUSTOMERS: per-segment count and
+    * balance of customers above the mean positive account balance with no
+    * order since the cutoff. The scalar AVG subquery becomes a one-row
+    * broadcast of (sum, count), and the mean test multiplies out —
+    * bal·n_pos > sum_bal in DECIMAL — so no division is ever compared.
+    * The NOT EXISTS is a left-anti join against the date-pruned orders
+    * projection (two columns reach the scan). */
+  def idleHighBalanceCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val stats = c.filter(col("c_acctbal") > 0).agg(
+      sum(col("c_acctbal").cast("decimal(18,4)")).as("sum_bal"),
+      count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(18,4)") * col("n_pos") >
+        col("sum_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2)
+          .as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q11-shaped IMPORTANT PARTS: parts whose lineitem value exceeds
+    * a fixed fraction (0.07%) of the global total — the HAVING-over-a-
+    * scalar-aggregate-subquery shape. The per-part aggregate computes
+    * once; its own re-aggregation (a few-thousand-row frame, not the
+    * corpus) yields the global total as a one-row broadcast, and the
+    * fraction test is integer-scaled decimal (value·10000 > 7·total) so
+    * no engine disagrees at the threshold boundary. Ordered by the
+    * ROUNDED output value so both engines sort the same key. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("val_d"))
+    val tot = vals.agg(sum(col("val_d")).as("total"))
+    vals.join(broadcast(tot))
+      .filter(col("val_d") * lit(10000) > col("total") * lit(7))
+      .select(col("l_partkey"),
+        round(col("val_d").cast("double"), 2).as("value"))
+      .orderBy(desc("value"), asc("l_partkey"))
+  }
+
   def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")

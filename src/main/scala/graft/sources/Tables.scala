@@ -26,18 +26,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert
-    * to TimestampType (micros) — the generator emits µs-aligned values, so
-    * `div 1000` is lossless and matches DuckDB's epoch_us exactly.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session build by every entry point (Verify/Bench/tests) — a pure
-    * loader must not mutate session config per call. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The events table with `ts` normalized to TimestampType, whatever
+    * physical type the generator wrote — see [[normalizeTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"))
+
+  /** Normalize the generator's `ts` column to TimestampType (µs). The
+    * driver's generator has shipped two vintages of `events.ts`:
+    * INT64 TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as
+    * BIGINT (every entry point sets it) — and plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which surfaces as TIMESTAMP_NTZ. Dispatch on
+    * the OBSERVED type so both vintages (and an already-normalized frame)
+    * read identically:
+    *  - BIGINT nanos: `div 1000` is lossless (values are µs-aligned) and
+    *    matches DuckDB's epoch_us exactly;
+    *  - TIMESTAMP_NTZ: cast to TimestampType interprets the wall time in
+    *    the session time zone — every entry point pins UTC, so the micros
+    *    value is preserved bit-exactly and DuckDB (which reads the same
+    *    file as a naive timestamp) agrees on every derived epoch/bucket. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -28,27 +28,25 @@ final case class UserTotals(
   */
 object EventsStream {
 
-  /** Parquet schema of the events table as the file SOURCE sees it with
-    * `nanosAsLong` (INT64 TIMESTAMP(NANOS) surfaces as LongType). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Bounded file-source stream over the events parquet in an sf
     * directory (the file source wants a directory, so `dir` is the sf
     * root and a glob filter picks the table) — `maxFilesPerTrigger`
-    * paces replay. Same nanos→micros conversion as `Tables.events`. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * paces replay. The stream source needs an explicit schema; PROBE the
+    * file's batch schema instead of hard-coding one, because the
+    * generator has shipped `ts` as both INT64 TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver rounds — then apply the same
+    * per-type normalization as `Tables.events` so every downstream
+    * streaming transform sees TimestampType either way. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Streaming twin of `EventsOps.hourlyTypeCounts`: tumbling 1-hour
     * windows per event type, 2-hour watermark for late data. */
