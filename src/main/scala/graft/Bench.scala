@@ -127,6 +127,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Durable full artifact alongside the one-line stdout contract: the
+    // driver captures only the TAIL of stdout, and at 130+ queries the
+    // single line outgrew it — BENCH_r05's committed artifact held 65 of
+    // ~132 entries and the alphabetically-first `build:*` rows vanished.
+    // The file is the regression-tracking record (committed per round);
+    // stdout stays the driver's parse target. One entry per line, sorted,
+    // with both measured passes kept so cold-vs-warm spread is visible.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    val lines = results.map { case (k, v) =>
+      s"""  "$k": {"min": $v, "pass1": ${pass1(k)}, "pass2": ${pass2(k)}}"""
+    }
+    val fullJson = lines.mkString(
+      s"""{\n  "_meta": {"metric": "total", "value": $total, "unit": "sec", "sf": "$sfDir", "n_queries": ${results.size}},\n""",
+      ",\n", "\n}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -658,40 +658,64 @@ object TextAnalysis {
           .otherwise(concat_ws(" ", col("text"), col("footer"))).as("text"))
   }
 
-  /** [[boilerplateStrip]] over any (doc_id, source, text) frame. */
+  /** [[boilerplateStrip]] over any (doc_id, source, text) frame.
+    *
+    * The tokenized frame and the exploded gram frame are each consumed
+    * by MULTIPLE downstream branches (grams: df-agg + membership join;
+    * d: gram build + per-source token totals) — lazily shared, Spark
+    * re-derives the subtree once per consumer, and the executed r5 plan
+    * showed THREE tokenize+8-gram-explode passes over the corpus plus a
+    * fourth plain-tokenize scan, making this the bench's most expensive
+    * query. Same hazard [[graft.operators.Graph.pagerankRanks]]
+    * documents, same fix: materialize both frames through Dedup's
+    * owned-RDD machinery (localCheckpoint, or reliable checkpoint when
+    * `spark.graft.checkpointDir` is set), compute the |sources|-sized
+    * report eagerly, and retire the corpus-sized pins before returning
+    * so repeated calls can't accumulate block storage. */
   def boilerplateStripOf(docs: DataFrame, n: Int = SpanN,
                          minDf: Int = BoilerMinDf): DataFrame = {
-    val d = docs.select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1)
-    // source rides the projection (not a join-back onto a second scan)
-    val grams = d.select(col("doc_id"), col("source"),
-        posexplode(wordNgrams(col("toks"), n)))
-      .select(col("doc_id"), col("source"), col("pos"), col("col").as("g"))
-    val boiler = grams.groupBy("g")
-      .agg(countDistinct("doc_id").as("df_docs"))
-      .filter(col("df_docs") >= minDf)
-      .select("g")
-    val hits = grams.join(boiler, "g")
-    val removed = hits
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("removed"))
-    val perSource = d
-      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"))
-      .join(removed, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_toks").as("tokens_total"),
-        sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
-    val gramsPerSource = hits.groupBy("source")
-      .agg(countDistinct("g").as("boiler_grams"))
-    perSource.join(gramsPerSource, Seq("source"), "left")
-      .select(col("source"), col("n_docs"), col("tokens_total"),
-        coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
-        col("tokens_removed"),
-        round(col("tokens_removed") / col("tokens_total"), 4).as("removed_frac"))
-      .orderBy("source")
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val (d, dRdd) = materialize(
+        docs.select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 1))
+      // source rides the projection (not a join-back onto a second scan)
+      val (grams, gramsRdd) = materialize(
+        d.select(col("doc_id"), col("source"),
+            posexplode(wordNgrams(col("toks"), n)))
+          .select(col("doc_id"), col("source"), col("pos"), col("col").as("g")))
+      val boiler = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("df_docs"))
+        .filter(col("df_docs") >= minDf)
+        .select("g")
+      val hits = grams.join(boiler, "g")
+      val removed = hits
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("t"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("removed"))
+      val perSource = d
+        .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_toks"))
+        .join(removed, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("tokens_total"),
+          sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
+      val gramsPerSource = hits.groupBy("source")
+        .agg(countDistinct("g").as("boiler_grams"))
+      val (out, _) = materialize(
+        perSource.join(gramsPerSource, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("tokens_total"),
+            coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
+            col("tokens_removed"),
+            round(col("tokens_removed") / col("tokens_total"), 4).as("removed_frac"))
+          .orderBy("source"))
+      Dedup.retire(spark, gramsRdd)
+      Dedup.retire(spark, dRdd)
+      out
+    }
   }
 
   /** The boilerplate-removal ACTION to [[boilerplateStrip]]'s report:
@@ -707,27 +731,42 @@ object TextAnalysis {
 
   def boilerplateApplyOf(docs: DataFrame, n: Int = SpanN,
                          minDf: Int = BoilerMinDf): DataFrame = {
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 1)
-    val grams = d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
-      .select(col("doc_id"), col("pos"), col("col").as("g"))
-    val boiler = grams.groupBy("g")
-      .agg(countDistinct("doc_id").as("df_docs"))
-      .filter(col("df_docs") >= minDf)
-      .select("g")
-    val covered = grams.join(boiler, "g")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
-    val kept = d.select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), col("pos"), col("col").as("tok"))
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")))).as("cleaned_md5"))
-      .orderBy("doc_id")
+    // same dual-consumption hazard and fix as [[boilerplateStripOf]]:
+    // `grams` feeds the df-agg AND the membership join, `d` feeds the
+    // gram build AND the kept-token rebuild — materialize both, retire
+    // the corpus-sized pins once the per-doc digest is computed
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val (d, dRdd) = materialize(
+        docs.select(col("doc_id"), toks(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 1))
+      val (grams, gramsRdd) = materialize(
+        d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+          .select(col("doc_id"), col("pos"), col("col").as("g")))
+      val boiler = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("df_docs"))
+        .filter(col("df_docs") >= minDf)
+        .select("g")
+      val covered = grams.join(boiler, "g")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+        .distinct()
+      val kept = d.select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+      val (out, _) = materialize(
+        kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")))).as("cleaned_md5"))
+          .orderBy("doc_id"))
+      Dedup.retire(spark, gramsRdd)
+      Dedup.retire(spark, dRdd)
+      out
+    }
   }
 
   /** Stages for [[curriculumStages]]. */
