@@ -148,6 +148,7 @@ object SparkEntry {
     "q_ann_pca"         -> (SimSearch.pcaPower _),
     "q_ann_pq"          -> (SimSearch.pqTopK _),
     "q_ann_pq_recall"   -> (SimSearch.pqRecall _),
+    "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
@@ -353,6 +354,38 @@ object SparkEntry {
     s"""WITH $DuckPqCtes
        |SELECT q_id, "rank", neighbor, adc_d2 FROM ranked
        |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin
+
+  /** CTE chain replaying `SimSearch.ivfAdcTopKOf` (appended after
+    * [[DuckPqCtes]], whose `codes`/`lut` it reuses): the seed-pick IVF
+    * quantizer routes each query to its nprobe=2 nearest cells, the
+    * routed candidates score via the shared ADC lookup table, ending at
+    * `iranked`. Shared by the `q_ann_ivfadc` serving oracle and the
+    * extended PQ recall audit. */
+  private val DuckIvfAdcCtes =
+    s"""ivfe AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+       |ivfc AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+       |         FROM ivfe WHERE vec_id >= 100 AND vec_id < 108),
+       |icrank AS (
+       |  SELECT ivfe.vec_id, ivfc.cent_id,
+       |    row_number() OVER (PARTITION BY ivfe.vec_id
+       |      ORDER BY round(${duckDot("ivfe.embedding", "ivfc.cent_emb")} / (ivfe.nrm * ivfc.cent_nrm), 6) DESC,
+       |               ivfc.cent_id) AS rnk
+       |  FROM ivfe CROSS JOIN ivfc),
+       |iassign AS (SELECT vec_id, cent_id FROM icrank WHERE rnk = 1),
+       |iprobe AS (SELECT vec_id AS q_id, cent_id FROM icrank
+       |           WHERE vec_id < 10 AND rnk <= 2),
+       |irouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
+       |            FROM codes c
+       |            JOIN iassign a USING (vec_id)
+       |            JOIN iprobe p USING (cent_id)
+       |            WHERE c.vec_id <> p.q_id),
+       |iadc AS (SELECT q_id, vec_id AS neighbor, round(sum(sub_d2), 6) AS adc_d2
+       |         FROM irouted JOIN lut USING (q_id, sub, code_id)
+       |         GROUP BY 1, 2),
+       |iranked AS (SELECT q_id, neighbor, adc_d2,
+       |              row_number() OVER (PARTITION BY q_id
+       |                ORDER BY adc_d2, neighbor) AS "rank"
+       |            FROM iadc)""".stripMargin
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -1675,10 +1708,12 @@ object SparkEntry {
     // rank, and ranks tie-break on the unique neighbor id.
     "q_ann_pq" -> DuckPqSql,
 
-    // The PQ recall audit: ADC top-3 (the shared chain, verbatim the
-    // serving oracle) intersected with the exact L2 top-3 per query.
+    // The PQ recall audit: both compressed-domain serving chains (flat
+    // ADC `ranked`, IVF-routed `iranked` — each verbatim its serving
+    // oracle) intersected with the exact L2 top-3 per query.
     "q_ann_pq_recall" ->
       s"""WITH $DuckPqCtes,
+         |$DuckIvfAdcCtes,
          |exact AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
          |            round(list_reduce(list_transform(
          |              list_zip(q.embedding, e.embedding),
@@ -1691,13 +1726,27 @@ object SparkEntry {
          |               row_number() OVER (PARTITION BY q_id
          |                 ORDER BY d2, neighbor) AS rnk
          |             FROM exact) WHERE rnk <= 3),
-         |adc3 AS (SELECT q_id, neighbor FROM ranked WHERE "rank" <= 3),
-         |hits AS (SELECT q_id, count(*)::BIGINT AS hits
-         |         FROM exact3 JOIN adc3 USING (q_id, neighbor) GROUP BY q_id),
-         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
-         |SELECT q_id, coalesce(hits, 0)::BIGINT AS hits,
+         |ra AS (SELECT 'pq_adc' AS method, q_id, neighbor
+         |       FROM ranked WHERE "rank" <= 3
+         |       UNION ALL
+         |       SELECT 'ivfadc_np2' AS method, q_id, neighbor
+         |       FROM iranked WHERE "rank" <= 3),
+         |hits AS (SELECT method, q_id, count(*)::BIGINT AS hits
+         |         FROM exact3 JOIN ra USING (q_id, neighbor) GROUP BY 1, 2),
+         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+         |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np2')
+         |SELECT method, q_id, coalesce(hits, 0)::BIGINT AS hits,
          |       round(coalesce(hits, 0) / 3.0, 4) AS recall
-         |FROM qs LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin,
+         |FROM ms CROSS JOIN qs LEFT JOIN hits USING (method, q_id)
+         |ORDER BY method, q_id""".stripMargin,
+
+    // Replays SimSearch.ivfAdcTopKOf: the seed-pick IVF router composed
+    // with the shared PQ code/LUT chain — FAISS's IVFADC (plain codes).
+    "q_ann_ivfadc" ->
+      s"""WITH $DuckPqCtes,
+         |$DuckIvfAdcCtes
+         |SELECT q_id, "rank", neighbor, adc_d2 FROM iranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $DuckKmeansCtes,

@@ -137,7 +137,7 @@ object SimSearch {
     scored.withColumn("rnk", row_number().over(w))
   }
 
-  private def ivfRanked(e: DataFrame): DataFrame =
+  private[graft] def ivfRanked(e: DataFrame): DataFrame =
     rankedAgainst(e,
       e.filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb")))
@@ -629,17 +629,23 @@ object SimSearch {
       .select("vec_id", "sub", "code_id", "d2")
   }
 
-  def pqTopKOf(e: DataFrame): DataFrame = {
-    val book = pqCodebook(e)
-    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
-    // per-query exact subspace distance to EVERY codeword: Nq×M×K rows,
-    // the classic ADC lookup table, broadcast to the code scan
-    val lut = pqLongForm(e.filter(col("vec_id") < NQueries))
+  /** Per-query ADC lookup table (q_id, sub, code_id, sub_d2): exact
+    * subspace distance from every (un-quantized) query subvector to
+    * every codeword — Nq×[[PqM]]×[[PqK]] rows, broadcast to the code
+    * scan. Shared by the flat ADC serving path ([[pqTopKOf]]) and the
+    * IVF-routed composition ([[ivfAdcTopKOf]]). */
+  private def pqLut(e: DataFrame, book: DataFrame): DataFrame =
+    pqLongForm(e.filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
       .join(broadcast(book), Seq("sub", "d"))
       .groupBy("q_id", "sub", "code_id")
       .agg(sum(pow(col("qv") - col("c"), 2)).as("sub_d2"))
-    val adc = codes.join(broadcast(lut), Seq("sub", "code_id"))
+
+  /** ADC ranking shared tail: sum the M table lookups per candidate,
+    * rank on the 6dp-rounded distance with the unique neighbor
+    * tie-break. `pairs` must carry (q_id, vec_id, sub_d2). */
+  private def adcRanked(pairs: DataFrame): DataFrame = {
+    val adc = pairs
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("neighbor"))
       .agg(round(sum("sub_d2"), 6).as("adc_d2"))
@@ -648,6 +654,47 @@ object SimSearch {
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "neighbor", "adc_d2")
       .orderBy("q_id", "rank")
+  }
+
+  def pqTopKOf(e: DataFrame): DataFrame = {
+    val book = pqCodebook(e)
+    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
+    val lut = pqLut(e, book)
+    adcRanked(codes.join(broadcast(lut), Seq("sub", "code_id")))
+  }
+
+  /** IVFADC — the production FAISS index shape (Jégou et al. 2011 §V):
+    * IVF routing ([[ivfRanked]]'s coarse quantizer) composed with
+    * compressed-domain ADC scoring ([[pqCodebook]]/[[pqLut]]). Each
+    * query is routed to its `nprobe` nearest coarse cells and scores
+    * ONLY those cells' PQ codes via the broadcast lookup table — the
+    * corpus-wide ADC scan of [[pqTopKOf]] shrinks to nprobe inverted
+    * lists per query, which is what makes a RAM-resident 100 TB index
+    * servable. Codes here quantize the raw vectors (the paper's
+    * plain-code variant; residual coding is the same plan with
+    * `v - cent` fed to the sub-quantizers). Every vector lives in
+    * exactly one cell (rnk=1 assignment), so candidate sets nest in
+    * nprobe and recall is monotone — [[pqRecallOf]] pins the measured
+    * recall of this exact composition against fold-exact L2. */
+  def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+
+  def ivfAdcTopKOf(e: DataFrame, nprobe: Int): DataFrame = {
+    val ranked = ivfRanked(e)
+    val assign = ranked.filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val book = pqCodebook(e)
+    // the persisted index: per-cell PQ codes (cent_id rides each code row)
+    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
+      .join(assign, "vec_id")
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val lut = pqLut(e, book)
+    // route: codes join the Nq×nprobe probe list on cent_id — the only
+    // corpus-sized stage, an equi-join against a broadcast-bounded side
+    val routed = codes.join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
+    adcRanked(routed)
   }
 
   /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
@@ -672,13 +719,21 @@ object SimSearch {
     val w = Window.partitionBy("q_id").orderBy(col("d2"), col("neighbor"))
     val exact3 = exactScored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3).select("q_id", "neighbor")
-    val adc3 = pqTopKOf(e).select("q_id", "neighbor")
-    val hits = exact3.join(adc3, Seq("q_id", "neighbor"))
-      .groupBy("q_id").agg(count(lit(1)).as("hits"))
-    q.select("q_id").join(hits, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)) / 3.0, 4).as("recall"))
-      .orderBy("q_id")
+    // both compressed-domain serving paths, audited against the same
+    // exact top-3: flat ADC (whole-corpus scan) and the IVF-routed
+    // composition at the registered nprobe — the routed path's recall
+    // can only lose candidates to routing, so pq_adc bounds it above
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = exact3.join(approx.select("q_id", "neighbor"), Seq("q_id", "neighbor"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      q.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(lit(method).as("method"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 3.0, 4).as("recall"))
+    }
+    recallOf("pq_adc", pqTopKOf(e))
+      .unionByName(recallOf(s"ivfadc_np$IvfNProbe", ivfAdcTopKOf(e, IvfNProbe)))
+      .orderBy("method", "q_id")
   }
 
   /** Cosine threshold for [[semanticDedup]]: calibrated to this

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimSearch
+import graft.sources.Tables
+
+/** IVFADC composition tests (Jégou et al. 2011 §V): IVF routing over
+  * the PQ/ADC serving chain. The decisive property is structural — with
+  * nprobe = K every query probes EVERY inverted list, the candidate set
+  * equals the whole corpus, and the routed ranking must equal flat
+  * brute-force ADC row for row. Anything the routing composition gets
+  * wrong (lost cells, duplicated candidates, a broken LUT join key)
+  * breaks the equality. The registered nprobe=2 query is additionally
+  * hash-checked against the DuckDB oracle (`q_ann_ivfadc`) and its
+  * recall pinned in `q_ann_pq_recall`. */
+class IvfAdcSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val e = Tables.fanOut(Tables.embeddings(spark, dir))
+
+  test("nprobe=K (probe all cells) equals flat brute-force ADC exactly") {
+    val flat = SimSearch.pqTopKOf(e).collect().map(_.toSeq).toSeq
+    val routedAll =
+      SimSearch.ivfAdcTopKOf(e, SimSearch.IvfK).collect().map(_.toSeq).toSeq
+    assert(flat == routedAll)
+  }
+
+  test("nprobe=2 returns 3 ranked neighbors per query, self excluded") {
+    val rows = SimSearch.ivfAdcTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until SimSearch.NQueries.toLong).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!rs.map(_.getLong(2)).contains(q))
+    }
+  }
+
+  test("routed candidates respect the routing: neighbors live in probed cells") {
+    // every returned neighbor's rnk=1 cell must be among its query's
+    // top-nprobe cells — the defining invariant of IVF routing
+    val ranked = SimSearch.ivfRanked(e)
+    val assign = ranked.filter(ranked("rnk") === 1)
+      .select(ranked("vec_id").as("neighbor"), ranked("cent_id").as("n_cell"))
+    val probes = ranked
+      .filter(ranked("vec_id") < SimSearch.NQueries && ranked("rnk") <= SimSearch.IvfNProbe)
+      .select(ranked("vec_id").as("q_id"), ranked("cent_id").as("p_cell"))
+    val bad = SimSearch.ivfAdcTopK(spark, dir)
+      .join(assign, "neighbor")
+      .join(probes, "q_id")
+      .groupBy("q_id", "neighbor", "n_cell")
+      .agg(org.apache.spark.sql.functions.max(
+        (org.apache.spark.sql.functions.col("p_cell") ===
+          org.apache.spark.sql.functions.col("n_cell")).cast("int")).as("in_probe"))
+      .filter(org.apache.spark.sql.functions.col("in_probe") === 0)
+    assert(bad.count() == 0)
+  }
+}

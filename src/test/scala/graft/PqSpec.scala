@@ -71,10 +71,14 @@ class PqSpec extends AnyFunSuite {
 
   test("recall audit reads 1.0 on the lossless codebook") {
     // ADC == exact distance here, so the exact top-3 and ADC top-3 are
-    // the same set for every query — the audit must certify it
+    // the same set for every query — the audit must certify it. Only
+    // the flat-ADC method rows: the planted ids (0..63) contain no IVF
+    // seed centroids (ids 100+), so the routed arm is degenerate here —
+    // IvfAdcSpec covers it on the real corpus.
     val rows = SimSearch.pqRecallOf(planted).collect()
+      .filter(_.getString(0) == "pq_adc")
     assert(rows.length == 10)
-    assert(rows.forall(_.getLong(1) == 3), rows.map(_.toSeq).mkString(";"))
-    assert(rows.forall(_.getDouble(2) == 1.0))
+    assert(rows.forall(_.getLong(2) == 3), rows.map(_.toSeq).mkString(";"))
+    assert(rows.forall(_.getDouble(3) == 1.0))
   }
 }
