@@ -201,6 +201,7 @@ object SparkEntry {
     // rows-only (no oracleSql entry BY DESIGN): DuckDB cannot decode the
     // PNG payloads this query hashes — ImageHashSpec is the exact gate
     "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
+    "q_multimodal_phash_pairs" -> (graft.multimodal.Multimodal.phashPairs _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
     // produce exactly the unsalted answer (salting redistributes partial
@@ -1313,6 +1314,31 @@ object SparkEntry {
         |       min(media_id) AS keep_media
         |FROM doubled GROUP BY content_md5, mime HAVING count(*) > 1
         |ORDER BY content_md5""".stripMargin,
+
+    // The perceptual-hash pairing stage, oracle-checked: the Spark side
+    // decodes the planted PNGs with the real JDK codec and hashes them
+    // (Multimodal.phashPairs); DuckDB cannot decode PNG, so the oracle
+    // replays only the post-decode relational stage — SimHash-style
+    // 4×16-bit banding, pair join, hamming verify — over the COMMITTED
+    // expected-hash fixture (Multimodal.PhashFixturePath, the sf0.01
+    // vintage the driver verifies at). A drift in either the codec
+    // arithmetic (hashes stop matching the fixture) or the banding plan
+    // (pairs diverge) breaks the hash match. DISTINCT here ≡ the Spark
+    // plan's first-matching-band filter: hamming is pair-determined.
+    "q_multimodal_phash_pairs" ->
+      s"""WITH h AS (SELECT media_id, dhash
+         |           FROM '${graft.multimodal.Multimodal.PhashFixturePath}'
+         |           WHERE ok),
+         |banded AS (SELECT media_id, dhash, band,
+         |             (dhash >> (band::INT * 16)) & 65535 AS band_sig
+         |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |            bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |          FROM banded a JOIN banded b USING (band, band_sig)
+         |          WHERE a.media_id < b.media_id)
+         |SELECT DISTINCT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

@@ -344,44 +344,57 @@ object Multimodal {
     * a planted id, then [[dHash]] + [[imageNearDup]]. The single
     * summary row reports planted-pair recall and the hamming spread —
     * the numbers an image-dedup rollout watches. */
-  def phashNearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
+  /** Planted-pair id offset for [[plantedMediaRecords]]. */
+  val PlantShift = 1000000L
+
+  /** The deterministic planted image catalog both perceptual-hash
+    * queries run on: one PNG per document (checkerboard whose periods
+    * derive from doc_id — drawn and encoded with the real JDK codec),
+    * every 10th image re-drawn with a small block edit under
+    * `doc_id + `[[PlantShift]]. Shared by [[phashNearDupPlanted]] (the
+    * recall summary), [[phashPairs]] (the oracle-checked pairing stage)
+    * and the committed fixture generator, so the hash fixture can never
+    * drift from the queries' catalog silently. */
+  def plantedMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    val PlantShift = 1000000L
-    val recs: Dataset[MediaRecord] =
-      Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          javax.imageio.ImageIO.setUseCache(false)
-          it.flatMap { id =>
-            def draw(perturbed: Boolean): Array[Byte] = {
-              val (w, h) = (72, 48)
-              val (px, py) = (4 + (id % 13).toInt, 4 + ((id / 13) % 13).toInt)
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val on = (x / px + y / py) % 2 == 0
-                  val edit = perturbed && x / 8 == 1 && y / 8 == 2
-                  val v =
-                    if (edit) 0x20c020
-                    else if (on) 0xe0e0e0
-                    else 0x202020
-                  img.setRGB(x, y, v)
-                  x += 1
-                }
-                y += 1
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          def draw(perturbed: Boolean): Array[Byte] = {
+            val (w, h) = (72, 48)
+            val (px, py) = (4 + (id % 13).toInt, 4 + ((id / 13) % 13).toInt)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val on = (x / px + y / py) % 2 == 0
+                val edit = perturbed && x / 8 == 1 && y / 8 == 2
+                val v =
+                  if (edit) 0x20c020
+                  else if (on) 0xe0e0e0
+                  else 0x202020
+                img.setRGB(x, y, v)
+                x += 1
               }
-              val out = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", out)
-              out.toByteArray
+              y += 1
             }
-            val base = MediaRecord(id, "image/png", draw(perturbed = false))
-            if (id % 10 == 0)
-              Seq(base, MediaRecord(id + PlantShift, "image/png", draw(perturbed = true)))
-            else Seq(base)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            out.toByteArray
           }
+          val base = MediaRecord(id, "image/png", draw(perturbed = false))
+          if (id % 10 == 0)
+            Seq(base, MediaRecord(id + PlantShift, "image/png", draw(perturbed = true)))
+          else Seq(base)
         }
+      }
+  }
+
+  def phashNearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val recs = plantedMediaRecords(spark, dir)
     val hashes = dHash(recs)
     val pairs = imageNearDup(hashes.toDF())
     val planted = col("id_b") === col("id_a") + PlantShift
@@ -397,6 +410,31 @@ object Multimodal {
       .select("n_images", "n_undecodable", "planted_expected",
         "planted_found", "n_pairs", "planted_max_hamming")
   }
+
+  /** Committed expected-hash fixture for [[phashPairs]]' oracle: the
+    * (media_id, ok, dhash) output of decode→[[dHash]] over
+    * [[plantedMediaRecords]] at the driver's verify scale (sf0.01),
+    * generated by [[PhashFixtureGen]] and checked in. */
+  val PhashFixturePath = "/root/repo/fixtures/phash_dhash_sf0.01.parquet"
+
+  /** The ORACLE-CHECKED half of the perceptual-hash pipeline: decode →
+    * [[dHash]] → [[imageNearDup]], emitting the raw near-dup pairs
+    * (id_a, id_b, hamming). The Spark side runs the REAL pipeline (JDK
+    * codec decode included); the DuckDB oracle replays the banding /
+    * pairing / hamming stage in SQL over the committed
+    * [[PhashFixturePath]] hash fixture — everything after the decode is
+    * pure relational logic, so the correctness gate now pins BOTH that
+    * the decoded hashes still equal the committed expected values (a
+    * codec or dHash drift breaks the hash match) and that the pairing
+    * plan agrees cross-engine. The fixture is the sf0.01 vintage — the
+    * scale the driver's gate verifies at; [[phashNearDupPlanted]] stays
+    * the scale-free rows-only summary. The oracle uses DISTINCT where
+    * the Spark plan uses the first-matching-band filter: same pair set,
+    * by construction. */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    imageNearDup(dHash(plantedMediaRecords(spark, dir)).toDF())
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
 
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
