@@ -594,8 +594,11 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     // the correlated-subquery form of Q17: the hash-match against the
     // windowed Spark plan machine-checks the decorrelation rewrite
+    // DECIMAL(18,4) accumulation mirrors the Spark side exactly (both
+    // engines sum exact decimals, THEN divide in double) — a raw DOUBLE
+    // sum could land a ulp across a .005 rounding boundary at other SFs
     "q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem l JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#3'
         |  AND CAST(l_quantity AS BIGINT) * 5 *

@@ -51,7 +51,10 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df // already normalized (or a micros vintage)
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other — expected BIGINT nanos, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP; fix the loader, not the query")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Keyed state for [[EventsStream.userRunningTotals]]. */
 final case class UserTotals(
@@ -36,7 +35,10 @@ object EventsStream {
     * generator has shipped `ts` as both INT64 TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across driver rounds — then apply the same
     * per-type normalization as `Tables.events` so every downstream
-    * streaming transform sees TimestampType either way. */
+    * streaming transform sees TimestampType either way. The probe makes
+    * this throw at PLAN time when `events.parquet` is absent (the old
+    * hard-coded schema deferred the failure to the first micro-batch) —
+    * fail-fast at the loader is the intended behavior. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val fileSchema = spark.read
       .option("pathGlobFilter", "events.parquet").parquet(dir).schema
