@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** A multimodal record: opaque binary payload + typed metadata. The
@@ -394,21 +395,35 @@ object Multimodal {
   }
 
   def phashNearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val recs = plantedMediaRecords(spark, dir)
-    val hashes = dHash(recs)
-    val pairs = imageNearDup(hashes.toDF())
-    val planted = col("id_b") === col("id_a") + PlantShift
-    val nImages = hashes.agg(
-      count(lit(1)).as("n_images"),
-      sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
-      sum(when(col("media_id") >= PlantShift, 1L).otherwise(0L)).as("planted_expected"))
-    pairs.agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(planted, 1L).otherwise(0L)).as("planted_found"),
-        max(when(planted, col("hamming"))).cast("long").as("planted_max_hamming"))
-      .crossJoin(broadcast(nImages))
-      .select("n_images", "n_undecodable", "planted_expected",
-        "planted_found", "n_pairs", "planted_max_hamming")
+    // decode ONCE: the hash frame feeds three branches (both sides of
+    // the banded self-join + the catalog summary), and lazily shared it
+    // re-ran the draw+encode+decode+dHash subtree per consumer — the
+    // executed plan showed SIX codec passes, on a query whose whole
+    // cost is the codec. Materialize the (media_id, ok, dhash) frame —
+    // 64 bits per image, the persisted index a real rollout stores —
+    // and retire it once the 1-row summary is computed.
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (hashes, hashesRdd) = Dedup.materializeOwned(
+        dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
+      val pairs = imageNearDup(hashes)
+      val planted = col("id_b") === col("id_a") + PlantShift
+      val nImages = hashes.agg(
+        count(lit(1)).as("n_images"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
+        sum(when(col("media_id") >= PlantShift, 1L).otherwise(0L)).as("planted_expected"))
+      val (out, _) = Dedup.materializeOwned(
+        pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(planted, 1L).otherwise(0L)).as("planted_found"),
+            max(when(planted, col("hamming"))).cast("long").as("planted_max_hamming"))
+          .crossJoin(broadcast(nImages))
+          .select("n_images", "n_undecodable", "planted_expected",
+            "planted_found", "n_pairs", "planted_max_hamming"),
+        ckDir.isDefined)
+      Dedup.retire(spark, hashesRdd)
+      out
+    }
   }
 
   /** Committed expected-hash fixture for [[phashPairs]]' oracle: the
@@ -431,10 +446,22 @@ object Multimodal {
     * the scale-free rows-only summary. The oracle uses DISTINCT where
     * the Spark plan uses the first-matching-band filter: same pair set,
     * by construction. */
-  def phashPairs(spark: SparkSession, dir: String): DataFrame =
-    imageNearDup(dHash(plantedMediaRecords(spark, dir)).toDF())
-      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-      .orderBy("id_a", "id_b")
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // same decode-once materialization as [[phashNearDupPlanted]]: the
+    // banded self-join consumes the hash frame on both sides
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (hashes, hashesRdd) = Dedup.materializeOwned(
+        dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
+      val (out, _) = Dedup.materializeOwned(
+        imageNearDup(hashes)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b"),
+        ckDir.isDefined)
+      Dedup.retire(spark, hashesRdd)
+      out
+    }
+  }
 
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on

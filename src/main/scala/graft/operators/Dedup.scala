@@ -366,7 +366,7 @@ object Dedup {
     * materialization below survives executor loss. */
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
-  private[operators] def confCheckpointDir(spark: SparkSession): Option[String] =
+  private[graft] def confCheckpointDir(spark: SparkSession): Option[String] =
     spark.conf.getOption(CheckpointDirConf).map(_.trim).filter(_.nonEmpty)
 
   /** One memoized frame plus everything needed to free it: the owning
@@ -463,7 +463,7 @@ object Dedup {
     * checkpointing re-runs the lineage otherwise, computing everything
     * twice). Requires the context's checkpoint dir to be set in reliable
     * mode (see [[withCheckpointDir]]). */
-  private[operators] def materializeOwned(df: DataFrame, reliable: Boolean)
+  private[graft] def materializeOwned(df: DataFrame, reliable: Boolean)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd
     if (reliable) { rdd.persist(); rdd.checkpoint() }
@@ -476,7 +476,7 @@ object Dedup {
     * the per-context UUID parent dir once its last file is gone) — the
     * single retirement path for superseded CC rounds and released memos,
     * so repeated clustering calls cannot accumulate checkpoint dirs. */
-  private[operators] def retire(spark: SparkSession,
+  private[graft] def retire(spark: SparkSession,
                      rdd: org.apache.spark.rdd.RDD[_]): Unit = {
     // unpersist guarded separately: on an already-stopped context it
     // throws, but the reliable-checkpoint FILES below must still be
@@ -503,7 +503,7 @@ object Dedup {
     * caller originally passed — keeping their checkpoints rooted where
     * they intended with no per-call nesting. Checkpoint FILES written
     * under our dir outlive the restore and are deleted by [[retire]]. */
-  private[operators] def withCheckpointDir[T](spark: SparkSession,
+  private[graft] def withCheckpointDir[T](spark: SparkSession,
                                    dir: Option[String])(body: => T): T =
     dir match {
       case None => body
