@@ -19,7 +19,10 @@ object Plans {
     "q_sketch_hll_merge", "q_window_ntile", "q_dedup_editdist",
     "q_assoc_rules", "q_profile_skew", "q_dedup_prefix_join",
     "q_export_shards", "q_dedup_semantic",
-    "q_ann_pq", "q_ann_pca", "q_text_boilerplate")
+    "q_ann_pq", "q_ann_pca", "q_text_boilerplate",
+    "q_text_boilerplate_apply", "q_graph_pagerank",
+    "q_profile_embedding_drift", "q_multimodal_phash",
+    "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
