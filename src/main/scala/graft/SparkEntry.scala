@@ -71,6 +71,12 @@ object SparkEntry {
     "q17_small_qty"     -> (Relational.smallQtyRevenue _),
     "q21_waiting_supplier" -> (Relational.waitingSuppliers _),
     "q22_idle_customers" -> (Relational.idleHighBalanceCustomers _),
+    "q4_order_priority" -> (Relational.orderPriorityCount _),
+    "q6_forecast_revenue" -> (Relational.forecastRevenue _),
+    "q10_returned_items" -> (Relational.returnedItemCustomers _),
+    "q14_promo_revenue" -> (Relational.promoRevenue _),
+    "q18_large_orders"  -> (Relational.largeOrders _),
+    "q19_disjunctive"   -> (Relational.disjunctiveRevenue _),
     "q11_important_parts" -> (Relational.importantParts _),
     "q_brand_revenue"  -> (Relational.brandRevenue _),
     "q_semi_join"      -> (Relational.customersWithOpenOrders _),
@@ -605,6 +611,72 @@ object SparkEntry {
         |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
         |    < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem l2
         |       WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // the correlated-EXISTS form of Q4: the hash-match proves the
+    // left-semi rewrite equivalent
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     // the double-correlated EXISTS/NOT EXISTS form of Q21: the hash-match
     // proves the per-order-aggregate rewrite equivalent
     "q21_waiting_supplier" ->

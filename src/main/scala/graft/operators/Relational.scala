@@ -264,6 +264,148 @@ object Relational {
         lit(7.0)).cast("double"), 2).as("avg_yearly"))
   }
 
+  /** TPC-H Q4-shaped ORDER PRIORITY CHECKING: orders in one quarter with
+    * at least one item shipped after the order date (the data has no
+    * commit/receipt dates, so ship-after-order stands in for Q4's
+    * late-commit test — the plan shape is Q4's). The EXISTS subquery
+    * plans as a LEFT SEMI join with the ship>order residual riding the
+    * join condition, so each order matches at most once and no lineitem
+    * columns survive the join; the date range reaches the orders scan
+    * (`PushedFilters`), and the final agg is a 5-key partial→final
+    * count. One orderkey shuffle at any SF. */
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-shaped FORECAST REVENUE CHANGE: one filtered scan, one
+    * global sum — the canonical pushdown probe. All three predicates
+    * (ship-date year, discount band, quantity cap) reach the parquet
+    * scan as `PushedFilters`; revenue accumulates in DECIMAL(18,4) so
+    * partials are partition-order independent and the 2dp round cannot
+    * straddle a ulp between engines. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+
+  /** TPC-H Q10-shaped RETURNED ITEM REPORTING: top-20 customers by
+    * revenue lost to returns in one quarter. Return flag and date range
+    * reach their scans; the returned-lineitem↔orders join shuffles on
+    * orderkey once, customer joins on custkey (AQE-broadcast at test SF,
+    * co-partitioned SMJ at scale), and the 25-row nation dim is
+    * force-broadcast. Revenue sums in DECIMAL before the 2dp round, and
+    * the top-20 plans as `TakeOrderedAndProject` on (rounded revenue,
+    * custkey) — a total order, never a global sort. */
+  def returnedItemCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14-shaped PROMO REVENUE SHARE: percentage of one month's
+    * revenue from PROMO-type parts — a conditional-sum/total-sum ratio
+    * inside ONE aggregation pass over the month's lineitems joined to
+    * part (no self-join, no second scan; `q8_market_share`'s audited
+    * shape on a thinner join). Both sums accumulate in DECIMAL; the
+    * division happens once in double on two exact totals. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("vol",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+      .agg(round((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("vol"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(col("vol")).cast("double")), 4).as("promo_share"))
+  }
+
+  /** Threshold for [[largeOrders]]: an order's total quantity must beat
+    * this to count as "large" (Q18's 300-unit bar; the synthetic data
+    * tops out at ~460, so the cut is selective but non-empty). */
+  val LargeOrderQty = 300L
+
+  /** TPC-H Q18-shaped LARGE VOLUME CUSTOMER: orders whose total quantity
+    * exceeds [[LargeOrderQty]], with their customers. The HAVING
+    * subquery is ONE map-side-combined aggregate on orderkey (integral
+    * quantities — the long cast makes the threshold integer-exact);
+    * survivors are a thin (orderkey, qty) frame that joins orders and
+    * customer by key. Top-10 by raw o_totalprice (a stored column, not
+    * an aggregate — bit-identical across engines) with the orderkey
+    * tiebreak plans as `TakeOrderedAndProject`. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > LargeOrderQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q19-shaped DISJUNCTIVE PREDICATE REVENUE: three (brand, size
+    * band, quantity band) alternatives OR'd across the part↔lineitem
+    * join — the classic test that a disjunction neither blocks the
+    * equi-join (the OR must ride as a residual, not degrade the join to
+    * a nested loop) nor defeats scan pruning. The IMPLIED conjunctions
+    * are pre-filtered manually: part prunes to the three brands and
+    * lineitem to the quantity hull [1,30] before the join (Catalyst
+    * does not infer them from an OR), so both scans carry
+    * `PushedFilters` and the join sides shrink ~3/25 and ~60% ahead of
+    * the shuffle. Revenue accumulates in DECIMAL. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#4"))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val alts =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(alts)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+  }
+
   /** TPC-H Q21-shaped WAITING SUPPLIER: suppliers of one nation who were
     * the ONLY supplier with a returned ('R') item in a multi-supplier
     * finished order (the data has no commit/receipt dates, so the return
