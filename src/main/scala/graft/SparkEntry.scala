@@ -1632,7 +1632,7 @@ object SparkEntry {
          |gr AS (SELECT doc_id, source,
          |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
          |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
-         |           i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' '))) AS g
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
          |       FROM base),
          |boiler AS (SELECT g FROM gr GROUP BY g
          |           HAVING count(DISTINCT doc_id) >= ${TextAnalysis.BoilerMinDf}),
@@ -1668,7 +1668,7 @@ object SparkEntry {
          |gr AS (SELECT doc_id,
          |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
          |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
-         |           i -> array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' '))) AS g
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
          |       FROM base),
          |boiler AS (SELECT g FROM gr GROUP BY g
          |           HAVING count(DISTINCT doc_id) >= ${TextAnalysis.BoilerMinDf}),

@@ -681,11 +681,17 @@ object TextAnalysis {
       val (d, dRdd) = materialize(
         docs.select(col("doc_id"), col("source"), toks(col("text")).as("toks"))
           .filter(size(col("toks")) >= 1))
-      // source rides the projection (not a join-back onto a second scan)
+      // source rides the projection (not a join-back onto a second scan);
+      // grams persist as md5 DIGESTS, not 8-word strings — every
+      // consumer (df agg, membership join, per-source distinct) needs
+      // only gram IDENTITY, and the 32-char digest nearly halves the
+      // materialized bytes and the groupBy key width (the oracle
+      // hashes the same strings, so collisions — ~1e-13 per pair —
+      // are mirrored exactly)
       val (grams, gramsRdd) = materialize(
         d.select(col("doc_id"), col("source"),
             posexplode(wordNgrams(col("toks"), n)))
-          .select(col("doc_id"), col("source"), col("pos"), col("col").as("g")))
+          .select(col("doc_id"), col("source"), col("pos"), md5(col("col")).as("g")))
       val boiler = grams.groupBy("g")
         .agg(countDistinct("doc_id").as("df_docs"))
         .filter(col("df_docs") >= minDf)
@@ -742,9 +748,10 @@ object TextAnalysis {
       val (d, dRdd) = materialize(
         docs.select(col("doc_id"), toks(col("text")).as("toks"))
           .filter(size(col("toks")) >= 1))
+      // md5 gram digests, as in [[boilerplateStripOf]]
       val (grams, gramsRdd) = materialize(
         d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
-          .select(col("doc_id"), col("pos"), col("col").as("g")))
+          .select(col("doc_id"), col("pos"), md5(col("col")).as("g")))
       val boiler = grams.groupBy("g")
         .agg(countDistinct("doc_id").as("df_docs"))
         .filter(col("df_docs") >= minDf)
