@@ -339,6 +339,19 @@ object SimSearch {
   private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters))
 
+  /** The trained quantizer collected to a driver-held dense form
+    * (cent_id → 0-based-dimension centroid vector): the broadcastable
+    * artifact a SERVING or streaming-monitor job holds — K×dims rows,
+    * bounded by construction, the "persist the index" step of any IVF
+    * deployment. Consumed by
+    * [[graft.streaming.EmbeddingsStream]]'s stream-side assignment. */
+  private[graft] def trainedQuantizerArrays(ref: DataFrame): Seq[(Long, Seq[Double])] =
+    kmeansTrainedCents(ref, KmK, KmIters).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      .toSeq.sortBy(_._1)
+
   /** [[kmeansTrain]] over any (vec_id, embedding) frame. */
   def kmeansTrainOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
     kmeansAssignment(e, k, iters)
