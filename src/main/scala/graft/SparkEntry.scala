@@ -155,6 +155,7 @@ object SparkEntry {
     "q_ann_pq"          -> (SimSearch.pqTopK _),
     "q_ann_pq_recall"   -> (SimSearch.pqRecall _),
     "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
+    "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
@@ -393,6 +394,64 @@ object SparkEntry {
        |              row_number() OVER (PARTITION BY q_id
        |                ORDER BY adc_d2, neighbor) AS "rank"
        |            FROM iadc)""".stripMargin
+
+  /** CTE chain replaying `SimSearch.ivfAdcResidualTopKOf` — the
+    * residual-coding IVFADC (FAISS's default): PQ trains on and encodes
+    * v − c(cell), the LUT is per (query, probed cell). Self-contained
+    * (fresh `r…` names) and ending at `rranked`; appended after
+    * [[DuckIvfAdcCtes]] whose routing CTEs (`icrank`/`iassign`/`iprobe`)
+    * it reuses. */
+  private val DuckIvfAdcResCtes =
+    s"""cl AS (SELECT cent_id, unnest(range(0, len(cent_emb))) AS d,
+       |         unnest(list_transform(cent_emb, x -> x::DOUBLE)) AS c
+       |       FROM ivfc),
+       |rv0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+       |          unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |        FROM embeddings),
+       |rv AS (SELECT rv0.vec_id, a.cent_id, rv0.d // 8 AS sub, rv0.d,
+       |         (rv0.val - cl.c) AS val
+       |       FROM rv0 JOIN iassign a USING (vec_id)
+       |       JOIN cl ON cl.cent_id = a.cent_id AND cl.d = rv0.d),
+       |rseeds AS (SELECT vec_id,
+       |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+       |           FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |rc0 AS (SELECT sub, code_id, d, val AS c FROM rv JOIN rseeds USING (vec_id)),
+       |rd1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |        FROM rv JOIN rc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |ra1 AS (SELECT vec_id, sub, code_id FROM (
+       |          SELECT vec_id, sub, code_id,
+       |            row_number() OVER (PARTITION BY vec_id, sub
+       |              ORDER BY d2, code_id) AS rnk
+       |          FROM rd1) WHERE rnk = 1),
+       |rc1 AS (SELECT sub, code_id, d, avg(val) AS c
+       |        FROM rv JOIN ra1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |renc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |         FROM rv JOIN rc1 USING (sub, d) GROUP BY 1, 2, 3),
+       |rcodes AS (SELECT vec_id, sub, code_id FROM (
+       |             SELECT vec_id, sub, code_id,
+       |               row_number() OVER (PARTITION BY vec_id, sub
+       |                 ORDER BY d2, code_id) AS rnk
+       |             FROM renc) WHERE rnk = 1),
+       |rcodes2 AS (SELECT c.vec_id, c.sub, c.code_id, a.cent_id
+       |            FROM rcodes c JOIN iassign a USING (vec_id)),
+       |qres AS (SELECT rv0.vec_id AS q_id, p.cent_id, rv0.d // 8 AS sub,
+       |           rv0.d, (rv0.val - cl.c) AS qv
+       |         FROM rv0
+       |         JOIN iprobe p ON rv0.vec_id = p.q_id
+       |         JOIN cl ON cl.cent_id = p.cent_id AND cl.d = rv0.d),
+       |rlut AS (SELECT q_id, cent_id, sub, code_id,
+       |           sum((qv - c) * (qv - c)) AS sub_d2
+       |         FROM qres JOIN rc1 USING (sub, d) GROUP BY 1, 2, 3, 4),
+       |rrouted AS (SELECT p.q_id, c.vec_id, c.cent_id, c.sub, c.code_id
+       |            FROM rcodes2 c JOIN iprobe p USING (cent_id)
+       |            WHERE c.vec_id <> p.q_id),
+       |radc AS (SELECT q_id, vec_id AS neighbor, round(sum(sub_d2), 6) AS adc_d2
+       |         FROM rrouted JOIN rlut USING (q_id, cent_id, sub, code_id)
+       |         GROUP BY 1, 2),
+       |rranked AS (SELECT q_id, neighbor, adc_d2,
+       |              row_number() OVER (PARTITION BY q_id
+       |                ORDER BY adc_d2, neighbor) AS "rank"
+       |            FROM radc)""".stripMargin
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -1815,6 +1874,7 @@ object SparkEntry {
     "q_ann_pq_recall" ->
       s"""WITH $DuckPqCtes,
          |$DuckIvfAdcCtes,
+         |$DuckIvfAdcResCtes,
          |exact AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
          |            round(list_reduce(list_transform(
          |              list_zip(q.embedding, e.embedding),
@@ -1831,11 +1891,15 @@ object SparkEntry {
          |       FROM ranked WHERE "rank" <= 3
          |       UNION ALL
          |       SELECT 'ivfadc_np2' AS method, q_id, neighbor
-         |       FROM iranked WHERE "rank" <= 3),
+         |       FROM iranked WHERE "rank" <= 3
+         |       UNION ALL
+         |       SELECT 'ivfadc_res_np2' AS method, q_id, neighbor
+         |       FROM rranked WHERE "rank" <= 3),
          |hits AS (SELECT method, q_id, count(*)::BIGINT AS hits
          |         FROM exact3 JOIN ra USING (q_id, neighbor) GROUP BY 1, 2),
          |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
-         |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np2')
+         |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np2'
+         |       UNION ALL SELECT 'ivfadc_res_np2')
          |SELECT method, q_id, coalesce(hits, 0)::BIGINT AS hits,
          |       round(coalesce(hits, 0) / 3.0, 4) AS recall
          |FROM ms CROSS JOIN qs LEFT JOIN hits USING (method, q_id)
@@ -1847,6 +1911,15 @@ object SparkEntry {
       s"""WITH $DuckPqCtes,
          |$DuckIvfAdcCtes
          |SELECT q_id, "rank", neighbor, adc_d2 FROM iranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.ivfAdcResidualTopKOf: PQ over v − c(cell) with
+    // the per-(query, probed cell) LUT — FAISS's default residual coding.
+    "q_ann_ivfadc_res" ->
+      s"""WITH $DuckPqCtes,
+         |$DuckIvfAdcCtes,
+         |$DuckIvfAdcResCtes
+         |SELECT q_id, "rank", neighbor, adc_d2 FROM rranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->

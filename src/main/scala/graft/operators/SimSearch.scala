@@ -617,11 +617,19 @@ object SimSearch {
     * [[PqK]] lowest vec_ids' subvectors (one seed pick shared by every
     * subspace), then [[PqIters]] Lloyd refines. Empty codewords drop
     * out, mirroring [[kmeansTrainedCents]]. */
-  private def pqCodebook(e: DataFrame): DataFrame = {
-    val vecs = pqLongForm(e)
-    val seeds = e.select("vec_id").orderBy("vec_id").limit(PqK)
+  private def pqCodebook(e: DataFrame): DataFrame =
+    pqCodebookOf(pqLongForm(e), pqSeeds(e))
+
+  private def pqSeeds(e: DataFrame): DataFrame =
+    e.select("vec_id").orderBy("vec_id").limit(PqK)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("code_id"))
+
+  /** The codebook training loop over ANY (vec_id, sub, d, v) long form —
+    * shared by the plain-vector chain ([[pqCodebook]]) and the residual
+    * chain ([[ivfAdcResidualTopKOf]]), so a training fix can never
+    * silently apply to one coding and not the other. */
+  private def pqCodebookOf(vecs: DataFrame, seeds: DataFrame): DataFrame = {
     val init = vecs.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("code_id"), col("d"), col("v").as("c"))
     (1 to PqIters).foldLeft(init) { (cents, _) =>
@@ -710,6 +718,60 @@ object SimSearch {
     adcRanked(routed)
   }
 
+  /** RESIDUAL-coding IVFADC — the FAISS default variant of
+    * [[ivfAdcTopKOf]] (Jégou et al. 2011 §V): the PQ codebook trains on
+    * and encodes the RESIDUALS v − c(cell) rather than raw vectors, so
+    * the sub-quantizers spend their 16 codewords on the within-cell
+    * variance the coarse quantizer leaves behind — the compression-
+    * quality reason production indexes default to residual coding. The
+    * cost is a per-(query, probed cell) lookup table (the query's
+    * residual differs per cell): Nq×nprobe×[[PqM]]×[[PqK]] rows, still
+    * broadcast-bounded by construction. Training, encoding and routing
+    * reuse the shared chains verbatim ([[pqCodebookOf]], [[pqAssign]],
+    * [[ivfRanked]]); candidates score via one equi-join on
+    * (q_id, cent_id, sub, code_id). */
+  def ivfAdcResidualTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcResidualTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+
+  def ivfAdcResidualTopKOf(e: DataFrame, nprobe: Int): DataFrame = {
+    val width = lit(64 / PqM)
+    val ranked = ivfRanked(e)
+    val assign = ranked.filter(col("rnk") === 1).select("vec_id", "cent_id")
+    // coarse centroids in long form (cent_id, d, c), d 0-based like
+    // kmeansLongForm — the frame both residual subtractions join
+    val centsLong = e
+      .filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
+      .select(col("vec_id").as("cent_id"), posexplode(col("embedding")))
+      .select(col("cent_id"), col("pos").as("d"), col("col").cast("double").as("c"))
+    // residual long form (vec_id, cent_id, sub, d, v): v − c of the
+    // vector's OWN cell
+    val rvecs = kmeansLongForm(e)
+      .join(assign, "vec_id")
+      .join(broadcast(centsLong), Seq("cent_id", "d"))
+      .select(col("vec_id"), (col("d") / width).cast("int").as("sub"),
+        col("d"), (col("v") - col("c")).as("v"))
+    val book = pqCodebookOf(rvecs, pqSeeds(e))
+    val codes = pqAssign(rvecs, book).select("vec_id", "sub", "code_id")
+      .join(assign, "vec_id")
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    // query residual per PROBED cell (not per own cell): the LUT is
+    // keyed (q_id, cent_id, sub, code_id)
+    val qres = kmeansLongForm(e.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(probes), "q_id")
+      .join(broadcast(centsLong), Seq("cent_id", "d"))
+      .select(col("q_id"), col("cent_id"), (col("d") / width).cast("int").as("sub"),
+        col("d"), (col("v") - col("c")).as("qv"))
+    val lut = qres.join(broadcast(book), Seq("sub", "d"))
+      .groupBy("q_id", "cent_id", "sub", "code_id")
+      .agg(sum(pow(col("qv") - col("c"), 2)).as("sub_d2"))
+    val routed = codes.join(broadcast(probes), Seq("cent_id"))
+      .join(broadcast(lut), Seq("q_id", "cent_id", "sub", "code_id"))
+    adcRanked(routed)
+  }
+
   /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
     * compressed-domain path: per query, how many of the exact squared-L2
     * top-3 the ADC top-3 recovers. This is the number that decides the
@@ -746,6 +808,8 @@ object SimSearch {
     }
     recallOf("pq_adc", pqTopKOf(e))
       .unionByName(recallOf(s"ivfadc_np$IvfNProbe", ivfAdcTopKOf(e, IvfNProbe)))
+      .unionByName(recallOf(s"ivfadc_res_np$IvfNProbe",
+        ivfAdcResidualTopKOf(e, IvfNProbe)))
       .orderBy("method", "q_id")
   }
 

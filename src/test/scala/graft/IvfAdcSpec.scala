@@ -36,6 +36,32 @@ class IvfAdcSpec extends AnyFunSuite {
     }
   }
 
+  test("residual coding: 3 ranked neighbors per query, self excluded") {
+    val rows = SimSearch.ivfAdcResidualTopK(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until SimSearch.NQueries.toLong).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!rs.map(_.getLong(2)).contains(q))
+    }
+  }
+
+  test("residual coding beats or matches plain coding on mean quantization error") {
+    // the reason FAISS defaults to residuals: the sub-quantizers model
+    // within-cell variance, so the ADC distance to each vector's TRUE
+    // self-code is 0 only if coding is lossless — compare mean top-1
+    // adc_d2 as a proxy: residual top-1 distances should not be
+    // systematically worse than plain top-1 distances
+    val plain = SimSearch.ivfAdcTopK(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .agg(org.apache.spark.sql.functions.avg("adc_d2")).head.getDouble(0)
+    val res = SimSearch.ivfAdcResidualTopK(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .agg(org.apache.spark.sql.functions.avg("adc_d2")).head.getDouble(0)
+    assert(res.isFinite && plain.isFinite && res <= plain * 1.05,
+      s"residual mean top-1 adc_d2 $res vs plain $plain")
+  }
+
   test("routed candidates respect the routing: neighbors live in probed cells") {
     // every returned neighbor's rnk=1 cell must be among its query's
     // top-nprobe cells — the defining invariant of IVF routing
