@@ -139,8 +139,12 @@ object Bench {
     val lines = results.map { case (k, v) =>
       s"""  "$k": {"min": $v, "pass1": ${pass1(k)}, "pass2": ${pass2(k)}}"""
     }
+    // n_queries counts REGISTERED queries only — the synthetic build:*
+    // rows are accounting, and including them made the count jump when
+    // needBuilds flips (e.g. under SPARK_GRAFT_ONLY subsets)
+    val nQueries = results.count(!_._1.startsWith("build:"))
     val fullJson = lines.mkString(
-      s"""{\n  "_meta": {"metric": "total", "value": $total, "unit": "sec", "sf": "$sfDir", "n_queries": ${results.size}},\n""",
+      s"""{\n  "_meta": {"metric": "total", "value": $total, "unit": "sec", "sf": "$sfDir", "n_queries": $nQueries},\n""",
       ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

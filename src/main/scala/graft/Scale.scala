@@ -36,7 +36,7 @@ object Scale {
   // merges as superlinear growth. l_orderkey reaches ~6M per SF unit
   // (the old 10^7 stride collided from sf10 up); 10^12 holds to sf>10^5
   // and ~9×10^6 replicas fit below Long.MaxValue.
-  private val ReplicaStride = 1000000000000L
+  private[graft] val ReplicaStride = 1000000000000L
 
   /** Base docs plus k-1 tagged, shingle-disjoint replicas. */
   private[graft] def replicatedDocs(spark: SparkSession, dir: String, k: Int): DataFrame = {

@@ -397,25 +397,21 @@ object SparkEntry {
 
   /** CTE chain replaying `SimSearch.ivfAdcResidualTopKOf` — the
     * residual-coding IVFADC (FAISS's default): PQ trains on and encodes
-    * v − c(cell), the LUT is per (query, probed cell). Self-contained
-    * (fresh `r…` names) and ending at `rranked`; appended after
-    * [[DuckIvfAdcCtes]] whose routing CTEs (`icrank`/`iassign`/`iprobe`)
-    * it reuses. */
+    * v − c(cell), the LUT is per (query, probed cell). Ends at
+    * `rranked`; MUST be appended after [[DuckPqCtes]] (whose corpus
+    * long form `v0` and seed pick `seeds` it references — one
+    * definition, so a cast fix cannot silently diverge) and
+    * [[DuckIvfAdcCtes]] (whose routing CTEs `iassign`/`iprobe` it
+    * reuses). */
   private val DuckIvfAdcResCtes =
     s"""cl AS (SELECT cent_id, unnest(range(0, len(cent_emb))) AS d,
        |         unnest(list_transform(cent_emb, x -> x::DOUBLE)) AS c
        |       FROM ivfc),
-       |rv0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-       |          unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-       |        FROM embeddings),
-       |rv AS (SELECT rv0.vec_id, a.cent_id, rv0.d // 8 AS sub, rv0.d,
-       |         (rv0.val - cl.c) AS val
-       |       FROM rv0 JOIN iassign a USING (vec_id)
-       |       JOIN cl ON cl.cent_id = a.cent_id AND cl.d = rv0.d),
-       |rseeds AS (SELECT vec_id,
-       |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
-       |           FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-       |rc0 AS (SELECT sub, code_id, d, val AS c FROM rv JOIN rseeds USING (vec_id)),
+       |rv AS (SELECT v0.vec_id, a.cent_id, v0.d // 8 AS sub, v0.d,
+       |         (v0.val - cl.c) AS val
+       |       FROM v0 JOIN iassign a USING (vec_id)
+       |       JOIN cl ON cl.cent_id = a.cent_id AND cl.d = v0.d),
+       |rc0 AS (SELECT sub, code_id, d, val AS c FROM rv JOIN seeds USING (vec_id)),
        |rd1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
        |        FROM rv JOIN rc0 USING (sub, d) GROUP BY 1, 2, 3),
        |ra1 AS (SELECT vec_id, sub, code_id FROM (
@@ -434,11 +430,11 @@ object SparkEntry {
        |             FROM renc) WHERE rnk = 1),
        |rcodes2 AS (SELECT c.vec_id, c.sub, c.code_id, a.cent_id
        |            FROM rcodes c JOIN iassign a USING (vec_id)),
-       |qres AS (SELECT rv0.vec_id AS q_id, p.cent_id, rv0.d // 8 AS sub,
-       |           rv0.d, (rv0.val - cl.c) AS qv
-       |         FROM rv0
-       |         JOIN iprobe p ON rv0.vec_id = p.q_id
-       |         JOIN cl ON cl.cent_id = p.cent_id AND cl.d = rv0.d),
+       |qres AS (SELECT v0.vec_id AS q_id, p.cent_id, v0.d // 8 AS sub,
+       |           v0.d, (v0.val - cl.c) AS qv
+       |         FROM v0
+       |         JOIN iprobe p ON v0.vec_id = p.q_id
+       |         JOIN cl ON cl.cent_id = p.cent_id AND cl.d = v0.d),
        |rlut AS (SELECT q_id, cent_id, sub, code_id,
        |           sum((qv - c) * (qv - c)) AS sub_d2
        |         FROM qres JOIN rc1 USING (sub, d) GROUP BY 1, 2, 3, 4),

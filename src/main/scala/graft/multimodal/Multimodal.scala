@@ -412,7 +412,7 @@ object Multimodal {
         count(lit(1)).as("n_images"),
         sum(when(col("ok"), 0L).otherwise(1L)).as("n_undecodable"),
         sum(when(col("media_id") >= PlantShift, 1L).otherwise(0L)).as("planted_expected"))
-      val (out, _) = Dedup.materializeOwned(
+      val (out, outRdd) = Dedup.materializeOwned(
         pairs.agg(
             count(lit(1)).as("n_pairs"),
             sum(when(planted, 1L).otherwise(0L)).as("planted_found"),
@@ -422,7 +422,7 @@ object Multimodal {
             "planted_found", "n_pairs", "planted_max_hamming"),
         ckDir.isDefined)
       Dedup.retire(spark, hashesRdd)
-      out
+      Dedup.retainResult(spark, "phashNearDup", outRdd, out)
     }
   }
 
@@ -453,13 +453,13 @@ object Multimodal {
     Dedup.withCheckpointDir(spark, ckDir) {
       val (hashes, hashesRdd) = Dedup.materializeOwned(
         dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
-      val (out, _) = Dedup.materializeOwned(
+      val (out, outRdd) = Dedup.materializeOwned(
         imageNearDup(hashes)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
           .orderBy("id_a", "id_b"),
         ckDir.isDefined)
       Dedup.retire(spark, hashesRdd)
-      out
+      Dedup.retainResult(spark, "phashPairs", outRdd, out)
     }
   }
 

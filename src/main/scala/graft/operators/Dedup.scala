@@ -430,7 +430,7 @@ object Dedup {
     * next consumer rebuilds), and what [[graft.Bench]] calls before each
     * measured pass so the memo build cost is measured, not hidden. */
   def clearMemos(): Unit =
-    Seq(pairsMemo, componentsMemo).foreach { m =>
+    Seq(pairsMemo, componentsMemo, retainedResults).foreach { m =>
       m.values.forEach { e =>
         // releasing against an already-stopped context is a no-op, not an error
         try e.release() catch { case scala.util.control.NonFatal(_) => () }
@@ -438,11 +438,36 @@ object Dedup {
       m.clear()
     }
 
+  /** One-slot registry of RETAINED result RDDs. The eagerly-materialized
+    * queries (boilerplate reports, phash summaries/pairs) return small
+    * frames backed by checkpointed RDDs that must stay pinned for the
+    * caller to read — but a lazily-leaked pin per CALL accumulates
+    * across a long session (bench: warmup + two passes × four queries),
+    * the exact accumulation [[retire]]'s contract exists to prevent.
+    * [[retainResult]] keeps the LATEST result per (session, key) and
+    * retires the previous one, bounding the pinned storage at one
+    * result frame per query family; a caller holding a PRIOR call's
+    * frame must not re-invoke the same query first (the memo-staleness
+    * contract's trade, applied to results). Swept and cleared with the
+    * memo maps. */
+  private val retainedResults =
+    new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
+  private[graft] def retainResult(spark: SparkSession, key: String,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      df: DataFrame): DataFrame = {
+    sweepStopped()
+    val prev = retainedResults.put(memoKey(spark, key),
+      MemoEntry(df, spark, () => retire(spark, rdd)))
+    if (prev != null)
+      try prev.release() catch { case scala.util.control.NonFatal(_) => () }
+    df
+  }
+
   /** Evict (and free) entries owned by stopped sessions — run on every
     * cached access so multi-session JVMs (test suites, servers) cannot
     * accumulate pinned blocks for sessions that no longer exist. */
   private def sweepStopped(): Unit =
-    Seq(pairsMemo, componentsMemo).foreach { m =>
+    Seq(pairsMemo, componentsMemo, retainedResults).foreach { m =>
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -184,7 +184,7 @@ object Graph {
       val (init, initRdd) = materialize(deg.crossJoin(broadcast(n))
         .select(col("src").as("node"), col("deg"), col("n"),
           (lit(1.0) / col("n")).as("r")))
-      val result = (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
+      val (result, resultRdd) = (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
         val inflow = edges
           .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
           .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
@@ -198,14 +198,17 @@ object Graph {
                 lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
         Dedup.retire(spark, curRdd)
         (next, nextRdd)
-      }._1
+      }
       // the final round is self-contained (its RDD holds the rank rows),
       // so the EDGE frame — the big pin, |E| rows vs |V| for the ranks —
       // is released before returning; repeated calls previously
       // accumulated one 2.4M-row block set each at sf0.1, and the
-      // storage pressure taxed every later query in a long session
+      // storage pressure taxed every later query in a long session.
+      // The |V|-row final round itself is retained one-slot (a repeat
+      // call retires the previous result's blocks — same bound as the
+      // other eagerly-materialized queries).
       Dedup.retire(spark, edgesRdd)
-      result
+      Dedup.retainResult(spark, "pagerankRanks", resultRdd, result)
     }
   }
 }

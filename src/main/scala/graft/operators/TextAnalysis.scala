@@ -711,7 +711,7 @@ object TextAnalysis {
           sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
       val gramsPerSource = hits.groupBy("source")
         .agg(countDistinct("g").as("boiler_grams"))
-      val (out, _) = materialize(
+      val (out, outRdd) = materialize(
         perSource.join(gramsPerSource, Seq("source"), "left")
           .select(col("source"), col("n_docs"), col("tokens_total"),
             coalesce(col("boiler_grams"), lit(0L)).as("boiler_grams"),
@@ -720,7 +720,7 @@ object TextAnalysis {
           .orderBy("source"))
       Dedup.retire(spark, gramsRdd)
       Dedup.retire(spark, dRdd)
-      out
+      Dedup.retainResult(spark, "boilerplateStrip", outRdd, out)
     }
   }
 
@@ -763,7 +763,7 @@ object TextAnalysis {
       val kept = d.select(col("doc_id"), posexplode(col("toks")))
         .select(col("doc_id"), col("pos"), col("col").as("tok"))
         .join(covered, Seq("doc_id", "pos"), "left_anti")
-      val (out, _) = materialize(
+      val (out, outRdd) = materialize(
         kept.groupBy("doc_id")
           .agg(count(lit(1)).as("n_kept"),
             md5(concat_ws(" ",
@@ -772,7 +772,7 @@ object TextAnalysis {
           .orderBy("doc_id"))
       Dedup.retire(spark, gramsRdd)
       Dedup.retire(spark, dRdd)
-      out
+      Dedup.retainResult(spark, "boilerplateApply", outRdd, out)
     }
   }
 

@@ -53,8 +53,12 @@ object EmbeddingsStream {
       val centLit = array(cvec.map(lit): _*)
       struct(
         aggregate(
+          // pow(·, 2), NOT (x−c)*(x−c): the batch argmin squares via
+          // the Pow expression (SimSearch.kmeansAssign), and Math.pow
+          // is only 1-ulp-accurate — a self-multiply here could flip a
+          // near-equidistant assignment between stream and batch
           zip_with(col("embedding"), centLit,
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            (x, c) => pow(x.cast("double") - c, lit(2))),
           lit(0.0), (acc, v) => acc + v).as("d2"),
         lit(cid).as("cent_id"))
     }: _*)
