@@ -135,8 +135,10 @@ object Layout {
     * Content-addressed, so assignment is a pure function of the data:
     * stable across reruns, ingestion order, partitioning, and engine
     * (DuckDB derives the identical shard from the identical md5). */
+  // preserves the caller's columns (the JSONL export carries
+  // provenance fields through), only ADDING h/hx/shard
   private def sharded(docs: DataFrame, shards: Int): DataFrame =
-    docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    docs.withColumn("h", md5(col("text")))
       .withColumn("hx",
         conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
       .withColumn("shard", col("hx") % shards)
@@ -182,6 +184,30 @@ object Layout {
       .sortWithinPartitions("shard", "h", "doc_id")
       .select("doc_id", "text", "h", "shard")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** JSONL training export — the interchange format LLM training
+    * pipelines actually consume (one JSON document per line, sharded):
+    * the same content-addressed layout contract as [[exportWrite]]
+    * (shard = content-hash mod N, in-shard order by (h, doc_id) so two
+    * exports of the same corpus are BYTE-identical and any contiguous
+    * slice is an unbiased sample), serialized via `to_json` over an
+    * explicit field struct — field ORDER is fixed by the struct, so the
+    * emitted bytes are engine-deterministic, not map-iteration-order
+    * luck. One task per shard writes `shard=<k>/part-….txt`; the JSON
+    * line carries (doc_id, lang, source, text) — id and provenance
+    * ride every record, the lineage contract curation pipelines
+    * require. `ExportShardsSpec` pins byte-identical reruns and
+    * round-trip parse equality. */
+  def exportJsonl(docs: DataFrame, path: String,
+                  shards: Int = ExportShards): Unit =
+    sharded(docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
+        shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .select(col("shard"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("text"))).as("value"))
+      .write.mode("overwrite").partitionBy("shard").text(path)
 
   /** CO-LOCATED join layout: persist a table bucketed AND bucket-sorted
     * by its join key. Two tables written with the same key and bucket

@@ -148,4 +148,42 @@ class ExportShardsSpec extends AnyFunSuite {
     val expectChars = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
     assert(totals.getLong(1) == expectChars)
   }
+
+  private lazy val jdocs = (0 until 48)
+    .map(i => (i.toLong, s"jsonl doc $i body with tail$i", if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("jsonl export: byte-identical reruns, ordered shards, round-trip parse") {
+    val o1 = Files.createTempDirectory("graft-jsonl1").toString
+    val o2 = Files.createTempDirectory("graft-jsonl2").toString
+    Layout.exportJsonl(jdocs, o1, shards = 4)
+    Layout.exportJsonl(jdocs, o2, shards = 4)
+    def shardBytes(root: String): Map[String, String] =
+      new java.io.File(root).listFiles.filter(_.getName.startsWith("shard="))
+        .map { d =>
+          val parts = d.listFiles.filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+          d.getName -> parts.map(f =>
+            new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
+        }.toMap
+    val b1 = shardBytes(o1)
+    // two exports are byte-identical shard for shard
+    assert(b1 == shardBytes(o2))
+    assert(b1.keySet == (0 until 4).map(k => s"shard=$k").toSet)
+    // every line parses back; the full round-trip recovers the corpus
+    val back = spark.read.schema("doc_id LONG, lang STRING, source STRING, text STRING")
+      .json(spark.read.text(s"$o1/shard=*").select("value").as[String])
+    assert(back.count() == 48)
+    val orig = jdocs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val got = back.collect().map(r => (r.getLong(0), r.getString(3), r.getString(1), r.getString(2))).toSet
+    assert(got == orig)
+    // in-shard order is (h, doc_id): lines within a shard are sorted by
+    // the md5 of their text field - recompute and check one shard
+    val lines = b1("shard=0").split("\n").filter(_.nonEmpty)
+    val md5s = lines.map { l =>
+      val t = spark.read.schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .json(Seq(l).toDS).head
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t.getString(3))
+    }
+    assert(md5s.toSeq == md5s.toSeq.sorted)
+  }
 }
