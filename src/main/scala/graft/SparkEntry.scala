@@ -156,6 +156,7 @@ object SparkEntry {
     "q_ann_pq_recall"   -> (SimSearch.pqRecall _),
     "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
+    "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
@@ -1916,6 +1917,36 @@ object SparkEntry {
          |$DuckIvfAdcCtes,
          |$DuckIvfAdcResCtes
          |SELECT q_id, "rank", neighbor, adc_d2 FROM rranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.hardNegativesOf: the SemDeDup τ-pair set (the
+    // same trained-quantizer chain as q_dedup_semantic) excluded from
+    // an exact cosine ranking — positives must never serve as negatives.
+    "q_train_hard_negatives" ->
+      s"""WITH $DuckKmeansCtes,
+         |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
+         |a3 AS (SELECT vec_id, cent_id FROM (
+         |         SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |         FROM d3) WHERE rnk = 1),
+         |e2 AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |m AS (SELECT e2.vec_id, e2.embedding, e2.nrm, a.cent_id
+         |      FROM e2 JOIN a3 a USING (vec_id)),
+         |cp AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor
+         |       FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         |       WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= ${SimSearch.SemTau}),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |       FROM e2 WHERE vec_id < 10),
+         |sc AS (SELECT qv.q_id, e2.vec_id AS neighbor,
+         |         round(${duckDot("qv.q_emb", "e2.embedding")} / (qv.q_nrm * e2.nrm), 6) AS cos
+         |       FROM e2 CROSS JOIN qv WHERE e2.vec_id <> qv.q_id),
+         |neg AS (SELECT sc.* FROM sc ANTI JOIN cp USING (q_id, neighbor)),
+         |rk AS (SELECT q_id, neighbor, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, neighbor) AS "rank"
+         |       FROM neg)
+         |SELECT q_id, "rank", neighbor, cos FROM rk
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->

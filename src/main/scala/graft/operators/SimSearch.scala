@@ -853,20 +853,62 @@ object SimSearch {
     * cluster count / train length / threshold as explicit dials. */
   def semanticDedupOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters,
       tau: Double = SemTau): DataFrame = {
-    val members = e.join(
-      kmeansAssignment(e, k, iters).select("vec_id", "cent_id"), "vec_id")
-    val a = members.select(col("cent_id"), col("vec_id").as("keep_id"),
-      col("embedding").as("keep_emb"))
-    val b = members.select(col("cent_id"), col("vec_id"), col("embedding"))
-    val close = a.join(b, "cent_id")
-      .filter(col("keep_id") < col("vec_id"))
-      .select(col("cent_id"), col("vec_id"), col("keep_id"),
-        round(cosine(col("keep_emb"), col("embedding")), 6).as("cos"))
-      .filter(col("cos") >= tau)
+    val close = semanticClosePairs(e, k, iters, tau)
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("keep_id"))
     close.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("cent_id"), col("keep_id").as("dup_of"), col("cos"))
       .orderBy("vec_id")
+  }
+
+  /** The τ-close within-cluster pair frame (cent_id, vec_id, keep_id,
+    * cos), keep_id < vec_id — [[semanticDedupOf]]'s candidate set,
+    * shared with [[hardNegativesOf]] so "what counts as a semantic
+    * duplicate" has exactly one definition. */
+  private[graft] def semanticClosePairs(e: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame = {
+    val members = e.join(
+      kmeansAssignment(e, k, iters).select("vec_id", "cent_id"), "vec_id")
+    val a = members.select(col("cent_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("keep_emb"))
+    val b = members.select(col("cent_id"), col("vec_id"), col("embedding"))
+    a.join(b, "cent_id")
+      .filter(col("keep_id") < col("vec_id"))
+      .select(col("cent_id"), col("vec_id"), col("keep_id"),
+        round(cosine(col("keep_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive retriever training (the
+    * DPR/ANCE recipe): per query vector, the top-3 corpus vectors by
+    * cosine that are NOT the query's semantic duplicates. Duplicates
+    * are [[semanticClosePairs]] — the SemDeDup τ-set, verbatim — since
+    * serving a positive as a negative is the classic false-negative
+    * poisoning of a contrastive loss; what survives is "near, but
+    * genuinely different", exactly the gradient-rich band retriever
+    * training wants. One brute-force scan scores candidates (the
+    * honest baseline; IVF routing is the documented scale dial, as for
+    * every ANN query here), the dup set is cluster-confined (Σ n_c²,
+    * K-bounded), and the exclusion is one anti-join on the thin
+    * symmetrized pair set. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  def hardNegativesOf(e: DataFrame): DataFrame = {
+    val close = semanticClosePairs(e, KmK, KmIters, SemTau)
+    val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
+      .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val negs = scored.join(dups, Seq("q_id", "neighbor"), "left_anti")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    negs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
   }
 }

@@ -71,4 +71,35 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(out.contains(10L) && out(10L) == 2L) // cos ≈ 0.707 ≥ 0.7; ties → lower id
     assert(Set(8L, 9L, 11L).subsetOf(out.keySet))
   }
+
+  test("hard negatives: close but NOT tau-duplicate, never intersecting the dup set") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val negs = SimSearch.hardNegativesOf(e).collect()
+    // 3 negatives per query, self excluded
+    val byQ = negs.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until SimSearch.NQueries.toLong).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(!rs.map(_.getLong(2)).contains(q))
+    }
+    // no emitted (q, neighbor) pair is tau-close (in either orientation)
+    val close = SimSearch.semanticClosePairs(
+        e, SimSearch.KmK, SimSearch.KmIters, SimSearch.SemTau)
+      .select("keep_id", "vec_id").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val emitted = negs.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(emitted.intersect(close).isEmpty)
+    // the exclusion is LOAD-BEARING on the planted geometry: vec 8 is
+    // base(3)'s tau-duplicate AND its nearest neighbor by cosine, so
+    // query 3's hard negatives must skip it (and 11, the deeper copy)
+    // while still ranking 3 genuinely-different vectors
+    val planted = vectors.toDF("vec_id", "embedding")
+    val p3 = SimSearch.hardNegativesOf(planted).collect()
+      .filter(_.getLong(0) == 3L).map(_.getLong(2)).toSet
+    assert(!p3.contains(8L) && !p3.contains(11L), s"query 3 negatives: $p3")
+    assert(p3.size == 3)
+  }
 }
