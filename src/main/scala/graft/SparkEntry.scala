@@ -157,6 +157,7 @@ object SparkEntry {
     "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
     "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
+    "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
     // ---- text-analysis surface ----
@@ -1918,6 +1919,23 @@ object SparkEntry {
          |$DuckIvfAdcResCtes
          |SELECT q_id, "rank", neighbor, adc_d2 FROM rranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.semanticDecontaminate: broadcast eval set,
+    // one corpus scan, worst eval witness per flagged vector.
+    "q_decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS eval_emb, nrm AS eval_nrm
+         |       FROM e WHERE vec_id % 50 = 0),
+         |sc AS (SELECT e.vec_id, ev.eval_id,
+         |         round(${duckDot("e.embedding", "ev.eval_emb")} / (e.nrm * ev.eval_nrm), 6) AS cos
+         |       FROM e CROSS JOIN ev WHERE e.vec_id % 50 <> 0),
+         |fl AS (SELECT * FROM sc WHERE cos >= ${SimSearch.SemTau}),
+         |rk AS (SELECT vec_id, eval_id, cos,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos DESC, eval_id) AS rnk
+         |       FROM fl)
+         |SELECT vec_id, eval_id, cos FROM rk WHERE rnk = 1
+         |ORDER BY vec_id""".stripMargin,
 
     // Replays SimSearch.hardNegativesOf: the SemDeDup τ-pair set (the
     // same trained-quantizer chain as q_dedup_semantic) excluded from

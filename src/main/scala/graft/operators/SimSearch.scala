@@ -894,6 +894,33 @@ object SimSearch {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegativesOf(Tables.fanOut(Tables.embeddings(spark, dir)))
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space sibling of the
+    * n-gram screen (`TextAnalysis.decontaminate`): flag corpus vectors
+    * τ-close to any EVAL-set vector, catching paraphrased contamination
+    * that shares no 8-gram with the benchmark (the reason modern
+    * decontamination runs both screens). The eval set (every 50th
+    * vector here — the deterministic stand-in for a benchmark table) is
+    * SMALL by nature, so the scale shape is one broadcast of the eval
+    * side and a single narrow corpus scan — no shuffle at all, in
+    * contrast to the gram screen's membership join; each flagged vector
+    * reports its worst (max-cos, then min-id) eval witness, the audit
+    * row a removal decision cites. */
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val eval = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("eval_id"))
+    e.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        round(cosine(col("embedding"), col("eval_emb")), 6).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "eval_id", "cos")
+      .orderBy("vec_id")
+  }
+
   def hardNegativesOf(e: DataFrame): DataFrame = {
     val close = semanticClosePairs(e, KmK, KmIters, SemTau)
     val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
