@@ -187,6 +187,7 @@ object SparkEntry {
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
     "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
     "q_text_boilerplate_apply" -> (TextAnalysis.boilerplateApply _),
+    "q_dedup_span_apply" -> (TextAnalysis.dupSpanApply _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
@@ -1709,6 +1710,29 @@ object SparkEntry {
          |       tokens_removed,
          |       round(tokens_removed / tokens_total::DOUBLE, 4) AS removed_frac
          |FROM agg LEFT JOIN bg USING (source) ORDER BY agg.source""".stripMargin,
+
+    // The Lee-et-al exact-substring dedup ACTION: the boilerplate-apply
+    // machinery at df >= 2 over the PLAIN corpus (no crawl view) — every
+    // rebuilt text md5-matched.
+    "q_dedup_span_apply" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |       FROM base),
+         |boiler AS (SELECT g FROM gr GROUP BY g
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM gr JOIN boiler USING (g))),
+         |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
+         |            unnest(toks) AS tok FROM base),
+         |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t))
+         |SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The APPLY action: the oracle md5-hashes every cleaned text, so
     // both engines must drop the exact same token positions and rebuild

@@ -720,7 +720,10 @@ object TextAnalysis {
           .orderBy("source"))
       Dedup.retire(spark, gramsRdd)
       Dedup.retire(spark, dRdd)
-      Dedup.retainResult(spark, "boilerplateStrip", outRdd, out)
+      // key carries the dials: two registered queries share this body
+      // at different thresholds, and a shared key would let one retire
+      // the other's still-in-use result under Verify's thread pool
+      Dedup.retainResult(spark, s"boilerplateStrip#$n#$minDf", outRdd, out)
     }
   }
 
@@ -772,9 +775,24 @@ object TextAnalysis {
           .orderBy("doc_id"))
       Dedup.retire(spark, gramsRdd)
       Dedup.retire(spark, dRdd)
-      Dedup.retainResult(spark, "boilerplateApply", outRdd, out)
+      // dialed key — see boilerplateStripOf (q_text_boilerplate_apply
+      // and q_dedup_span_apply share this body at different minDf)
+      Dedup.retainResult(spark, s"boilerplateApply#$n#$minDf", outRdd, out)
     }
   }
+
+  /** The Lee-et-al EXACT-SUBSTRING DEDUP ACTION (arXiv:2107.06499 §4.1):
+    * rebuild every document with its cross-document duplicate spans
+    * removed — any [[SpanN]]-gram occurring in ≥2 documents goes, the
+    * df=2 position of the SAME strip machinery [[boilerplateApplyOf]]
+    * runs at [[BoilerMinDf]] (measurement: [[dupSpanCoverageOf]];
+    * template removal: df≥10; dedup action: df≥2 — this completes the
+    * measure/act × duplicate/boilerplate grid). Unlike document-level
+    * dedup, this keeps the UNIQUE remainder of partially-copied pages —
+    * the paper's argument for substring-level removal. Same oracle
+    * discipline: md5 over every rebuilt text. */
+  def dupSpanApply(spark: SparkSession, dir: String): DataFrame =
+    boilerplateApplyOf(Tables.fanOut(Tables.documents(spark, dir)), SpanN, 2)
 
   /** Stages for [[curriculumStages]]. */
   val CurriculumStages = 4
