@@ -1459,6 +1459,38 @@ object SparkEntry {
     // arithmetic (hashes stop matching the fixture) or the banding plan
     // (pairs diverge) breaks the hash match. DISTINCT here ≡ the Spark
     // plan's first-matching-band filter: hamming is pair-determined.
+    // The recall SUMMARY, oracle-checked against the same committed
+    // expected-hash fixture (closing the last rows-only row on the
+    // board): DuckDB replays the banded pairing AND the catalog/recall
+    // arithmetic over the fixture, so the hash match pins codec drift,
+    // pairing drift, and the summary aggregation itself. Like the pairs
+    // oracle, the fixture is the sf0.01 vintage — the scale the
+    // driver's gate verifies at.
+    "q_multimodal_phash" ->
+      s"""WITH h0 AS (SELECT media_id, ok, dhash
+         |            FROM '${graft.multimodal.Multimodal.PhashFixturePath}'),
+         |h AS (SELECT media_id, dhash FROM h0 WHERE ok),
+         |banded AS (SELECT media_id, dhash, band,
+         |             (dhash >> (band::INT * 16)) & 65535 AS band_sig
+         |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs0 AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |             bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |           FROM banded a JOIN banded b USING (band, band_sig)
+         |           WHERE a.media_id < b.media_id),
+         |pairs AS (SELECT DISTINCT id_a, id_b, hamming FROM pairs0
+         |          WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}),
+         |imgs AS (SELECT count(*)::BIGINT AS n_images,
+         |           sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_undecodable,
+         |           sum(CASE WHEN media_id >= ${graft.multimodal.Multimodal.PlantShift} THEN 1 ELSE 0 END)::BIGINT AS planted_expected
+         |         FROM h0),
+         |ps AS (SELECT count(*)::BIGINT AS n_pairs,
+         |         sum(CASE WHEN id_b = id_a + ${graft.multimodal.Multimodal.PlantShift} THEN 1 ELSE 0 END)::BIGINT AS planted_found,
+         |         max(CASE WHEN id_b = id_a + ${graft.multimodal.Multimodal.PlantShift} THEN hamming END)::BIGINT AS planted_max_hamming
+         |       FROM pairs)
+         |SELECT n_images, n_undecodable, planted_expected,
+         |       planted_found, n_pairs, planted_max_hamming
+         |FROM imgs CROSS JOIN ps""".stripMargin,
+
     "q_multimodal_phash_pairs" ->
       s"""WITH h AS (SELECT media_id, dhash
          |           FROM '${graft.multimodal.Multimodal.PhashFixturePath}'
