@@ -189,6 +189,7 @@ object SparkEntry {
     "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
     "q_text_boilerplate_apply" -> (TextAnalysis.boilerplateApply _),
     "q_dedup_span_apply" -> (TextAnalysis.dupSpanApply _),
+    "q_dedup_span_inc" -> (TextAnalysis.dupSpanApplyIncremental _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
@@ -209,8 +210,9 @@ object SparkEntry {
     // ---- multimodal surface (binary payload columns) ----
     "q_multimodal_stats" -> (graft.multimodal.Multimodal.mimeStats _),
     "q_multimodal_dedup" -> (graft.multimodal.Multimodal.mediaDedupPlanted _),
-    // rows-only (no oracleSql entry BY DESIGN): DuckDB cannot decode the
-    // PNG payloads this query hashes — ImageHashSpec is the exact gate
+    // both phash queries oracle-check against the committed expected-hash
+    // fixture (DuckDB cannot decode PNG; the Spark side runs the real
+    // JDK codec) — ImageHashSpec is the additional exact decode gate
     "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
     "q_multimodal_phash_pairs" -> (graft.multimodal.Multimodal.phashPairs _),
 
@@ -1762,6 +1764,35 @@ object SparkEntry {
          |          FROM gr JOIN boiler USING (g))),
          |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
          |            unnest(toks) AS tok FROM base),
+         |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t))
+         |SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The INCREMENTAL screen: odd docs (the arriving batch) rebuilt
+    // against the gram-df index of the even docs (the existing corpus)
+    // — a span goes when the index already holds its gram (df >= 1:
+    // the arriving doc is the +1 that meets the df>=2 batch criterion).
+    // Same md5-rebuild discipline as q_dedup_span_apply.
+    "q_dedup_span_inc" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |idx AS (SELECT g, count(DISTINCT doc_id) AS df_docs FROM (
+         |          SELECT doc_id,
+         |            unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |              i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |          FROM base WHERE doc_id % 2 = 0) GROUP BY g),
+         |dup AS (SELECT g FROM idx WHERE df_docs >= 1),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |       FROM base WHERE doc_id % 2 = 1),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM gr JOIN dup USING (g))),
+         |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
+         |            unnest(toks) AS tok FROM base WHERE doc_id % 2 = 1),
          |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t))
          |SELECT doc_id, count(*)::BIGINT AS n_kept,
          |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5

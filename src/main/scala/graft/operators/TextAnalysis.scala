@@ -794,6 +794,89 @@ object TextAnalysis {
   def dupSpanApply(spark: SparkSession, dir: String): DataFrame =
     boilerplateApplyOf(Tables.fanOut(Tables.documents(spark, dir)), SpanN, 2)
 
+  /** The persisted GRAM-DF INDEX of a corpus — the static side of
+    * INCREMENTAL span dedup: (g, df_docs) for every [[SpanN]]-gram md5
+    * digest, the frame a production pipeline snapshots once per corpus
+    * refresh and every arriving batch screens against (the span-level
+    * twin of [[graft.operators.Dedup.bandIndexOf]]). Key space =
+    * distinct grams; one corpus pass, one groupBy shuffle — paid at
+    * snapshot time, NEVER per batch. */
+  def spanGramIndexOf(docs: DataFrame, n: Int = SpanN): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("g"))
+      .groupBy("g").agg(countDistinct("doc_id").as("df_docs"))
+
+  /** Persist / reload a [[spanGramIndexOf]] snapshot as a table
+    * BUCKETED by the probe key `g` — the same snapshot discipline as
+    * [[graft.operators.Dedup.writeBandIndex]]: a bucketed index side
+    * joins every later screen without an exchange, so screening cost
+    * is O(batch) no matter the corpus size. */
+  def writeSpanGramIndex(docs: DataFrame, table: String,
+      buckets: Int = graft.operators.Dedup.BandIndexBuckets): Unit =
+    spanGramIndexOf(docs).write
+      .mode("overwrite")
+      .bucketBy(buckets, "g")
+      .sortBy("g")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readSpanGramIndex(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** INCREMENTAL span-dedup SCREEN — [[dupSpanApply]]'s arriving-batch
+    * form: rebuild each NEW document with every span already present
+    * in the INDEXED corpus removed, without recomputing corpus df. A
+    * span in an arriving doc is a cross-document duplicate when the
+    * index holds its gram with df_docs ≥ minDf − 1 existing documents
+    * — the arriving doc itself is the +1 that meets the batch
+    * criterion (minDf=2 ⇒ membership; minDf=[[BoilerMinDf]] ⇒ the
+    * incremental boilerplate screen, same dial as the batch grid).
+    * New-vs-new duplicates inside one batch resolve at the next index
+    * refresh — the standard incremental-dedup trade, as for
+    * [[graft.operators.Dedup.probeBandIndex]].
+    *
+    * Scale shape: every frame here is BATCH-sized (tokenize, gram
+    * explode, position union, rebuild); the corpus appears only as the
+    * index equi-join on `g`, and a [[writeSpanGramIndex]] snapshot
+    * joins bucket-local with no index-side exchange. O(batch), never
+    * O(corpus) — the batch `dupSpanApply` pays the corpus-wide gram-df
+    * shuffle on every run; this pays it once per snapshot. */
+  def spanScreenOf(newDocs: DataFrame, index: DataFrame, n: Int = SpanN,
+      minDf: Int = 2): DataFrame = {
+    val d = newDocs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val grams = d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+    val dup = index.filter(col("df_docs") >= minDf - 1).select("g")
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = d.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The registered incremental form: even doc_ids are the indexed
+    * corpus, odd doc_ids the arriving batch (the same SF-independent
+    * split as `q_dedup_incremental`, so the oracle mirrors it
+    * exactly). In production the even side is a [[writeSpanGramIndex]]
+    * snapshot read back bucketed; building it in-flight here keeps the
+    * query self-contained — the screen itself is identical. */
+  def dupSpanApplyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    spanScreenOf(docs.filter(col("doc_id") % 2 === 1),
+      spanGramIndexOf(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** Stages for [[curriculumStages]]. */
   val CurriculumStages = 4
 

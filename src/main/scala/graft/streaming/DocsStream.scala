@@ -105,4 +105,54 @@ object DocsStream {
       .select(col("new_doc"), col("dup_of"), Dedup.estJaccard.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Streaming SPAN-DEDUP screen — the streaming twin of
+    * [[graft.operators.TextAnalysis.spanScreenOf]]: arriving documents
+    * rebuilt with every span the static GRAM-DF INDEX
+    * ([[graft.operators.TextAnalysis.spanGramIndexOf]], persisted via
+    * `writeSpanGramIndex` in production) already holds removed — the
+    * Lee-et-al substring dedup applied at ingest, without recomputing
+    * corpus df per batch.
+    *
+    * Shape: per-row tokenize + positioned gram digests, ONE
+    * stream-static equi-join on `g` (left — zero-hit docs pass through
+    * whole), then a per-document aggregation that unions covered
+    * positions and rebuilds the surviving token sequence row-locally.
+    * The aggregation keys are per-arrival unique doc_ids, complete
+    * within their micro-batch — run in `update` mode each doc emits
+    * exactly one row; production bounds the state store by
+    * watermarking an arrival-time column (the keys never recur, so
+    * dropped state is never needed again). Output schema and md5
+    * discipline match the batch screen exactly (stream ≡ batch pinned
+    * in the suite); like the batch form, a fully-covered document
+    * emits nothing. */
+  def spanDedupScreen(newDocs: DataFrame, gramIndex: DataFrame,
+      n: Int = graft.operators.TextAnalysis.SpanN, minDf: Int = 2): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokenize(col("text"))
+    val grams = graft.functions.TextFunctions.wordNgrams(col("toks"), n)
+    val d = newDocs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val positioned = d
+      .select(col("doc_id"), col("toks"), posexplode_outer(grams))
+      .select(col("doc_id"), col("toks"), col("pos"), md5(col("col")).as("g"))
+    val dup = gramIndex.filter(col("df_docs") >= minDf - 1)
+      .select(col("g"), lit(1).as("hit"))
+    val agg = positioned.join(dup, Seq("g"), "left")
+      .select(col("doc_id"), col("toks"),
+        when(col("hit").isNotNull,
+          sequence(col("pos"), col("pos") + (n - 1))).as("cps"))
+      .groupBy("doc_id")
+      .agg(first(col("toks")).as("toks"),
+        array_distinct(flatten(collect_list("cps"))).as("covered"))
+    agg
+      .select(col("doc_id"),
+        filter(
+          transform(col("toks"), (t, i) => struct(i.as("pos"), t.as("tok"))),
+          s => !array_contains(col("covered"), s.getField("pos"))).as("keptS"))
+      .filter(size(col("keptS")) >= 1)
+      .select(col("doc_id"),
+        size(col("keptS")).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(col("keptS"), s => s.getField("tok")))).as("cleaned_md5"))
+  }
 }

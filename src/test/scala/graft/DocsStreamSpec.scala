@@ -37,6 +37,43 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming span-dedup screen == batch incremental span screen") {
+    // the span-level twin of the near-dup pin: odd docs stream against
+    // the static gram-df index of the even docs; every rebuilt text md5
+    // must equal the batch screen's (same tokenizer, same gram digests,
+    // same position union, same surviving sequence)
+    val dir = "/root/testdata/sf0.001"
+    val idx = graft.operators.TextAnalysis.spanGramIndexOf(
+      graft.sources.Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0))
+    val q = DocsStream.spanDedupScreen(
+        DocsStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1), idx)
+      .writeStream
+      .format("memory")
+      .queryName("spanscreen_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("spanscreen_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.operators.TextAnalysis.dupSpanApplyIncremental(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // and the screen actually removed something: at least one doc lost
+    // tokens to an indexed span (the planted near-dup passages)
+    assert(batch.exists(_._2 < Int.MaxValue) && {
+      val totalKept = batch.toSeq.map(_._2).sum
+      val totalToks = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 1)
+        .select(org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n"))
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      totalKept < totalToks
+    })
+  }
+
   test("stream probes a PERSISTED band index - the production snapshot flow") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
