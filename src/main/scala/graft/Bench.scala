@@ -134,8 +134,9 @@ object Bench {
     // The file is the regression-tracking record (committed per round);
     // stdout stays the driver's parse target. One entry per line, sorted,
     // with both measured passes kept so cold-vs-warm spread is visible.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
+    // default is cwd-relative (sbt runs from the repo root), so a
+    // different checkout location still lands the artifact in-repo
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val lines = results.map { case (k, v) =>
       s"""  "$k": {"min": $v, "pass1": ${pass1(k)}, "pass2": ${pass2(k)}}"""
     }

@@ -327,13 +327,13 @@ object SparkEntry {
     * ranking per query) — shared by the PQ serving oracle and the PQ
     * recall audit, so the audit measures the shipped chain verbatim. */
   private val DuckPqCtes =
-    """v0 AS (
+    s"""v0 AS (
       |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
       |  FROM embeddings),
-      |v AS (SELECT vec_id, d, d // 8 AS sub, val FROM v0),
+      |v AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM v0),
       |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
-      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${SimSearch.PqK})),
       |c0 AS (SELECT sub, code_id, d, val AS c FROM v JOIN seeds USING (vec_id)),
       |d1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
       |       FROM v JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
@@ -353,7 +353,7 @@ object SparkEntry {
       |            FROM enc2) WHERE rnk = 1),
       |lut AS (SELECT v.vec_id AS q_id, sub, code_id,
       |          sum((val - c) * (val - c)) AS sub_d2
-      |        FROM v JOIN c1 USING (sub, d) WHERE v.vec_id < 10
+      |        FROM v JOIN c1 USING (sub, d) WHERE v.vec_id < ${SimSearch.NQueries}
       |        GROUP BY 1, 2, 3),
       |adc AS (SELECT q_id, codes.vec_id AS neighbor,
       |          round(sum(sub_d2), 6) AS adc_d2
@@ -378,7 +378,8 @@ object SparkEntry {
   private val DuckIvfAdcCtes =
     s"""ivfe AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
        |ivfc AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-       |         FROM ivfe WHERE vec_id >= 100 AND vec_id < 108),
+       |         FROM ivfe WHERE vec_id >= ${SimSearch.IvfSeedBase}
+       |           AND vec_id < ${SimSearch.IvfSeedBase + SimSearch.IvfK}),
        |icrank AS (
        |  SELECT ivfe.vec_id, ivfc.cent_id,
        |    row_number() OVER (PARTITION BY ivfe.vec_id
@@ -387,7 +388,7 @@ object SparkEntry {
        |  FROM ivfe CROSS JOIN ivfc),
        |iassign AS (SELECT vec_id, cent_id FROM icrank WHERE rnk = 1),
        |iprobe AS (SELECT vec_id AS q_id, cent_id FROM icrank
-       |           WHERE vec_id < 10 AND rnk <= 2),
+       |           WHERE vec_id < ${SimSearch.NQueries} AND rnk <= ${SimSearch.IvfNProbe}),
        |irouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
        |            FROM codes c
        |            JOIN iassign a USING (vec_id)
@@ -413,7 +414,7 @@ object SparkEntry {
     s"""cl AS (SELECT cent_id, unnest(range(0, len(cent_emb))) AS d,
        |         unnest(list_transform(cent_emb, x -> x::DOUBLE)) AS c
        |       FROM ivfc),
-       |rv AS (SELECT v0.vec_id, a.cent_id, v0.d // 8 AS sub, v0.d,
+       |rv AS (SELECT v0.vec_id, a.cent_id, v0.d // ${64 / SimSearch.PqM} AS sub, v0.d,
        |         (v0.val - cl.c) AS val
        |       FROM v0 JOIN iassign a USING (vec_id)
        |       JOIN cl ON cl.cent_id = a.cent_id AND cl.d = v0.d),
@@ -436,7 +437,7 @@ object SparkEntry {
        |             FROM renc) WHERE rnk = 1),
        |rcodes2 AS (SELECT c.vec_id, c.sub, c.code_id, a.cent_id
        |            FROM rcodes c JOIN iassign a USING (vec_id)),
-       |qres AS (SELECT v0.vec_id AS q_id, p.cent_id, v0.d // 8 AS sub,
+       |qres AS (SELECT v0.vec_id AS q_id, p.cent_id, v0.d // ${64 / SimSearch.PqM} AS sub,
        |           v0.d, (v0.val - cl.c) AS qv
        |         FROM v0
        |         JOIN iprobe p ON v0.vec_id = p.q_id
@@ -1967,7 +1968,7 @@ object SparkEntry {
          |              p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),
          |              (a, b) -> a + b), 6) AS d2
          |          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |          WHERE q.vec_id < 10),
+         |          WHERE q.vec_id < ${SimSearch.NQueries}),
          |exact3 AS (SELECT q_id, neighbor FROM (
          |             SELECT q_id, neighbor,
          |               row_number() OVER (PARTITION BY q_id
@@ -1976,16 +1977,16 @@ object SparkEntry {
          |ra AS (SELECT 'pq_adc' AS method, q_id, neighbor
          |       FROM ranked WHERE "rank" <= 3
          |       UNION ALL
-         |       SELECT 'ivfadc_np2' AS method, q_id, neighbor
+         |       SELECT 'ivfadc_np${SimSearch.IvfNProbe}' AS method, q_id, neighbor
          |       FROM iranked WHERE "rank" <= 3
          |       UNION ALL
-         |       SELECT 'ivfadc_res_np2' AS method, q_id, neighbor
+         |       SELECT 'ivfadc_res_np${SimSearch.IvfNProbe}' AS method, q_id, neighbor
          |       FROM rranked WHERE "rank" <= 3),
          |hits AS (SELECT method, q_id, count(*)::BIGINT AS hits
          |         FROM exact3 JOIN ra USING (q_id, neighbor) GROUP BY 1, 2),
-         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
-         |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np2'
-         |       UNION ALL SELECT 'ivfadc_res_np2')
+         |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < ${SimSearch.NQueries}),
+         |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np${SimSearch.IvfNProbe}'
+         |       UNION ALL SELECT 'ivfadc_res_np${SimSearch.IvfNProbe}')
          |SELECT method, q_id, coalesce(hits, 0)::BIGINT AS hits,
          |       round(coalesce(hits, 0) / 3.0, 4) AS recall
          |FROM ms CROSS JOIN qs LEFT JOIN hits USING (method, q_id)
@@ -2008,15 +2009,17 @@ object SparkEntry {
          |SELECT q_id, "rank", neighbor, adc_d2 FROM rranked
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
-    // Replays SimSearch.semanticDecontaminate: broadcast eval set,
-    // one corpus scan, worst eval witness per flagged vector.
+    // Replays SimSearch.semanticDecontaminate: FIXED-cardinality
+    // broadcast eval set (every 50th vec_id below EvalIdCap), one
+    // corpus scan, worst eval witness per flagged vector.
     "q_decontaminate_semantic" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
          |ev AS (SELECT vec_id AS eval_id, embedding AS eval_emb, nrm AS eval_nrm
-         |       FROM e WHERE vec_id % 50 = 0),
+         |       FROM e WHERE vec_id % 50 = 0 AND vec_id < ${SimSearch.EvalIdCap}),
          |sc AS (SELECT e.vec_id, ev.eval_id,
          |         round(${duckDot("e.embedding", "ev.eval_emb")} / (e.nrm * ev.eval_nrm), 6) AS cos
-         |       FROM e CROSS JOIN ev WHERE e.vec_id % 50 <> 0),
+         |       FROM e CROSS JOIN ev
+         |       WHERE NOT (e.vec_id % 50 = 0 AND e.vec_id < ${SimSearch.EvalIdCap})),
          |fl AS (SELECT * FROM sc WHERE cos >= ${SimSearch.SemTau}),
          |rk AS (SELECT vec_id, eval_id, cos,
          |         row_number() OVER (PARTITION BY vec_id

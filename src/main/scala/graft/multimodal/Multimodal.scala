@@ -430,7 +430,9 @@ object Multimodal {
     * (media_id, ok, dhash) output of decode→[[dHash]] over
     * [[plantedMediaRecords]] at the driver's verify scale (sf0.01),
     * generated by [[PhashFixtureGen]] and checked in. */
-  val PhashFixturePath = "/root/repo/fixtures/phash_dhash_sf0.01.parquet"
+  val PhashFixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/fixtures") +
+      "/phash_dhash_sf0.01.parquet"
 
   /** The ORACLE-CHECKED half of the perceptual-hash pipeline: decode →
     * [[dHash]] → [[imageNearDup]], emitting the raw near-dup pairs

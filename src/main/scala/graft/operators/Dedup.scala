@@ -458,8 +458,17 @@ object Dedup {
     sweepStopped()
     val prev = retainedResults.put(memoKey(spark, key),
       MemoEntry(df, spark, () => retire(spark, rdd)))
-    if (prev != null)
+    if (prev != null) {
+      // the latest-wins contract in action: the PRIOR call's DataFrame
+      // becomes unreadable now (its blocks/checkpoint files are freed).
+      // Log loudly so a caller that still held it — e.g. two threads
+      // invoking the same registered query concurrently — can trace the
+      // resulting read failure here instead of to a bare block-not-found
+      System.err.println(
+        s"[graft] retainResult: replacing retained result '$key' — any " +
+          "still-held DataFrame from the prior call is now unreadable")
       try prev.release() catch { case scala.util.control.NonFatal(_) => () }
+    }
     df
   }
 

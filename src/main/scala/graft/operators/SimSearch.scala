@@ -924,23 +924,34 @@ object SimSearch {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegativesOf(Tables.fanOut(Tables.embeddings(spark, dir)))
 
+  /** Eval-set selector for [[semanticDecontaminate]]: every 50th
+    * vec_id BELOW [[EvalIdCap]] — a FIXED-cardinality benchmark
+    * stand-in (10 vectors at every shipped SF, since all test dirs
+    * hold ≥ 500 vectors). The cap is what keeps the scale claim
+    * honest: a benchmark is a constant-size artifact, so the eval side
+    * must not grow with the corpus — without the cap the %-only
+    * selector made the broadcast AND the screen O(|corpus|²/50). */
+  val EvalIdCap = 500L
+
   /** SEMANTIC DECONTAMINATION — the embedding-space sibling of the
     * n-gram screen (`TextAnalysis.decontaminate`): flag corpus vectors
     * τ-close to any EVAL-set vector, catching paraphrased contamination
     * that shares no 8-gram with the benchmark (the reason modern
     * decontamination runs both screens). The eval set (every 50th
-    * vector here — the deterministic stand-in for a benchmark table) is
-    * SMALL by nature, so the scale shape is one broadcast of the eval
-    * side and a single narrow corpus scan — no shuffle at all, in
-    * contrast to the gram screen's membership join; each flagged vector
-    * reports its worst (max-cos, then min-id) eval witness, the audit
-    * row a removal decision cites. */
+    * vector below [[EvalIdCap]] — the deterministic FIXED-cardinality
+    * stand-in for a benchmark table) is SMALL by construction, so the
+    * scale shape is one broadcast of the eval side and a single narrow
+    * corpus scan — no shuffle at all, in contrast to the gram screen's
+    * membership join; each flagged vector reports its worst (max-cos,
+    * then min-id) eval witness, the audit row a removal decision
+    * cites. */
   def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-    val eval = e.filter(col("vec_id") % 50 === 0)
+    val isEval = col("vec_id") % 50 === 0 && col("vec_id") < EvalIdCap
+    val eval = e.filter(isEval)
       .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("eval_id"))
-    e.filter(col("vec_id") % 50 =!= 0)
+    e.filter(!isEval)
       .crossJoin(broadcast(eval))
       .select(col("vec_id"), col("eval_id"),
         round(cosine(col("embedding"), col("eval_emb")), 6).as("cos"))

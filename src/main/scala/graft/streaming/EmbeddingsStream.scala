@@ -43,9 +43,20 @@ object EmbeddingsStream {
     * quantizer (cent_id → dense centroid, 0-based dims): K sequential
     * fold expressions + `array_min` over (d2, cent_id) structs — the
     * batch argmin's (d2, cent_id) tie-break, with a deterministic
-    * left-to-right summation order. Streaming-safe (no window, no
-    * aggregation) and exactly the expression a codegen'd serving path
-    * evaluates per row. */
+    * left-to-right summation order.
+    *
+    * Stream ≡ batch assignment parity is EMPIRICAL, not guaranteed:
+    * the batch side's `sum` partial aggregation carries no accumulation
+    * order, so a vector whose two nearest cells differ by under the
+    * float-summation noise floor (~1 ulp × dims) could in principle
+    * flip between the paths under a different partitioning. The suite
+    * pins parity on the shipped data/partitioning; a guarantee would
+    * require ranking on a fixed-precision rounding of d2 in BOTH
+    * engines and every kmeans oracle — a cross-cutting change not
+    * taken because no shipped geometry sits near the noise floor
+    * (planted cells are separated by whole units). Streaming-safe (no
+    * window, no aggregation) and exactly the expression a codegen'd
+    * serving path evaluates per row. */
   def assignToQuantizer(vecs: DataFrame,
                         cents: Seq[(Long, Seq[Double])]): DataFrame = {
     require(cents.nonEmpty, "empty quantizer")
