@@ -69,7 +69,8 @@ object Scale {
     // optional `--sections=dedup,signals,graph,prefix` limits the run to
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
-    val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic", "boiler")
+    val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
+      "boiler", "training", "spaninc")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -340,6 +341,85 @@ object Scale {
         "tokens removed | report time |")
       println("|---|---|---|---|---|---|")
       rows6.foreach(println)
+    }
+
+    // Training ops: hard-negative mining (brute-force vs routed) and
+    // semantic decontamination. The mining claim under test: the
+    // brute-force arm SCORES Nq × corpus pairs — linear here only
+    // because Nq is pinned at 10, and in production Nq IS corpus-sized
+    // (one per training query), which is the quadratic the routed arm
+    // kills: it scores Σ probed-cell sizes (nprobe/K of the corpus at
+    // fixed K; flat per query once K ∝ N). The candidate columns make
+    // the gap visible; wall times corroborate. Decontamination: the
+    // fixed-cardinality eval set (EvalIdCap) must keep the screen one
+    // linear corpus scan.
+    val rows7 = factors.filter(_ => sections("training")).map { k =>
+      System.err.println(s"[scale] factor $k (training ops) ...")
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nVecs = e.count()
+      val (bruteCands, routedCands) =
+        SimSearch.minedCandidateVolumes(e, SimSearch.IvfNProbe)
+      val t0b = System.nanoTime()
+      val nBrute = SimSearch.hardNegativesOf(e).count()
+      val tBrute = (System.nanoTime() - t0b) / 1e9
+      val t0r = System.nanoTime()
+      val nRouted = SimSearch.hardNegativesRoutedOf(e, SimSearch.IvfNProbe).count()
+      val tRouted = (System.nanoTime() - t0r) / 1e9
+      val t0d = System.nanoTime()
+      val nFlags = SimSearch.semanticDecontaminateOf(e).count()
+      val tDecon = (System.nanoTime() - t0d) / 1e9
+      s"| ${k}x | $nVecs | $bruteCands | ${f"$tBrute%.1f"}s | $routedCands | " +
+        s"${f"$tRouted%.1f"}s | ${nBrute}/${nRouted} | $nFlags | ${f"$tDecon%.1f"}s |"
+    }
+    if (sections("training")) {
+      println()
+      println("| factor | vectors | brute cands | brute time | routed cands | " +
+        "routed time | negs b/r | decon flags | decon time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rows7.foreach(println)
+    }
+
+    // Incremental span screen: a FIXED arriving batch (the base odd
+    // docs) screened against the gram-df index of a GROWING corpus
+    // (even docs × k, replicas gram-disjoint). The claim under test:
+    // screen cost is O(batch) — flat as the index 10×es (the corpus
+    // appears only as the equi-join side) — while the batch
+    // recompute (dupSpanApply over corpus+batch) pays the corpus-wide
+    // gram-df shuffle every run and grows linearly. The screen output
+    // must be IDENTICAL at every factor (replicas are gram-disjoint
+    // from the base batch), so n_out/removed doubling as a
+    // correctness invariant.
+    val rows8 = factors.filter(_ => sections("spaninc")).map { k =>
+      System.err.println(s"[scale] factor $k (incremental span screen) ...")
+      val corpus = replicatedDocs(spark, baseDir, k).filter(col("doc_id") % 2 === 0)
+      val batch = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        .filter(col("doc_id") % 2 === 1)
+      val t0i = System.nanoTime()
+      val idx = graft.operators.TextAnalysis.spanGramIndexOf(corpus)
+      val idxMat = { val r = idx.rdd; r.localCheckpoint(); r.count(); r }
+      val nIdx = idxMat.count()
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val idxDf = spark.createDataFrame(idxMat, idx.schema)
+      val t0s = System.nanoTime()
+      val screened = graft.operators.TextAnalysis.spanScreenOf(batch, idxDf).collect()
+      val tScreen = (System.nanoTime() - t0s) / 1e9
+      val nOut = screened.length
+      val keptToks = screened.map(_.getLong(1)).sum
+      val t0f = System.nanoTime()
+      val nFull = graft.operators.TextAnalysis
+        .boilerplateApplyOf(corpus.unionByName(batch),
+          graft.operators.TextAnalysis.SpanN, 2).count()
+      val tFull = (System.nanoTime() - t0f) / 1e9
+      s"| ${k}x | $nIdx | ${f"$tIdx%.1f"}s | $nOut | $keptToks | " +
+        s"${f"$tScreen%.1f"}s | $nFull | ${f"$tFull%.1f"}s |"
+    }
+    if (sections("spaninc")) {
+      println()
+      println("| factor | index grams | index build | screened docs | kept tokens | " +
+        "screen time | full-recompute docs | full-recompute time |")
+      println("|---|---|---|---|---|---|---|---|")
+      rows8.foreach(println)
     }
     spark.stop()
   }

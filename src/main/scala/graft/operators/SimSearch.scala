@@ -945,8 +945,10 @@ object SimSearch {
     * membership join; each flagged vector reports its worst (max-cos,
     * then min-id) eval witness, the audit row a removal decision
     * cites. */
-  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+  def semanticDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontaminateOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  def semanticDecontaminateOf(e: DataFrame): DataFrame = {
     val isEval = col("vec_id") % 50 === 0 && col("vec_id") < EvalIdCap
     val eval = e.filter(isEval)
       .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
@@ -1041,6 +1043,22 @@ object SimSearch {
     * `q_ann_kmeans_routed` recall-pinning pattern). */
   def hardNegativesRouted(spark: SparkSession, dir: String): DataFrame =
     hardNegativesRoutedOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+
+  /** Scale-harness diagnostic: the number of (query, candidate) pairs
+    * each mining arm SCORES — the quantity whose growth separates the
+    * brute-force recipe (Nq × corpus, always) from the routed one
+    * (Σ probed-cell sizes; with K ∝ N, per-query work is flat). */
+  private[graft] def minedCandidateVolumes(e: DataFrame, nprobe: Int): (Long, Long) = {
+    val n = e.count()
+    val ranked = kmeansRankedL2(kmeansLongForm(e), kmeansTrainedCents(e, KmK, KmIters))
+    val assign = ranked.filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val routed = assign.join(probes, "cent_id")
+      .filter(col("vec_id") =!= col("q_id")).count()
+    (NQueries * (n - 1), routed)
+  }
 
   def hardNegativesRoutedOf(e: DataFrame, nprobe: Int,
       shortlist: Int = HnShortlist): DataFrame = {
