@@ -158,6 +158,7 @@ object SparkEntry {
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
     "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
     "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
+    "q_ann_ivfadc_refine" -> (SimSearch.ivfAdcRefineTopK _),
     "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_text_boilerplate_apply" -> (TextAnalysis.boilerplateApply _),
     "q_dedup_span_apply" -> (TextAnalysis.dupSpanApply _),
     "q_dedup_span_inc" -> (TextAnalysis.dupSpanApplyIncremental _),
+    "q_text_boilerplate_inc" -> (TextAnalysis.boilerplateApplyIncremental _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
@@ -1799,6 +1801,40 @@ object SparkEntry {
          |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // The incremental BOILERPLATE screen: the q_dedup_span_inc shape at
+    // the BoilerMinDf dial over the planted crawl view — the index side
+    // must hold a template span in >= BoilerMinDf-1 pages for the
+    // arriving page (the +1) to shed it.
+    "q_text_boilerplate_inc" ->
+      s"""WITH f(source, footer) AS (VALUES ${
+            TextAnalysis.BoilerFooters.map { case (s, t) => s"('$s', '$t')" }.mkString(", ")}),
+         |crawl AS (SELECT d.doc_id, d.source,
+         |            CASE WHEN f.footer IS NULL THEN d.text
+         |                 ELSE d.text || ' ' || f.footer END AS text
+         |          FROM documents d LEFT JOIN f USING (source)),
+         |tok AS (SELECT doc_id, $DuckTok AS toks FROM crawl),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |idx AS (SELECT g, count(DISTINCT doc_id) AS df_docs FROM (
+         |          SELECT doc_id,
+         |            unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |              i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |          FROM base WHERE doc_id % 2 = 0) GROUP BY g),
+         |dup AS (SELECT g FROM idx WHERE df_docs >= ${TextAnalysis.BoilerMinDf - 1}),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |       FROM base WHERE doc_id % 2 = 1),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(p, p + ${TextAnalysis.SpanN})) AS t
+         |          FROM gr JOIN dup USING (g))),
+         |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
+         |            unnest(toks) AS tok FROM base WHERE doc_id % 2 = 1),
+         |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t))
+         |SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The APPLY action: the oracle md5-hashes every cleaned text, so
     // both engines must drop the exact same token positions and rebuild
     // the exact same surviving sequence.
@@ -1998,6 +2034,32 @@ object SparkEntry {
       s"""WITH $DuckPqCtes,
          |$DuckIvfAdcCtes
          |SELECT q_id, "rank", neighbor, adc_d2 FROM iranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+
+    // Replays SimSearch.ivfAdcRefineTopKOf: the ADC top-HnShortlist per
+    // query (iadc, shared verbatim with the serving oracle) re-ranked on
+    // fold-exact squared L2 — FAISS IndexRefineFlat over the routed chain.
+    "q_ann_ivfadc_refine" ->
+      s"""WITH $DuckPqCtes,
+         |$DuckIvfAdcCtes,
+         |fshort AS (SELECT q_id, neighbor FROM (
+         |             SELECT q_id, neighbor,
+         |               row_number() OVER (PARTITION BY q_id
+         |                 ORDER BY adc_d2, neighbor) AS srnk
+         |             FROM iadc) WHERE srnk <= ${SimSearch.HnShortlist}),
+         |fex AS (SELECT s.q_id, s.neighbor,
+         |          round(list_reduce(list_transform(
+         |            list_zip(q.embedding, n.embedding),
+         |            p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),
+         |            (a, b) -> a + b), 6) AS d2
+         |        FROM fshort s
+         |        JOIN embeddings q ON q.vec_id = s.q_id
+         |        JOIN embeddings n ON n.vec_id = s.neighbor),
+         |frk AS (SELECT q_id, neighbor, d2,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY d2, neighbor) AS "rank"
+         |        FROM fex)
+         |SELECT q_id, "rank", neighbor, d2 FROM frk
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     // Replays SimSearch.ivfAdcResidualTopKOf: PQ over v − c(cell) with

@@ -748,6 +748,40 @@ object SimSearch {
       .join(broadcast(pqLut(e, book)), Seq("q_id", "sub", "code_id"))
   }
 
+  /** IVFADC + EXACT REFINE — FAISS's IndexRefineFlat composed over the
+    * routed chain: the ADC top-[[HnShortlist]] shortlist per query
+    * re-ranks on fold-exact squared L2 before the top-3 cut. The
+    * shortlist is an id list, so the exact stage is [[HnShortlist]]
+    * scorings per query via one equi-join against the corpus — a
+    * constant per-query refine cost that buys back the PQ quantization
+    * error on the final ranking (the same k_factor trade the routed
+    * hard-negative miner uses; this registers it as a first-class
+    * serving query). */
+  def ivfAdcRefineTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfAdcRefineTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)),
+      IvfNProbe, HnShortlist)
+
+  def ivfAdcRefineTopKOf(e: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
+    val scored = adcScores(ivfAdcRoutedPairs(e, nprobe))
+    val ws = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor"))
+    val short = scored.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select("q_id", "neighbor")
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = short
+      .join(e.select(col("vec_id").as("neighbor"), col("embedding").as("n_emb")),
+        "neighbor")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("neighbor"),
+        round(l2sq(col("q_emb"), col("n_emb")), 6).as("d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("neighbor"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor", "d2")
+      .orderBy("q_id", "rank")
+  }
+
   /** RESIDUAL-coding IVFADC — the FAISS default variant of
     * [[ivfAdcTopKOf]] (Jégou et al. 2011 §V): the PQ codebook trains on
     * and encodes the RESIDUALS v − c(cell) rather than raw vectors, so

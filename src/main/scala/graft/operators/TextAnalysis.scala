@@ -877,6 +877,20 @@ object TextAnalysis {
       spanGramIndexOf(docs.filter(col("doc_id") % 2 === 0)))
   }
 
+  /** The incremental BOILERPLATE screen — [[spanScreenOf]] at the
+    * [[BoilerMinDf]] dial over the planted crawl view: arriving pages
+    * are rebuilt with every template span the indexed crawl already
+    * holds in ≥ [[BoilerMinDf]]−1 pages removed (the arriving page is
+    * the +1). This completes the measure/act × batch/incremental grid:
+    * the SAME screen kernel serves both policies, only the df
+    * threshold moves — exactly how a production crawl pipeline turns
+    * its dedup screen into its template screen. */
+  def boilerplateApplyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val crawl = crawlViewOf(Tables.fanOut(Tables.documents(spark, dir)))
+    spanScreenOf(crawl.filter(col("doc_id") % 2 === 1),
+      spanGramIndexOf(crawl.filter(col("doc_id") % 2 === 0)), SpanN, BoilerMinDf)
+  }
+
   /** Stages for [[curriculumStages]]. */
   val CurriculumStages = 4
 

@@ -46,6 +46,39 @@ class IvfAdcSpec extends AnyFunSuite {
     }
   }
 
+  test("exact refine beats or matches raw ADC on recall@3 vs exact L2") {
+    // IndexRefineFlat's value proposition: re-ranking the ADC shortlist
+    // on exact L2 can only improve agreement with the exact top-3 —
+    // losses remain only where routing dropped the true neighbor's cell
+    // or the shortlist cut it (refine removes ADC-ranking error, the
+    // third loss source)
+    val emb = e  // bind before the import: functions._ also exports an `e`
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2sq
+    val q = emb.filter(col("vec_id") < SimSearch.NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("neighbor"))
+    val exact3 = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(l2sq(col("q_emb"), col("embedding")), 6).as("d2"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select("q_id", "neighbor")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "neighbor").join(exact3, Seq("q_id", "neighbor")).count()
+    val raw = hits(SimSearch.ivfAdcTopKOf(emb, SimSearch.IvfNProbe))
+    val refined = hits(SimSearch.ivfAdcRefineTopKOf(emb, SimSearch.IvfNProbe,
+      SimSearch.HnShortlist))
+    assert(refined >= raw,
+      s"refine lowered recall: refined=$refined raw=$raw")
+    // absolute floor: the SEEDED router caps this chain at ~15/30
+    // (TrainSignalsSpec pins seeded vs trained routing; the trained
+    // router is the miner's path) — refined measures 14/30 here, i.e.
+    // refine recovers nearly everything routing lets through
+    assert(refined >= 13, s"refined recall collapsed: $refined/30")
+  }
+
   test("residual coding beats or matches plain coding on mean quantization error") {
     // the reason FAISS defaults to residuals: the sub-quantizers model
     // within-cell variance, so the ADC distance to each vector's TRUE
