@@ -63,7 +63,8 @@ object Bench {
     // reconciles with the pass's wall time. (Without this, min-of-two
     // reported only cache reads and the build cost vanished — BENCH_r04's
     // q_dedup_* numbers were unusable for regression tracking.)
-    def buildEntries(dir: String): Seq[(String, Double)] = {
+    def buildEntries(dir: String, minhash: Boolean,
+        ann: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -75,9 +76,14 @@ object Bench {
           label -> -1.0
         }
       }
-      Seq(
+      (if (minhash) Seq(
         timed("build:minhash_pairs") { Dedup.minhashPairsCached(spark, dir); () },
         timed("build:components") { Dedup.componentsCached(spark, dir); () })
+       else Seq.empty) ++
+      (if (ann) Seq(
+        timed("build:ann_index") {
+          graft.operators.SimSearch.buildAnnIndex(spark, dir) })
+       else Seq.empty)
     }
 
     // SPARK_GRAFT_ONLY=q_a,q_b limits the run to named queries — the
@@ -102,9 +108,18 @@ object Bench {
     val memoConsumers = Set("q_dedup_minhash_lsh", "q_dedup_editdist",
       "q_dedup_clusters", "q_dedup_keep_set", "q_dedup_keep_clustered",
       "q_dedup_keep_best", "q_split_leakage_safe")
+    // every registered query that reads the memoized ANN index frames
+    // (SimSearch kmCentsCached/kmRankedCached/pqBookCached/pqCodesCached
+    // call sites — the (spark, dir) entry points)
+    val annConsumers = Set("q_ann_kmeans", "q_ann_kmeans_routed",
+      "q_ann_pq", "q_ann_pq_recall", "q_ann_ivfadc", "q_ann_ivfadc_refine",
+      "q_dedup_semantic", "q_train_hard_negatives",
+      "q_train_hard_negatives_routed")
     val needBuilds = names.exists(memoConsumers)
+    val needAnnBuild = names.exists(annConsumers)
     def builds(dir: String): Seq[(String, Double)] =
-      if (needBuilds) buildEntries(dir) else Seq.empty
+      if (needBuilds || needAnnBuild) buildEntries(dir, needBuilds, needAnnBuild)
+      else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
     // Two measured passes at the target SF, keep the per-query MIN: the
@@ -118,7 +133,8 @@ object Bench {
     val pass2 = pass()
     val allNames =
       (if (needBuilds) Seq("build:minhash_pairs", "build:components")
-       else Seq.empty) ++ names
+       else Seq.empty) ++
+      (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

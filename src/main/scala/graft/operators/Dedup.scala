@@ -414,6 +414,39 @@ object Dedup {
     }).df
   }
 
+  /** Generic per-(session, key) memo of an eagerly-materialized frame —
+    * the [[minhashPairsCached]] pattern opened to other operator
+    * families (the ANN index frames live here via
+    * `SimSearch.annIndexCached`). Same lifecycle contract: swept on
+    * access, freed by [[clearMemos]], honors [[CheckpointDirConf]].
+    * Builds run OUTSIDE the map's mapping function (the
+    * [[componentsCached]] discipline) because a build may consult
+    * another memoized frame, whose stopped-session sweep iterates —
+    * and may mutate — this map; the benign same-key race just releases
+    * the losing build. */
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
+  private[graft] def memoizedFrame(spark: SparkSession, key: String)
+      (plan: => DataFrame): DataFrame = {
+    sweepStopped()
+    val k = memoKey(spark, key)
+    val hit = frameMemo.get(k)
+    if (hit != null) hit.df
+    else {
+      val ckpt = confCheckpointDir(spark)
+      val entry = withCheckpointDir(spark, ckpt) {
+        val (df, rdd) = materializeOwned(plan, ckpt.isDefined)
+        MemoEntry(df, spark, () => retire(spark, rdd))
+      }
+      val prev = frameMemo.putIfAbsent(k, entry)
+      if (prev == null) entry.df
+      else {
+        try entry.release() catch { case scala.util.control.NonFatal(_) => () }
+        prev.df
+      }
+    }
+  }
+
   /** Unique id per live session (SparkSession.sessionUUID is private):
     * a UUID minted on first sight, held WEAKLY so a collected session's
     * id (and key) can never be reissued to a new session — the
@@ -430,7 +463,7 @@ object Dedup {
     * next consumer rebuilds), and what [[graft.Bench]] calls before each
     * measured pass so the memo build cost is measured, not hidden. */
   def clearMemos(): Unit =
-    Seq(pairsMemo, componentsMemo, retainedResults).foreach { m =>
+    Seq(pairsMemo, componentsMemo, frameMemo, retainedResults).foreach { m =>
       m.values.forEach { e =>
         // releasing against an already-stopped context is a no-op, not an error
         try e.release() catch { case scala.util.control.NonFatal(_) => () }
@@ -476,7 +509,7 @@ object Dedup {
     * cached access so multi-session JVMs (test suites, servers) cannot
     * accumulate pinned blocks for sessions that no longer exist. */
   private def sweepStopped(): Unit =
-    Seq(pairsMemo, componentsMemo, retainedResults).foreach { m =>
+    Seq(pairsMemo, componentsMemo, frameMemo, retainedResults).foreach { m =>
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

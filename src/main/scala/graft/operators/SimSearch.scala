@@ -293,8 +293,10 @@ object SimSearch {
     * distance-to-centroid — the numbers that decide whether the
     * quantizer is balanced enough to ship. Math in double, report
     * rounded, all orderings totally tie-broken. */
-  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
-    kmeansTrainOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kmeansReport(kmRankedCached(spark, dir, e).filter(col("rnk") === 1))
+  }
 
   /** Embeddings in long (vec_id, d, v) form, double math. */
   private def kmeansLongForm(e: DataFrame): DataFrame =
@@ -347,6 +349,50 @@ object SimSearch {
   private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters))
 
+  // ---- THE PERSISTED ANN INDEX (memoized per session × corpus dir) ----
+  //
+  // A production vector deployment trains its quantizers ONCE per corpus
+  // snapshot and serves every query from the persisted artifacts; the
+  // registered (spark, dir) queries model exactly that: the four index
+  // frames below — trained coarse centroids, the full per-vector L2
+  // centroid ranking, the PQ codebook, and the corpus PQ codes —
+  // materialize once per (session, dir) through Dedup's memo machinery
+  // (clearMemos-released, checkpoint-dir aware, build cost charged to
+  // the bench's `build:ann_index` row) and every consumer reads the
+  // cached blocks. The `Of`-variants stay fully self-contained (tests
+  // and the Scale harness call them on constructed/replicated frames).
+  // Content is deterministic for a fixed dir, so the cache can never go
+  // stale — the same contract as the minhash pair memo.
+
+  private def kmCentsCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_kmcents#$dir")(
+      kmeansTrainedCents(e, KmK, KmIters))
+
+  private def kmRankedCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val cents = kmCentsCached(spark, dir, e)
+    Dedup.memoizedFrame(spark, s"ann_kmranked#$dir")(
+      kmeansRankedL2(kmeansLongForm(e), cents))
+  }
+
+  private def pqBookCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_book#$dir")(pqCodebook(e))
+
+  private def pqCodesCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val book = pqBookCached(spark, dir, e)
+    Dedup.memoizedFrame(spark, s"ann_codes#$dir")(
+      pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
+  }
+
+  /** Bench hook: force-build all four index frames so the cost lands in
+    * the explicit `build:ann_index` row and every consumer query's
+    * number is an honest serving cost. */
+  private[graft] def buildAnnIndex(spark: SparkSession, dir: String): Unit = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kmRankedCached(spark, dir, e)
+    pqCodesCached(spark, dir, e)
+    ()
+  }
+
   /** The trained quantizer collected to a driver-held dense form
     * (cent_id → 0-based-dimension centroid vector): the broadcastable
     * artifact a SERVING or streaming-monitor job holds — K×dims rows,
@@ -362,7 +408,12 @@ object SimSearch {
 
   /** [[kmeansTrain]] over any (vec_id, embedding) frame. */
   def kmeansTrainOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
-    kmeansAssignment(e, k, iters)
+    kmeansReport(kmeansAssignment(e, k, iters))
+
+  /** The per-cluster report over any (vec_id, cent_id, d2) assignment —
+    * shared by the in-flight and cached-index paths. */
+  private def kmeansReport(assignment: DataFrame): DataFrame =
+    assignment
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(sqrt(col("d2"))), 4).as("mean_dist"))
@@ -415,7 +466,10 @@ object SimSearch {
     * regardless of aggregation order. */
   private[graft] def kmeansCentroids(e: DataFrame, k: Int = KmK,
                                      iters: Int = KmIters): DataFrame =
-    kmeansTrainedCents(e, k, iters)
+    kmeansCentroidsFrom(kmeansTrainedCents(e, k, iters))
+
+  private def kmeansCentroidsFrom(centsLong: DataFrame): DataFrame =
+    centsLong
       .groupBy("cent_id")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         x => x.getField("c")).as("cent_emb"))
@@ -431,7 +485,9 @@ object SimSearch {
     * exists and every corpus vector is a candidate. */
   def kmeansRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-    routedTopK(e, rankedAgainst(e, kmeansCentroids(e)), IvfNProbe)
+    routedTopK(e,
+      rankedAgainst(e, kmeansCentroidsFrom(kmCentsCached(spark, dir, e))),
+      IvfNProbe)
   }
 
   /** Fixed-point scale for the PCA scatter matrix: embedding values are
@@ -612,8 +668,10 @@ object SimSearch {
     * cross-engine discipline: rank on the 6dp-ROUNDED distance with a
     * unique neighbor tie-break, so a last-ulp float divergence between
     * engines can never flip an emitted row. */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    pqServe(e, pqBookCached(spark, dir, e), pqCodesCached(spark, dir, e))
+  }
 
   /** Long form with the subspace key: (vec_id, sub, d, v). */
   private def pqLongForm(e: DataFrame): DataFrame = {
@@ -694,10 +752,13 @@ object SimSearch {
 
   def pqTopKOf(e: DataFrame): DataFrame = {
     val book = pqCodebook(e)
-    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
-    val lut = pqLut(e, book)
-    adcRanked(codes.join(broadcast(lut), Seq("sub", "code_id")))
+    pqServe(e, book, pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
   }
+
+  /** Flat ADC serving over prebuilt index frames — shared by the
+    * in-flight ([[pqTopKOf]]) and cached-index ([[pqTopK]]) paths. */
+  private def pqServe(e: DataFrame, book: DataFrame, codes: DataFrame): DataFrame =
+    adcRanked(codes.join(broadcast(pqLut(e, book)), Seq("sub", "code_id")))
 
   /** IVFADC — the production FAISS index shape (Jégou et al. 2011 §V):
     * IVF routing ([[ivfRanked]]'s coarse quantizer) composed with
@@ -712,41 +773,48 @@ object SimSearch {
     * exactly one cell (rnk=1 assignment), so candidate sets nest in
     * nprobe and recall is monotone — [[pqRecallOf]] pins the measured
     * recall of this exact composition against fold-exact L2. */
-  def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfAdcTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+  def ivfAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    adcRanked(ivfAdcRoutedPairsWith(e, IvfNProbe,
+      pqBookCached(spark, dir, e), pqCodesCached(spark, dir, e)))
+  }
 
   def ivfAdcTopKOf(e: DataFrame, nprobe: Int): DataFrame =
     adcRanked(ivfAdcRoutedPairs(e, nprobe))
 
   /** The routing half of an IVF+PQ index over ANY coarse ranking frame
-    * (vec_id, cent_id, rnk): per-cell PQ codes equi-joined against the
-    * broadcast Nq×nprobe probe list — routed (q_id, vec_id, sub,
-    * code_id) rows, cell-local by construction. The seeded-quantizer
-    * serving path ([[ivfAdcRoutedPairs]]) and the trained-quantizer
-    * routed miner ([[hardNegativesRoutedOf]]) share this body, so a
-    * routing fix can never silently apply to one index and not the
-    * other. */
-  private def routedPqCodes(e: DataFrame, ranked: DataFrame, nprobe: Int,
-      book: DataFrame): DataFrame = {
+    * (vec_id, cent_id, rnk) and prebuilt PQ codes: per-cell codes
+    * equi-joined against the broadcast Nq×nprobe probe list — routed
+    * (q_id, vec_id, sub, code_id) rows, cell-local by construction.
+    * The seeded-quantizer serving path ([[ivfAdcRoutedPairs]]) and the
+    * trained-quantizer routed miner ([[hardNegativesRoutedOf]]) share
+    * this body, so a routing fix can never silently apply to one index
+    * and not the other. */
+  private def routedPqCodes(ranked: DataFrame, nprobe: Int,
+      codes: DataFrame): DataFrame = {
     val assign = ranked.filter(col("rnk") === 1).select("vec_id", "cent_id")
     // the persisted index: per-cell PQ codes (cent_id rides each code row)
-    val codes = pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id")
-      .join(assign, "vec_id")
+    val cellCodes = codes.join(assign, "vec_id")
     val probes = ranked
       .filter(col("vec_id") < NQueries && col("rnk") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id"))
     // route: codes join the Nq×nprobe probe list on cent_id — the only
     // corpus-sized stage, an equi-join against a broadcast-bounded side
-    codes.join(broadcast(probes), Seq("cent_id"))
+    cellCodes.join(broadcast(probes), Seq("cent_id"))
   }
 
   /** The IVFADC serving chain up to (but not including) the top-k cut:
     * routed (q_id, vec_id, sub_d2) lookup rows. */
   private[graft] def ivfAdcRoutedPairs(e: DataFrame, nprobe: Int): DataFrame = {
     val book = pqCodebook(e)
-    routedPqCodes(e, ivfRanked(e), nprobe, book)
-      .join(broadcast(pqLut(e, book)), Seq("q_id", "sub", "code_id"))
+    ivfAdcRoutedPairsWith(e, nprobe, book,
+      pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
   }
+
+  private def ivfAdcRoutedPairsWith(e: DataFrame, nprobe: Int,
+      book: DataFrame, codes: DataFrame): DataFrame =
+    routedPqCodes(ivfRanked(e), nprobe, codes)
+      .join(broadcast(pqLut(e, book)), Seq("q_id", "sub", "code_id"))
 
   /** IVFADC + EXACT REFINE — FAISS's IndexRefineFlat composed over the
     * routed chain: the ADC top-[[HnShortlist]] shortlist per query
@@ -757,12 +825,19 @@ object SimSearch {
     * error on the final ranking (the same k_factor trade the routed
     * hard-negative miner uses; this registers it as a first-class
     * serving query). */
-  def ivfAdcRefineTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfAdcRefineTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)),
-      IvfNProbe, HnShortlist)
+  def ivfAdcRefineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    refineExactL2(e, adcScores(ivfAdcRoutedPairsWith(e, IvfNProbe,
+      pqBookCached(spark, dir, e), pqCodesCached(spark, dir, e))), HnShortlist)
+  }
 
-  def ivfAdcRefineTopKOf(e: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
-    val scored = adcScores(ivfAdcRoutedPairs(e, nprobe))
+  def ivfAdcRefineTopKOf(e: DataFrame, nprobe: Int, shortlist: Int): DataFrame =
+    refineExactL2(e, adcScores(ivfAdcRoutedPairs(e, nprobe)), shortlist)
+
+  /** The exact-L2 refine tail over any (q_id, neighbor, adc_d2) scored
+    * frame — shortlist cut, id-join exact scoring, final top-3. */
+  private def refineExactL2(e: DataFrame, scored: DataFrame,
+      shortlist: Int): DataFrame = {
     val ws = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("neighbor"))
     val short = scored.withColumn("srnk", row_number().over(ws))
       .filter(col("srnk") <= shortlist)
@@ -845,10 +920,22 @@ object SimSearch {
     * fold-exact L2 with a neighbor tie-break (the library's cross-engine
     * ranking discipline); the ADC side is [[pqTopKOf]] verbatim, so the
     * audit measures the shipped plan, not a re-derivation. */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame =
-    pqRecallOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val book = pqBookCached(spark, dir, e)
+    val codes = pqCodesCached(spark, dir, e)
+    pqRecallFrames(e,
+      pqServe(e, book, codes),
+      adcRanked(ivfAdcRoutedPairsWith(e, IvfNProbe, book, codes)),
+      ivfAdcResidualTopKOf(e, IvfNProbe))
+  }
 
-  def pqRecallOf(e: DataFrame): DataFrame = {
+  def pqRecallOf(e: DataFrame): DataFrame =
+    pqRecallFrames(e, pqTopKOf(e), ivfAdcTopKOf(e, IvfNProbe),
+      ivfAdcResidualTopKOf(e, IvfNProbe))
+
+  private def pqRecallFrames(e: DataFrame, flatAdc: DataFrame,
+      routedAdc: DataFrame, residualAdc: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val exactScored = e.crossJoin(broadcast(q))
@@ -870,10 +957,9 @@ object SimSearch {
           coalesce(col("hits"), lit(0L)).as("hits"),
           round(coalesce(col("hits"), lit(0L)) / 3.0, 4).as("recall"))
     }
-    recallOf("pq_adc", pqTopKOf(e))
-      .unionByName(recallOf(s"ivfadc_np$IvfNProbe", ivfAdcTopKOf(e, IvfNProbe)))
-      .unionByName(recallOf(s"ivfadc_res_np$IvfNProbe",
-        ivfAdcResidualTopKOf(e, IvfNProbe)))
+    recallOf("pq_adc", flatAdc)
+      .unionByName(recallOf(s"ivfadc_np$IvfNProbe", routedAdc))
+      .unionByName(recallOf(s"ivfadc_res_np$IvfNProbe", residualAdc))
       .orderBy("method", "q_id")
   }
 
@@ -910,14 +996,20 @@ object SimSearch {
     * corpus. The pair join is keyed on cent_id (co-partitioned, no
     * cross product), and the witness window partitions by the dropped
     * vector — `WindowGroupLimit` bounds it before the shuffle. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    semanticDedupFromPairs(
+      semanticClosePairsWith(e, kmRankedCached(spark, dir, e).filter(col("rnk") === 1),
+        SemTau))
+  }
 
   /** [[semanticDedup]] over any (vec_id, embedding) frame, with the
     * cluster count / train length / threshold as explicit dials. */
   def semanticDedupOf(e: DataFrame, k: Int = KmK, iters: Int = KmIters,
-      tau: Double = SemTau): DataFrame = {
-    val close = semanticClosePairs(e, k, iters, tau)
+      tau: Double = SemTau): DataFrame =
+    semanticDedupFromPairs(semanticClosePairs(e, k, iters, tau))
+
+  private def semanticDedupFromPairs(close: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("keep_id"))
     close.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
@@ -930,9 +1022,14 @@ object SimSearch {
     * shared with [[hardNegativesOf]] so "what counts as a semantic
     * duplicate" has exactly one definition. */
   private[graft] def semanticClosePairs(e: DataFrame, k: Int, iters: Int,
+      tau: Double): DataFrame =
+    semanticClosePairsWith(e, kmeansAssignment(e, k, iters), tau)
+
+  /** [[semanticClosePairs]] over a PREBUILT assignment frame — the
+    * cached-index path shares the quantizer with routing/serving. */
+  private def semanticClosePairsWith(e: DataFrame, assignment: DataFrame,
       tau: Double): DataFrame = {
-    val members = e.join(
-      kmeansAssignment(e, k, iters).select("vec_id", "cent_id"), "vec_id")
+    val members = e.join(assignment.select("vec_id", "cent_id"), "vec_id")
     val a = members.select(col("cent_id"), col("vec_id").as("keep_id"),
       col("embedding").as("keep_emb"))
     val b = members.select(col("cent_id"), col("vec_id"), col("embedding"))
@@ -955,8 +1052,12 @@ object SimSearch {
     * every ANN query here), the dup set is cluster-confined (Σ n_c²,
     * K-bounded), and the exclusion is one anti-join on the thin
     * symmetrized pair set. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
-    hardNegativesOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    hardNegativesFromPairs(e,
+      semanticClosePairsWith(e, kmRankedCached(spark, dir, e).filter(col("rnk") === 1),
+        SemTau))
+  }
 
   /** Eval-set selector for [[semanticDecontaminate]]: every 50th
     * vec_id BELOW [[EvalIdCap]] — a FIXED-cardinality benchmark
@@ -998,8 +1099,10 @@ object SimSearch {
       .orderBy("vec_id")
   }
 
-  def hardNegativesOf(e: DataFrame): DataFrame = {
-    val close = semanticClosePairs(e, KmK, KmIters, SemTau)
+  def hardNegativesOf(e: DataFrame): DataFrame =
+    hardNegativesFromPairs(e, semanticClosePairs(e, KmK, KmIters, SemTau))
+
+  private def hardNegativesFromPairs(e: DataFrame, close: DataFrame): DataFrame = {
     val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
       .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
     val q = e.filter(col("vec_id") < NQueries)
@@ -1075,8 +1178,12 @@ object SimSearch {
     * Candidate quality is pinned in the suite: top-3 overlap vs the
     * brute-force arm on the planted geometry (the
     * `q_ann_kmeans_routed` recall-pinning pattern). */
-  def hardNegativesRouted(spark: SparkSession, dir: String): DataFrame =
-    hardNegativesRoutedOf(Tables.fanOut(Tables.embeddings(spark, dir)), IvfNProbe)
+  def hardNegativesRouted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    hardNegativesRoutedWith(e, kmRankedCached(spark, dir, e),
+      pqBookCached(spark, dir, e), pqCodesCached(spark, dir, e),
+      IvfNProbe, HnShortlist)
+  }
 
   /** Scale-harness diagnostic: the number of (query, candidate) pairs
     * each mining arm SCORES — the quantity whose growth separates the
@@ -1096,16 +1203,27 @@ object SimSearch {
 
   def hardNegativesRoutedOf(e: DataFrame, nprobe: Int,
       shortlist: Int = HnShortlist): DataFrame = {
-    val close = semanticClosePairs(e, KmK, KmIters, SemTau)
+    val book = pqCodebook(e)
+    hardNegativesRoutedWith(e,
+      kmeansRankedL2(kmeansLongForm(e), kmeansTrainedCents(e, KmK, KmIters)),
+      book, pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"),
+      nprobe, shortlist)
+  }
+
+  /** The routed miner over PREBUILT index frames — the cached-index
+    * path ([[hardNegativesRouted]]) and the self-contained
+    * [[hardNegativesRoutedOf]] share this body. */
+  private def hardNegativesRoutedWith(e: DataFrame, ranked: DataFrame,
+      book: DataFrame, codes: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
+    val close = semanticClosePairsWith(e,
+      ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), SemTau)
     val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
       .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
     // the index-side norms: stored exactly, one float per vector
     val nrms = e.select(col("vec_id"), norm(col("embedding")).as("nrm"))
     val qn = nrms.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("nrm").as("q_nrm"))
-    val ranked = kmeansRankedL2(kmeansLongForm(e), kmeansTrainedCents(e, KmK, KmIters))
-    val book = pqCodebook(e)
-    val routed = routedPqCodes(e, ranked, nprobe, book)
+    val routed = routedPqCodes(ranked, nprobe, codes)
     val ip = routed.join(broadcast(pqIpLut(e, book)), Seq("q_id", "sub", "code_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id").as("neighbor"))
