@@ -113,7 +113,7 @@ object Bench {
     // call sites — the (spark, dir) entry points)
     val annConsumers = Set("q_ann_kmeans", "q_ann_kmeans_routed",
       "q_ann_pq", "q_ann_pq_recall", "q_ann_ivfadc", "q_ann_ivfadc_refine",
-      "q_dedup_semantic", "q_train_hard_negatives",
+      "q_ann_opq", "q_dedup_semantic", "q_train_hard_negatives",
       "q_train_hard_negatives_routed")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)

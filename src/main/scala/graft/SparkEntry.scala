@@ -156,6 +156,7 @@ object SparkEntry {
     "q_ann_pq_recall"   -> (SimSearch.pqRecall _),
     "q_ann_ivfadc"      -> (SimSearch.ivfAdcTopK _),
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
+    "q_ann_opq"         -> (SimSearch.opqTopK _),
     "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
     "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
     "q_ann_ivfadc_refine" -> (SimSearch.ivfAdcRefineTopK _),
@@ -457,6 +458,91 @@ object SparkEntry {
        |              row_number() OVER (PARTITION BY q_id
        |                ORDER BY adc_d2, neighbor) AS "rank"
        |            FROM radc)""".stripMargin
+
+  /** CTE chain replaying `SimSearch.opqTopK`: the PCA power-iteration
+    * chain (the `q_ann_pca` oracle verbatim, p-prefixed), the Householder
+    * direction u = w − ‖w‖·𝟙/√D built from the 6dp-ROUNDED loadings
+    * (the exact frame the Spark side consumes), the rotated corpus
+    * v′ = v − (2·uᵀv/uᵀu)·u with every element 6dp-rounded, then the PQ
+    * train/encode/ADC chain over the rotated frame — [[DuckPqCtes]]'s
+    * structure, o-prefixed. Every fold runs in array-index order
+    * (list_reduce over ORDER BY d lists), matching the Spark side's
+    * sequential `aggregate` folds. Self-contained (reads only
+    * `embeddings`), so it appends cleanly to the recall audit's WITH
+    * list with zero name collisions. Ends at `oranked`. */
+  private val DuckOpqCtes =
+    s"""pvl AS (
+       |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+       |         unnest(list_transform(embedding,
+       |           x -> round(x::DOUBLE * ${SimSearch.PcaScale}, 0)::BIGINT)) AS vi
+       |  FROM embeddings),
+       |psc AS (SELECT a.d AS d1, b.d AS d2, sum(a.vi * b.vi) AS s
+       |        FROM pvl a JOIN pvl b USING (vec_id) GROUP BY 1, 2),
+       |pw0 AS (SELECT DISTINCT d1 AS d, 0.125::DOUBLE AS x FROM psc),
+       |pm1 AS (SELECT d1 AS d,
+       |          list_reduce(list(s::DOUBLE * pw0.x ORDER BY d2), (a, b) -> a + b) AS x
+       |        FROM psc JOIN pw0 ON psc.d2 = pw0.d GROUP BY d1),
+       |pw1 AS (SELECT d, x / (SELECT sqrt(list_reduce(list(x * x ORDER BY d),
+       |                         (a, b) -> a + b)) FROM pm1) AS x FROM pm1),
+       |pm2 AS (SELECT d1 AS d,
+       |          list_reduce(list(s::DOUBLE * pw1.x ORDER BY d2), (a, b) -> a + b) AS x
+       |        FROM psc JOIN pw1 ON psc.d2 = pw1.d GROUP BY d1),
+       |pw2 AS (SELECT d, x / (SELECT sqrt(list_reduce(list(x * x ORDER BY d),
+       |                         (a, b) -> a + b)) FROM pm2) AS x FROM pm2),
+       |pwa AS (SELECT list(round(x, 6) ORDER BY d) AS w_arr FROM pw2),
+       |pou AS (SELECT list_transform(w_arr,
+       |          x -> x - sqrt(list_reduce(list_transform(w_arr, y -> y * y),
+       |                          (a, b) -> a + b))
+       |               / sqrt(len(w_arr)::DOUBLE)) AS u_arr
+       |        FROM pwa),
+       |pouu AS (SELECT u_arr,
+       |           list_reduce(list_transform(u_arr, x -> x * x), (a, b) -> a + b) AS uu
+       |         FROM pou),
+       |osv AS (SELECT e.vec_id,
+       |          CASE WHEN uu > 1e-12 THEN
+       |            2 * list_reduce(list_transform(list_zip(e.embedding, u_arr),
+       |              q -> q[1]::DOUBLE * q[2]), (a, b) -> a + b) / uu
+       |          ELSE 0 END AS f
+       |        FROM embeddings e CROSS JOIN pouu),
+       |orot AS (SELECT e.vec_id,
+       |           list_transform(list_zip(e.embedding, u_arr),
+       |             p -> round(p[1]::DOUBLE - p[2] * f, 6)) AS embedding
+       |         FROM embeddings e JOIN osv USING (vec_id) CROSS JOIN pouu),
+       |ovs AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM (
+       |          SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+       |                 unnest(embedding) AS val
+       |          FROM orot)),
+       |oseeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+       |           FROM (SELECT vec_id FROM orot ORDER BY vec_id LIMIT ${SimSearch.PqK})),
+       |oc0 AS (SELECT sub, code_id, d, val AS c FROM ovs JOIN oseeds USING (vec_id)),
+       |od1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |        FROM ovs JOIN oc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |oa1 AS (SELECT vec_id, sub, code_id FROM (
+       |          SELECT vec_id, sub, code_id,
+       |            row_number() OVER (PARTITION BY vec_id, sub
+       |              ORDER BY d2, code_id) AS rnk
+       |          FROM od1) WHERE rnk = 1),
+       |oc1 AS (SELECT sub, code_id, d, avg(val) AS c
+       |        FROM ovs JOIN oa1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |oenc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |         FROM ovs JOIN oc1 USING (sub, d) GROUP BY 1, 2, 3),
+       |ocodes AS (SELECT vec_id, sub, code_id FROM (
+       |             SELECT vec_id, sub, code_id,
+       |               row_number() OVER (PARTITION BY vec_id, sub
+       |                 ORDER BY d2, code_id) AS rnk
+       |             FROM oenc) WHERE rnk = 1),
+       |olut AS (SELECT ovs.vec_id AS q_id, sub, code_id,
+       |           sum((val - c) * (val - c)) AS sub_d2
+       |         FROM ovs JOIN oc1 USING (sub, d)
+       |         WHERE ovs.vec_id < ${SimSearch.NQueries} GROUP BY 1, 2, 3),
+       |oadc AS (SELECT q_id, ocodes.vec_id AS neighbor,
+       |           round(sum(sub_d2), 6) AS adc_d2
+       |         FROM ocodes JOIN olut USING (sub, code_id)
+       |         WHERE ocodes.vec_id <> q_id GROUP BY 1, 2),
+       |oranked AS (SELECT q_id, neighbor, adc_d2,
+       |              row_number() OVER (PARTITION BY q_id
+       |                ORDER BY adc_d2, neighbor) AS "rank"
+       |            FROM oadc)""".stripMargin
 
   /** The BPE-ish pretokenizer regex, shared verbatim with the Spark side
     * (`TextFunctions.BpeishPattern` is a Java/RE2-common subset). */
@@ -1998,6 +2084,7 @@ object SparkEntry {
       s"""WITH $DuckPqCtes,
          |$DuckIvfAdcCtes,
          |$DuckIvfAdcResCtes,
+         |$DuckOpqCtes,
          |exact AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
          |            round(list_reduce(list_transform(
          |              list_zip(q.embedding, e.embedding),
@@ -2017,16 +2104,29 @@ object SparkEntry {
          |       FROM iranked WHERE "rank" <= 3
          |       UNION ALL
          |       SELECT 'ivfadc_res_np${SimSearch.IvfNProbe}' AS method, q_id, neighbor
-         |       FROM rranked WHERE "rank" <= 3),
+         |       FROM rranked WHERE "rank" <= 3
+         |       UNION ALL
+         |       SELECT 'opq_adc' AS method, q_id, neighbor
+         |       FROM oranked WHERE "rank" <= 3),
          |hits AS (SELECT method, q_id, count(*)::BIGINT AS hits
          |         FROM exact3 JOIN ra USING (q_id, neighbor) GROUP BY 1, 2),
          |qs AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < ${SimSearch.NQueries}),
          |ms AS (SELECT 'pq_adc' AS method UNION ALL SELECT 'ivfadc_np${SimSearch.IvfNProbe}'
-         |       UNION ALL SELECT 'ivfadc_res_np${SimSearch.IvfNProbe}')
+         |       UNION ALL SELECT 'ivfadc_res_np${SimSearch.IvfNProbe}'
+         |       UNION ALL SELECT 'opq_adc')
          |SELECT method, q_id, coalesce(hits, 0)::BIGINT AS hits,
          |       round(coalesce(hits, 0) / 3.0, 4) AS recall
          |FROM ms CROSS JOIN qs LEFT JOIN hits USING (method, q_id)
          |ORDER BY method, q_id""".stripMargin,
+
+    // Replays SimSearch.opqTopK: Householder rotation from the PCA
+    // loadings (OPQ's pre-transform), then the PQ chain over the rotated
+    // corpus — Ge et al. 2013's rotate-then-quantize, single-reflection
+    // parametric variant.
+    "q_ann_opq" ->
+      s"""WITH $DuckOpqCtes
+         |SELECT q_id, "rank", neighbor, adc_d2 FROM oranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     // Replays SimSearch.ivfAdcTopKOf: the seed-pick IVF router composed
     // with the shared PQ code/LUT chain — FAISS's IVFADC (plain codes).

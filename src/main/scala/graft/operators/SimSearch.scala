@@ -353,9 +353,10 @@ object SimSearch {
   //
   // A production vector deployment trains its quantizers ONCE per corpus
   // snapshot and serves every query from the persisted artifacts; the
-  // registered (spark, dir) queries model exactly that: the four index
+  // registered (spark, dir) queries model exactly that: the index
   // frames below — trained coarse centroids, the full per-vector L2
-  // centroid ranking, the PQ codebook, and the corpus PQ codes —
+  // centroid ranking, the PQ codebook, the corpus PQ codes, and the
+  // OPQ-rotated corpus with its own codebook and codes —
   // materialize once per (session, dir) through Dedup's memo machinery
   // (clearMemos-released, checkpoint-dir aware, build cost charged to
   // the bench's `build:ann_index` row) and every consumer reads the
@@ -383,13 +384,14 @@ object SimSearch {
       pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
   }
 
-  /** Bench hook: force-build all four index frames so the cost lands in
+  /** Bench hook: force-build every index frame so the cost lands in
     * the explicit `build:ann_index` row and every consumer query's
     * number is an honest serving cost. */
   private[graft] def buildAnnIndex(spark: SparkSession, dir: String): Unit = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     kmRankedCached(spark, dir, e)
     pqCodesCached(spark, dir, e)
+    opqCodesCached(spark, dir, e)
     ()
   }
 
@@ -924,18 +926,21 @@ object SimSearch {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     val book = pqBookCached(spark, dir, e)
     val codes = pqCodesCached(spark, dir, e)
+    val rot = opqRotCached(spark, dir, e)
     pqRecallFrames(e,
       pqServe(e, book, codes),
       adcRanked(ivfAdcRoutedPairsWith(e, IvfNProbe, book, codes)),
-      ivfAdcResidualTopKOf(e, IvfNProbe))
+      ivfAdcResidualTopKOf(e, IvfNProbe),
+      pqServe(rot, opqBookCached(spark, dir, e), opqCodesCached(spark, dir, e)))
   }
 
   def pqRecallOf(e: DataFrame): DataFrame =
     pqRecallFrames(e, pqTopKOf(e), ivfAdcTopKOf(e, IvfNProbe),
-      ivfAdcResidualTopKOf(e, IvfNProbe))
+      ivfAdcResidualTopKOf(e, IvfNProbe), opqTopKOf(e))
 
   private def pqRecallFrames(e: DataFrame, flatAdc: DataFrame,
-      routedAdc: DataFrame, residualAdc: DataFrame): DataFrame = {
+      routedAdc: DataFrame, residualAdc: DataFrame,
+      opqAdc: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val exactScored = e.crossJoin(broadcast(q))
@@ -960,7 +965,101 @@ object SimSearch {
     recallOf("pq_adc", flatAdc)
       .unionByName(recallOf(s"ivfadc_np$IvfNProbe", routedAdc))
       .unionByName(recallOf(s"ivfadc_res_np$IvfNProbe", residualAdc))
+      .unionByName(recallOf("opq_adc", opqAdc))
       .orderBy("method", "q_id")
+  }
+
+  /** OPQ — Optimized Product Quantization (Ge et al., CVPR 2013;
+    * FAISS's `OPQMatrix` pre-transform): apply a data-dependent
+    * ORTHOGONAL rotation before PQ training so variance spreads across
+    * the [[PqM]] subspaces instead of concentrating in a few. PQ
+    * quantizes each subspace independently, so a dominant principal
+    * direction trapped inside one subspace burns that subspace's
+    * [[PqK]] codewords on it while the other M−1 codebooks never see
+    * it; rotating the space first is the standard accuracy step
+    * between plain PQ and IVFADC in production indexes.
+    *
+    * Full OPQ alternates PQ training with an SVD rotation update —
+    * driver-side linear algebra this library deliberately avoids. The
+    * rotation here is the single-reflection parametric variant the
+    * relational engine can express EXACTLY: a Householder reflection
+    * R = I − 2uuᵀ/uᵀu with u = w − ‖w‖·𝟙/√D, which maps the top
+    * principal direction w ([[pcaPowerOf]]'s already-trained, 6dp-
+    * rounded, cross-engine bit-stable loadings) onto the balanced
+    * diagonal (1,…,1)/√D — the dominant eigendirection then
+    * contributes equally to every subspace. A Householder matrix is
+    * exactly orthogonal for ANY u ≠ 0 (the uᵀu division normalizes),
+    * so pairwise L2 distances are preserved and the exact-L2 recall
+    * reference needs no restatement in rotated space.
+    *
+    * Scale posture: training the rotation is [[pcaPowerOf]] (one
+    * sampled scatter build); APPLYING it is one narrow corpus pass —
+    * per vector, a D-length fold for s = uᵀv and a `zip_with` for
+    * v − (2s/uᵀu)·u, both inside whole-stage codegen against a
+    * broadcast 1-row (u_arr, uu) frame. No shuffle, no long-form
+    * explosion: the rotation rides the same projection that reads the
+    * vector. Every fold runs in array-index order (the
+    * [[graft.functions.VectorFunctions.dot]] determinism discipline),
+    * and rotated values round to 6dp so the downstream PQ chain sees
+    * bit-identical inputs in both engines. */
+  private[graft] def opqRotationRow(e: DataFrame): DataFrame = {
+    val warr = pcaPowerOf(e)
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("loading")))),
+        x => x.getField("loading")).as("w_arr"))
+    val u = warr
+      .select(col("w_arr"),
+        sqrt(aggregate(col("w_arr"), lit(0.0), (a, x) => a + x * x)).as("nw"),
+        size(col("w_arr")).cast("double").as("dims"))
+      .select(transform(col("w_arr"),
+        x => x - col("nw") / sqrt(col("dims"))).as("u_arr"))
+    u.select(col("u_arr"),
+      aggregate(col("u_arr"), lit(0.0), (a, x) => a + x * x).as("uu"))
+  }
+
+  /** The rotated corpus (vec_id, embedding): v′ = v − (2·uᵀv/uᵀu)·u,
+    * every element 6dp-rounded. Queries and corpus rotate through the
+    * same frame, so serving stays self-consistent. */
+  private[graft] def opqRotatedOf(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(opqRotationRow(e)))
+      .withColumn("s", aggregate(
+        zip_with(col("embedding"), col("u_arr"), (x, u) => x.cast("double") * u),
+        lit(0.0), (a, x) => a + x))
+      // uᵀu → 0 exactly when the top PC already IS the balanced diagonal
+      // (u = w − ‖w‖·𝟙/√D vanishes); the correct rotation is then the
+      // identity, not the 0/0 reflection — guard with f = 0
+      .withColumn("f",
+        when(col("uu") > lit(1e-12), lit(2.0) * col("s") / col("uu"))
+          .otherwise(lit(0.0)))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("u_arr"),
+          (x, u) => round(x.cast("double") - u * col("f"), 6))
+          .as("embedding"))
+
+  /** OPQ end-to-end: rotate, then the plain-PQ chain VERBATIM
+    * ([[pqTopKOf]] — training, encoding, and ADC serving all see only
+    * the rotated frame, which is exactly what "PQ with a pre-rotation"
+    * means; no OPQ-specific serving code can drift from the PQ path). */
+  def opqTopKOf(e: DataFrame): DataFrame = pqTopKOf(opqRotatedOf(e))
+
+  private def opqRotCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_opqrot#$dir")(opqRotatedOf(e))
+
+  private def opqBookCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_opqbook#$dir")(
+      pqCodebook(opqRotCached(spark, dir, e)))
+
+  private def opqCodesCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_opqcodes#$dir")(
+      pqAssign(pqLongForm(opqRotCached(spark, dir, e)),
+        opqBookCached(spark, dir, e)).select("vec_id", "sub", "code_id"))
+
+  /** Cached-index OPQ serving: the rotated corpus, its codebook, and
+    * its codes come from the persisted index frames; only the 10-query
+    * LUT computes at serve time. */
+  def opqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val rot = opqRotCached(spark, dir, e)
+    pqServe(rot, opqBookCached(spark, dir, e), opqCodesCached(spark, dir, e))
   }
 
   /** Cosine threshold for [[semanticDedup]]: calibrated to this
