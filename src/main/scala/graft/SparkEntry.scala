@@ -175,6 +175,7 @@ object SparkEntry {
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
     "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
+    "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -244,6 +245,25 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Bloom runtime-filter join: the bit-array prune is a row-local
+    // superset filter, so the result must equal the plain join exactly —
+    // which is what the oracle computes (no bloom on the DuckDB side)
+    "q_join_bloom_prune" -> ((s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > BloomDimPrice)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      ScaleTechniques.bloomPrunedJoin(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          dim, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- plugin surface: same per-file word count, but resolved and
     // composed through the OperatorRegistry (the dlopen analog), so the
     // registry path itself earns an oracle row ----
@@ -259,6 +279,10 @@ object SparkEntry {
     * query; absolute so Verify (Spark) and the driver's DuckDB oracle
     * resolve the same files. */
   val PerFileCorpus = "/root/repo/fixtures/corpus/perfile"
+
+  /** Dim-side predicate for the Bloom runtime-filter join: ~2–3% of
+    * orders at every SF (o_totalprice is SF-invariant in distribution). */
+  val BloomDimPrice = 480000
 
   /** DuckDB fragment for the reference-exact tokenizer (mirror of
     * `TextFunctions.tokenize`): strip ASCII punctuation, ASCII-lowercase,
@@ -1201,6 +1225,16 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // bloom prune is semantically invisible: the oracle is the plain join
+    "q_join_bloom_prune" ->
+      s"""SELECT o_orderpriority,
+         |       count(DISTINCT o_orderkey)::BIGINT AS n_orders,
+         |       count(*)::BIGINT AS n_items,
+         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > $BloomDimPrice
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_dedup_exact_stats" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
@@ -2370,6 +2404,52 @@ object SparkEntry {
          |       round(docs_out::DOUBLE / (SELECT sum(docs_out) FROM mixed), 6)
          |         AS achieved_share
          |FROM mixed ORDER BY lang""".stripMargin,
+
+    // DSIR: identical hashed-n-gram models in both engines (md5 bucket,
+    // add-one smoothing over the interpolated bucket count), per-bucket
+    // log-ratios rounded to 6dp BEFORE the weighted sum, weight + the
+    // deterministic md5-Gumbel key rounded before ranking
+    "q_dsir_resample" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+         |tk AS (SELECT * FROM tok WHERE len(toks) >= 1),
+         |grams AS (
+         |  SELECT doc_id, lang = 'en' AS is_target, unnest(toks) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |  FROM tk),
+         |db AS (SELECT doc_id, is_target,
+         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |           % ${TextAnalysis.DsirBuckets} AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |       FROM grams GROUP BY 1, 2, 3),
+         |raw AS (SELECT bucket, sum(cnt)::BIGINT AS c_r FROM db GROUP BY 1),
+         |tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c_t FROM db
+         |        WHERE is_target GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
+         |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
+         |ratio AS (SELECT bucket,
+         |            round(ln((coalesce(c_t, 0) + 1.0)
+         |                     / (t_t + ${TextAnalysis.DsirBuckets}))
+         |                - ln((c_r + 1.0)
+         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6) AS lr
+         |          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+         |scored AS (SELECT doc_id, round(sum(cnt * lr), 4) AS weight
+         |           FROM db JOIN ratio USING (bucket) GROUP BY doc_id),
+         |keyed AS (SELECT doc_id, weight,
+         |            round(weight + round(-ln(-ln(
+         |              ((CAST('0x' || substr(md5('dsir:' || doc_id), 1, 8)
+         |                 AS BIGINT) % 1000000)::DOUBLE + 0.5) / 1000000.0)), 6),
+         |              4) AS key
+         |          FROM scored),
+         |ranked AS (SELECT doc_id, weight, key,
+         |             row_number() OVER (ORDER BY key DESC, doc_id) AS "rank"
+         |           FROM keyed)
+         |SELECT r.doc_id, d.lang, d.source, r.weight, r.key, r."rank"
+         |FROM ranked r JOIN documents d USING (doc_id)
+         |WHERE r."rank" <= ${TextAnalysis.DsirK}
+         |ORDER BY r."rank"""".stripMargin,
 
     // same whitespace tokenizer and md5 order as the Spark side; the
     // budget filter runs on the running sum, not per-row truncation

@@ -1055,4 +1055,97 @@ object TextAnalysis {
         round(col("docs_out") / col("out_total"), 6).as("achieved_share"))
       .orderBy("lang")
   }
+
+  /** Hashed-feature buckets for [[dsirResample]] — DSIR's fixed-size
+    * n-gram feature space (the paper uses 10k; 256 keeps every bucket
+    * populated at test SFs while exercising the identical shape). */
+  val DsirBuckets = 256
+
+  /** Documents kept by [[dsirResample]]'s resampling step. */
+  val DsirK = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): select raw-corpus documents that look like a target
+    * domain by importance weights under hashed bag-of-n-gram language
+    * models. Features are unigrams+bigrams hashed into [[DsirBuckets]]
+    * buckets; target model p_t is fit on the English subset (the
+    * stand-in for the paper's small clean corpus), raw model p_r on the
+    * whole corpus; a document's log importance weight is
+    * `Σ_b n_b·(ln p_t(b) − ln p_r(b))` with add-one smoothing; and
+    * sampling-without-replacement ∝ exp(w) is the Gumbel top-k trick
+    * with a DETERMINISTIC md5-derived Gumbel perturbation, so both
+    * engines draw the identical sample.
+    *
+    * Scale shape: the corpus is tokenized and gram-exploded ONCE into a
+    * (doc_id, bucket, cnt) frame (materialized — it feeds the two model
+    * censuses AND the scoring join; without the pin the gram build runs
+    * three times, the r5 boilerplate lesson). Both models aggregate to
+    * [[DsirBuckets]] rows, so the log-ratio table is broadcast — the
+    * scoring pass is one narrow corpus-sized groupBy(doc_id) with a
+    * map-side combine, and the top-k is a TakeOrderedAndProject, never
+    * a global sort. Cross-engine float discipline as elsewhere:
+    * per-bucket log-ratios rounded to 6dp before the weighted sum,
+    * weights and Gumbel keys rounded before ranking, doc_id tiebreak. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[dsirResample]] over any (doc_id, lang, source, text) frame. */
+  def dsirResampleOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val b = DsirBuckets
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def bucketOf(g: Column): Column =
+        pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+      // one gram build: unigrams + bigrams, bucketed, counted per doc.
+      // is_target rides the projection so both model censuses derive
+      // from this frame without a join back onto a second corpus scan.
+      val tokd = docs
+        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          toks(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val (db, dbRdd) = Dedup.materializeOwned(
+        tokd.select(col("doc_id"), col("is_target"),
+            explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
+          .select(col("doc_id"), col("is_target"), bucketOf(col("g")).as("bucket"))
+          .groupBy("doc_id", "is_target", "bucket")
+          .agg(count(lit(1)).as("cnt")),
+        ckDir.isDefined)
+      val raw = db.groupBy("bucket").agg(sum("cnt").as("c_r"))
+      val tgt = db.filter(col("is_target"))
+        .groupBy("bucket").agg(sum("cnt").as("c_t"))
+      val tot = raw.agg(sum("c_r").as("t_r"))
+        .crossJoin(tgt.agg(sum("c_t").as("t_t")))
+      // add-one smoothed log-ratio per bucket; a bucket absent from the
+      // target model still scores (c_t = 0). Rounded to 6dp so both
+      // engines feed IDENTICAL terms into the weighted sum.
+      val ratio = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("t_t") + b)) -
+            log((col("c_r") + lit(1.0)) / (col("t_r") + b)), 6).as("lr"))
+      val scored = db.join(broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(round(sum(col("cnt") * col("lr")), 4).as("weight"))
+      // deterministic Gumbel: u = (md5-uniform + 0.5)/1e6 ∈ (0,1)
+      val u = (pmod(conv(substring(md5(concat(lit("dsir:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      val keyed = scored.withColumn("key",
+        round(col("weight") + round(-log(-log(u)), 6), 4))
+      // top-k FIRST (TakeOrderedAndProject — never a global sort), then
+      // rank assignment windows over only the K surviving rows
+      val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(DsirK)
+      val w = Window.orderBy(desc("key"), asc("doc_id"))
+      val (out, outRdd) = Dedup.materializeOwned(
+        top.withColumn("rank", row_number().over(w))
+          .join(docs.select("doc_id", "lang", "source"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"), col("weight"),
+            col("key"), col("rank"))
+          .orderBy("rank"),
+        ckDir.isDefined)
+      Dedup.retire(spark, dbRdd)
+      Dedup.retainResult(spark, s"dsirResample#$b#$DsirK", outRdd, out)
+    }
+  }
 }
