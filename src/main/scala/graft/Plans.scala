@@ -43,6 +43,11 @@ object Plans {
         if (n == "q_dedup_minhash_lsh")
           graft.operators.Dedup.minhashPairsPlan(spark, sfDir)
             .orderBy("doc_a", "doc_b")
+        // same ExistingRDD-hiding situation as minhash: the registered
+        // query returns the retained materialized result — audit the
+        // underlying scoring dataflow instead
+        else if (n == "q_dsir_resample")
+          graft.operators.TextAnalysis.dsirPlanOf(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -70,7 +70,7 @@ object Scale {
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
-      "boiler", "training", "spaninc")
+      "boiler", "training", "spaninc", "dsir", "bloom")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -420,6 +420,86 @@ object Scale {
         "screen time | full-recompute docs | full-recompute time |")
       println("|---|---|---|---|---|---|---|---|")
       rows8.foreach(println)
+    }
+
+    // DSIR: docs replicate token-renamed (vocabulary grows with the
+    // corpus — the realistic model for the HASHED feature space, whose
+    // whole point is absorbing unbounded vocabulary into fixed buckets).
+    // The claim under test: model size is bucket-bounded (the broadcast
+    // never grows), the only corpus-sized work is the (doc,bucket)
+    // count — so selection time grows ~linearly and the en-enrichment
+    // property holds at every factor.
+    val rows9 = factors.filter(_ => sections("dsir")).map { k =>
+      System.err.println(s"[scale] factor $k (dsir) ...")
+      val d = replicatedDocs(spark, baseDir, k)
+      val nDocs = d.count()
+      val t0 = System.nanoTime()
+      val sel = graft.operators.TextAnalysis.dsirResampleOf(d)
+      val nSel = sel.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val nEn = sel.filter(col("lang") === "en").count()
+      val baseEnPct = 100.0 * d.filter(col("lang") === "en").count() / nDocs
+      s"| ${k}x | $nDocs | $nSel | $nEn | ${f"$baseEnPct%.0f"}%% | ${f"$t%.1f"}s |"
+    }
+    if (sections("dsir")) {
+      println()
+      println("| factor | docs | selected | selected en | base en share | select time |")
+      println("|---|---|---|---|---|---|")
+      rows9.foreach(println)
+    }
+
+    // Bloom runtime-filter join: orders AND lineitem replicate with
+    // matched key strides (dim selectivity constant at every factor).
+    // Two arms: FIXED M = BloomBits shows the honest saturation curve
+    // (set bits approach M as dim NDV grows → false-positive rows grow),
+    // SCALED M = BloomBits·k shows the standard sizing rule (M ∝ NDV)
+    // holding the prune rate flat. "kept" counts fact rows surviving the
+    // row-local probe — the rows that would enter the join exchange.
+    val rows10 = factors.filter(_ => sections("bloom")).map { k =>
+      System.err.println(s"[scale] factor $k (bloom join) ...")
+      import graft.operators.ScaleTechniques
+      val li = graft.sources.Tables.fanOut(graft.sources.Tables.lineitem(spark, baseDir))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = graft.sources.Tables.fanOut(graft.sources.Tables.orders(spark, baseDir))
+        .filter(col("o_totalprice") > SparkEntry.BloomDimPrice)
+        .select("o_orderkey", "o_orderpriority")
+      def rep(df: DataFrame, key: String) = (0 until k).map { i =>
+        if (i == 0) df
+        else df.withColumn(key, col(key) + lit(i * ReplicaStride))
+      }.reduce(_ unionByName _)
+      val fact = rep(li, "l_orderkey")
+      val dim = rep(ord, "o_orderkey")
+      val nFact = fact.count(); val nDim = dim.count()
+      def keptWith(bits: Int): Long =
+        fact.crossJoin(broadcast(ScaleTechniques.bloomBuild(
+            dim.select("o_orderkey"), bits)))
+          .filter(ScaleTechniques.bloomMightContain(col("l_orderkey"), bits))
+          .count()
+      val keptFixed = keptWith(ScaleTechniques.BloomBits)
+      val keptScaled = keptWith(ScaleTechniques.BloomBits * k)
+      def joinTime(bloom: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val j =
+          if (bloom) ScaleTechniques.bloomPrunedJoin(fact, dim,
+            "l_orderkey", "o_orderkey", ScaleTechniques.BloomBits * k)
+          else fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        j.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tBloom = joinTime(bloom = true)
+      val tPlain = joinTime(bloom = false)
+      s"| ${k}x | $nFact | $nDim | $keptFixed | $keptScaled | " +
+        s"${f"$tBloom%.1f"}s | ${f"$tPlain%.1f"}s |"
+    }
+    if (sections("bloom")) {
+      println()
+      println("| factor | fact rows | dim keys | kept (fixed M) | kept (M ∝ NDV) | " +
+        "bloom join time | plain join time |")
+      println("|---|---|---|---|---|---|---|")
+      rows10.foreach(println)
     }
     spark.stop()
   }

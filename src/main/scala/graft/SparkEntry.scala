@@ -2430,12 +2430,14 @@ object SparkEntry {
          |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
          |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
          |ratio AS (SELECT bucket,
-         |            round(ln((coalesce(c_t, 0) + 1.0)
+         |            CAST(round(round(ln((coalesce(c_t, 0) + 1.0)
          |                     / (t_t + ${TextAnalysis.DsirBuckets}))
          |                - ln((c_r + 1.0)
-         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6) AS lr
+         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
+         |              * 1000000, 0) AS BIGINT) AS lr_fp
          |          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
-         |scored AS (SELECT doc_id, round(sum(cnt * lr), 4) AS weight
+         |scored AS (SELECT doc_id,
+         |             round(sum(cnt * lr_fp)::BIGINT / 1000000.0, 4) AS weight
          |           FROM db JOIN ratio USING (bucket) GROUP BY doc_id),
          |keyed AS (SELECT doc_id, weight,
          |            round(weight + round(-ln(-ln(

@@ -92,9 +92,9 @@ object ScaleTechniques {
   /** Bit position of probe `j` for `key`: the usual double-hash family
     * simulated with the repo-standard md5 bridge so both engines (and
     * reruns) see identical bits. */
-  private def bloomPos(j: Int, key: Column): Column =
+  private def bloomPos(j: Int, key: Column, bits: Int): Column =
     pmod(conv(substring(md5(concat_ws(":", lit(j.toString),
-      key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(BloomBits.toLong))
+      key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(bits.toLong))
 
   /** Build a Bloom filter over `keys` (one column, any type) as a ONE-ROW
     * frame holding the bit array — broadcast it and test rows with
@@ -106,14 +106,14 @@ object ScaleTechniques {
     * dim keys, the position set is map-side-combined DISTINCT (≤ M rows),
     * and the array assembly is one ≤ M-row ordered fold — all bounded by
     * [[BloomBits]], never by the corpus. */
-  def bloomBuild(keys: DataFrame): DataFrame = {
+  def bloomBuild(keys: DataFrame, bits: Int = BloomBits): DataFrame = {
     val spark = keys.sparkSession
     val k = col(keys.columns.head)
     val pos = keys.distinct()
-      .select(explode(array((0 until BloomHashes).map(j => bloomPos(j, k)): _*))
+      .select(explode(array((0 until BloomHashes).map(j => bloomPos(j, k, bits)): _*))
         .as("p"))
       .distinct()
-    spark.range(BloomBits.toLong)
+    spark.range(bits.toLong)
       .join(pos.withColumn("hit", lit(true)), col("id") === col("p"), "left")
       .select(col("id"), coalesce(col("hit"), lit(false)).as("hit"))
       .agg(transform(array_sort(collect_list(struct(col("id"), col("hit")))),
@@ -124,9 +124,9 @@ object ScaleTechniques {
     * been cross-joined with [[bloomBuild]]'s one-row output. All-probes-
     * set semantics: false negatives impossible, false positives pruned by
     * the exact join that follows. */
-  def bloomMightContain(key: Column): Column =
+  def bloomMightContain(key: Column, bits: Int = BloomBits): Column =
     (0 until BloomHashes)
-      .map(j => element_at(col("_bloom_bits"), bloomPos(j, key).cast("int") + 1))
+      .map(j => element_at(col("_bloom_bits"), bloomPos(j, key, bits).cast("int") + 1))
       .reduce(_ && _)
 
   /** RUNTIME-FILTER join: prune the fact side with a Bloom filter built
@@ -142,10 +142,10 @@ object ScaleTechniques {
     * Result is EXACTLY the plain join (false positives fall out of the
     * exact join), which is what the oracle checks. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
-      factKey: String, dimKey: String): DataFrame = {
-    val bits = bloomBuild(dim.select(dimKey))
-    fact.crossJoin(broadcast(bits))
-      .filter(bloomMightContain(col(factKey)))
+      factKey: String, dimKey: String, bits: Int = BloomBits): DataFrame = {
+    val bitsRow = bloomBuild(dim.select(dimKey), bits)
+    fact.crossJoin(broadcast(bitsRow))
+      .filter(bloomMightContain(col(factKey), bits))
       .drop("_bloom_bits")
       .join(dim, col(factKey) === col(dimKey))
   }

@@ -1089,63 +1089,89 @@ object TextAnalysis {
   def dsirResample(spark: SparkSession, dir: String): DataFrame =
     dsirResampleOf(Tables.fanOut(Tables.documents(spark, dir)))
 
+  /** The gram build feeding [[dsirResampleOf]]: unigrams + bigrams,
+    * bucketed by the md5 bridge, counted per doc. `is_target` rides the
+    * projection so both model censuses derive from this frame without a
+    * join back onto a second corpus scan. */
+  private def dsirBuckets(docs: DataFrame): DataFrame = {
+    def bucketOf(g: Column): Column =
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(DsirBuckets.toLong))
+    docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
+      .select(col("doc_id"), col("is_target"), bucketOf(col("g")).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Model fit + scoring + Gumbel top-k over a (doc_id, is_target,
+    * bucket, cnt) frame — the whole dataflow downstream of the gram
+    * build, shared by the registered query (which materializes `db`
+    * once) and the plan audit (which passes the raw build through). */
+  private def dsirPipeline(docs: DataFrame, db: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    val raw = db.groupBy("bucket").agg(sum("cnt").as("c_r"))
+    val tgt = db.filter(col("is_target"))
+      .groupBy("bucket").agg(sum("cnt").as("c_t"))
+    val tot = raw.agg(sum("c_r").as("t_r"))
+      .crossJoin(tgt.agg(sum("c_t").as("t_t")))
+    // add-one smoothed log-ratio per bucket; a bucket absent from the
+    // target model still scores (c_t = 0). The ratio is 6dp-rounded and
+    // held as FIXED-POINT micro-units (an exact long), so the per-doc
+    // weighted sum is INTEGER arithmetic — order-independent across
+    // partitionings and engines. (A double sum rounds differently
+    // depending on accumulation order; a 4dp boundary flip between two
+    // Spark runs of the identical plan is how this was caught.)
+    val ratio = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(round(
+            log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("t_t") + b)) -
+              log((col("c_r") + lit(1.0)) / (col("t_r") + b)), 6) * 1e6, 0)
+          .cast("long").as("lr_fp"))
+    val scored = db.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(round(sum(col("cnt") * col("lr_fp")) / 1e6, 4).as("weight"))
+    // deterministic Gumbel: u = (md5-uniform + 0.5)/1e6 ∈ (0,1)
+    val u = (pmod(conv(substring(md5(concat(lit("dsir:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val keyed = scored.withColumn("key",
+      round(col("weight") + round(-log(-log(u)), 6), 4))
+    // top-k FIRST (TakeOrderedAndProject — never a global sort), then
+    // rank assignment windows over only the K surviving rows
+    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(DsirK)
+    val w = Window.orderBy(desc("key"), asc("doc_id"))
+    top.withColumn("rank", row_number().over(w))
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("weight"),
+        col("key"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** [[dsirResample]] over any (doc_id, lang, source, text) frame. */
   def dsirResampleOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val b = DsirBuckets
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
-      def bucketOf(g: Column): Column =
-        pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(b.toLong))
-      // one gram build: unigrams + bigrams, bucketed, counted per doc.
-      // is_target rides the projection so both model censuses derive
-      // from this frame without a join back onto a second corpus scan.
-      val tokd = docs
-        .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-          toks(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 1)
-      val (db, dbRdd) = Dedup.materializeOwned(
-        tokd.select(col("doc_id"), col("is_target"),
-            explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
-          .select(col("doc_id"), col("is_target"), bucketOf(col("g")).as("bucket"))
-          .groupBy("doc_id", "is_target", "bucket")
-          .agg(count(lit(1)).as("cnt")),
-        ckDir.isDefined)
-      val raw = db.groupBy("bucket").agg(sum("cnt").as("c_r"))
-      val tgt = db.filter(col("is_target"))
-        .groupBy("bucket").agg(sum("cnt").as("c_t"))
-      val tot = raw.agg(sum("c_r").as("t_r"))
-        .crossJoin(tgt.agg(sum("c_t").as("t_t")))
-      // add-one smoothed log-ratio per bucket; a bucket absent from the
-      // target model still scores (c_t = 0). Rounded to 6dp so both
-      // engines feed IDENTICAL terms into the weighted sum.
-      val ratio = raw.join(tgt, Seq("bucket"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("bucket"),
-          round(log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("t_t") + b)) -
-            log((col("c_r") + lit(1.0)) / (col("t_r") + b)), 6).as("lr"))
-      val scored = db.join(broadcast(ratio), "bucket")
-        .groupBy("doc_id")
-        .agg(round(sum(col("cnt") * col("lr")), 4).as("weight"))
-      // deterministic Gumbel: u = (md5-uniform + 0.5)/1e6 ∈ (0,1)
-      val u = (pmod(conv(substring(md5(concat(lit("dsir:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
-        lit(1000000L)).cast("double") + 0.5) / 1000000.0
-      val keyed = scored.withColumn("key",
-        round(col("weight") + round(-log(-log(u)), 6), 4))
-      // top-k FIRST (TakeOrderedAndProject — never a global sort), then
-      // rank assignment windows over only the K surviving rows
-      val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(DsirK)
-      val w = Window.orderBy(desc("key"), asc("doc_id"))
-      val (out, outRdd) = Dedup.materializeOwned(
-        top.withColumn("rank", row_number().over(w))
-          .join(docs.select("doc_id", "lang", "source"), "doc_id")
-          .select(col("doc_id"), col("lang"), col("source"), col("weight"),
-            col("key"), col("rank"))
-          .orderBy("rank"),
-        ckDir.isDefined)
+      val (db, dbRdd) =
+        Dedup.materializeOwned(dsirBuckets(docs), ckDir.isDefined)
+      val (out, outRdd) =
+        Dedup.materializeOwned(dsirPipeline(docs, db), ckDir.isDefined)
       Dedup.retire(spark, dbRdd)
-      Dedup.retainResult(spark, s"dsirResample#$b#$DsirK", outRdd, out)
+      Dedup.retainResult(spark, s"dsirResample#$DsirBuckets#$DsirK", outRdd, out)
     }
+  }
+
+  /** Audit-only: the full DSIR dataflow with the gram build inlined
+    * (unmaterialized), so `graft.Plans` can dump the real plan instead
+    * of the retained result's `ExistingRDD` scan. */
+  private[graft] def dsirPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    dsirPipeline(docs, dsirBuckets(docs))
   }
 }
