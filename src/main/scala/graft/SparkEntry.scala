@@ -176,6 +176,8 @@ object SparkEntry {
     "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
+    "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
+    "q_mix_doremi"       -> (TextAnalysis.doremiWeights _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -2436,22 +2438,118 @@ object SparkEntry {
          |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
          |              * 1000000, 0) AS BIGINT) AS lr_fp
          |          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
-         |scored AS (SELECT doc_id,
-         |             round(sum(cnt * lr_fp)::BIGINT / 1000000.0, 4) AS weight
+         |scored AS (SELECT doc_id, sum(cnt * lr_fp)::BIGINT AS w_fp
          |           FROM db JOIN ratio USING (bucket) GROUP BY doc_id),
-         |keyed AS (SELECT doc_id, weight,
-         |            round(weight + round(-ln(-ln(
+         |keyed AS (SELECT doc_id, w_fp,
+         |            w_fp + CAST(round(round(-ln(-ln(
          |              ((CAST('0x' || substr(md5('dsir:' || doc_id), 1, 8)
-         |                 AS BIGINT) % 1000000)::DOUBLE + 0.5) / 1000000.0)), 6),
-         |              4) AS key
+         |                 AS BIGINT) % 1000000)::DOUBLE + 0.5) / 1000000.0)), 6)
+         |              * 1000000, 0) AS BIGINT) AS key_fp
          |          FROM scored),
-         |ranked AS (SELECT doc_id, weight, key,
-         |             row_number() OVER (ORDER BY key DESC, doc_id) AS "rank"
+         |ranked AS (SELECT doc_id, w_fp, key_fp,
+         |             row_number() OVER (ORDER BY key_fp DESC, doc_id) AS "rank"
          |           FROM keyed)
-         |SELECT r.doc_id, d.lang, d.source, r.weight, r.key, r."rank"
+         |SELECT r.doc_id, d.lang, d.source,
+         |       r.w_fp / 1000000.0 AS weight,
+         |       r.key_fp / 1000000.0 AS key, r."rank"
          |FROM ranked r JOIN documents d USING (doc_id)
          |WHERE r."rank" <= ${TextAnalysis.DsirK}
          |ORDER BY r."rank"""".stripMargin,
+
+    // incremental DSIR screen: model fit on even docs (DENSE over all
+    // buckets — unseen arriving buckets get the smoothed OOV ratio),
+    // odd docs scored by the same fixed-point sum
+    "q_dsir_screen_inc" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents
+         |            WHERE doc_id % 2 = 0),
+         |tk AS (SELECT * FROM tok WHERE len(toks) >= 1),
+         |grams AS (
+         |  SELECT doc_id, lang = 'en' AS is_target, unnest(toks) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |  FROM tk),
+         |db AS (SELECT doc_id, is_target,
+         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |           % ${TextAnalysis.DsirBuckets} AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |       FROM grams GROUP BY 1, 2, 3),
+         |raw AS (SELECT bucket, sum(cnt)::BIGINT AS c_r FROM db GROUP BY 1),
+         |tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c_t FROM db
+         |        WHERE is_target GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
+         |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
+         |buckets AS (SELECT unnest(range(0, ${TextAnalysis.DsirBuckets}))
+         |              AS bucket),
+         |model AS (SELECT bucket,
+         |            CAST(round(round(ln((coalesce(c_t, 0) + 1.0)
+         |                     / (t_t + ${TextAnalysis.DsirBuckets}))
+         |                - ln((coalesce(c_r, 0) + 1.0)
+         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
+         |              * 1000000, 0) AS BIGINT) AS lr_fp
+         |          FROM buckets LEFT JOIN raw USING (bucket)
+         |          LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+         |btok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |         WHERE doc_id % 2 = 1),
+         |btk AS (SELECT * FROM btok WHERE len(toks) >= 1),
+         |brows AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |           % ${TextAnalysis.DsirBuckets} AS bucket
+         |  FROM (SELECT doc_id, unnest(toks) AS g FROM btk
+         |        UNION ALL
+         |        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |          i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |        FROM btk))
+         |SELECT doc_id, count(*)::BIGINT AS n_grams,
+         |       sum(lr_fp)::BIGINT / 1000000.0 AS weight
+         |FROM brows JOIN model USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DoReMi: same bigram-LM CTEs as q_text_lm_score; domain NLL and the
+    // softmax normalizer both accumulate as FIXED-POINT longs (micro/nano
+    // units), so no float sum order can flip a 6dp rounding
+    "q_mix_doremi" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+         |dbig AS (SELECT doc_id, lang,
+         |           unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
+         |           unnest(list_slice(toks, 2, len(toks))) AS b
+         |         FROM tok WHERE len(toks) >= 2),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM dbig GROUP BY 1, 2),
+         |ca AS (SELECT a, count(*) AS c_a FROM dbig GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
+         |terms AS (SELECT lang,
+         |            CAST(round(round(ln((c_ab + 1)::DOUBLE
+         |              / (c_a + v)::DOUBLE), 6) * 1000000, 0) AS BIGINT) AS ll_fp
+         |          FROM dbig JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+         |dom AS (SELECT lang, count(*)::BIGINT AS n_bigrams,
+         |          round(-(sum(ll_fp)::BIGINT::DOUBLE / count(*)) / 1000000.0, 6)
+         |            AS nll
+         |        FROM terms GROUP BY lang),
+         |best AS (SELECT min(nll) AS best_nll FROM dom),
+         |sizes AS (SELECT lang, count(*)::BIGINT AS n_docs
+         |          FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM sizes),
+         |scored AS (SELECT d.lang, s.n_docs, d.n_bigrams, d.nll, t.n_total,
+         |             round(greatest(d.nll - b.best_nll, 0.0), 6) AS excess,
+         |             CAST(round(round((s.n_docs::DOUBLE / t.n_total)
+         |               * exp(${TextAnalysis.DoremiEta}
+         |                     * round(greatest(d.nll - b.best_nll, 0.0), 6)), 9)
+         |               * 1000000000, 0) AS BIGINT) AS score_fp
+         |           FROM dom d JOIN sizes s USING (lang)
+         |           CROSS JOIN best b CROSS JOIN tot t),
+         |z AS (SELECT sum(score_fp)::BIGINT AS z_fp,
+         |        count(*)::BIGINT AS n_dom FROM scored)
+         |SELECT s.lang, s.n_docs, s.n_bigrams, s.nll, s.excess,
+         |       round((1.0 - ${TextAnalysis.DoremiEps})
+         |             * (s.score_fp::DOUBLE / z.z_fp)
+         |           + ${TextAnalysis.DoremiEps} / z.n_dom, 6) AS alpha,
+         |       round((round((1.0 - ${TextAnalysis.DoremiEps})
+         |             * (s.score_fp::DOUBLE / z.z_fp)
+         |           + ${TextAnalysis.DoremiEps} / z.n_dom, 6))
+         |           * s.n_total / s.n_docs, 6) AS boost
+         |FROM scored s CROSS JOIN z ORDER BY s.lang""".stripMargin,
 
     // same whitespace tokenizer and md5 order as the Spark side; the
     // budget filter runs on the running sum, not per-row truncation

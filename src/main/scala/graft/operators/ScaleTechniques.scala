@@ -89,12 +89,15 @@ object ScaleTechniques {
   /** Hash probes per key. */
   val BloomHashes = 3
 
-  /** Bit position of probe `j` for `key`: the usual double-hash family
-    * simulated with the repo-standard md5 bridge so both engines (and
-    * reruns) see identical bits. */
+  /** Bit position of probe `j` for `key`. Murmur3 (`hash` with probe
+    * index as seed), NOT the md5 bridge: the bit array never crosses to
+    * the oracle engine (the oracle checks the JOIN result, where the
+    * bloom is invisible), so the only requirements are determinism
+    * within Spark and codegen cost — and three per-row md5s of a
+    * stringified key measurably dominated the probe at scale-harness
+    * volumes. */
   private def bloomPos(j: Int, key: Column, bits: Int): Column =
-    pmod(conv(substring(md5(concat_ws(":", lit(j.toString),
-      key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(bits.toLong))
+    pmod(hash(key, lit(j)).cast("long"), lit(bits.toLong))
 
   /** Build a Bloom filter over `keys` (one column, any type) as a ONE-ROW
     * frame holding the bit array — broadcast it and test rows with

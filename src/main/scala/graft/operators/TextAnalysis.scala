@@ -956,8 +956,12 @@ object TextAnalysis {
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScoreOf(Tables.fanOut(Tables.documents(spark, dir)))
 
-  /** [[lmScore]] over ANY (doc_id, lang, text) frame. */
-  def lmScoreOf(docs: DataFrame): DataFrame = {
+  /** Per-bigram log-likelihood under the corpus's add-one-smoothed
+    * bigram LM: one (doc_id, lang, ll) row per bigram occurrence. The
+    * model frames (pair counts, context counts, vocabulary size) are
+    * vocabulary-sized; `ll` is built from identical integer counts in
+    * both engines. Shared by [[lmScoreOf]] and [[doremiWeightsOf]]. */
+  private def bigramLL(docs: DataFrame): DataFrame = {
     val tokd = docs
       .select(col("doc_id"), col("lang"), toks(col("text")).as("toks"))
     val len = greatest(size(col("toks")) - 1, lit(0))
@@ -982,11 +986,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         log((col("c_ab") + 1).cast("double") /
           (col("c_a") + col("v")).cast("double")).as("ll"))
+  }
+
+  /** [[lmScore]] over ANY (doc_id, lang, text) frame. */
+  def lmScoreOf(docs: DataFrame): DataFrame =
+    bigramLL(docs)
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("ll")), 4).as("avg_ll"))
       .orderBy("doc_id")
-  }
 
   /** Temperature exponent for [[temperatureMix]] — the mC4/XLM-R α:
     * sampling shares ∝ p^α, so α=1 keeps the natural distribution and
@@ -1057,9 +1065,15 @@ object TextAnalysis {
   }
 
   /** Hashed-feature buckets for [[dsirResample]] — DSIR's fixed-size
-    * n-gram feature space (the paper uses 10k; 256 keeps every bucket
-    * populated at test SFs while exercising the identical shape). */
-  val DsirBuckets = 256
+    * n-gram feature space. The paper uses 10k; the dial matters for
+    * SELECTIVITY, not just memory: too few buckets mix target and
+    * off-target vocabulary inside every bucket and the log-ratios
+    * cancel toward zero. Measured: 256 buckets gave a near-base-rate
+    * selection at sf0.01, 1024 a 1.8×-base-rate one — and at sf0.1's
+    * larger vocabulary 1024 washed out again. The dial must track
+    * vocabulary size (the paper's 10k at its corpus scale); 8192 holds
+    * the per-bucket gram mix low through the SFs this repo measures. */
+  val DsirBuckets = 8192
 
   /** Documents kept by [[dsirResample]]'s resampling step. */
   val DsirK = 100
@@ -1093,63 +1107,87 @@ object TextAnalysis {
     * bucketed by the md5 bridge, counted per doc. `is_target` rides the
     * projection so both model censuses derive from this frame without a
     * join back onto a second corpus scan. */
-  private def dsirBuckets(docs: DataFrame): DataFrame = {
-    def bucketOf(g: Column): Column =
-      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
-        lit(DsirBuckets.toLong))
+  private def dsirBucketOf(g: Column): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+      lit(DsirBuckets.toLong))
+
+  private def dsirBuckets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), (col("lang") === "en").as("is_target"),
         toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), col("is_target"),
         explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
-      .select(col("doc_id"), col("is_target"), bucketOf(col("g")).as("bucket"))
+      .select(col("doc_id"), col("is_target"), dsirBucketOf(col("g")).as("bucket"))
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Model fit + scoring + Gumbel top-k over a (doc_id, is_target,
     * bucket, cnt) frame — the whole dataflow downstream of the gram
     * build, shared by the registered query (which materializes `db`
     * once) and the plan audit (which passes the raw build through). */
-  private def dsirPipeline(docs: DataFrame, db: DataFrame): DataFrame = {
+  /** The DSIR MODEL as data: the per-bucket fixed-point log-ratio frame
+    * (bucket, lr_fp) fit on a (doc_id, is_target, bucket, cnt) gram
+    * frame. ≤ [[DsirBuckets]] rows — persistable and broadcastable, the
+    * piece an incremental screen joins arriving docs against.
+    *
+    * Determinism: add-one smoothed log-ratio, 6dp-rounded and held as
+    * FIXED-POINT micro-units (an exact long), so every downstream
+    * weighted sum is INTEGER arithmetic — order-independent across
+    * partitionings and engines. (A double sum rounds differently
+    * depending on accumulation order; a 4dp boundary flip between two
+    * Spark runs of the identical plan is how this was caught.) A bucket
+    * absent from the target model still scores (c_t = 0). */
+  private[graft] def dsirModelOf(db: DataFrame): DataFrame = {
     val b = DsirBuckets
     val raw = db.groupBy("bucket").agg(sum("cnt").as("c_r"))
     val tgt = db.filter(col("is_target"))
       .groupBy("bucket").agg(sum("cnt").as("c_t"))
     val tot = raw.agg(sum("c_r").as("t_r"))
       .crossJoin(tgt.agg(sum("c_t").as("t_t")))
-    // add-one smoothed log-ratio per bucket; a bucket absent from the
-    // target model still scores (c_t = 0). The ratio is 6dp-rounded and
-    // held as FIXED-POINT micro-units (an exact long), so the per-doc
-    // weighted sum is INTEGER arithmetic — order-independent across
-    // partitionings and engines. (A double sum rounds differently
-    // depending on accumulation order; a 4dp boundary flip between two
-    // Spark runs of the identical plan is how this was caught.)
-    val ratio = raw.join(tgt, Seq("bucket"), "left")
+    // DENSE over all b buckets: a screen scoring docs the model never
+    // saw must give corpus-unseen buckets the smoothed OOV ratio, not
+    // silently drop their grams. (The resample path inner-joins its own
+    // corpus's buckets, so densifying changes nothing there.)
+    db.sparkSession.range(b).select(col("id").as("bucket"))
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
       .crossJoin(broadcast(tot))
       .select(col("bucket"),
         round(round(
             log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("t_t") + b)) -
-              log((col("c_r") + lit(1.0)) / (col("t_r") + b)), 6) * 1e6, 0)
+              log((coalesce(col("c_r"), lit(0L)) + lit(1.0)) / (col("t_r") + b)),
+            6) * 1e6, 0)
           .cast("long").as("lr_fp"))
+  }
+
+  private def dsirPipeline(docs: DataFrame, db: DataFrame): DataFrame = {
+    val ratio = dsirModelOf(db)
+    // weight and key stay FIXED-POINT LONGS end to end; the exported
+    // doubles are exact-integer/1e6 with NO rounding step. (A round(…,4)
+    // here sat on an exact .xxxx50 boundary for ~1% of rows — micro-unit
+    // sums end in 50 that often — where Spark's BigDecimal-of-binary and
+    // DuckDB's scaled-multiply rounding can disagree by one 4th-decimal
+    // ulp. No round, no boundary.)
     val scored = db.join(broadcast(ratio), "bucket")
       .groupBy("doc_id")
-      .agg(round(sum(col("cnt") * col("lr_fp")) / 1e6, 4).as("weight"))
-    // deterministic Gumbel: u = (md5-uniform + 0.5)/1e6 ∈ (0,1)
+      .agg(sum(col("cnt") * col("lr_fp")).as("w_fp"))
+    // deterministic Gumbel: u = (md5-uniform + 0.5)/1e6 ∈ (0,1),
+    // perturbation 6dp-rounded then held in the same micro units
     val u = (pmod(conv(substring(md5(concat(lit("dsir:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
       lit(1000000L)).cast("double") + 0.5) / 1000000.0
-    val keyed = scored.withColumn("key",
-      round(col("weight") + round(-log(-log(u)), 6), 4))
+    val keyed = scored.withColumn("key_fp",
+      col("w_fp") + round(round(-log(-log(u)), 6) * 1e6, 0).cast("long"))
     // top-k FIRST (TakeOrderedAndProject — never a global sort), then
     // rank assignment windows over only the K surviving rows
-    val top = keyed.orderBy(desc("key"), asc("doc_id")).limit(DsirK)
-    val w = Window.orderBy(desc("key"), asc("doc_id"))
+    val top = keyed.orderBy(desc("key_fp"), asc("doc_id")).limit(DsirK)
+    val w = Window.orderBy(desc("key_fp"), asc("doc_id"))
     top.withColumn("rank", row_number().over(w))
       .join(docs.select("doc_id", "lang", "source"), "doc_id")
-      .select(col("doc_id"), col("lang"), col("source"), col("weight"),
-        col("key"), col("rank"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("w_fp") / 1e6).as("weight"),
+        (col("key_fp") / 1e6).as("key"), col("rank"))
       .orderBy("rank")
   }
 
@@ -1173,5 +1211,114 @@ object TextAnalysis {
   private[graft] def dsirPlanOf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     dsirPipeline(docs, dsirBuckets(docs))
+  }
+
+  /** One row PER GRAM OCCURRENCE (doc_id, bucket) — the streaming-safe
+    * scoring shape: no pre-aggregation, so [[dsirScreenOf]] needs only
+    * ONE aggregation (legal in a streaming query, where chaining the
+    * bucket-count agg into the weight agg would not be). */
+  private[graft] def dsirScoreRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
+      .select(col("doc_id"), dsirBucketOf(col("g")).as("bucket"))
+
+  /** Score a batch of docs against a PERSISTED DSIR model frame
+    * (bucket, lr_fp): per-doc importance weight as the exact fixed-point
+    * sum. O(batch) by construction — the corpus appears only through the
+    * ≤[[DsirBuckets]]-row model, which broadcasts; unordered (the
+    * streaming twin cannot sort), callers order. */
+  def dsirScreenOf(batch: DataFrame, model: DataFrame): DataFrame =
+    dsirScoreRows(batch)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        // exact micro-unit long / 1e6, NO round — see dsirPipeline
+        (sum("lr_fp") / 1e6).as("weight"))
+
+  /** The INCREMENTAL form of [[dsirResample]]'s scoring stage: arriving
+    * docs (odd doc_ids, the repo's standing batch split) scored against
+    * the model fit on the CORPUS (even doc_ids) — the importance-weight
+    * screen a live ingestion pipeline runs per batch instead of
+    * re-fitting models per arrival. Batch form of the stream-static
+    * screen in `DocsStream.dsirScoreScreen` (stream ≡ batch is
+    * suite-pinned); the model is [[dsirModelOf]]'s dense frame, exactly
+    * what [[dsirResample]] fits. */
+  def dsirScreenInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    dsirScreenOf(docs.filter(col("doc_id") % 2 === 1), dsirModelInc(spark, dir))
+      .orderBy("doc_id")
+  }
+
+  /** The persisted-model half of [[dsirScreenInc]]: the dense model fit
+    * on the even-doc corpus (what a production pipeline snapshots and
+    * the stream-static screen joins against). */
+  private[graft] def dsirModelInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    dsirModelOf(dsirBuckets(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
+  /** Multiplicative-weights step size for [[doremiWeights]]. */
+  val DoremiEta = 1.0
+
+  /** Uniform-smoothing mass for [[doremiWeights]] — DoReMi's ε mix with
+    * the uniform distribution, keeping every domain sampled. */
+  val DoremiEps = 0.01
+
+  /** DoReMi-style DOMAIN REWEIGHTING (Xie et al., NeurIPS 2023): set
+    * per-domain sampling weights by EXCESS LOSS — domains where the
+    * proxy model is worst relative to the best-fit domain get
+    * upweighted, the paper's group-DRO objective. Domains are languages;
+    * the "proxy loss" stand-in is the corpus bigram LM's token-level NLL
+    * per domain (the [[lmScore]] model), the reference baseline is the
+    * best domain's NLL, and one multiplicative-weights step
+    * `α_d ∝ p_d · exp(η · excess_d)` plus the ε-uniform smoothing gives
+    * the published update's closed form (with a STATIC loss the T-step
+    * iteration collapses into η — documented honestly rather than
+    * unrolling a fixed point). Complements [[temperatureMix]]: that op
+    * rebalances by SIZE alone, this one by measured model fit.
+    *
+    * Determinism: the per-domain NLL is a fixed-point (micro-unit)
+    * integer sum — order-independent, the [[dsirResampleOf]] lesson —
+    * and the softmax-style normalizer sums 9dp-rounded nano-unit longs,
+    * so both engines divide identical integers. Scale: one corpus-sized
+    * bigram pass (shared model frames are vocabulary-sized), then
+    * everything is |domains| rows. */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame =
+    doremiWeightsOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[doremiWeights]] over any (doc_id, lang, text) frame. */
+  def doremiWeightsOf(docs: DataFrame): DataFrame = {
+    val dom = bigramLL(docs)
+      .select(col("lang"),
+        round(round(col("ll"), 6) * 1e6, 0).cast("long").as("ll_fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ll_fp").as("sum_fp"))
+      .withColumn("nll",
+        round(-(col("sum_fp").cast("double") / col("n_bigrams")) / 1e6, 6))
+    val best = dom.agg(min("nll").as("best_nll"))
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(sum("n_docs").as("n_total"))
+    val scoredCol = round(
+      (col("n_docs").cast("double") / col("n_total")) *
+        exp(lit(DoremiEta) * col("excess")), 9)
+    val scored = dom.join(sizes, "lang")
+      .crossJoin(broadcast(best)).crossJoin(broadcast(tot))
+      .withColumn("excess",
+        round(greatest(col("nll") - col("best_nll"), lit(0.0)), 6))
+      .withColumn("score_fp", round(scoredCol * 1e9, 0).cast("long"))
+    val z = scored.agg(sum("score_fp").as("z_fp"),
+      count(lit(1)).as("n_dom"))
+    val alphaCol = round(
+      lit(1.0 - DoremiEps) *
+        (col("score_fp").cast("double") / col("z_fp")) +
+        lit(DoremiEps) / col("n_dom"), 6)
+    scored.crossJoin(broadcast(z))
+      .withColumn("alpha", alphaCol)
+      .select(col("lang"), col("n_docs"), col("n_bigrams"), col("nll"),
+        col("excess"), col("alpha"),
+        round(col("alpha") * col("n_total") / col("n_docs"), 6).as("boost"))
+      .orderBy("lang")
   }
 }

@@ -155,4 +155,14 @@ object DocsStream {
         md5(concat_ws(" ",
           transform(col("keptS"), s => s.getField("tok")))).as("cleaned_md5"))
   }
+
+  /** Streaming DSIR importance screen — the twin of
+    * [[graft.operators.TextAnalysis.dsirScreenInc]]: arriving documents
+    * scored against the PERSISTED model frame (bucket, lr_fp) by the
+    * exact fixed-point sum. One stream-static broadcast equi-join plus a
+    * SINGLE aggregation (run in update mode); the scoring kernel is
+    * literally the batch one (`dsirScreenOf`), so stream ≡ batch is
+    * parity by construction, and the suite pins it. */
+  def dsirScoreScreen(newDocs: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.dsirScreenOf(newDocs, model)
 }

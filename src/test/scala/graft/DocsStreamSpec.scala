@@ -74,6 +74,32 @@ class DocsStreamSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming DSIR importance screen == batch incremental screen") {
+    // arriving odd docs scored against the dense model fit on the even
+    // docs; the kernel is shared, so every (doc_id, n_grams, weight)
+    // triple must match the batch screen exactly
+    val dir = "/root/testdata/sf0.001"
+    val q = DocsStream.dsirScoreScreen(
+        DocsStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1),
+        graft.operators.TextAnalysis.dsirModelInc(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName("dsirscreen_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("dsirscreen_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.TextAnalysis.dsirScreenInc(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // weights must spread (the screen separates docs, not a constant)
+    assert(batch.map(_._3).size > 1)
+  }
+
   test("stream probes a PERSISTED band index - the production snapshot flow") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
