@@ -44,6 +44,27 @@ class DsirSpec extends AnyFunSuite {
       s"selected en-share $selEn should exceed base rate $baseEn")
   }
 
+  test("planted vocabulary shift: selection is dominated by target docs") {
+    // the corpus tables draw every lang's text from ONE shared word pool
+    // (lang is a label, not a lexical reality), so corpus-level
+    // enrichment is a weak signal; this planted frame gives the target
+    // domain a real vocabulary of its own — the regime DSIR exists for —
+    // and pins that the selection then decisively favors it
+    import spark.implicits._
+    val shared = (0 until 4).map(i => s"shared$i").mkString(" ")
+    val docs = (0 until 400).map { i =>
+      val tgt = i % 2 == 0
+      val vocab = if (tgt) (0 until 8).map(j => s"tgt${(i + j) % 20}")
+        else (0 until 8).map(j => s"raw${(i + j) % 20}")
+      (i.toLong, s"$shared ${vocab.mkString(" ")}",
+        if (tgt) "en" else "xx", "s0")
+    }.toDF("doc_id", "text", "lang", "source")
+    val sel = TextAnalysis.dsirResampleOf(docs).collect()
+    assert(sel.length == TextAnalysis.DsirK)
+    val enShare = sel.count(_.getAs[String]("lang") == "en").toDouble / sel.length
+    assert(enShare >= 0.8, s"planted-shift selection en share $enShare < 0.8")
+  }
+
   test("en docs carry higher mean importance weight than non-en") {
     val sel = TextAnalysis.dsirResample(spark, dir)
     val byTarget = sel.groupBy(col("lang") === "en")
