@@ -177,6 +177,7 @@ object SparkEntry {
     "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
+    "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
     "q_mix_doremi"       -> (TextAnalysis.doremiWeights _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
@@ -2455,6 +2456,85 @@ object SparkEntry {
          |FROM ranked r JOIN documents d USING (doc_id)
          |WHERE r."rank" <= ${TextAnalysis.DsirK}
          |ORDER BY r."rank"""".stripMargin,
+
+    // end-to-end curation funnel: every stage's predicate is the same
+    // fragment its standalone oracle uses (quality screen, md5 keep-set,
+    // 5-gram eval decontamination, DSIR fixed-point weights); the funnel
+    // census mirrors the Spark explode (empty stages absent, not zero)
+    "q_pipeline_curation" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, text, $DuckTok AS toks
+         |           FROM documents),
+         |qf AS (SELECT doc_id,
+         |         (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |            / length(text) < 0.1
+         |          AND ${duckStopHits(TextAnalysis.StopEn)} / len(toks) >= 0.05
+         |          AND len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 500)
+         |           AS q
+         |       FROM d),
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_doc
+         |      FROM documents GROUP BY 1),
+         |cg AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(
+         |           range(1, len(toks) - ${TextAnalysis.DecontamN - 2}),
+         |           i -> array_to_string(
+         |                  list_slice(toks, i, i + ${TextAnalysis.DecontamN - 1}),
+         |                  ' ')))) AS g
+         |       FROM d),
+         |ev AS (SELECT DISTINCT g FROM cg
+         |       WHERE doc_id % ${TextAnalysis.EvalMod} = 0),
+         |contam AS (SELECT DISTINCT doc_id FROM cg
+         |           WHERE doc_id % ${TextAnalysis.EvalMod} <> 0
+         |             AND g IN (SELECT g FROM ev)),
+         |tk AS (SELECT doc_id, lang, toks FROM d WHERE len(toks) >= 1),
+         |grams AS (
+         |  SELECT doc_id, lang = 'en' AS is_target, unnest(toks) AS g FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |  FROM tk),
+         |db AS (SELECT doc_id, is_target,
+         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |           % ${TextAnalysis.DsirBuckets} AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |       FROM grams GROUP BY 1, 2, 3),
+         |raw AS (SELECT bucket, sum(cnt)::BIGINT AS c_r FROM db GROUP BY 1),
+         |tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c_t FROM db
+         |        WHERE is_target GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
+         |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
+         |ratio AS (SELECT bucket,
+         |            CAST(round(round(ln((coalesce(c_t, 0) + 1.0)
+         |                     / (t_t + ${TextAnalysis.DsirBuckets}))
+         |                - ln((c_r + 1.0)
+         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
+         |              * 1000000, 0) AS BIGINT) AS lr_fp
+         |          FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+         |scored AS (SELECT doc_id, sum(cnt * lr_fp)::BIGINT AS w_fp,
+         |             sum(cnt)::BIGINT AS n_g
+         |           FROM db JOIN ratio USING (bucket) GROUP BY doc_id),
+         |f AS (SELECT d.doc_id, len(d.toks)::BIGINT AS n_toks, qf.q,
+         |        (d.doc_id = k.keep_doc) AS keep,
+         |        (d.doc_id % ${TextAnalysis.EvalMod} <> 0
+         |           AND c.doc_id IS NULL) AS clean,
+         |        coalesce(s.w_fp / 1000000.0 / s.n_g, -1e9) AS w
+         |      FROM d JOIN qf ON d.doc_id = qf.doc_id
+         |      JOIN k ON md5(d.text) = k.h
+         |      LEFT JOIN contam c ON d.doc_id = c.doc_id
+         |      LEFT JOIN scored s ON d.doc_id = s.doc_id),
+         |stages AS (SELECT n_toks,
+         |             unnest(list_filter(['1_input',
+         |               CASE WHEN q THEN '2_quality' END,
+         |               CASE WHEN q AND keep THEN '3_dedup' END,
+         |               CASE WHEN q AND keep AND clean THEN '4_decontam' END,
+         |               CASE WHEN q AND keep AND clean
+         |                      AND w >= ${TextAnalysis.CurationMinWeight}
+         |                    THEN '5_selected' END],
+         |               x -> x IS NOT NULL)) AS stage
+         |           FROM f)
+         |SELECT stage, count(*)::BIGINT AS n_docs,
+         |       sum(n_toks)::BIGINT AS n_tokens
+         |FROM stages GROUP BY stage ORDER BY stage""".stripMargin,
 
     // incremental DSIR screen: model fit on even docs (DENSE over all
     // buckets — unseen arriving buckets get the smoothed OOV ratio),

@@ -1111,16 +1111,21 @@ object TextAnalysis {
     pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
       lit(DsirBuckets.toLong))
 
-  private def dsirBuckets(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), (col("lang") === "en").as("is_target"),
-        toks(col("text")).as("toks"))
+  /** [[dsirBuckets]] over a pre-tokenized (doc_id, is_target, toks)
+    * frame — the entry point for composed pipelines that materialize
+    * ONE tokenize pass and feed many stages. */
+  private[graft] def dsirBucketsFromToks(tokd: DataFrame): DataFrame =
+    tokd
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), col("is_target"),
         explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
       .select(col("doc_id"), col("is_target"), dsirBucketOf(col("g")).as("bucket"))
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("cnt"))
+
+  private def dsirBuckets(docs: DataFrame): DataFrame =
+    dsirBucketsFromToks(docs.select(col("doc_id"),
+      (col("lang") === "en").as("is_target"), toks(col("text")).as("toks")))
 
   /** Model fit + scoring + Gumbel top-k over a (doc_id, is_target,
     * bucket, cnt) frame — the whole dataflow downstream of the gram
@@ -1257,6 +1262,100 @@ object TextAnalysis {
   private[graft] def dsirModelInc(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     dsirModelOf(dsirBuckets(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
+  /** Dense model over the FULL corpus — diagnostics and composition. */
+  private[graft] def dsirFullModel(spark: SparkSession, dir: String): DataFrame =
+    dsirModelOf(dsirBuckets(Tables.fanOut(Tables.documents(spark, dir))))
+
+  /** DSIR-stage admission threshold for [[curationFunnel]] — on the
+    * PER-GRAM average log-ratio, not the raw document weight: the raw
+    * weight scales with document length (every gram contributes a
+    * mostly-negative ratio), so a raw threshold mostly selects short
+    * docs (measured: 8/296 survivors, all short). The per-gram average
+    * is length-unbiased; −0.15 sits at the quality-survivor median
+    * under the full-corpus model (en averages −0.128, the other
+    * languages −0.163, so the screen keeps mostly target-like docs —
+    * as far as the shared-vocabulary synthetic corpus allows). */
+  val CurationMinWeight = -0.15
+
+  /** END-TO-END CURATION FUNNEL — the composed pipeline a pretraining
+    * data run actually executes, as ONE registered query: rule-based
+    * quality screen (the [[qualityFiltered]] predicate) → exact dedup
+    * (min-doc_id survivor per md5, [[q_dedup_exact_groups]]'s keep rule)
+    * → n-gram eval decontamination (the [[decontaminate]] screen over
+    * the doc_id % [[EvalMod]] eval set, eval docs themselves excluded
+    * from training) → DSIR importance screen (weight ≥
+    * [[CurationMinWeight]] under the full-corpus model). Output is the
+    * per-stage funnel census (stage, n_docs, n_tokens) — the governance
+    * table that shows what each stage costs in data, and pins the WHOLE
+    * composition cross-engine, not just each stage alone.
+    *
+    * Shape: the corpus is tokenized ONCE (materialized — five stages
+    * consume it) and gram-bucketed ONCE (materialized — the DSIR model
+    * census and the scoring join share it); every stage verdict lands as
+    * a flag COLUMN on one frame, and the funnel is a single
+    * explode-over-passed-stages + one bounded group-by — not five
+    * passes. Dedup keep-set and contamination sets enter as joins on
+    * their natural keys; all flags are row-local after the joins. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val docs = Tables.fanOut(Tables.documents(spark, dir))
+      val (tokd, tokdRdd) = materialize(
+        docs.select(col("doc_id"), col("lang"), col("source"), col("text"),
+          toks(col("text")).as("toks")))
+      val (db, dbRdd) = materialize(dsirBucketsFromToks(
+        tokd.select(col("doc_id"), (col("lang") === "en").as("is_target"),
+          col("toks"))))
+      val weights = db.join(broadcast(dsirModelOf(db)), "bucket")
+        .groupBy("doc_id")
+        .agg(((sum(col("cnt") * col("lr_fp")) / 1e6) / sum("cnt"))
+          .as("weight"))
+      val keepSet = tokd.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_doc"))
+      val isEval = col("doc_id") % EvalMod === 0
+      def evalGrams(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("g"))
+      val contaminated = evalGrams(tokd.filter(!isEval))
+        .join(broadcast(evalGrams(tokd.filter(isEval)).select("g").distinct()),
+          "g")
+        .select("doc_id").distinct()
+        .withColumn("contam", lit(true))
+      val flagged = tokd
+        .withColumn("q",
+          (length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
+            length(col("text")) < 0.1) &&
+            (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
+            size(whitespaceTokens(col("text"))).between(10, 500))
+        .withColumn("h", md5(col("text")))
+        .join(keepSet, Seq("h"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .join(weights, Seq("doc_id"), "left")
+        .withColumn("keep", col("doc_id") === col("keep_doc"))
+        .withColumn("clean", !isEval && col("contam").isNull)
+        .withColumn("w", coalesce(col("weight"), lit(-1e9)))
+      val passed = filter(array(
+        lit("1_input"),
+        when(col("q"), "2_quality"),
+        when(col("q") && col("keep"), "3_dedup"),
+        when(col("q") && col("keep") && col("clean"), "4_decontam"),
+        when(col("q") && col("keep") && col("clean") &&
+          col("w") >= CurationMinWeight, "5_selected")),
+        s => s.isNotNull)
+      val (out, outRdd) = materialize(
+        flagged
+          .select(size(col("toks")).cast("long").as("n_toks"),
+            explode(passed).as("stage"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .orderBy("stage"))
+      Dedup.retire(spark, dbRdd)
+      Dedup.retire(spark, tokdRdd)
+      Dedup.retainResult(spark, "curationFunnel", outRdd, out)
+    }
   }
 
   /** Multiplicative-weights step size for [[doremiWeights]]. */
