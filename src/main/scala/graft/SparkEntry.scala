@@ -179,6 +179,7 @@ object SparkEntry {
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
     "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
     "q_mix_doremi"       -> (TextAnalysis.doremiWeights _),
+    "q_mix_doremi_draw"  -> (TextAnalysis.doremiMix _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -590,6 +591,51 @@ object SparkEntry {
     * stopword lists so the two engines can never drift. */
   private def duckStopHits(stop: Seq[String]): String =
     stop.mkString("len(list_filter(toks, t -> t IN ('", "', '", "')))")
+
+  /** DuckDB fragment: the DoReMi chain (bigram-LM per-domain NLL in
+    * fixed point → excess loss → multiplicative-weights alphas + boost
+    * rates), ending in an `alphas` CTE — shared by `q_mix_doremi` and
+    * the realized draw `q_mix_doremi_draw`. */
+  private val DuckDoremiCtes =
+    s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+       |dbig AS (SELECT doc_id, lang,
+       |           unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
+       |           unnest(list_slice(toks, 2, len(toks))) AS b
+       |         FROM tok WHERE len(toks) >= 2),
+       |cab AS (SELECT a, b, count(*) AS c_ab FROM dbig GROUP BY 1, 2),
+       |ca AS (SELECT a, count(*) AS c_a FROM dbig GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
+       |terms AS (SELECT lang,
+       |            CAST(round(round(ln((c_ab + 1)::DOUBLE
+       |              / (c_a + v)::DOUBLE), 6) * 1000000, 0) AS BIGINT) AS ll_fp
+       |          FROM dbig JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+       |dom AS (SELECT lang, count(*)::BIGINT AS n_bigrams,
+       |          round(-(sum(ll_fp)::BIGINT::DOUBLE / count(*)) / 1000000.0, 6)
+       |            AS nll
+       |        FROM terms GROUP BY lang),
+       |best AS (SELECT min(nll) AS best_nll FROM dom),
+       |sizes AS (SELECT lang, count(*)::BIGINT AS n_docs
+       |          FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM sizes),
+       |scored AS (SELECT d.lang, s.n_docs, d.n_bigrams, d.nll, t.n_total,
+       |             round(greatest(d.nll - b.best_nll, 0.0), 6) AS excess,
+       |             CAST(round(round((s.n_docs::DOUBLE / t.n_total)
+       |               * exp(${TextAnalysis.DoremiEta}
+       |                     * round(greatest(d.nll - b.best_nll, 0.0), 6)), 9)
+       |               * 1000000000, 0) AS BIGINT) AS score_fp
+       |           FROM dom d JOIN sizes s USING (lang)
+       |           CROSS JOIN best b CROSS JOIN tot t),
+       |z AS (SELECT sum(score_fp)::BIGINT AS z_fp,
+       |        count(*)::BIGINT AS n_dom FROM scored),
+       |alphas AS (SELECT s.lang, s.n_docs, s.n_bigrams, s.nll, s.excess,
+       |             round((1.0 - ${TextAnalysis.DoremiEps})
+       |                   * (s.score_fp::DOUBLE / z.z_fp)
+       |                 + ${TextAnalysis.DoremiEps} / z.n_dom, 6) AS alpha,
+       |             round((round((1.0 - ${TextAnalysis.DoremiEps})
+       |                   * (s.score_fp::DOUBLE / z.z_fp)
+       |                 + ${TextAnalysis.DoremiEps} / z.n_dom, 6))
+       |                 * s.n_total / s.n_docs, 6) AS boost
+       |           FROM scored s CROSS JOIN z)""".stripMargin
 
   /** DuckDB fragment: the MinHash candidate/estimate CTE chain (tok →
     * grams → signatures → bands → candidate pairs → agreement estimate),
@@ -2591,45 +2637,30 @@ object SparkEntry {
     // softmax normalizer both accumulate as FIXED-POINT longs (micro/nano
     // units), so no float sum order can flip a 6dp rounding
     "q_mix_doremi" ->
-      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
-         |dbig AS (SELECT doc_id, lang,
-         |           unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
-         |           unnest(list_slice(toks, 2, len(toks))) AS b
-         |         FROM tok WHERE len(toks) >= 2),
-         |cab AS (SELECT a, b, count(*) AS c_ab FROM dbig GROUP BY 1, 2),
-         |ca AS (SELECT a, count(*) AS c_a FROM dbig GROUP BY 1),
-         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
-         |terms AS (SELECT lang,
-         |            CAST(round(round(ln((c_ab + 1)::DOUBLE
-         |              / (c_a + v)::DOUBLE), 6) * 1000000, 0) AS BIGINT) AS ll_fp
-         |          FROM dbig JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
-         |dom AS (SELECT lang, count(*)::BIGINT AS n_bigrams,
-         |          round(-(sum(ll_fp)::BIGINT::DOUBLE / count(*)) / 1000000.0, 6)
-         |            AS nll
-         |        FROM terms GROUP BY lang),
-         |best AS (SELECT min(nll) AS best_nll FROM dom),
-         |sizes AS (SELECT lang, count(*)::BIGINT AS n_docs
-         |          FROM documents GROUP BY lang),
-         |tot AS (SELECT sum(n_docs)::BIGINT AS n_total FROM sizes),
-         |scored AS (SELECT d.lang, s.n_docs, d.n_bigrams, d.nll, t.n_total,
-         |             round(greatest(d.nll - b.best_nll, 0.0), 6) AS excess,
-         |             CAST(round(round((s.n_docs::DOUBLE / t.n_total)
-         |               * exp(${TextAnalysis.DoremiEta}
-         |                     * round(greatest(d.nll - b.best_nll, 0.0), 6)), 9)
-         |               * 1000000000, 0) AS BIGINT) AS score_fp
-         |           FROM dom d JOIN sizes s USING (lang)
-         |           CROSS JOIN best b CROSS JOIN tot t),
-         |z AS (SELECT sum(score_fp)::BIGINT AS z_fp,
-         |        count(*)::BIGINT AS n_dom FROM scored)
-         |SELECT s.lang, s.n_docs, s.n_bigrams, s.nll, s.excess,
-         |       round((1.0 - ${TextAnalysis.DoremiEps})
-         |             * (s.score_fp::DOUBLE / z.z_fp)
-         |           + ${TextAnalysis.DoremiEps} / z.n_dom, 6) AS alpha,
-         |       round((round((1.0 - ${TextAnalysis.DoremiEps})
-         |             * (s.score_fp::DOUBLE / z.z_fp)
-         |           + ${TextAnalysis.DoremiEps} / z.n_dom, 6))
-         |           * s.n_total / s.n_docs, 6) AS boost
-         |FROM scored s CROSS JOIN z ORDER BY s.lang""".stripMargin,
+      s"""$DuckDoremiCtes
+         |SELECT lang, n_docs, n_bigrams, nll, excess, alpha, boost
+         |FROM alphas ORDER BY lang""".stripMargin,
+
+    // the DoReMi alphas realized as the same replicate-and-thin draw the
+    // temperature oracle uses; rate = boost, census pins target vs
+    // achieved share
+    "q_mix_doremi_draw" ->
+      s"""$DuckDoremiCtes,
+         |drawn AS (SELECT d.lang, count(*)::BIGINT AS docs_out
+         |          FROM documents d
+         |          JOIN alphas a USING (lang)
+         |          CROSS JOIN unnest(range(0, ceil(a.boost)::INT)) AS t(rep)
+         |          WHERE (CAST('0x' || substr(md5(d.text || ':' || rep), 1, 8)
+         |                   AS BIGINT)::DOUBLE + 0.5) / 4294967296.0
+         |                < a.boost - rep
+         |          GROUP BY d.lang),
+         |census AS (SELECT a.lang, a.n_docs, a.alpha, a.boost AS rate,
+         |             coalesce(dr.docs_out, 0)::BIGINT AS docs_out
+         |           FROM alphas a LEFT JOIN drawn dr USING (lang))
+         |SELECT lang, n_docs, alpha, rate, docs_out,
+         |       round(docs_out::DOUBLE / (SELECT sum(docs_out) FROM census), 6)
+         |         AS achieved_share
+         |FROM census ORDER BY lang""".stripMargin,
 
     // same whitespace tokenizer and md5 order as the Spark side; the
     // budget filter runs on the running sum, not per-row truncation

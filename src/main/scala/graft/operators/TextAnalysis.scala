@@ -996,6 +996,24 @@ object TextAnalysis {
         round(avg(col("ll")), 4).as("avg_ll"))
       .orderBy("doc_id")
 
+  /** The deterministic replicate-and-thin draw shared by
+    * [[temperatureMixOf]] and [[doremiMixOf]]: each doc repeats
+    * ⌈rate⌉ times, replica r surviving iff u < rate − r (full copies
+    * keep unconditionally, the marginal copy thins to the fraction) —
+    * u a content-hash uniform salted by the replica id, so copies draw
+    * independently and the expected copy count is exactly the rate.
+    * `rates` is a (lang, rate) frame with 6dp-rounded rates (both
+    * engines compare the same exact thresholds). */
+  private def drawnCensus(d: DataFrame, rates: DataFrame): DataFrame =
+    d.join(broadcast(rates.select("lang", "rate")), "lang")
+      .select(col("lang"), col("rate"),
+        explode(sequence(lit(0), ceil(col("rate")).cast("int") - 1)).as("rep"),
+        col("text"))
+      .filter((conv(substring(md5(concat_ws(":", col("text"), col("rep"))), 1, 8),
+          16, 10).cast("double") + 0.5) / lit(4294967296.0) <
+        col("rate") - col("rep"))
+      .groupBy("lang").agg(count(lit(1)).as("docs_out"))
+
   /** Temperature exponent for [[temperatureMix]] — the mC4/XLM-R α:
     * sampling shares ∝ p^α, so α=1 keeps the natural distribution and
     * α→0 approaches uniform. 0.5 is a standard mid-dial setting. */
@@ -1039,16 +1057,7 @@ object TextAnalysis {
         (pow(col("n_docs").cast("double"), MixAlpha) / col("z")).as("q"))
       .withColumn("rate",
         round(col("q") * col("n_total").cast("double") / col("n_docs"), 6))
-    val drawn = d.join(broadcast(rates.select("lang", "rate")), "lang")
-      .select(col("lang"), col("rate"),
-        explode(sequence(lit(0), ceil(col("rate")).cast("int") - 1)).as("rep"),
-        col("text"))
-      // replica r survives iff u < rate − r: full copies keep
-      // unconditionally, the marginal copy thins to the fraction
-      .filter((conv(substring(md5(concat_ws(":", col("text"), col("rep"))), 1, 8),
-          16, 10).cast("double") + 0.5) / lit(4294967296.0) <
-        col("rate") - col("rep"))
-      .groupBy("lang").agg(count(lit(1)).as("docs_out"))
+    val drawn = drawnCensus(d, rates)
     val mixed = rates.join(drawn, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         round(col("p"), 6).as("p_natural"),
@@ -1297,7 +1306,15 @@ object TextAnalysis {
     * a flag COLUMN on one frame, and the funnel is a single
     * explode-over-passed-stages + one bounded group-by — not five
     * passes. Dedup keep-set and contamination sets enter as joins on
-    * their natural keys; all flags are row-local after the joins. */
+    * their natural keys; all flags are row-local after the joins.
+    *
+    * Scale dial, honestly: the eval set here is `doc_id % EvalMod` — a
+    * fixed FRACTION of the corpus, so its broadcast gram set grows
+    * linearly with SF. That is the harness's planted-contamination
+    * convention (it keeps the stage exercised at every SF); a production
+    * eval set is a FIXED benchmark suite, constant-size by nature, which
+    * is the regime the broadcast is designed for (the same honesty note
+    * as `semanticDecontaminate`'s EvalIdCap). */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
@@ -1419,5 +1436,43 @@ object TextAnalysis {
         col("excess"), col("alpha"),
         round(col("alpha") * col("n_total") / col("n_docs"), 6).as("boost"))
       .orderBy("lang")
+  }
+
+  /** The REALIZED DoReMi mixture — [[doremiWeights]]' alphas executed as
+    * an actual same-size-budget resample: per-domain rate is the boost
+    * α_d·N/n_d, drawn by the shared deterministic replicate-and-thin
+    * kernel ([[temperatureMix]]'s realization, pointed at model-fit
+    * weights instead of size-flattening ones). Output census pins
+    * target α against achieved share, closing the weights→data loop the
+    * paper's phase-2 training run performs.
+    *
+    * The 5-row weights frame is materialized once (its bigram-LM
+    * subtree is the expensive part; two consumers — the rate broadcast
+    * and the census join — must not recompute it). */
+  def doremiMix(spark: SparkSession, dir: String): DataFrame =
+    doremiMixOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[doremiMix]] over any (doc_id, lang, text) frame. */
+  def doremiMixOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (wts, wtsRdd) =
+        Dedup.materializeOwned(doremiWeightsOf(docs), ckDir.isDefined)
+      val drawn = drawnCensus(docs,
+        wts.select(col("lang"), col("boost").as("rate")))
+      val joined = wts.join(drawn, Seq("lang"), "left")
+        .withColumn("docs_out", coalesce(col("docs_out"), lit(0L)))
+      val tot = joined.agg(sum("docs_out").as("out_total"))
+      val (out, outRdd) = Dedup.materializeOwned(
+        joined.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("alpha"),
+            col("boost").as("rate"), col("docs_out"),
+            round(col("docs_out") / col("out_total"), 6).as("achieved_share"))
+          .orderBy("lang"),
+        ckDir.isDefined)
+      Dedup.retire(spark, wtsRdd)
+      Dedup.retainResult(spark, "doremiMix", outRdd, out)
+    }
   }
 }

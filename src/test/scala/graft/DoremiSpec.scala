@@ -51,6 +51,22 @@ class DoremiSpec extends AnyFunSuite {
     }
   }
 
+  test("realized draw hits the alpha targets at the same-size budget") {
+    val mix = TextAnalysis.doremiMix(spark, dir).collect()
+    assert(mix.length == rows.length)
+    val n = Tables.documents(spark, dir).count().toDouble
+    val outTotal = mix.map(_.getAs[Long]("docs_out")).sum.toDouble
+    // Σ rate_d·n_d = Σ α_d·N ≈ N: the draw keeps the corpus-size budget
+    assert(math.abs(outTotal - n) / n < 0.15, s"budget drift: $outTotal vs $n")
+    mix.foreach { r =>
+      val a = r.getAs[Double]("alpha")
+      val got = r.getAs[Double]("achieved_share")
+      assert(math.abs(got - a) < 0.06,
+        s"${r.getAs[String]("lang")}: achieved $got vs target $a")
+      assert(r.getAs[Long]("docs_out") > 0L)
+    }
+  }
+
   test("uniform-loss corpus degenerates to near-natural weights") {
     // one domain ⇒ alpha = 1 regardless of loss
     import spark.implicits._
