@@ -1452,6 +1452,154 @@ object TextAnalysis {
   def doremiMix(spark: SparkSession, dir: String): DataFrame =
     doremiMixOf(Tables.fanOut(Tables.documents(spark, dir)))
 
+  /** Gradient-descent steps for [[qualityLrTrain]] (weight updates;
+    * a final scoring pass follows). Two steps is the k-means-oracle
+    * precedent: enough to exercise the full iteration algebra while the
+    * DuckDB oracle unrolls the same loop as CTEs. */
+  val QualityLrIters = 2
+
+  /** Integer learning rate for [[qualityLrTrain]] — an INTEGER so the
+    * weight update `w −= η·g` stays exact long arithmetic (no rounding
+    * step at all). L1-normalized features scale gradients by ~1/n_grams,
+    * so unit rate moves the decision function imperceptibly in two
+    * steps (with MEAN gradients; a summed gradient scales with corpus
+    * size and oscillates the intercept full-scale). On separable data
+    * two steps at rate 8 reach 100% held-in accuracy (the planted
+    * suite pin); on the shared-vocabulary synthetic corpus the signal
+    * itself is near zero — the same honest caveat as DSIR's. */
+  val QualityLrRate = 8L
+
+  /** TRAINED QUALITY/DOMAIN CLASSIFIER — logistic regression over
+    * hashed n-gram features, fit relationally: the GPT-3/LLaMA
+    * quality-classifier recipe (positives = the target domain, here the
+    * `en` subset standing in for the curated reference corpus;
+    * negatives = the rest of the crawl), producing the model-based
+    * filter that scores docs the rules can't. (A rule-screen label was
+    * tried first and is documented as infeasible BY CONSTRUCTION: the
+    * length-band rule is erased by L1 feature normalization, so no
+    * linear model over normalized buckets can express it — the
+    * target-domain label is both the published recipe and the learnable
+    * one.) Features are the DSIR bucket
+    * counts L1-normalized per doc (x_b = cnt_b / n_grams); training is
+    * [[QualityLrIters]] full-batch GD steps from w = 0 at unit learning
+    * rate; output is the held-in confusion census (label × prediction,
+    * with mean predicted probability) — the frame a filtering run
+    * reviews before applying the model.
+    *
+    * Determinism (the k-means/PCA discipline, applied to GD): weights
+    * live as NANO-unit fixed-point longs; a doc's score numerator
+    * `Σ_b w_fp·cnt_b` is an exact integer sum (order-free), divided
+    * once by (n_grams·1e9); per-doc residuals round to 9dp and each
+    * gradient contribution rounds to a nano-long BEFORE the per-bucket
+    * integer sum — so both engines train bit-identical weights. σ's
+    * libm exp is the only float op, on identical doubles.
+    *
+    * Scale: each step is one corpus-sized (doc, bucket, cnt) pass —
+    * score join against the ≤[[DsirBuckets]]-row broadcast weight
+    * frame, per-doc aggregate, gradient re-aggregate to bucket keys.
+    * The weight frame stays bucket-bounded; iterations are the
+    * PageRank/k-means loop shape (each step's weights materialize as a
+    * tiny frame, lineage never grows with the corpus). */
+  def qualityLrTrain(spark: SparkSession, dir: String): DataFrame =
+    qualityLrTrainOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[qualityLrTrain]] over any (doc_id, lang, text) frame. */
+  def qualityLrTrainOf(docs: DataFrame): DataFrame =
+    qualityLrTrainOf(docs, QualityLrRate, QualityLrIters)
+
+  private[graft] def qualityLrTrainOf(docs: DataFrame, rate: Long,
+      iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      // features: per-doc bucket counts + total, label from the rule screen
+      val tokd = docs
+        .withColumn("toks", toks(col("text")))
+        .withColumn("y", (col("lang") === "en").cast("int").cast("double"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("y"), col("toks"))
+      val (feat, featRdd) = materialize(
+        tokd.select(col("doc_id"), col("y"),
+            explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
+          .select(col("doc_id"), col("y"), dsirBucketOf(col("g")).as("bucket"))
+          .groupBy("doc_id", "y", "bucket")
+          .agg(count(lit(1)).as("cnt")))
+      val nGrams = feat.groupBy("doc_id").agg(sum("cnt").as("n_g"))
+      val nDocs = feat.select("doc_id").distinct().agg(count(lit(1)).as("nn"))
+      // intercept as a feature row: bucket −1 with cnt = n_g, so its
+      // normalized value is exactly 1 — it rides every code path
+      // (score, residual, gradient) unchanged and absorbs the base
+      // rate, without which full-batch GD oscillates all-0/all-1 (the
+      // shared-vocabulary mass acts as an unmodeled global bias)
+      val withN = feat.join(nGrams, "doc_id")
+        .unionByName(
+          feat.groupBy("doc_id").agg(first("y").as("y"), sum("cnt").as("cnt"))
+            .withColumn("bucket", lit(-1L))
+            .withColumn("n_g", col("cnt"))
+            .select("doc_id", "y", "bucket", "cnt", "n_g"))
+      // per-doc probability under a nano-fixed-point weight frame;
+      // w = null frame means w ≡ 0 (the init), where σ(0) = 0.5 exactly
+      def probs(w: Option[DataFrame]): DataFrame = w match {
+        case None =>
+          withN.groupBy("doc_id").agg(first("y").as("y"))
+            .withColumn("p", lit(0.5))
+        case Some(wf) =>
+          withN.join(broadcast(wf), Seq("bucket"))
+            .groupBy("doc_id")
+            .agg(first("y").as("y"), first("n_g").as("n_g"),
+              sum(col("w_fp") * col("cnt")).as("num"))
+            .withColumn("s", col("num") / col("n_g") / 1e10)
+            .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("s"))))
+            .select("doc_id", "y", "p")
+      }
+      // one GD step: residual (9dp) → nano-rounded per-(doc,bucket)
+      // contribution → exact integer gradient sum → integer update
+      def step(w: Option[DataFrame]): DataFrame = {
+        val r = probs(w)
+          .withColumn("r9", round(col("p") - col("y"), 9))
+          .select("doc_id", "r9")
+        // MEAN gradient (the /N is what keeps the intercept's step
+        // bounded — a summed gradient scales with corpus size and
+        // oscillates the bias full-scale every step)
+        val grad = withN.join(r, "doc_id").crossJoin(broadcast(nDocs))
+          .select(col("bucket"),
+            round(col("r9") * col("cnt") / col("n_g") / col("nn") * 1e10, 0)
+              .cast("long").as("c_fp"))
+          .groupBy("bucket").agg(sum("c_fp").as("g_fp"))
+        w match {
+          case None =>
+            grad.select(col("bucket"), (-col("g_fp") * rate).as("w_fp"))
+          case Some(wf) => wf.join(grad, Seq("bucket"), "left")
+            .select(col("bucket"),
+              (col("w_fp") - coalesce(col("g_fp"), lit(0L)) * rate)
+                .as("w_fp"))
+        }
+      }
+      // unrolled training loop, each weight frame pinned (bucket-bounded)
+      var w: Option[DataFrame] = None
+      val pins = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      (1 to iters).foreach { _ =>
+        val (wf, wfRdd) = materialize(step(w))
+        pins += wfRdd
+        w = Some(wf)
+      }
+      // held-in evaluation census under the trained weights
+      val (out, outRdd) = materialize(
+        probs(w)
+          .withColumn("pred", (col("p") >= 0.5).cast("int"))
+          .withColumn("p_fp", round(col("p") * 1e9, 0).cast("long"))
+          .groupBy(col("y").cast("int").as("label"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum("p_fp") / count(lit(1)) / 1e9).as("mean_p"))
+          .orderBy("label", "pred"))
+      pins.foreach(Dedup.retire(spark, _))
+      Dedup.retire(spark, featRdd)
+      Dedup.retainResult(spark, s"qualityLr#$rate#$iters", outRdd, out)
+    }
+  }
+
   /** [[doremiMix]] over any (doc_id, lang, text) frame. */
   def doremiMixOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
