@@ -64,7 +64,7 @@ object Bench {
     // reported only cache reads and the build cost vanished — BENCH_r04's
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
-        ann: Boolean): Seq[(String, Double)] = {
+        ann: Boolean, bpe: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -83,6 +83,10 @@ object Bench {
       (if (ann) Seq(
         timed("build:ann_index") {
           graft.operators.SimSearch.buildAnnIndex(spark, dir) })
+       else Seq.empty) ++
+      (if (bpe) Seq(
+        timed("build:bpe_merges") {
+          graft.operators.TextAnalysis.bpeMergesFrame(spark, dir); () })
        else Seq.empty)
     }
 
@@ -115,10 +119,15 @@ object Bench {
       "q_ann_pq", "q_ann_pq_recall", "q_ann_ivfadc", "q_ann_ivfadc_refine",
       "q_ann_opq", "q_dedup_semantic", "q_train_hard_negatives",
       "q_train_hard_negatives_routed")
+    // consumers of the memoized BPE merge table (TextAnalysis
+    // bpeMergesFrame call sites)
+    val bpeConsumers = Set("q_text_bpe_train", "q_text_bpe_apply")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
+    val needBpeBuild = names.exists(bpeConsumers)
     def builds(dir: String): Seq[(String, Double)] =
-      if (needBuilds || needAnnBuild) buildEntries(dir, needBuilds, needAnnBuild)
+      if (needBuilds || needAnnBuild || needBpeBuild)
+        buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -134,7 +143,8 @@ object Bench {
     val allNames =
       (if (needBuilds) Seq("build:minhash_pairs", "build:components")
        else Seq.empty) ++
-      (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++ names
+      (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++
+      (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

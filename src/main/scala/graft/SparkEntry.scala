@@ -202,6 +202,9 @@ object SparkEntry {
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
+    "q_text_bpe_train" -> (TextAnalysis.bpeTrain _),
+    "q_text_bpe_apply" -> (TextAnalysis.bpeApply _),
+    "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -299,6 +302,42 @@ object SparkEntry {
     * `TextFunctions.wordNgrams(…, 3)` + `array_distinct`). */
   private val DuckShingles =
     "list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+
+  /** DuckDB CTE chain mirroring `TextAnalysis.bpeMergesOf`: the shared
+    * prefix of the two BPE-trainer oracles. `v` is the trainable
+    * vocabulary with corpus frequencies, `s0` its character-level
+    * delimiter segmentation, and each generated round `i` adds the
+    * count (`p{i}`), deterministic argmax (`m{i}`), and literal-replace
+    * merge (`s{i}`) CTEs — the same single-pass non-overlapping
+    * `replace` semantics the Spark loop executes, so the two engines'
+    * merge tables agree symbol-for-symbol. Generated, not hand-written,
+    * so `TextAnalysis.BpeTrainRounds` stays the single knob. */
+  private def duckBpeChain(rounds: Int): String = {
+    val head =
+      s"""WITH tok AS (SELECT unnest($DuckTok) AS word FROM documents),
+         |v AS (SELECT word, count(*)::BIGINT AS n_w FROM tok
+         |      WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+         |      GROUP BY 1),
+         |s0 AS (SELECT word, n_w,
+         |         '|' || array_to_string(list_transform(range(1, length(word) + 1),
+         |           i -> substr(word, i, 1)), '||') || '|' AS seg
+         |       FROM v)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |p$i AS (SELECT t[i] AS lhs, t[i + 1] AS rhs, n_w
+         |       FROM (SELECT string_split(trim(seg, '|'), '||') AS t, n_w
+         |             FROM s${i - 1}) q,
+         |            unnest(range(1, len(t))) AS u(i)),
+         |m$i AS (SELECT $i::BIGINT AS round, lhs, rhs, lhs || rhs AS merged,
+         |         sum(n_w)::BIGINT AS freq
+         |       FROM p$i GROUP BY lhs, rhs ORDER BY freq DESC, lhs, rhs LIMIT 1),
+         |s$i AS (SELECT q.word, q.n_w,
+         |         replace(q.seg, '|' || m$i.lhs || '||' || m$i.rhs || '|',
+         |                 '|' || m$i.lhs || m$i.rhs || '|') AS seg
+         |       FROM s${i - 1} q, m$i)""".stripMargin
+    }
+    head + steps.mkString
+  }
 
   /** DuckDB fragment: L2 norm of `embedding`, matching
     * `VectorFunctions.norm`'s sequential double fold exactly (a left fold
@@ -3117,6 +3156,43 @@ object SparkEntry {
          |          FROM v)
          |SELECT pair, sum(n_w)::BIGINT AS freq FROM pairs
          |GROUP BY pair ORDER BY freq DESC, pair LIMIT ${TextAnalysis.BpeTopK}""".stripMargin,
+
+    // iterated trainer: the full generated count→argmax→merge chain —
+    // every learned merge (order, symbols, weighted frequency) must
+    // agree with the Spark loop's collected table round-for-round
+    "q_text_bpe_train" ->
+      (duckBpeChain(TextAnalysis.BpeTrainRounds) +
+        "\nSELECT round, lhs, rhs, merged, freq FROM (" +
+        (1 to TextAnalysis.BpeTrainRounds)
+          .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ") +
+        ") ORDER BY round"),
+
+    // tokenizer application: final segmentations from the same chain,
+    // joined back to the document word stream for the per-language
+    // compression census
+    "q_text_bpe_apply" ->
+      (duckBpeChain(TextAnalysis.BpeTrainRounds) +
+        s""",
+           |vt AS (SELECT word, len(string_split(trim(seg, '|'), '||'))::BIGINT AS n_t
+           |       FROM s${TextAnalysis.BpeTrainRounds}),
+           |dw AS (SELECT doc_id, lang, unnest(toks) AS word
+           |       FROM (SELECT doc_id, lang, $DuckTok AS toks FROM documents) q)
+           |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           |       count(*)::BIGINT AS n_words,
+           |       sum(length(word))::BIGINT AS n_chars,
+           |       sum(n_t)::BIGINT AS bpe_tokens,
+           |       round(sum(length(word))::DOUBLE / sum(n_t), 4) AS compression
+           |FROM dw JOIN vt USING (word)
+           |WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
+           |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "q_sample_domain_cap" ->
+      s"""SELECT source, rk, doc_id, lang FROM (
+         |  SELECT source, doc_id, lang,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY md5(text), doc_id) AS rk
+         |  FROM documents) q
+         |WHERE rk <= ${TextAnalysis.DomainCapK} ORDER BY source, rk""".stripMargin,
 
     "q_profile_histogram" ->
       s"""SELECT floor(o_totalprice / ${Profiling.HistWidth})::BIGINT AS bucket,

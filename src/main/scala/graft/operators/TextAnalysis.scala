@@ -200,6 +200,161 @@ object TextAnalysis {
       .limit(BpeTopK)
   }
 
+  // -------------------------------------------------------------------
+  // Iterated BPE tokenizer TRAINING — the full count→argmax→merge loop
+  // -------------------------------------------------------------------
+
+  /** Merge rounds learned by [[bpeTrain]]. */
+  val BpeTrainRounds = 10
+
+  /** Words the trainer segments: lowercase ASCII-alphanumeric tokens of
+    * length ≥ 2 (the corpus tokenizer already lowercases and strips
+    * punctuation; the ASCII filter keeps the symbol alphabet — and the
+    * `|` segment delimiter — collision-free in both engines). */
+  val BpeWordPattern = "^[a-z0-9]+$"
+
+  /** Vocabulary frame `(word, n_w, seg)`: each distinct trainable word
+    * with its corpus frequency and initial character-level segmentation.
+    * Segmentations are stored as delimiter strings — `"low"` is
+    * `"|l||o||w|"` — with every token wrapped in its OWN `|…|` pair, so
+    * one merge round is a single literal `replace` (see [[bpeMergesOf]])
+    * instead of an array fold. Counting each distinct word once and
+    * weighting by frequency is the classic BPE optimization: every
+    * subsequent round's work is O(vocabulary), not O(corpus tokens). */
+  private def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike(BpeWordPattern) && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .withColumn("seg", concat(lit("|"), array_join(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        "||"), lit("|")))
+
+  /** Adjacent-symbol-pair frequencies of a `(n_w, seg)` segmentation
+    * frame: one map-side-combined groupBy on a key space bounded by the
+    * (current) symbol vocabulary squared — the per-round count step. */
+  private def bpePairCounts(cur: DataFrame): DataFrame =
+    cur.withColumn("t", split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+      .filter(size(col("t")) >= 2)
+      .select(col("n_w"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> named_struct('lhs', element_at(t, i), 'rhs', element_at(t, i + 1)))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("n_w").as("freq"))
+
+  /** The BPE training loop (Sennrich et al., ACL 2016): repeat `rounds`
+    * times — count adjacent symbol pairs across the segmented
+    * vocabulary, pick the most frequent pair (ties broken
+    * lexicographically, so the learned merge table is deterministic and
+    * engine-independent), and merge every adjacent occurrence.
+    *
+    * Merge application is ONE literal `replace(seg, "|l||r|", "|lr|")`
+    * over the delimiter representation. Because every token carries its
+    * own `|…|` wrapper, occurrences never share delimiter characters,
+    * and single-pass leftmost non-overlapping `replace` — identical
+    * semantics in Spark and DuckDB — is EXACTLY the per-word scan real
+    * BPE trainers perform: a run `[a,a,a,a]` merges to `[aa,aa]`, never
+    * `[aa,a,a]` or a re-scanned `[aaa,a]`. (A newly formed symbol can
+    * never chain into the same rule within a round, since `lr` is
+    * strictly longer than `l`.)
+    *
+    * Loop discipline is the CC/PageRank pattern: each round's
+    * vocabulary frame is materialized as an owned RDD and its
+    * predecessor retired, so lineage stays one round deep and in-flight
+    * state is one |vocab|-row frame regardless of round count. The only
+    * driver-side data is the argmax — ONE row per round. Returns the
+    * merge table `(round, lhs, rhs, merged, freq)`; stops early if the
+    * vocabulary is fully merged (tiny corpora — real ones never are). */
+  private[graft] def bpeMergesOf(docs: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      var (cur, curRdd) = materialize(bpeVocab(docs))
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= rounds && !exhausted) {
+        val top = bpePairCounts(cur)
+          .orderBy(desc("freq"), asc("lhs"), asc("rhs")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (lhs, rhs) = (top(0).getString(0), top(0).getString(1))
+          merges += ((round.toLong, lhs, rhs, lhs + rhs, top(0).getLong(2)))
+          // lhs/rhs are alphanumeric by construction (BpeWordPattern
+          // closure: merged symbols stay alphanumeric), so inlining them
+          // into the literal-replace SQL is injection-safe
+          val (next, nextRdd) = materialize(cur.withColumn("seg",
+            expr(s"replace(seg, '|$lhs||$rhs|', '|$lhs$rhs|')")))
+          Dedup.retire(spark, curRdd)
+          cur = next; curRdd = nextRdd
+          round += 1
+        }
+      }
+      Dedup.retire(spark, curRdd)
+      merges.toSeq
+    }
+  }
+
+  /** Memoized merge table for the registered BPE queries: trained once
+    * per (session, corpus), shared by [[bpeTrain]] and [[bpeApply]] —
+    * the same train-once/serve-many contract as the ANN index frames.
+    * [[graft.Bench]] forces this build in its `build:*` accounting. */
+  private[graft] def bpeMergesFrame(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedFrame(spark, s"bpe_merges#$dir") {
+      import spark.implicits._
+      bpeMergesOf(Tables.fanOut(Tables.documents(spark, dir)), BpeTrainRounds)
+        .toDF("round", "lhs", "rhs", "merged", "freq")
+    }
+
+  /** ITERATED BPE TOKENIZER TRAINING — the [[BpeTrainRounds]]-round
+    * count→argmax→merge loop over the corpus vocabulary, emitting the
+    * learned merge table in order. [[bpeMergeStep]] is the single
+    * relational kernel; this is the full trainer built from it, the way
+    * distributed tokenizer training actually runs: per-round work is one
+    * bounded-key aggregation over a vocabulary-sized frame, the argmax
+    * is a 1-row TakeOrdered, and the driver accumulates only the N merge
+    * rows. At 100 TB the corpus is touched exactly once (the initial
+    * vocabulary count); every round after that is O(|vocab|). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrame(spark, dir).orderBy("round")
+
+  /** BPE tokenizer APPLICATION — segment the corpus with the trained
+    * merge table and report per-language compression: the
+    * chars-per-token number tokenizer work actually optimizes. Merges
+    * apply IN LEARNED ORDER (the subword-nmt discipline) as a chain of
+    * [[BpeTrainRounds]] literal replaces over the vocabulary frame —
+    * one lazy plan, no per-round actions — then documents join their
+    * words' token counts back by equi-join (vocabulary-sized build
+    * side; Catalyst broadcasts it while it fits, shuffles when a 100 TB
+    * vocabulary doesn't). Untrainable words (non-ASCII scripts) are out
+    * of scope by [[BpeWordPattern]] and excluded from both engines'
+    * censuses identically. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val merges = bpeMergesFrame(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val vocabTok = merges.foldLeft(bpeVocab(docs)) { (df, m) =>
+      val (lhs, rhs) = (m.getString(1), m.getString(2))
+      df.withColumn("seg", expr(s"replace(seg, '|$lhs||$rhs|', '|$lhs$rhs|')"))
+    }.select(col("word"),
+      size(split(expr("substring(seg, 2, length(seg) - 2)"), "\\|\\|"))
+        .cast("long").as("n_t"))
+    docs.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
+      .filter(col("word").rlike(BpeWordPattern) && length(col("word")) >= 2)
+      .join(vocabTok, "word")
+      .groupBy("lang").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_t")).as("bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+      .orderBy("lang")
+  }
+
   /** The quality-filter ACTION: the documents a pipeline keeps after the
     * cheap screens — bounded punctuation density, a minimum English-
     * stopword ratio, and a token-count range. Pure narrow filtering; the
@@ -268,6 +423,29 @@ object TextAnalysis {
       .filter(col("rnk") <= WeightedK)
       .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "rnk")
+  }
+
+  /** Per-source document cap for [[domainCapSample]]. */
+  val DomainCapK = 20
+
+  /** PER-DOMAIN CAP — the FineWeb/Gopher-style guard against any single
+    * source dominating the mixture: keep at most [[DomainCapK]]
+    * documents per `source`, chosen in content-hash order (an unbiased,
+    * reproducible draw — the [[stratifiedSample]] discipline) with a
+    * doc_id tiebreak for planted duplicate texts. The rank filter
+    * compiles to a partial/final `WindowGroupLimit`, so each source's
+    * candidates are pruned to K map-side BEFORE the shuffle: output —
+    * and shuffled volume — is O(|sources| × K), independent of corpus
+    * size, which is what makes a per-domain cap runnable as a routine
+    * pre-mixing pass at 100 TB. */
+  def domainCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+      .orderBy(md5(col("text")), col("doc_id"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .withColumn("rk", row_number().over(bySource).cast("long"))
+      .filter(col("rk") <= DomainCapK)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+      .orderBy("source", "rk")
   }
 
   /** Per-language token budget for [[tokenBudgetSample]]. */
