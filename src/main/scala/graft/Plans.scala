@@ -22,7 +22,8 @@ object Plans {
     "q_ann_pq", "q_ann_pca", "q_text_boilerplate",
     "q_text_boilerplate_apply", "q_graph_pagerank",
     "q_profile_embedding_drift", "q_multimodal_phash",
-    "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc")
+    "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc",
+    "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -48,6 +49,10 @@ object Plans {
         // underlying scoring dataflow instead
         else if (n == "q_dsir_resample")
           graft.operators.TextAnalysis.dsirPlanOf(spark, sfDir)
+        // the registered trainer returns the memoized merge table — audit
+        // one live count→argmax round over the vocabulary instead
+        else if (n == "q_text_bpe_train")
+          graft.operators.TextAnalysis.bpeRoundPlan(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -70,7 +70,7 @@ object Scale {
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
-      "boiler", "training", "spaninc", "dsir", "bloom")
+      "boiler", "training", "spaninc", "dsir", "bloom", "bpe")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -500,6 +500,51 @@ object Scale {
         "bloom join time | plain join time |")
       println("|---|---|---|---|---|---|---|")
       rows10.foreach(println)
+    }
+
+    // Iterated BPE training: replicate docs UNTAGGED (plain copies with
+    // doc_id strides) — unlike the dedup sections, the trainer's scale
+    // story is that the WORD VOCABULARY saturates while the corpus
+    // grows, so a k× corpus multiplies every word frequency by k and
+    // leaves the vocabulary (and so every post-round-0 cost) constant.
+    // Two claims under test: train time grows far sub-linearly (only
+    // the round-0 vocabulary count touches the corpus), and the learned
+    // merge table is IDENTICAL at every factor with frequencies exactly
+    // k× — uniform replication cannot change an argmax.
+    // 1× reference trained ONCE, untimed (and warming the JVM), so each
+    // factor's timed number is exactly one training run
+    lazy val bpeBase = graft.operators.TextAnalysis.bpeMergesOf(
+      graft.sources.Tables.fanOut(graft.sources.Tables.documents(spark, baseDir)),
+      graft.operators.TextAnalysis.BpeTrainRounds)
+    val rows11 = factors.filter(_ => sections("bpe")).map { k =>
+      System.err.println(s"[scale] factor $k (bpe train) ...")
+      import graft.operators.TextAnalysis
+      val base1 = bpeBase
+      val d = {
+        val base = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        (0 until k).map { i =>
+          if (i == 0) base
+          else base.withColumn("doc_id", col("doc_id") + lit(i * ReplicaStride))
+        }.reduce(_ unionByName _)
+      }
+      val nDocs = d.count()
+      val nVocab = TextAnalysis.bpeVocab(d).count()
+      val t0 = System.nanoTime()
+      val merges = TextAnalysis.bpeMergesOf(d, TextAnalysis.BpeTrainRounds)
+      val t = (System.nanoTime() - t0) / 1e9
+      val sameMerges = merges.map(m => (m._1, m._2, m._3, m._4)) ==
+        base1.map(m => (m._1, m._2, m._3, m._4))
+      val freqK = merges.map(_._5).zip(base1.map(_._5))
+        .forall { case (fk, f1) => fk == f1 * k }
+      s"| ${k}x | $nDocs | $nVocab | ${merges.length} | " +
+        s"${sameMerges && freqK} | ${f"$t%.1f"}s |"
+    }
+    if (sections("bpe")) {
+      println()
+      println("| factor | docs | vocab | rounds | merges ≡ 1× (freq ×k) | train time |")
+      println("|---|---|---|---|---|---|")
+      rows11.foreach(println)
     }
     spark.stop()
   }

@@ -221,7 +221,7 @@ object TextAnalysis {
     * instead of an array fold. Counting each distinct word once and
     * weighting by frequency is the classic BPE optimization: every
     * subsequent round's work is O(vocabulary), not O(corpus tokens). */
-  private def bpeVocab(docs: DataFrame): DataFrame =
+  private[graft] def bpeVocab(docs: DataFrame): DataFrame =
     docs.select(explode(toks(col("text"))).as("word"))
       .filter(col("word").rlike(BpeWordPattern) && length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("n_w"))
@@ -308,6 +308,14 @@ object TextAnalysis {
       bpeMergesOf(Tables.fanOut(Tables.documents(spark, dir)), BpeTrainRounds)
         .toDF("round", "lhs", "rhs", "merged", "freq")
     }
+
+  /** Plan-audit hook: one training round's count→argmax step over the
+    * initial vocabulary segmentation — the plan PLANS.md audits instead
+    * of the memoized ExistingRDD the registered query returns (the
+    * minhash/DSIR discipline). */
+  private[graft] def bpeRoundPlan(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(bpeVocab(Tables.fanOut(Tables.documents(spark, dir))))
+      .orderBy(desc("freq"), asc("lhs"), asc("rhs")).limit(1)
 
   /** ITERATED BPE TOKENIZER TRAINING — the [[BpeTrainRounds]]-round
     * count→argmax→merge loop over the corpus vocabulary, emitting the
