@@ -53,6 +53,8 @@ object Plans {
         // one live count→argmax round over the vocabulary instead
         else if (n == "q_text_bpe_train")
           graft.operators.TextAnalysis.bpeRoundPlan(spark, sfDir)
+        else if (n == "q_dedup_winnow")
+          graft.operators.Dedup.winnowPairsPlan(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_containment" -> (Dedup.containmentPairs _),
+    "q_dedup_winnow"        -> (Dedup.winnowPairs _),
     "q_dedup_prefix_join"   -> (Dedup.prefixFilterJoin _),
     "q_dedup_recall"        -> (Dedup.lshRecallAudit _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
@@ -1568,6 +1569,52 @@ object SparkEntry {
          |SELECT doc_a, doc_b, na, nb, containment, jaccard,
          |       (jaccard < 0.5) AS jaccard_missed
          |FROM c WHERE containment >= ${Dedup.ContainmentThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // winnowing (MOSS): the packed (hash·2^28 + pos) window-min must
+    // select the identical fingerprint sets in both engines — leftmost
+    // minimal hash, truncated tail windows dropped
+    "q_dedup_winnow" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < ${Dedup.ContainmentPlantDocs}
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         substr(text, 1, greatest(n_chars // 3, 40)) AS text
+         |  FROM documents WHERE doc_id < ${Dedup.ContainmentPlantDocs}),
+         |nrm AS (SELECT doc_id, array_to_string($DuckTok, ' ') AS norm
+         |        FROM corpus),
+         |nn AS (SELECT doc_id, norm,
+         |         length(norm) - ${Dedup.WinnowK - 1} AS m
+         |       FROM nrm
+         |       WHERE length(norm) >= ${Dedup.WinnowK + Dedup.WinnowW - 1}),
+         |hs AS (SELECT doc_id, m, i - 1 AS pos,
+         |         CAST('0x' || substr(md5(substr(norm, i, ${Dedup.WinnowK})), 1, 8)
+         |           AS BIGINT) * ${1L << Dedup.WinnowPosBits} + (i - 1) AS key
+         |       FROM nn, unnest(range(1, m + 1)) AS u(i)),
+         |sel AS (SELECT doc_id, m, pos,
+         |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN CURRENT ROW AND ${Dedup.WinnowW - 1} FOLLOWING)
+         |            AS sel
+         |        FROM hs),
+         |fps AS (SELECT DISTINCT doc_id, sel >> ${Dedup.WinnowPosBits} AS fp
+         |        FROM sel WHERE pos <= m - ${Dedup.WinnowW}),
+         |dfs AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         |kept AS (SELECT doc_id, fp FROM fps JOIN dfs USING (fp)
+         |         WHERE df BETWEEN 2 AND ${Dedup.WinnowDfCap}),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM fps GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(*)::BIGINT AS shared_fp
+         |          FROM kept a JOIN kept b
+         |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2
+         |          HAVING count(*) >= ${Dedup.WinnowMinShared})
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b, shared_fp, na.n AS na, nb.n AS nb,
+         |         round(shared_fp / least(na.n, nb.n), 4) AS overlap
+         |  FROM pairs JOIN sizes na ON na.doc_id = doc_a
+         |             JOIN sizes nb ON nb.doc_id = doc_b) q
+         |WHERE overlap >= ${Dedup.WinnowOverlapFloor}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->

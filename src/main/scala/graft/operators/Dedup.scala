@@ -817,6 +817,142 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS) — position-robust substring dedup
+  // -------------------------------------------------------------------
+
+  /** Char k-gram length of the winnowing fingerprint basis. */
+  val WinnowK = 8
+  /** Winnowing window: consecutive k-gram hashes per selection window. */
+  val WinnowW = 4
+  /** Pair-report floor on shared fingerprints. */
+  val WinnowMinShared = 5
+  /** Pair-report floor on overlap = shared/min(|fps|): with a small
+    * generator vocabulary even unrelated docs share capped fingerprints
+    * (the sf0.01 distribution puts 97% of candidate pairs under 0.4),
+    * while true containment geometry sits ≥ 0.8 — 0.5 separates them
+    * with margin and keeps the report O(true near-dups). */
+  val WinnowOverlapFloor = 0.5
+  /** Doc-frequency cap on fingerprints entering the pair join — the same
+    * hot-posting guard as [[MaxShingleDf]]: a boilerplate fingerprint in
+    * thousands of docs must not drive a quadratic join. */
+  val WinnowDfCap = 100
+  /** Bits reserved for the in-doc k-gram position in the packed
+    * (hash, pos) selection key — 2^28 chars ≈ 256 MB/doc budget. */
+  val WinnowPosBits = 28
+
+  /** Per-document winnowing fingerprint sets (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): hash every char
+    * [[WinnowK]]-gram of the normalized text, slide a [[WinnowW]]-wide
+    * window over the hash sequence, and keep each window's minimum.
+    * The selection guarantee is what neither MinHash nor the df≥2 span
+    * screen gives: ANY shared substring of length ≥ w + k − 1 chars
+    * (here 11) is CERTAIN to contribute at least one shared
+    * fingerprint, at a sampling density of ~2/(w+1) — detection is
+    * deterministic and position-local, not probabilistic (MinHash) or
+    * exact-match-global (spans).
+    *
+    * Relational shape: the k-gram hash array is built by ONE collection
+    * `transform` (md5-derived 32-bit ints — the cross-engine discipline)
+    * so the normalized text is never replicated per position; after
+    * `posexplode` rows are narrow (doc_id, pos, h). Window-min runs per
+    * doc over `ROWS BETWEEN CURRENT AND w−1 FOLLOWING` with the hash
+    * packed above its position (`h·2^28 + pos`), so ties select the
+    * LEFTMOST minimal hash identically in both engines; truncated tail
+    * windows are dropped. Everything is narrow + one per-doc window —
+    * at 100 TB this is a scan-shaped pass, O(corpus chars). */
+  private[graft] def winnowFingerprintsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minLen = WinnowK + WinnowW - 1
+    // m (the k-gram count) is derived from length(norm), NOT size of the
+    // hash array: a size(hs) carried across the explode gets inlined by
+    // CollapseProject into the post-Generate projection and re-evaluates
+    // the whole md5 transform PER OUTPUT ROW — quadratic in doc length
+    // (measured 13 s for an 800-doc plant; length(norm) is O(1))
+    val grams = docs
+      .select(col("doc_id"), array_join(tokenize(col("text")), " ").as("norm"))
+      .filter(length(col("norm")) >= minLen)
+      .select(col("doc_id"),
+        (length(col("norm")) - (WinnowK - 1)).as("m"),
+        posexplode(expr(
+          s"""transform(sequence(1, length(norm) - ${WinnowK - 1}),
+             |  i -> cast(conv(substring(md5(substring(norm, i, $WinnowK)), 1, 8),
+             |                 16, 10) as bigint))""".stripMargin)))
+      .select(col("doc_id"), col("m"), col("pos"),
+        (col("col") * lit(1L << WinnowPosBits) + col("pos")).as("key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    grams
+      .withColumn("sel", min("key").over(win))
+      .filter(col("pos") <= col("m") - WinnowW)
+      .select(col("doc_id"), shiftright(col("sel"), WinnowPosBits).as("fp"))
+      .distinct()
+  }
+
+  /** WINNOWING near-dup pairs over the corpus plus the
+    * [[containmentPairs]] truncation plant (prefix excerpts, the
+    * guaranteed-positive geometry): docs ranked by shared fingerprint
+    * count, with overlap = shared / min(|fps|) — the containment analog
+    * in fingerprint space. Pair join is df-capped ([[WinnowDfCap]]) and
+    * posting-list-shaped like the shingle joins: candidate volume is
+    * bounded by cap × postings, never all-pairs. */
+  private def winnowPlant(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < ContainmentPlantDocs)
+    val truncated = base.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      col("text").substr(lit(1),
+        greatest((col("n_chars") / 3).cast("int"), lit(40))).as("text"))
+    Tables.fanOut(base.select("doc_id", "text").unionByName(truncated))
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(winnowPlant(spark, dir))
+
+  /** Plan-audit hook: the unmaterialized dataflow (PLANS.md dumps this
+    * instead of the retained ExistingRDD the registered query returns). */
+  private[graft] def winnowPairsPlan(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFrom(winnowFingerprintsOf(winnowPlant(spark, dir)))
+
+  /** The pair join over a (doc_id, fp) fingerprint frame. */
+  private def winnowPairsFrom(fps: DataFrame): DataFrame = {
+    val dfs = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowDfCap))
+    val kept = fps.join(dfs.select("fp"), "fp")
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"), col("na"), col("nb"),
+        round(col("shared_fp") / least(col("na"), col("nb")), 4).as("overlap"))
+      .filter(col("overlap") >= WinnowOverlapFloor)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[winnowPairs]] over ANY (doc_id, text, …) frame. The fingerprint
+    * frame — the expensive char-gram + window pass — is materialized
+    * ONCE and fed to its four consumers (df census, both join sides,
+    * per-doc sizes); without the pin, Catalyst recomputes the whole
+    * derivation per consumer (the executed plan showed 8 corpus scans
+    * and 8 window sorts, 18 s at sf0.1 → ~4 s with the pin). Result is
+    * retained latest-wins like the other materialized-result queries. */
+  private[graft] def winnowPairsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = confCheckpointDir(spark)
+    withCheckpointDir(spark, ckDir) {
+      def mat(df: DataFrame) = materializeOwned(df, ckDir.isDefined)
+      val (fps, fpsRdd) = mat(winnowFingerprintsOf(docs))
+      val (out, outRdd) = mat(winnowPairsFrom(fps))
+      retire(spark, fpsRdd)
+      retainResult(spark, s"winnowPairs#$WinnowK#$WinnowW", outRdd, out)
+    }
+  }
+
   /** Jaccard threshold of the prefix-filtering join — higher than
     * [[ngramJaccardOf]]'s 0.3 because prefix filtering's pruning power is
     * proportional to the threshold (prefix length is n − ⌈t·n⌉ + 1, so
