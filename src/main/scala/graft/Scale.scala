@@ -70,7 +70,7 @@ object Scale {
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
-      "boiler", "training", "spaninc", "dsir", "bloom", "bpe")
+      "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -545,6 +545,51 @@ object Scale {
       println("| factor | docs | vocab | rounds | merges ≡ 1× (freq ×k) | train time |")
       println("|---|---|---|---|---|---|")
       rows11.foreach(println)
+    }
+
+    // Winnowing fingerprints: qz-tagged replicas (shingle-disjoint, so
+    // replica fingerprints never collide) — the honest linear model.
+    // Claims under test: fingerprint count and pair count grow linearly
+    // (within-replica geometry repeats k times, cross-replica pairs are
+    // impossible by construction), and wall time tracks the corpus-
+    // shaped fingerprint pass, not a quadratic join.
+    val rows12 = factors.filter(_ => sections("winnow")).map { k =>
+      System.err.println(s"[scale] factor $k (winnow) ...")
+      import graft.operators.Dedup
+      // constant plant of 400 (full, truncated-copy) pairs whose tokens
+      // carry a PER-DOC tag, so their fingerprints have df exactly 2 at
+      // every corpus size — distinctive shared content, the thing the
+      // report exists to find. (An untagged plant goes dark as the
+      // corpus grows: with the generator's 30-word vocabulary every raw
+      // 8-gram crosses the df cap — correct behavior, the cap's whole
+      // job is to refuse corpus-common content as dup evidence.)
+      val tagged = graft.sources.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id"), expr(
+          "regexp_replace(text, '(\\\\S+)', concat('d', cast(doc_id as string), 'z', '$1'))")
+          .as("text"))
+      val plantFull = tagged
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val plantTrunc = tagged.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("text").substr(lit(1),
+          greatest((length(col("text")) / 3).cast("int"), lit(60))).as("text"))
+      val d = replicatedDocs(spark, baseDir, k)
+        .select("doc_id", "text")
+        .unionByName(plantFull).unionByName(plantTrunc)
+      val nDocs = d.count()
+      val t0 = System.nanoTime()
+      val nFps = Dedup.winnowFingerprintsOf(d).count()
+      val tF = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nPairs = Dedup.winnowPairsOf(d).count()
+      val tP = (System.nanoTime() - t1) / 1e9
+      s"| ${k}x | $nDocs | $nFps | ${f"$tF%.1f"}s | $nPairs | ${f"$tP%.1f"}s |"
+    }
+    if (sections("winnow")) {
+      println()
+      println("| factor | docs | fingerprints | fp time | report pairs | pairs time |")
+      println("|---|---|---|---|---|---|")
+      rows12.foreach(println)
     }
     spark.stop()
   }

@@ -909,10 +909,14 @@ object Dedup {
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairsOf(winnowPlant(spark, dir))
 
-  /** Plan-audit hook: the unmaterialized dataflow (PLANS.md dumps this
-    * instead of the retained ExistingRDD the registered query returns). */
+  /** Plan-audit hook: the corpus-shaped fingerprint pass — the part
+    * whose shape decides the 100 TB cost (PLANS.md dumps this instead
+    * of the retained ExistingRDD the registered query returns; the pair
+    * join runs over the ONCE-materialized output of exactly this plan,
+    * so dumping the unmaterialized composition would show recomputes
+    * the registered query does not perform). */
   private[graft] def winnowPairsPlan(spark: SparkSession, dir: String): DataFrame =
-    winnowPairsFrom(winnowFingerprintsOf(winnowPlant(spark, dir)))
+    winnowFingerprintsOf(winnowPlant(spark, dir))
 
   /** The pair join over a (doc_id, fp) fingerprint frame. */
   private def winnowPairsFrom(fps: DataFrame): DataFrame = {
