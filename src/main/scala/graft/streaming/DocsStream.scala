@@ -156,6 +156,47 @@ object DocsStream {
           transform(col("keptS"), s => s.getField("tok")))).as("cleaned_md5"))
   }
 
+  /** Admission record emitted by [[sourceCapAdmission]]. */
+  case class Admission(source: String, doc_id: Long, admit_seq: Long)
+
+  /** STREAMING PER-SOURCE CAP — the ingest-time twin of
+    * [[graft.operators.TextAnalysis.domainCapSample]]: admit at most
+    * `cap` documents per source ACROSS micro-batches, dropping the
+    * rest. The batch cap draws a content-hash sample over a complete
+    * corpus; at ingest the corpus is never complete, so the streaming
+    * policy is FIFO admission — first `cap` to arrive win (the standard
+    * quota shape for crawl frontiers and per-tenant rate caps). Within
+    * a micro-batch, rows admit in doc_id order, so the admitted set is
+    * deterministic under shuffle/arrival reordering inside a batch.
+    *
+    * State is ONE long (the per-source admitted count) per source —
+    * `flatMapGroupsWithState`, no timeout: the store stays O(|sources|)
+    * forever, which is what makes the cap safe to leave running on an
+    * unbounded stream. Exactly-once across restarts comes from the
+    * state store checkpoint: a resumed query continues each source's
+    * count where it stopped (pinned in the suite). Emits
+    * (source, doc_id, admit_seq) with admit_seq contiguous 1..n per
+    * source across the whole stream lifetime. */
+  def sourceCapAdmission(newDocs: DataFrame,
+      cap: Long = graft.operators.TextAnalysis.DomainCapK.toLong): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    newDocs.select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val ids = rows.map(_._2).toArray.sorted
+          val room = math.min(math.max(0L, cap - admitted), ids.length.toLong).toInt
+          val out = ids.take(room).zipWithIndex.map { case (id, i) =>
+            Admission(src, id, admitted + i + 1) }
+          state.update(admitted + room)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming DSIR importance screen — the twin of
     * [[graft.operators.TextAnalysis.dsirScreenInc]]: arriving documents
     * scored against the PERSISTED model frame (bucket, lr_fp) by the
