@@ -214,6 +214,7 @@ object SparkEntry {
     "q_profile_eqdepth"  -> (Profiling.eqdepthHistogram _),
     "q_profile_skew"     -> (Profiling.keySkewProfile _),
     "q_profile_drift"    -> (Profiling.driftReport _),
+    "q_profile_ks"       -> (Profiling.ksDrift _),
     "q_dedup_keep_best"  -> (Dedup.dedupedCorpusBest _),
 
     // ---- graph surface (beside the CC loop in Dedup) ----
@@ -3170,6 +3171,32 @@ object SparkEntry {
          |       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
          |       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
          |FROM p ORDER BY bucket""".stripMargin,
+
+    // two-sample KS on raw n_chars, same parity split: cumulative sums
+    // over the distinct-value spine, sup row with a value tie-break,
+    // rejection compared on the 6dp-rounded columns in both engines
+    "q_profile_ks" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+        |             n_chars AS v
+        |           FROM documents),
+        |counts AS (SELECT v,
+        |             sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+        |             sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur
+        |           FROM d GROUP BY v),
+        |tot AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
+        |        FROM counts),
+        |cum AS (SELECT v,
+        |          sum(n_ref) OVER (ORDER BY v) AS c_ref,
+        |          sum(n_cur) OVER (ORDER BY v) AS c_cur
+        |        FROM counts),
+        |g AS (SELECT v AS at_value, t_ref, t_cur,
+        |        round(abs(c_ref / t_ref - c_cur / t_cur), 6) AS ks_stat,
+        |        round(1.358 * sqrt((t_ref + t_cur) / (t_ref * t_cur * 1.0)), 6)
+        |          AS crit_05
+        |      FROM cum CROSS JOIN tot)
+        |SELECT at_value, t_ref, t_cur, ks_stat, crit_05,
+        |       ks_stat > crit_05 AS reject_05
+        |FROM g ORDER BY ks_stat DESC, at_value LIMIT 1""".stripMargin,
 
     // exact interpolated quartile boundaries (quantile_cont ≡ Spark
     // `percentile`); value==boundary only when the boundary IS a data

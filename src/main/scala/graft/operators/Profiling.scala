@@ -203,4 +203,48 @@ object Profiling {
           .as("psi_term"))
       .orderBy("bucket")
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic over the same
+    * ref/cur split as [[driftReport]], on the RAW `n_chars` values —
+    * the unbinned lens beside PSI: KS is the sup of |F_ref − F_cur|
+    * over the empirical CDFs, so it catches shape drift that PSI's
+    * fixed bins smear out, and it carries a distribution-free
+    * significance threshold (reject at α=0.05 when
+    * KS > 1.358·√((n+m)/(n·m)), Smirnov's asymptotic critical value).
+    *
+    * Shape: ONE corpus pass (a map-side-combined groupBy on the value)
+    * collapses the data to its distinct-value spine; the cumulative
+    * sums run as a single global-ordered window over THAT spine —
+    * bounded by value cardinality (like [[DriftBuckets]]), never by
+    * corpus size, which is what makes an intentionally single-partition
+    * window acceptable here. The sup row is a 1-row TakeOrdered with a
+    * value tie-break; `reject_05` compares the 6dp-rounded statistic to
+    * the 6dp-rounded critical value so both engines decide identically. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables.fanOut(Tables.documents(spark, dir))
+      .select(
+        when(col("doc_id") % 2 === 0, lit("ref")).otherwise(lit("cur")).as("snap"),
+        col("n_chars").as("v")))
+
+  /** [[ksDrift]] over ANY (snap ∈ {ref,cur}, v) sample frame. */
+  private[graft] def ksDriftOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = d.groupBy("v").agg(
+      sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val tot = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val w = Window.orderBy("v")
+    counts
+      .withColumn("c_ref", sum("n_ref").over(w))
+      .withColumn("c_cur", sum("n_cur").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("at_value"), col("t_ref"), col("t_cur"),
+        round(abs(col("c_ref") / col("t_ref") - col("c_cur") / col("t_cur")), 6)
+          .as("ks_stat"),
+        round(lit(1.358) * sqrt((col("t_ref") + col("t_cur")) /
+          (col("t_ref") * col("t_cur"))), 6).as("crit_05"))
+      .withColumn("reject_05", col("ks_stat") > col("crit_05"))
+      .orderBy(desc("ks_stat"), asc("at_value"))
+      .limit(1)
+  }
 }
