@@ -64,7 +64,7 @@ object Bench {
     // reported only cache reads and the build cost vanished — BENCH_r04's
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
-        ann: Boolean, bpe: Boolean): Seq[(String, Double)] = {
+        ann: Boolean, bpe: Boolean, lr: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -87,6 +87,10 @@ object Bench {
       (if (bpe) Seq(
         timed("build:bpe_merges") {
           graft.operators.TextAnalysis.bpeMergesFrame(spark, dir); () })
+       else Seq.empty) ++
+      (if (lr) Seq(
+        timed("build:lr_model") {
+          graft.operators.TextAnalysis.lrModelCached(spark, dir); () })
        else Seq.empty)
     }
 
@@ -122,12 +126,15 @@ object Bench {
     // consumers of the memoized BPE merge table (TextAnalysis
     // bpeMergesFrame call sites)
     val bpeConsumers = Set("q_text_bpe_train", "q_text_bpe_apply")
+    // consumers of the memoized LR weight frame (lrModelCached call sites)
+    val lrConsumers = Set("q_train_quality_lr", "q_train_quality_lr_apply")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
     val needBpeBuild = names.exists(bpeConsumers)
+    val needLrBuild = names.exists(lrConsumers)
     def builds(dir: String): Seq[(String, Double)] =
-      if (needBuilds || needAnnBuild || needBpeBuild)
-        buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild)
+      if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild)
+        buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -144,7 +151,8 @@ object Bench {
       (if (needBuilds) Seq("build:minhash_pairs", "build:components")
        else Seq.empty) ++
       (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++
-      (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++ names
+      (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
+      (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

@@ -182,6 +182,7 @@ object SparkEntry {
     "q_mix_doremi"       -> (TextAnalysis.doremiWeights _),
     "q_mix_doremi_draw"  -> (TextAnalysis.doremiMix _),
     "q_train_quality_lr" -> (TextAnalysis.qualityLrTrain _),
+    "q_train_quality_lr_apply" -> (TextAnalysis.qualityLrApply _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -340,6 +341,59 @@ object SparkEntry {
     }
     head + steps.mkString
   }
+
+  /** DuckDB CTE chain of the relational GD trainer (the shared
+    * WITH…p3 prefix of the two quality-classifier oracles): features,
+    * two unrolled fixed-point GD steps, and the per-doc probability
+    * frame `p3 (doc_id, y, p)` under the trained weights. */
+  private def duckLrChain: String =
+    s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+         |lab AS (SELECT doc_id, toks,
+         |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |        FROM tok WHERE len(toks) >= 1),
+         |grams AS (
+         |  SELECT doc_id, y, unnest(toks) AS g FROM lab
+         |  UNION ALL
+         |  SELECT doc_id, y,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |  FROM lab),
+         |feat AS (SELECT doc_id, y,
+         |           CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |             % ${TextAnalysis.DsirBuckets} AS bucket,
+         |           count(*)::BIGINT AS cnt
+         |         FROM grams GROUP BY 1, 2, 3),
+         |ng AS (SELECT doc_id, sum(cnt)::BIGINT AS n_g FROM feat GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS nn FROM ng),
+         |f AS (SELECT feat.doc_id, feat.y, feat.bucket, feat.cnt, ng.n_g
+         |      FROM feat JOIN ng USING (doc_id)
+         |      UNION ALL
+         |      SELECT doc_id, any_value(y), -1, sum(cnt)::BIGINT, sum(cnt)::BIGINT
+         |      FROM feat GROUP BY doc_id),
+         |g1 AS (SELECT bucket,
+         |         sum(CAST(round((0.5 - y) * cnt / n_g / nn * 10000000000, 0)
+         |           AS BIGINT))::BIGINT AS g_fp
+         |       FROM f CROSS JOIN nn GROUP BY bucket),
+         |w1 AS (SELECT bucket, -g_fp * ${TextAnalysis.QualityLrRate} AS w_fp FROM g1),
+         |s2 AS (SELECT doc_id, any_value(y) AS y, any_value(n_g) AS n_g,
+         |         sum(w_fp * cnt)::BIGINT AS num
+         |       FROM f JOIN w1 USING (bucket) GROUP BY doc_id),
+         |p2 AS (SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-(num::DOUBLE / n_g / 10000000000.0)))
+         |           - y, 9) AS r9
+         |       FROM s2),
+         |g2 AS (SELECT bucket,
+         |         sum(CAST(round(r9 * cnt / n_g / nn * 10000000000, 0)
+         |           AS BIGINT))::BIGINT AS g_fp
+         |       FROM f JOIN p2 USING (doc_id) CROSS JOIN nn GROUP BY bucket),
+         |w2 AS (SELECT w1.bucket, (w1.w_fp - coalesce(g2.g_fp, 0) * ${TextAnalysis.QualityLrRate})::BIGINT AS w_fp
+         |       FROM w1 LEFT JOIN g2 USING (bucket)),
+         |s3 AS (SELECT doc_id, any_value(y) AS y, any_value(n_g) AS n_g,
+         |         sum(w_fp * cnt)::BIGINT AS num
+         |       FROM f JOIN w2 USING (bucket) GROUP BY doc_id),
+         |p3 AS (SELECT doc_id, y,
+         |         1.0 / (1.0 + exp(-(num::DOUBLE / n_g / 10000000000.0))) AS p
+         |       FROM s3)""".stripMargin
 
   /** DuckDB fragment: L2 norm of `embedding`, matching
     * `VectorFunctions.norm`'s sequential double fold exactly (a left fold
@@ -2594,60 +2648,29 @@ object SparkEntry {
     // trained quality classifier: the GD loop unrolled as CTEs (the
     // k-means oracle precedent) — nano-fixed-point weights, integer
     // score numerators, 9dp residuals, nano-rounded gradient terms, so
-    // both engines train bit-identical weights
+    // both engines train bit-identical weights; duckLrChain (the shared
+    // WITH…p3 prefix) also serves the apply-screen oracle
     "q_train_quality_lr" ->
-      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
-         |lab AS (SELECT doc_id, toks,
-         |          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         |        FROM tok WHERE len(toks) >= 1),
-         |grams AS (
-         |  SELECT doc_id, y, unnest(toks) AS g FROM lab
-         |  UNION ALL
-         |  SELECT doc_id, y,
-         |         unnest(list_transform(range(1, len(toks)),
-         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
-         |  FROM lab),
-         |feat AS (SELECT doc_id, y,
-         |           CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
-         |             % ${TextAnalysis.DsirBuckets} AS bucket,
-         |           count(*)::BIGINT AS cnt
-         |         FROM grams GROUP BY 1, 2, 3),
-         |ng AS (SELECT doc_id, sum(cnt)::BIGINT AS n_g FROM feat GROUP BY 1),
-         |nn AS (SELECT count(*)::BIGINT AS nn FROM ng),
-         |f AS (SELECT feat.doc_id, feat.y, feat.bucket, feat.cnt, ng.n_g
-         |      FROM feat JOIN ng USING (doc_id)
-         |      UNION ALL
-         |      SELECT doc_id, any_value(y), -1, sum(cnt)::BIGINT, sum(cnt)::BIGINT
-         |      FROM feat GROUP BY doc_id),
-         |g1 AS (SELECT bucket,
-         |         sum(CAST(round((0.5 - y) * cnt / n_g / nn * 10000000000, 0)
-         |           AS BIGINT))::BIGINT AS g_fp
-         |       FROM f CROSS JOIN nn GROUP BY bucket),
-         |w1 AS (SELECT bucket, -g_fp * ${TextAnalysis.QualityLrRate} AS w_fp FROM g1),
-         |s2 AS (SELECT doc_id, any_value(y) AS y, any_value(n_g) AS n_g,
-         |         sum(w_fp * cnt)::BIGINT AS num
-         |       FROM f JOIN w1 USING (bucket) GROUP BY doc_id),
-         |p2 AS (SELECT doc_id,
-         |         round(1.0 / (1.0 + exp(-(num::DOUBLE / n_g / 10000000000.0)))
-         |           - y, 9) AS r9
-         |       FROM s2),
-         |g2 AS (SELECT bucket,
-         |         sum(CAST(round(r9 * cnt / n_g / nn * 10000000000, 0)
-         |           AS BIGINT))::BIGINT AS g_fp
-         |       FROM f JOIN p2 USING (doc_id) CROSS JOIN nn GROUP BY bucket),
-         |w2 AS (SELECT w1.bucket, (w1.w_fp - coalesce(g2.g_fp, 0) * ${TextAnalysis.QualityLrRate})::BIGINT AS w_fp
-         |       FROM w1 LEFT JOIN g2 USING (bucket)),
-         |s3 AS (SELECT doc_id, any_value(y) AS y, any_value(n_g) AS n_g,
-         |         sum(w_fp * cnt)::BIGINT AS num
-         |       FROM f JOIN w2 USING (bucket) GROUP BY doc_id),
-         |p3 AS (SELECT doc_id, y,
-         |         1.0 / (1.0 + exp(-(num::DOUBLE / n_g / 10000000000.0))) AS p
-         |       FROM s3)
-         |SELECT y::INT AS label, (p >= 0.5)::INT AS pred,
-         |       count(*)::BIGINT AS n_docs,
-         |       sum(CAST(round(p * 1000000000, 0) AS BIGINT))::BIGINT
-         |         / count(*) / 1000000000.0 AS mean_p
-         |FROM p3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      (duckLrChain +
+        """
+          |SELECT y::INT AS label, (p >= 0.5)::INT AS pred,
+          |       count(*)::BIGINT AS n_docs,
+          |       sum(CAST(round(p * 1000000000, 0) AS BIGINT))::BIGINT
+          |         / count(*) / 1000000000.0 AS mean_p
+          |FROM p3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // apply screen: per-language keep census under the same trained
+    // weights (p3 is per-doc probability; lang rides in from tok)
+    "q_train_quality_lr_apply" ->
+      (duckLrChain +
+        """
+          |SELECT t.lang, count(*)::BIGINT AS n_docs,
+          |       sum((p >= 0.5)::INT)::BIGINT AS kept,
+          |       round(sum((p >= 0.5)::INT)::BIGINT / count(*), 4) AS kept_frac,
+          |       sum(CAST(round(p * 1000000000, 0) AS BIGINT))::BIGINT
+          |         / count(*) / 1000000000.0 AS mean_p
+          |FROM p3 JOIN tok t USING (doc_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // end-to-end curation funnel: every stage's predicate is the same
     // fragment its standalone oracle uses (quality screen, md5 keep-set,

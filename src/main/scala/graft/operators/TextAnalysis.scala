@@ -1687,57 +1687,99 @@ object TextAnalysis {
     * PageRank/k-means loop shape (each step's weights materialize as a
     * tiny frame, lineage never grows with the corpus). */
   def qualityLrTrain(spark: SparkSession, dir: String): DataFrame =
-    qualityLrTrainOf(Tables.fanOut(Tables.documents(spark, dir)))
+    lrCensusOf(Tables.fanOut(Tables.documents(spark, dir)),
+      lrModelCached(spark, dir))
+
+  /** QUALITY-CLASSIFIER APPLY — the filtering pass the trained model
+    * exists for (the GPT-3/LLaMA pipeline's "keep what the classifier
+    * scores as reference-like"): every document scored under the
+    * memoized trained weights, kept at p ≥ 0.5, reported as a
+    * per-language census (kept count, kept fraction, mean predicted
+    * probability — the numbers a pipeline reviews to set the threshold
+    * and catch a classifier that collapsed to one class). Serving is
+    * one corpus-sized feature pass + a broadcast join against the
+    * ≤[[DsirBuckets]]-row weight frame — the same O(corpus) shape as
+    * the DSIR screen, trivially incremental at ingest. */
+  def qualityLrApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    lrProbsOf(lrFeaturesOf(docs), lrModelCached(spark, dir))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("keep", (col("p") >= 0.5).cast("long"))
+      .withColumn("p_fp", round(col("p") * 1e9, 0).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("kept"),
+        (sum("p_fp") / count(lit(1)) / 1e9).as("mean_p"))
+      .withColumn("kept_frac", round(col("kept") / col("n_docs"), 4))
+      .select("lang", "n_docs", "kept", "kept_frac", "mean_p")
+      .orderBy("lang")
+  }
 
   /** [[qualityLrTrain]] over any (doc_id, lang, text) frame. */
   def qualityLrTrainOf(docs: DataFrame): DataFrame =
     qualityLrTrainOf(docs, QualityLrRate, QualityLrIters)
 
-  private[graft] def qualityLrTrainOf(docs: DataFrame, rate: Long,
+  /** Per-doc hashed-n-gram feature rows (doc_id, y, bucket, cnt, n_g)
+    * including the intercept pseudo-bucket −1 with cnt = n_g, so its
+    * normalized value is exactly 1 — it rides every code path (score,
+    * residual, gradient) unchanged and absorbs the base rate, without
+    * which full-batch GD oscillates all-0/all-1 (the shared-vocabulary
+    * mass acts as an unmodeled global bias). One corpus pass per
+    * consumer; the training loop materializes it once. */
+  private def lrFeaturesOf(docs: DataFrame): DataFrame = {
+    val tokd = docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("y", (col("lang") === "en").cast("int").cast("double"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("y"), col("toks"))
+    val feat = tokd.select(col("doc_id"), col("y"),
+        explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
+      .select(col("doc_id"), col("y"), dsirBucketOf(col("g")).as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val nGrams = feat.groupBy("doc_id").agg(sum("cnt").as("n_g"))
+    feat.join(nGrams, "doc_id")
+      .unionByName(
+        feat.groupBy("doc_id").agg(first("y").as("y"), sum("cnt").as("cnt"))
+          .withColumn("bucket", lit(-1L))
+          .withColumn("n_g", col("cnt"))
+          .select("doc_id", "y", "bucket", "cnt", "n_g"))
+  }
+
+  /** Per-doc σ-probabilities of a feature frame under a trained
+    * nano-fixed-point weight frame — the SERVING kernel: one broadcast
+    * equi-join on bucket, exact integer numerator, one libm exp. */
+  private def lrProbsOf(withN: DataFrame, weights: DataFrame): DataFrame =
+    withN.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(first("y").as("y"), first("n_g").as("n_g"),
+        sum(col("w_fp") * col("cnt")).as("num"))
+      .withColumn("s", col("num") / col("n_g") / 1e10)
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("s"))))
+      .select("doc_id", "y", "p")
+
+  /** The GD training loop, returning the trained WEIGHT FRAME
+    * (bucket, w_fp) — bucket-bounded, retained latest-wins so the
+    * census and apply consumers serve from one training run. Loop
+    * discipline and fixed-point algebra unchanged from the census-only
+    * form (the oracle is the proof: its hash-match survived the
+    * refactor bit-for-bit). */
+  private[graft] def qualityLrModelOf(docs: DataFrame, rate: Long,
       iters: Int): DataFrame = {
     val spark = docs.sparkSession
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
-      // features: per-doc bucket counts + total, label from the rule screen
-      val tokd = docs
-        .withColumn("toks", toks(col("text")))
-        .withColumn("y", (col("lang") === "en").cast("int").cast("double"))
-        .filter(size(col("toks")) >= 1)
-        .select(col("doc_id"), col("y"), col("toks"))
-      val (feat, featRdd) = materialize(
-        tokd.select(col("doc_id"), col("y"),
-            explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"))
-          .select(col("doc_id"), col("y"), dsirBucketOf(col("g")).as("bucket"))
-          .groupBy("doc_id", "y", "bucket")
-          .agg(count(lit(1)).as("cnt")))
-      val nGrams = feat.groupBy("doc_id").agg(sum("cnt").as("n_g"))
-      val nDocs = feat.select("doc_id").distinct().agg(count(lit(1)).as("nn"))
-      // intercept as a feature row: bucket −1 with cnt = n_g, so its
-      // normalized value is exactly 1 — it rides every code path
-      // (score, residual, gradient) unchanged and absorbs the base
-      // rate, without which full-batch GD oscillates all-0/all-1 (the
-      // shared-vocabulary mass acts as an unmodeled global bias)
-      val withN = feat.join(nGrams, "doc_id")
-        .unionByName(
-          feat.groupBy("doc_id").agg(first("y").as("y"), sum("cnt").as("cnt"))
-            .withColumn("bucket", lit(-1L))
-            .withColumn("n_g", col("cnt"))
-            .select("doc_id", "y", "bucket", "cnt", "n_g"))
+      val (withN, withNRdd) = materialize(lrFeaturesOf(docs))
+      val nDocs = withN.filter(col("bucket") =!= -1L)
+        .select("doc_id").distinct().agg(count(lit(1)).as("nn"))
       // per-doc probability under a nano-fixed-point weight frame;
       // w = null frame means w ≡ 0 (the init), where σ(0) = 0.5 exactly
       def probs(w: Option[DataFrame]): DataFrame = w match {
         case None =>
           withN.groupBy("doc_id").agg(first("y").as("y"))
             .withColumn("p", lit(0.5))
-        case Some(wf) =>
-          withN.join(broadcast(wf), Seq("bucket"))
-            .groupBy("doc_id")
-            .agg(first("y").as("y"), first("n_g").as("n_g"),
-              sum(col("w_fp") * col("cnt")).as("num"))
-            .withColumn("s", col("num") / col("n_g") / 1e10)
-            .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("s"))))
-            .select("doc_id", "y", "p")
+        case Some(wf) => lrProbsOf(withN, wf)
       }
       // one GD step: residual (9dp) → nano-rounded per-(doc,bucket)
       // contribution → exact integer gradient sum → integer update
@@ -1771,20 +1813,38 @@ object TextAnalysis {
         pins += wfRdd
         w = Some(wf)
       }
-      // held-in evaluation census under the trained weights
-      val (out, outRdd) = materialize(
-        probs(w)
-          .withColumn("pred", (col("p") >= 0.5).cast("int"))
-          .withColumn("p_fp", round(col("p") * 1e9, 0).cast("long"))
-          .groupBy(col("y").cast("int").as("label"), col("pred"))
-          .agg(count(lit(1)).as("n_docs"),
-            (sum("p_fp") / count(lit(1)) / 1e9).as("mean_p"))
-          .orderBy("label", "pred"))
+      // re-materialize the FINAL weights under their own retention so
+      // every per-step pin (including the last) can be retired here
+      val (out, outRdd) = materialize(w.get)
       pins.foreach(Dedup.retire(spark, _))
-      Dedup.retire(spark, featRdd)
-      Dedup.retainResult(spark, s"qualityLr#$rate#$iters", outRdd, out)
+      Dedup.retire(spark, withNRdd)
+      Dedup.retainResult(spark, s"qualityLrModel#$rate#$iters", outRdd, out)
     }
   }
+
+  /** Memoized trained weights per (session, corpus) — the
+    * train-once/serve-many contract shared with the ANN index and BPE
+    * merge frames; [[graft.Bench]] charges the build to
+    * `build:lr_model`. */
+  private[graft] def lrModelCached(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedFrame(spark, s"lr_model#$dir")(
+      qualityLrModelOf(Tables.fanOut(Tables.documents(spark, dir)),
+        QualityLrRate, QualityLrIters))
+
+  /** Held-in confusion census of a feature frame under trained
+    * weights — [[qualityLrTrain]]'s registered output. */
+  private def lrCensusOf(docs: DataFrame, weights: DataFrame): DataFrame =
+    lrProbsOf(lrFeaturesOf(docs), weights)
+      .withColumn("pred", (col("p") >= 0.5).cast("int"))
+      .withColumn("p_fp", round(col("p") * 1e9, 0).cast("long"))
+      .groupBy(col("y").cast("int").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("p_fp") / count(lit(1)) / 1e9).as("mean_p"))
+      .orderBy("label", "pred")
+
+  private[graft] def qualityLrTrainOf(docs: DataFrame, rate: Long,
+      iters: Int): DataFrame =
+    lrCensusOf(docs, qualityLrModelOf(docs, rate, iters))
 
   /** [[doremiMix]] over any (doc_id, lang, text) frame. */
   def doremiMixOf(docs: DataFrame): DataFrame = {

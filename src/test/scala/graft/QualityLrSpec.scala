@@ -62,4 +62,22 @@ class QualityLrSpec extends AnyFunSuite {
       if (r.getAs[Int]("pred") == 1) assert(p >= 0.5) else assert(p < 0.5)
     }
   }
+
+  test("apply screen reconciles with the train census under shared weights") {
+    val census = TextAnalysis.qualityLrTrain(spark, dir).collect()
+    val applied = TextAnalysis.qualityLrApply(spark, dir).collect()
+    // both consumers serve the SAME memoized weights: total kept across
+    // languages == total pred=1 across labels, and totals agree
+    val censusKept = census.filter(_.getAs[Int]("pred") == 1)
+      .map(_.getAs[Long]("n_docs")).sum
+    val appliedKept = applied.map(_.getAs[Long]("kept")).sum
+    assert(appliedKept == censusKept)
+    assert(applied.map(_.getAs[Long]("n_docs")).sum ==
+      census.map(_.getAs[Long]("n_docs")).sum)
+    applied.foreach { r =>
+      val frac = r.getAs[Double]("kept_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
