@@ -207,6 +207,7 @@ object SparkEntry {
     "q_text_bpe_train" -> (TextAnalysis.bpeTrain _),
     "q_text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
+    "q_sample_kcenter" -> (SimSearch.kcenterSelect _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -416,6 +417,43 @@ object SparkEntry {
     * expression (the `embedding`-hardcoded [[DuckNorm]], generalized). */
   private def duckNormOf(e: String): String =
     s"sqrt(list_reduce(list_transform($e, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))"
+
+  /** DuckDB fragment: fold-exact squared L2 between two list columns
+    * (mirror of `VectorFunctions.l2sq`'s sequential double fold). */
+  private def duckL2(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
+      "(x, y) -> x + y)"
+
+  /** Generated CTE chain mirroring `SimSearch.kcenterSelectOf`: seed at
+    * the smallest vec_id, then per round the farthest-point argmax
+    * (`c{i}`, 6dp-rounded min-distance, vec_id tie-break), its output
+    * row (`s{i}`), and the incremental min-distance update (`dd{i}`) —
+    * the same least(prev, d2-to-new-center) the Spark loop
+    * materializes. */
+  private def duckKcenterOracle(k: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |s1 AS (SELECT 1::BIGINT AS round, vec_id, 0.0 AS radius FROM c1),
+         |dd1 AS (SELECT e.vec_id, e.embedding,
+         |          round(${duckL2("e.embedding", "c1.embedding")}, 6) AS min_d2
+         |        FROM e, c1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s""",
+         |c$i AS (SELECT vec_id, embedding, min_d2 FROM dd${i - 1}
+         |       ORDER BY min_d2 DESC, vec_id LIMIT 1),
+         |s$i AS (SELECT $i::BIGINT AS round, vec_id, min_d2 AS radius FROM c$i),
+         |dd$i AS (SELECT d.vec_id, d.embedding,
+         |           least(d.min_d2,
+         |                 round(${duckL2("d.embedding", s"c$i.embedding")}, 6))
+         |             AS min_d2
+         |         FROM dd${i - 1} d, c$i)""".stripMargin
+    }
+    head + steps.mkString + "\nSELECT round, vec_id, radius FROM (" +
+      (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
+      ") ORDER BY round"
+  }
 
   /** Shared CTE chain replaying `SimSearch.kmeansAssignment`'s two Lloyd
     * iterations (seed pick → assign → re-center → assign → re-center),
@@ -3282,6 +3320,10 @@ object SparkEntry {
            |FROM dw JOIN vt USING (word)
            |WHERE regexp_matches(word, '^[a-z0-9]+$$') AND length(word) >= 2
            |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // k-center greedy: the generated farthest-first chain — both
+    // engines must select the identical center sequence and radii
+    "q_sample_kcenter" -> duckKcenterOracle(SimSearch.KCenterK),
 
     "q_sample_domain_cap" ->
       s"""SELECT source, rk, doc_id, lang FROM (

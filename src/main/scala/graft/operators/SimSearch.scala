@@ -1352,4 +1352,64 @@ object SimSearch {
       .select("q_id", "rank", "neighbor", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** Centers selected by [[kcenterSelect]]. */
+  val KCenterK = 8
+
+  /** K-CENTER GREEDY coreset selection (Gonzalez 1985 farthest-first —
+    * the 2-approximation for metric k-center, and the coreset recipe
+    * of Sener & Savarese, ICLR 2018): seed with the smallest vec_id,
+    * then repeatedly pick the point FARTHEST from the selected set.
+    * This is the diversity-sampling primitive of training-data work —
+    * the selected K points cover the embedding space with the smallest
+    * achievable radius (within 2×), where uniform sampling oversamples
+    * dense clusters.
+    *
+    * Relational shape: the per-point nearest-selected-center distance
+    * is INCREMENTAL state — (vec_id, embedding, min_d2), materialized
+    * per round (CC/PageRank discipline) and updated by one broadcast of
+    * the single new center + a row-local `least` — NO shuffle in the
+    * update at all; the only shuffle-shaped op per round is the 1-row
+    * TakeOrdered argmax. Total cost: K narrow corpus passes, driver
+    * state = K rows. Distances are 6dp-rounded fold-exact squared L2
+    * (the cross-engine ranking discipline), ties broken by vec_id, so
+    * both engines select the identical center sequence.
+    *
+    * Output (round, vec_id, radius): radius is the chosen point's
+    * distance² to the previously-selected set — the coverage-radius
+    * sequence, non-increasing by construction (suite-pinned); the seed
+    * row carries 0.0 by convention. */
+  def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
+    kcenterSelectOf(Tables.fanOut(Tables.embeddings(spark, dir)), KCenterK)
+
+  private[graft] def kcenterSelectOf(e0: DataFrame, k: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def mat(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val e = e0.select("vec_id", "embedding")
+      val seedId = e.agg(min("vec_id")).collect()(0).getLong(0)
+      def centerEmb(id: Long) = e.filter(col("vec_id") === id)
+        .select(col("embedding").as("c_emb"))
+      var (state, stateRdd) = mat(
+        e.crossJoin(broadcast(centerEmb(seedId)))
+          .select(col("vec_id"), col("embedding"),
+            round(l2sq(col("embedding"), col("c_emb")), 6).as("min_d2")))
+      val sel = scala.collection.mutable.ArrayBuffer((1L, seedId, 0.0))
+      (2 to k).foreach { i =>
+        val r = state.orderBy(desc("min_d2"), asc("vec_id")).limit(1).collect()(0)
+        sel += ((i.toLong, r.getLong(0), r.getDouble(2)))
+        val (next, nextRdd) = mat(
+          state.crossJoin(broadcast(centerEmb(r.getLong(0))))
+            .select(col("vec_id"), col("embedding"),
+              least(col("min_d2"),
+                round(l2sq(col("embedding"), col("c_emb")), 6)).as("min_d2")))
+        Dedup.retire(spark, stateRdd)
+        state = next; stateRdd = nextRdd
+      }
+      Dedup.retire(spark, stateRdd)
+      sel.toSeq.toDF("round", "vec_id", "radius").orderBy("round")
+    }
+  }
 }

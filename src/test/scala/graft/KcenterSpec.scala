@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimSearch
+
+/** Pins the k-center greedy selection: cluster coverage (the property
+  * that makes farthest-first a diversity sampler), the non-increasing
+  * coverage-radius sequence, distinctness, and determinism.
+  */
+class KcenterSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Three well-separated clusters with skewed sizes: uniform sampling
+    * would almost surely draw from the big cluster thrice. */
+  private def clustered = {
+    def vec(base: Float, j: Int) = Array.fill(8)(base) ++ Array(j.toFloat / 100)
+    val big = (0 until 50).map(j => (j.toLong, vec(0f, j)))
+    val mid = (0 until 5).map(j => (100L + j, vec(10f, j)))
+    val tiny = Seq((200L, vec(20f, 0)))
+    (big ++ mid ++ tiny).toDF("vec_id", "embedding")
+  }
+
+  test("k=3 centers land in all three clusters despite 50:5:1 skew") {
+    val sel = SimSearch.kcenterSelectOf(clustered, 3).collect()
+    val clusters = sel.map(_.getLong(1)).map {
+      case id if id < 100 => "big"
+      case id if id < 200 => "mid"
+      case _ => "tiny"
+    }.toSet
+    assert(clusters == Set("big", "mid", "tiny"))
+  }
+
+  test("coverage radii are non-increasing from round 2") {
+    val sel = SimSearch.kcenterSelectOf(clustered, 6).collect()
+    val radii = sel.sortBy(_.getLong(0)).drop(1).map(_.getDouble(2))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ => ()
+    }
+  }
+
+  test("registered query: distinct centers, seed at min vec_id, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SimSearch.kcenterSelect(spark, dir).collect()
+    val b = SimSearch.kcenterSelect(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.length == SimSearch.KCenterK)
+    assert(a.map(_.getLong(1)).distinct.length == a.length)
+    assert(a.head.getLong(1) ==
+      graft.sources.Tables.embeddings(spark, dir)
+        .agg(org.apache.spark.sql.functions.min("vec_id"))
+        .collect()(0).getLong(0))
+    assert(a.head.getDouble(2) == 0.0)
+  }
+}
