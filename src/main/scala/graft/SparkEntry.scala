@@ -205,6 +205,7 @@ object SparkEntry {
 
     "q_text_bpe_step" -> (TextAnalysis.bpeMergeStep _),
     "q_text_bpe_train" -> (TextAnalysis.bpeTrain _),
+    "q_text_unicode_norm" -> (TextAnalysis.unicodeNormCensus _),
     "q_text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
     "q_sample_kcenter" -> (SimSearch.kcenterSelect _),
@@ -3324,6 +3325,19 @@ object SparkEntry {
     // k-center greedy: the generated farthest-first chain — both
     // engines must select the identical center sequence and radii
     "q_sample_kcenter" -> duckKcenterOracle(SimSearch.KCenterK),
+
+    // NFC census: DuckDB's nfc_normalize implements the same Unicode
+    // canonical composition as the native graft_nfc kernel; chr(769) is
+    // U+0301, the planted combining acute
+    "q_text_unicode_norm" ->
+      s"""WITH q AS (SELECT lang,
+         |             CASE WHEN doc_id % ${TextAnalysis.NfcPlantMod} = 0
+         |                  THEN text || ' cafe' || chr(769) ELSE text END AS t2
+         |           FROM documents)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum((nfc_normalize(t2) <> t2)::INT)::BIGINT AS changed,
+         |       sum(length(t2) - length(nfc_normalize(t2)))::BIGINT AS chars_removed
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sample_domain_cap" ->
       s"""SELECT source, rk, doc_id, lang FROM (

@@ -54,6 +54,14 @@ object TextFunctions {
       graft.functions.expr.LowerRemovePunc(
         org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
+  /** Unicode NFC canonicalization via the native codegen kernel
+    * [[graft.functions.expr.NfcNormalize]] — the composed/decomposed
+    * unification every hashing or tokenizing pass needs first. */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.NfcNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** `tokenize`: split the normalized line on single spaces, keeping empty
     * fragments out of the result (the reference emits one `(word,1,part)`
     * tuple per non-empty fragment). Returns `array<string>`.

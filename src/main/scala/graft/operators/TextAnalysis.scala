@@ -433,6 +433,35 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** Plant modulus for [[unicodeNormCensus]]: every 4th doc gets a
+    * DECOMPOSED suffix (" cafe" + U+0301 — é as e + combining acute). */
+  val NfcPlantMod = 4
+
+  /** UNICODE NORMALIZATION census — NFC canonicalization over the
+    * corpus via the native codegen [[graft.functions.expr.NfcNormalize]]
+    * expression, reported per language: docs changed by composition and
+    * characters removed. Web text mixes composed and decomposed forms of
+    * the same grapheme, which silently breaks md5 dedup keys, BPE
+    * merges, and n-gram overlap — canonicalize-first is the rule, and
+    * this census is how a pipeline measures whether a crawl needs it.
+    * The synthetic corpus is pure ASCII, so a deterministic decomposed
+    * plant ([[NfcPlantMod]]) provides the guaranteed-positive geometry,
+    * expressed identically in both engines. Row-local work only: the
+    * kernel short-circuits on already-normalized text (no allocation),
+    * and the census is one bounded-key group-by. */
+  def unicodeNormCensus(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = when(col("doc_id") % NfcPlantMod === 0,
+      concat(col("text"), lit(" cafe\u0301"))).otherwise(col("text"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("lang"), t2.as("t2"))
+      .withColumn("norm", graft.functions.TextFunctions.nfc(col("t2")))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("norm") =!= col("t2")).cast("long")).as("changed"),
+        sum(length(col("t2")) - length(col("norm"))).as("chars_removed"))
+      .orderBy("lang")
+  }
+
   /** Per-source document cap for [[domainCapSample]]. */
   val DomainCapK = 20
 

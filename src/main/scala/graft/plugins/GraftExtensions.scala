@@ -3,7 +3,7 @@ package graft.plugins
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expr.{CosineSimilarity, LowerRemovePunc}
+import graft.functions.expr.{CosineSimilarity, LowerRemovePunc, NfcNormalize}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions in the SQL function registry, so `spark.sql` users get
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[LowerRemovePunc].getName, "graft_normalize"),
       (children: Seq[Expression]) => LowerRemovePunc(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
