@@ -23,7 +23,9 @@ object Plans {
     "q_text_boilerplate_apply", "q_graph_pagerank",
     "q_profile_embedding_drift", "q_multimodal_phash",
     "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc",
-    "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap")
+    "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap",
+    "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
+    "q_sample_kcenter", "q_text_unicode_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -55,6 +57,9 @@ object Plans {
           graft.operators.TextAnalysis.bpeRoundPlan(spark, sfDir)
         else if (n == "q_dedup_winnow")
           graft.operators.Dedup.winnowPairsPlan(spark, sfDir)
+        // same driver-assembled-result situation: audit one loop round
+        else if (n == "q_sample_kcenter")
+          graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -70,7 +70,8 @@ object Scale {
     // named sections (each prints an independent table), so adding a new
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
-      "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow")
+      "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
+      "kcenter")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -590,6 +591,31 @@ object Scale {
       println("| factor | docs | fingerprints | fp time | report pairs | pairs time |")
       println("|---|---|---|---|---|---|")
       rows12.foreach(println)
+    }
+
+    // k-center greedy: replicated embeddings (disjoint ids, same
+    // geometry repeated k times). Claims: K narrow passes ⇒ ~linear
+    // wall time, and the selection radii stay well-formed (the
+    // replicated geometry contains exact copies of every point, so the
+    // radius sequence is data-dependent — the pinned invariant is the
+    // non-increasing property, not identity).
+    val rows13 = factors.filter(_ => sections("kcenter")).map { k =>
+      System.err.println(s"[scale] factor $k (kcenter) ...")
+      import graft.operators.SimSearch
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val n = e.count()
+      val t0 = System.nanoTime()
+      val sel = SimSearch.kcenterSelectOf(e, SimSearch.KCenterK).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val radii = sel.sortBy(_.getLong(0)).drop(1).map(_.getDouble(2))
+      val mono = radii.sliding(2).forall(p => p.length < 2 || p(1) <= p(0))
+      s"| ${k}x | $n | ${sel.length} | $mono | ${f"$t%.1f"}s |"
+    }
+    if (sections("kcenter")) {
+      println()
+      println("| factor | vectors | centers | radii non-increasing | select time |")
+      println("|---|---|---|---|---|")
+      rows13.foreach(println)
     }
     spark.stop()
   }

@@ -1382,6 +1382,19 @@ object SimSearch {
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
     kcenterSelectOf(Tables.fanOut(Tables.embeddings(spark, dir)), KCenterK)
 
+  /** Plan-audit hook: one round's state-update + argmax (the registered
+    * query returns a driver-assembled K-row frame; this is the loop
+    * body whose shape carries the 100 TB cost). */
+  private[graft] def kcenterRoundPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+      .select("vec_id", "embedding")
+    val seed = e.orderBy("vec_id").limit(1).select(col("embedding").as("c_emb"))
+    e.crossJoin(broadcast(seed))
+      .select(col("vec_id"),
+        round(l2sq(col("embedding"), col("c_emb")), 6).as("min_d2"))
+      .orderBy(desc("min_d2"), asc("vec_id")).limit(1)
+  }
+
   private[graft] def kcenterSelectOf(e0: DataFrame, k: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
