@@ -261,6 +261,7 @@ object SparkEntry {
     // Bloom runtime-filter join: the bit-array prune is a row-local
     // superset filter, so the result must equal the plain join exactly —
     // which is what the oracle computes (no bloom on the DuckDB side)
+    "q_join_dpp" -> (ScaleTechniques.dppRevenueByMonth _),
     "q_join_bloom_prune" -> ((s, dir) => {
       val dim = Tables.orders(s, dir)
         .filter(col("o_totalprice") > BloomDimPrice)
@@ -1411,6 +1412,22 @@ object SparkEntry {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // bloom prune is semantically invisible: the oracle is the plain join
+    // DPP: the oracle pins the join's algebra over the unpartitioned
+    // original — the partition layout is the Spark-side I/O mechanism
+    // the suite separately asserts (dynamicpruning in the executed plan)
+    "q_join_dpp" ->
+      """WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        |             FROM orders
+        |             WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+        |                                   AND TIMESTAMP '1995-03-31')
+        |SELECT ship_month,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*)::BIGINT AS n_items
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |             l_extendedprice, l_discount
+        |      FROM lineitem) f JOIN dim USING (ship_month)
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
     "q_join_bloom_prune" ->
       s"""SELECT o_orderpriority,
          |       count(DISTINCT o_orderkey)::BIGINT AS n_orders,

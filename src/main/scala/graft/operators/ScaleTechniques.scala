@@ -152,4 +152,52 @@ object ScaleTechniques {
       .drop("_bloom_bits")
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** On-disk root of [[dppRevenueByMonth]]'s partitioned fact layout:
+    * one per corpus under the JVM temp dir, written once (guarded by
+    * `_SUCCESS`) and read back as a path-partitioned parquet source. */
+  private def dppFactPath(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dpp_fact_$key").getAbsolutePath
+  }
+
+  /** DYNAMIC PARTITION PRUNING — the partition-layout counterpart of
+    * [[bloomPrunedJoin]], and the single biggest I/O lever on a
+    * date-partitioned 100 TB fact table: lineitem persisted PARTITIONED
+    * BY ship month (83 directories), joined on the partition column
+    * against a dim whose qualifying months are only known AFTER its own
+    * filter runs. Static pruning cannot reach through the join, so
+    * Catalyst inserts a `dynamicpruning` subquery on the fact scan
+    * (visible as `PartitionFilters: [dynamicpruning#…]`, reusing the
+    * join's broadcast): at execution time only the dim's 3 qualifying
+    * months' directories are LISTED AND READ — 80 of 83 partitions never
+    * leave the filesystem, which at 100 TB is the difference between a
+    * full-table scan and a 4% one. The suite asserts the executed plan
+    * carries the dynamic filter; the oracle pins the join's algebra on
+    * the unpartitioned original. */
+  def dppRevenueByMonth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.Tables
+    val path = dppFactPath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    }
+    val fact = spark.read.parquet(path)
+    val dimMonths = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1995-03-31").cast("timestamp")))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+    fact.join(dimMonths, "ship_month")
+      .groupBy("ship_month")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("ship_month")
+  }
 }
