@@ -25,7 +25,7 @@ object Plans {
     "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc",
     "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap",
     "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
-    "q_sample_kcenter", "q_text_unicode_norm")
+    "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
