@@ -25,7 +25,8 @@ object Plans {
     "q_multimodal_phash_pairs", "q_exact_quantile", "q_ann_ivfadc",
     "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap",
     "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
-    "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp")
+    "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
+    "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -57,6 +58,10 @@ object Plans {
           graft.operators.TextAnalysis.bpeRoundPlan(spark, sfDir)
         else if (n == "q_dedup_winnow")
           graft.operators.Dedup.winnowPairsPlan(spark, sfDir)
+        // retained-result situation again: audit the live scoring
+        // dataflow over the materialized postings frame
+        else if (n == "q_text_bm25")
+          graft.operators.TextAnalysis.bm25PlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)

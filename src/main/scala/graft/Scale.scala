@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.functions.VectorFunctions._
 
 /** Empirical scale evidence for the dedup/ANN 100 TB posture (SCALE.md):
@@ -71,7 +71,7 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter")
+      "kcenter", "sketch")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -616,6 +616,42 @@ object Scale {
       println("| factor | vectors | centers | radii non-increasing | select time |")
       println("|---|---|---|---|---|")
       rows13.foreach(println)
+    }
+
+    // round-7 sketch/retrieval ops. Replicated docs carry per-replica
+    // token tags, so: BM25's probe queries (replica-0 doc_ids < 5) match
+    // ONLY replica-0 postings — serving cost must stay flat while the
+    // postings build grows k×; heavy-hitters' planted fractions are
+    // scale-invariant while the organic bigram vocabulary grows k× (the
+    // MG sketch prunes harder, the plant must always survive); bottom-k
+    // keeps k=32 per language while group sizes grow k× (the estimator
+    // must track the growth from 32 retained hashes).
+    val rows14 = factors.filter(_ => sections("sketch")).map { k =>
+      System.err.println(s"[scale] factor $k (sketch/retrieval) ...")
+      val docs = replicatedDocs(spark, baseDir, k).select("doc_id", "text")
+      val docsLang = replicatedDocs(spark, baseDir, k)
+      val t0 = System.nanoTime()
+      val bmRows = TextAnalysis.bm25RetrieveOf(docs).count()
+      val tBm = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hh = TextAnalysis.heavyHittersOf(docs).collect()
+      val tHh = (System.nanoTime() - t1) / 1e9
+      val nTotal = if (hh.isEmpty) 0L else hh.head.getLong(2)
+      val t2 = System.nanoTime()
+      val bk = TextAnalysis.bottomKSampleOf(docsLang).collect()
+      val tBk = (System.nanoTime() - t2) / 1e9
+      // worst-case estimator relative error across languages
+      val maxErr = bk.map(r =>
+        math.abs(r.getDouble(4) - r.getLong(1)) / r.getLong(1)).max
+      s"| ${k}x | $bmRows | ${f"$tBm%.1f"}s | ${hh.length} | $nTotal | " +
+        s"${f"$tHh%.1f"}s | ${bk.length} | ${f"$maxErr%.2f"} | ${f"$tBk%.1f"}s |"
+    }
+    if (sections("sketch")) {
+      println()
+      println("| factor | bm25 rows | bm25 time | heavy hitters | stream total | " +
+        "hh time | langs | bottomk max rel err | bk time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rows14.foreach(println)
     }
     spark.stop()
   }

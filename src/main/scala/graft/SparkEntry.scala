@@ -171,6 +171,9 @@ object SparkEntry {
     "q_text_fingerprint" -> (TextAnalysis.fingerprints _),
     "q_text_bigrams"     -> (TextAnalysis.bigramsTop20 _),
     "q_text_tfidf"       -> (TextAnalysis.tfidfTop _),
+    "q_text_bm25"        -> (TextAnalysis.bm25Retrieve _),
+    "q_sketch_heavy_hitters" -> (TextAnalysis.heavyHitters _),
+    "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
@@ -2612,6 +2615,91 @@ object SparkEntry {
          |           FROM scored)
          |SELECT doc_id, "rank", word, score FROM ranked
          |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin,
+
+    // BM25 constants interpolated from TextAnalysis so a parameter change
+    // cannot silently desync the oracle (the q_ann_pq_recall lesson)
+    "q_text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |n1 AS (SELECT count(*) AS n FROM documents),
+         |qscored AS (SELECT doc_id AS query_id, word,
+         |              round(tf * ln(n1.n::DOUBLE / df.df), 4) AS tscore
+         |            FROM tf JOIN df USING (word) CROSS JOIN n1
+         |            WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
+         |qterms AS (SELECT query_id, word FROM (
+         |             SELECT query_id, word,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY tscore DESC, word) AS trank
+         |             FROM qscored) WHERE trank <= 3),
+         |scored AS (SELECT q.query_id, tf.doc_id,
+         |             round(sum(
+         |               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |               * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |               / (tf.tf + ${TextAnalysis.Bm25K1}
+         |                  * (1.0 - ${TextAnalysis.Bm25B}
+         |                     + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |             ), 4) AS score
+         |           FROM tf
+         |           JOIN qterms q USING (word)
+         |           JOIN dl ON dl.doc_id = tf.doc_id
+         |           JOIN df ON df.word = tf.word
+         |           CROSS JOIN stats s
+         |           GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score DESC, doc_id) AS "rank"
+         |           FROM scored)
+         |SELECT query_id, "rank", doc_id, score FROM ranked
+         |WHERE "rank" <= ${TextAnalysis.Bm25TopK}
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // the oracle is the EXACT group-by over the same planted stream —
+    // the sketch phase may only shape the candidate set, never the
+    // answer. Plant rates are ::DOUBLE so the ceil() boundary arithmetic
+    // is the same IEEE multiply in both engines.
+    "q_sketch_heavy_hitters" ->
+      s"""WITH tok AS (SELECT $DuckTok AS toks FROM documents),
+         |org AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[i] || ' ' || toks[i + 1])) AS item
+         |        FROM tok WHERE len(toks) >= 2),
+         |n_org AS (SELECT count(*) AS n FROM org),
+         |rates(item, rate) AS (VALUES ${TextAnalysis.HhPlantRates.map {
+           case (i, r) => s"('$i', ${r}::DOUBLE)" }.mkString(", ")}),
+         |planted AS (SELECT r.item
+         |            FROM rates r CROSS JOIN n_org,
+         |                 unnest(range(1, 1 + ceil(r.rate * n_org.n)::BIGINT))),
+         |stream AS (SELECT item FROM org UNION ALL SELECT item FROM planted),
+         |c AS (SELECT item, count(*)::BIGINT AS cnt FROM stream GROUP BY 1),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM stream)
+         |SELECT item, cnt, n_total FROM c CROSS JOIN tot
+         |WHERE cnt * ${TextAnalysis.HhK} > n_total
+         |ORDER BY cnt DESC, item""".stripMargin,
+
+    // 13 hex md5 digits = 2^52 denominator: the hash is EXACT in a
+    // double in both engines, so kth_h and the estimator divide the
+    // same bits; the id_sum pins sample membership, not just size
+    "q_sample_bottomk" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |             CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 13)
+         |               AS BIGINT)::DOUBLE / 4503599627370496.0 AS h
+         |           FROM documents),
+         |r AS (SELECT lang, doc_id, h,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY h, doc_id) AS rn
+         |      FROM h),
+         |bk AS (SELECT lang, count(*)::BIGINT AS n_sample,
+         |         max(h) AS kth_h, sum(doc_id)::BIGINT AS id_sum
+         |       FROM r WHERE rn <= ${TextAnalysis.BkK} GROUP BY 1),
+         |ex AS (SELECT lang, count(*)::BIGINT AS n_exact
+         |       FROM documents GROUP BY 1)
+         |SELECT lang, n_exact, n_sample, round(kth_h, 6) AS kth_h,
+         |       round((n_sample - 1)::DOUBLE / kth_h, 4) AS est_distinct,
+         |       id_sum
+         |FROM ex JOIN bk USING (lang) ORDER BY lang""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, source, count(*)::BIGINT AS n_sampled

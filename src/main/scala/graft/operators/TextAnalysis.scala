@@ -1898,4 +1898,229 @@ object TextAnalysis {
       Dedup.retainResult(spark, "doremiMix", outRdd, out)
     }
   }
+
+  /** BM25 parameters (Robertson/Spärck Jones Okapi defaults) and the
+    * retrieval shape: [[Bm25NQueries]] queries, each the top-3 tf-idf
+    * terms of one probe document, top-[[Bm25TopK]] results per query. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 3
+  val Bm25NQueries = 5
+
+  /** BM25 top-k retrieval — the lexical ranking half of a curation
+    * pipeline (quality-by-retrievability audits, lexical
+    * decontamination, and the seed step of hard-negative mining all
+    * start here). Queries are derived from the corpus itself: query i
+    * is the top-3 tf-idf terms of document i (the [[tfidfTop]]
+    * arithmetic, already oracle-pinned by `q_text_tfidf`), so every
+    * query is guaranteed to have matching postings and the ranking is
+    * meaningful (self-retrieval: document i should surface for its own
+    * signature terms).
+    *
+    * Scoring is the Okapi formula: for term t in document D,
+    * `idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |D|/avgdl))` with
+    * `idf = ln((N - df + 0.5)/(df + 0.5) + 1)` (the Lucene-style
+    * always-positive variant).
+    *
+    * Scale posture — the inverted-index serving shape, relationally:
+    * the corpus is tokenized ONCE into a postings frame (doc, term,
+    * tf); the query-term list (|queries|·3 rows) BROADCASTS onto it, so
+    * only postings of query terms survive the scan stage — the shuffle
+    * that follows carries candidate postings, not the corpus. Corpus
+    * constants (N, avgdl) ride in as a broadcast single-row frame; df
+    * joins per-term on the already-pruned candidate set. Final ranking
+    * windows over |queries| groups of candidates. Score is rounded to
+    * 4dp with a doc_id tiebreak so both engines rank identically. */
+  def bm25Retrieve(spark: SparkSession, dir: String): DataFrame =
+    bm25RetrieveOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[bm25Retrieve]] over an explicit `(doc_id, text)` frame. The
+    * postings frame (doc, term, tf) is the shared substrate of FIVE
+    * consumers (df, dl, corpus stats, query-term derivation, and the
+    * candidate scoring join), so it is tokenized and aggregated ONCE as
+    * an owned materialized RDD (the [[boilerplateStripOf]] discipline —
+    * round-robin fan-out exchanges never canonicalize equal, so
+    * `ReusedExchange` cannot be relied on to dedupe the five subtrees). */
+  def bm25RetrieveOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (tf, tfRdd) = Dedup.materializeOwned(bm25Postings(docs),
+        ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(bm25From(tf, docs),
+        ckDir.isDefined)
+      Dedup.retire(spark, tfRdd)
+      Dedup.retainResult(spark, "bm25Retrieve", outRdd, out)
+    }
+  }
+
+  /** The live BM25 dataflow over a materialized postings frame — the
+    * PLANS.md audit hook (the registered query returns the retained
+    * `ExistingRDD`). */
+  private[graft] def bm25PlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val (tf, _) = Dedup.materializeOwned(bm25Postings(docs), reliable = false)
+    bm25From(tf, docs)
+  }
+
+  private def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  private def bm25From(tf: DataFrame, docs: DataFrame): DataFrame = {
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    // query terms: the q_text_tfidf top-3 arithmetic over the probe docs
+    val n1 = docs.agg(count(lit(1)).as("n"))
+    val qscored = tf.filter(col("doc_id") < Bm25NQueries)
+      .join(df, "word").crossJoin(broadcast(n1))
+      .select(col("doc_id").as("query_id"), col("word"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tscore"))
+    val qw = Window.partitionBy("query_id").orderBy(desc("tscore"), asc("word"))
+    val queryTerms = qscored
+      .withColumn("trank", row_number().over(qw))
+      .filter(col("trank") <= 3).select("query_id", "word")
+    val idf = log(
+      (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(queryTerms), "word")
+      .join(dl, "doc_id").join(df, "word").crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(idf * norm), 4).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select("query_id", "rank", "doc_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Misra-Gries capacity for [[heavyHitters]]' candidate phase. Must
+    * exceed [[HhK]] (capacity 512 → error ≤ N/512 ≈ 0.2%, threshold
+    * N/200 = 0.5%), and sits BELOW the realized bigram vocabulary
+    * (~900 at sf0.01), so the sketch genuinely prunes. */
+  val HhCapacity = 512
+
+  /** Heavy-hitter threshold: an item is heavy iff `freq * HhK > N`. */
+  val HhK = 200
+
+  /** Planted hot items as fractions of the organic stream — the corpus
+    * bigram distribution is near-uniform (max ~0.18%), so true heavy
+    * hitters are planted at scale-invariant rates well above the
+    * threshold; organic items stay well below it at every SF. */
+  val HhPlantRates = Seq("hot_agg" -> 0.02, "hot_join" -> 0.012,
+    "hot_scan" -> 0.008)
+
+  /** Exact heavy hitters over the corpus bigram stream, the two-pass
+    * candidate/recount shape used when the key space is too large to
+    * group-by wholesale: pass 1 runs the mergeable Misra-Gries sketch
+    * ([[graft.functions.MisraGriesAggregator]]) with the usual
+    * partial/merge split — per-partition summaries of O(m) counters,
+    * O(P·m) rows shuffled, never the distinct-key space — yielding a
+    * candidate set GUARANTEED to contain every item with frequency
+    * above N/m; pass 2 recounts ONLY candidates exactly (the candidate
+    * list broadcasts onto the stream, so non-candidates die in the scan
+    * stage) and keeps items with `freq * HhK > N`. Output is exact —
+    * the sketch can only add candidates that the recount filter then
+    * rejects, never lose a true heavy hitter (1/m < 1/HhK).
+    *
+    * The stream total rides out of pass 1's aggregation (same job as
+    * the sketch), and the plant is sized from a narrow no-explode scan
+    * (`size(toks)-1` per doc), so the corpus is tokenize-scanned twice
+    * — the algorithm's inherent two passes — plus one narrow sizing
+    * scan. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[heavyHitters]] over an explicit `(doc_id, text)` frame. */
+  def heavyHittersOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def organic = docs.select(
+      explode(wordNgrams(toks(col("text")), 2)).as("item"))
+    // plant sizing: bigram count without the explode shuffle
+    val nOrg = docs.agg(
+      sum(greatest(size(toks(col("text"))) - 1, lit(0))).as("n_org"))
+    val planted = HhPlantRates.toDF("item", "rate")
+      .crossJoin(broadcast(nOrg))
+      .select(col("item"),
+        explode(sequence(lit(1L),
+          ceil(col("rate") * col("n_org")).cast("long"))).as("i"))
+      .select("item")
+    def stream = organic.unionByName(planted)
+    val mgUdf = udaf(new graft.functions.MisraGriesAggregator(HhCapacity))
+    val pass1 = stream.agg(mgUdf(col("item")).as("cands"),
+      count(lit(1)).as("n_total"))
+    val candidates = pass1.select(explode(col("cands")).as("item"))
+    counts(stream, candidates)
+      .crossJoin(broadcast(pass1.select("n_total")))
+      .filter(col("cnt") * HhK > col("n_total"))
+      .orderBy(desc("cnt"), asc("item"))
+      .select("item", "cnt", "n_total")
+  }
+
+  private def counts(stream: DataFrame, candidates: DataFrame): DataFrame =
+    stream.join(broadcast(candidates), "item")
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+
+  /** Bottom-k sketch size. */
+  val BkK = 32
+
+  /** 2^52 = 16^13: hashes are 13 hex digits of md5, so both engines
+    * hold them EXACTLY in a double (no rounding anywhere in [0,1)). */
+  private val BkDenom = 4503599627370496.0
+
+  /** Per-language bottom-k sample + the bottom-k distinct estimator
+    * (Cohen/Kaplan): keep the k smallest `md5(doc_id)` hash values per
+    * group — a deterministic, mergeable, coordinated sample whose k-th
+    * smallest hash doubles as a cardinality estimate `(k-1)/h_k`. The
+    * report row per language carries the exact count beside the
+    * estimate (the audit) and the sampled-id sum (pinning MEMBERSHIP,
+    * not just sample size, across engines).
+    *
+    * Scale posture: the sample is computed with the bounded typed
+    * aggregator ([[graft.functions.TopKAggregator]] on negated hashes),
+    * so state is O(k) per group and the partial/merge split ships
+    * O(P·k) rows — the window-rank formulation would shuffle the whole
+    * corpus per group. Coordinated bottom-k samples also merge across
+    * shards and support union/intersection estimates, which is why
+    * production profilers prefer them over per-shard reservoirs. */
+  def bottomKSample(spark: SparkSession, dir: String): DataFrame =
+    bottomKSampleOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[bottomKSample]] over an explicit `(doc_id, lang)` frame. */
+  def bottomKSampleOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(BkK).toColumn
+    val sampled = docs.select(col("lang"), col("doc_id").as("id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").cast("double") / BkDenom).as("h"))
+      // top-k by score desc == bottom-k by hash asc; ties (impossible at
+      // 52 bits here, but anyway) break on id asc in BOTH engines
+      .select(col("lang"), col("id"), negate(col("h")).as("score"))
+      .as[(String, Long, Double)]
+      .map { case (lang, id, s) => (lang, Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bottomk"))
+      .map { case (lang, bk) =>
+        // list is sorted by score desc = hash asc, so .last is h_k
+        (lang, bk.size.toLong, -bk.last.score, bk.map(_.id).sum)
+      }
+      .toDF("lang", "n_sample", "kth_h", "id_sum")
+    val exact = docs.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    exact.join(sampled, "lang")
+      .select(col("lang"), col("n_exact"), col("n_sample"),
+        round(col("kth_h"), 6).as("kth_h"),
+        round((col("n_sample") - 1).cast("double") / col("kth_h"), 4)
+          .as("est_distinct"),
+        col("id_sum"))
+      .orderBy("lang")
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Known-answer tests for the round-7 additions: BM25 retrieval,
+  * Misra-Gries-candidates + exact-recount heavy hitters, and bottom-k
+  * sampling. The registered queries are hash-checked against DuckDB;
+  * these pin SEMANTICS on constructed inputs: self-retrieval with an
+  * exact duplicate, an exactly-sized plant over a unique-bigram corpus,
+  * and sample membership recomputed independently from `md5`.
+  */
+class SketchRetrievalSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bm25: each probe self-retrieves; an exact duplicate ranks right behind") {
+    // five probe docs with unique signature terms (plus shared filler so
+    // idf has a floor to discriminate against), and doc 5 = copy of doc 0
+    val docs = (0L until 5L).map { i =>
+      val sig = ('z' - i).toChar.toString * 3 // "zzz", "yyy", ...
+      (i, s"$sig $sig $sig common filler words here")
+    } :+ (5L, "zzz zzz zzz common filler words here")
+    val got = TextAnalysis.bm25RetrieveOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // query i's signature term only occurs in doc i (and the dup for i=0)
+    (0L until 5L).foreach { q => assert(got((q, 1L)) === q, s"query $q") }
+    // the duplicate has identical text -> identical rounded score -> the
+    // doc_id tiebreak puts it at rank 2 for query 0
+    assert(got((0L, 2L)) === 5L)
+  }
+
+  test("heavy hitters: exactly the plant survives on a unique-bigram corpus") {
+    // every organic bigram globally unique -> organic max freq 1, far
+    // below N/HhK; expected counts are exactly the plant sizes
+    val docs = (0L until 40L).map { i =>
+      (i, ('a' to 'h').map(c => s"t$i$c").mkString(" "))
+    }
+    val rows = TextAnalysis.heavyHittersOf(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nOrg = 40 * 7
+    val plant = TextAnalysis.HhPlantRates
+      .map { case (item, r) => item -> math.ceil(r * nOrg).toLong }
+    val nTotal = nOrg + plant.map(_._2).sum
+    assert(rows.toSeq === plant.sortBy { case (i, c) => (-c, i) }
+      .map { case (item, c) => (item, c, nTotal) })
+  }
+
+  test("misra-gries udaf: hot items survive a 2000-singleton flood at capacity 16") {
+    // capacity far below the distinct-key space: the partial/merge path
+    // must prune yet keep everything above N/m
+    val hot = Seq.fill(600)("hot_a") ++ Seq.fill(400)("hot_b")
+    val flood = (0 until 2000).map(i => s"noise_$i")
+    val stream = scala.util.Random.shuffle(hot ++ flood)
+    val mg = udaf(new graft.functions.MisraGriesAggregator(16))
+    val cands = stream.toDF("item").repartition(7)
+      .agg(mg(col("item")).as("cands"))
+      .select(explode(col("cands")).as("item"))
+      .as[String].collect().toSet
+    // N = 3000, N/m = 187.5: both hot items are guaranteed candidates
+    assert(cands.contains("hot_a") && cands.contains("hot_b"))
+    assert(cands.size <= 16)
+  }
+
+  test("bottom-k: membership, kth hash and estimator recomputed from md5") {
+    val docs = ((0L until 40L).map((_, "aa")) ++
+      (100L until 110L).map((_, "bb"))).toDF("doc_id", "lang")
+    def h(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16) / 4503599627370496.0
+    }
+    def expected(ids: Seq[Long]) = {
+      val bottom = ids.sortBy(i => (h(i), i)).take(TextAnalysis.BkK)
+      (bottom.size.toLong, h(bottom.last), bottom.sum)
+    }
+    val got = TextAnalysis.bottomKSampleOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    def rnd(v: Double, dp: Int): Double = // Spark round() is HALF_UP
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (na, ha, sa) = expected(0L until 40L)
+    val (nb, hb, sb) = expected(100L until 110L)
+    assert(got("aa") === ((40L, na, rnd(ha, 6), rnd((na - 1) / ha, 4), sa)))
+    assert(got("bb") === ((10L, nb, rnd(hb, 6), rnd((nb - 1) / hb, 4), sb)))
+  }
+}
