@@ -26,7 +26,8 @@ object Plans {
     "q_text_bpe_train", "q_text_bpe_apply", "q_sample_domain_cap",
     "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
-    "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk")
+    "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
+    "q_text_rrf_fusion", "q_text_bm25_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -62,6 +63,8 @@ object Plans {
         // dataflow over the materialized postings frame
         else if (n == "q_text_bm25")
           graft.operators.TextAnalysis.bm25PlanOf(spark, sfDir)
+        else if (n == "q_text_rrf_fusion")
+          graft.operators.TextAnalysis.rrfPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)

@@ -643,14 +643,18 @@ object Scale {
       // worst-case estimator relative error across languages
       val maxErr = bk.map(r =>
         math.abs(r.getDouble(4) - r.getLong(1)) / r.getLong(1)).max
+      val t3 = System.nanoTime()
+      val rrfRows = TextAnalysis.rrfFuseOf(docs).count()
+      val tRrf = (System.nanoTime() - t3) / 1e9
       s"| ${k}x | $bmRows | ${f"$tBm%.1f"}s | ${hh.length} | $nTotal | " +
-        s"${f"$tHh%.1f"}s | ${bk.length} | ${f"$maxErr%.2f"} | ${f"$tBk%.1f"}s |"
+        s"${f"$tHh%.1f"}s | ${bk.length} | ${f"$maxErr%.2f"} | ${f"$tBk%.1f"}s | " +
+        s"$rrfRows | ${f"$tRrf%.1f"}s |"
     }
     if (sections("sketch")) {
       println()
       println("| factor | bm25 rows | bm25 time | heavy hitters | stream total | " +
-        "hh time | langs | bottomk max rel err | bk time |")
-      println("|---|---|---|---|---|---|---|---|---|")
+        "hh time | langs | bottomk max rel err | bk time | rrf rows | rrf time |")
+      println("|---|---|---|---|---|---|---|---|---|---|---|")
       rows14.foreach(println)
     }
     spark.stop()

@@ -174,6 +174,8 @@ object SparkEntry {
     "q_text_bm25"        -> (TextAnalysis.bm25Retrieve _),
     "q_sketch_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
+    "q_text_rrf_fusion"  -> (TextAnalysis.rrfFuse _),
+    "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
@@ -2678,6 +2680,119 @@ object SparkEntry {
          |SELECT item, cnt, n_total FROM c CROSS JOIN tot
          |WHERE cnt * ${TextAnalysis.HhK} > n_total
          |ORDER BY cnt DESC, item""".stripMargin,
+
+    // serving screen: odd probe docs (query = their distinct tokens)
+    // against the index built from the EVEN corpus half — index-side
+    // CTEs aggregate only doc_id % 2 = 0
+    "q_text_bm25_serve" ->
+      s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |              WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
+         |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
+         |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok)
+         |SELECT q.query_id, tf.doc_id,
+         |       round(sum(
+         |         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |         * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |         / (tf.tf + ${TextAnalysis.Bm25K1}
+         |            * (1.0 - ${TextAnalysis.Bm25B}
+         |               + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |       ), 4) AS score
+         |FROM q
+         |JOIN tf ON tf.word = q.word
+         |JOIN df ON df.word = q.word
+         |JOIN dl ON dl.doc_id = tf.doc_id
+         |CROSS JOIN stats s
+         |GROUP BY 1, 2
+         |ORDER BY q.query_id, tf.doc_id""".stripMargin,
+
+    // RRF fuses RANKS, not scores: once each ranker's (rounded score,
+    // doc_id) ranking is pinned, the fusion is integer arithmetic —
+    // 1/(60+rank) sums of two terms, rounded — so the oracle replays
+    // both rankers (BM25 + Dirichlet query-likelihood) over the same
+    // postings CTEs and fuses identically
+    "q_text_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |ctf AS (SELECT word, sum(tf) AS ctf FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         |            sum(dl)::DOUBLE AS c_total FROM dl),
+         |n1 AS (SELECT count(*) AS n FROM documents),
+         |qscored AS (SELECT doc_id AS query_id, word,
+         |              round(tf * ln(n1.n::DOUBLE / df.df), 4) AS tscore
+         |            FROM tf JOIN df USING (word) CROSS JOIN n1
+         |            WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
+         |qterms AS (SELECT query_id, word FROM (
+         |             SELECT query_id, word,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY tscore DESC, word) AS trank
+         |             FROM qscored) WHERE trank <= 3),
+         |hits AS (SELECT q.query_id, tf.doc_id, tf.word, tf.tf
+         |         FROM tf JOIN qterms q USING (word)),
+         |cands AS (SELECT DISTINCT query_id, doc_id FROM hits),
+         |bm AS (SELECT h.query_id, h.doc_id,
+         |         round(sum(
+         |           ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * h.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |           / (h.tf + ${TextAnalysis.Bm25K1}
+         |              * (1.0 - ${TextAnalysis.Bm25B}
+         |                 + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |         ), 4) AS score
+         |       FROM hits h
+         |       JOIN dl ON dl.doc_id = h.doc_id
+         |       JOIN df ON df.word = h.word
+         |       CROSS JOIN stats s
+         |       GROUP BY 1, 2),
+         |bm_r AS (SELECT query_id, doc_id, rank_bm25 FROM (
+         |           SELECT query_id, doc_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score DESC, doc_id) AS rank_bm25
+         |           FROM bm) WHERE rank_bm25 <= ${TextAnalysis.RrfDepth}),
+         |grid AS (SELECT c.query_id, c.doc_id, q.word,
+         |           coalesce(tf.tf, 0) AS tf
+         |         FROM cands c
+         |         JOIN qterms q USING (query_id)
+         |         LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.word = q.word),
+         |lm AS (SELECT g.query_id, g.doc_id,
+         |         round(sum(
+         |           ln((g.tf + ${TextAnalysis.LmMu} * ctf.ctf / s.c_total)
+         |              / (dl.dl + ${TextAnalysis.LmMu}))
+         |         ), 4) AS score
+         |       FROM grid g
+         |       JOIN ctf ON ctf.word = g.word
+         |       JOIN dl ON dl.doc_id = g.doc_id
+         |       CROSS JOIN stats s
+         |       GROUP BY 1, 2),
+         |lm_r AS (SELECT query_id, doc_id, rank_lm FROM (
+         |           SELECT query_id, doc_id,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score DESC, doc_id) AS rank_lm
+         |           FROM lm) WHERE rank_lm <= ${TextAnalysis.RrfDepth}),
+         |fused AS (SELECT coalesce(b.query_id, l.query_id) AS query_id,
+         |            coalesce(b.doc_id, l.doc_id) AS doc_id,
+         |            coalesce(b.rank_bm25, 0)::BIGINT AS rank_bm25,
+         |            coalesce(l.rank_lm, 0)::BIGINT AS rank_lm,
+         |            round(coalesce(1.0::DOUBLE / (b.rank_bm25 + ${TextAnalysis.RrfK}), 0.0)
+         |              + coalesce(1.0::DOUBLE / (l.rank_lm + ${TextAnalysis.RrfK}), 0.0), 6)
+         |              AS rrf
+         |          FROM bm_r b
+         |          FULL OUTER JOIN lm_r l
+         |            ON b.query_id = l.query_id AND b.doc_id = l.doc_id),
+         |ranked AS (SELECT query_id, doc_id, rrf, rank_bm25, rank_lm,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY rrf DESC, doc_id) AS "rank"
+         |           FROM fused)
+         |SELECT query_id, "rank", doc_id, rrf, rank_bm25, rank_lm
+         |FROM ranked WHERE "rank" <= ${TextAnalysis.Bm25TopK}
+         |ORDER BY query_id, "rank"""".stripMargin,
 
     // 13 hex md5 digits = 2^52 denominator: the hash is EXACT in a
     // double in both engines, so kth_h and the estimator divide the

@@ -1967,6 +1967,182 @@ object TextAnalysis {
     docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
 
+  /** The two Okapi factors over index columns (tf, df, dl, n, avgdl) —
+    * single source of truth for the batch query, the RRF ranker and the
+    * serving screen. */
+  private def bm25Idf: Column =
+    log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+  private def bm25Norm: Column =
+    col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+
+  /** DENORMALIZED BM25 serving index over a corpus frame: one row per
+    * posting carrying everything scoring needs — (doc_id, word, tf,
+    * df, dl, n, avgdl) — so a query-side join on `word` is the entire
+    * serving plan (no stats cross join at serve time, which matters for
+    * the STREAMING twin where a stream×static cross join is awkward).
+    * Persist with [[writeBm25Index]] (bucketed+sorted on `word`) and
+    * arriving queries join bucket-local with no index-side exchange. */
+  def bm25IndexOf(docs: DataFrame): DataFrame = {
+    val tf = bm25Postings(docs)
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    tf.join(df, "word").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select("doc_id", "word", "tf", "df", "dl", "n", "avgdl")
+  }
+
+  def writeBm25Index(docs: DataFrame, table: String,
+      buckets: Int = graft.operators.Dedup.BandIndexBuckets): Unit =
+    bm25IndexOf(docs).write
+      .mode("overwrite")
+      .bucketBy(buckets, "word")
+      .sortBy("word")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readBm25Index(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** The shared BM25 scoring kernel: `(query_id, text)` queries against
+    * a [[bm25IndexOf]]-shaped index. Query terms are the DISTINCT
+    * tokens of the query text (standard bag-of-words querying); the
+    * score per (query, doc) is the Okapi sum over matched postings,
+    * rounded to 4dp. Used verbatim by the registered incremental query
+    * and by [[graft.streaming.DocsStream.bm25ServeScreen]], so
+    * stream ≡ batch is parity by construction. */
+  def bm25ScoreOf(queries: DataFrame, index: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"),
+        explode(array_distinct(toks(col("text")))).as("word"))
+      .join(index, "word")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
+
+  /** Incremental BM25 serving — arriving probe documents (the odd
+    * doc_ids < 10) scored against the index built from the EVEN half of
+    * the corpus, the [[dupSpanApplyIncremental]] shape for retrieval:
+    * the corpus appears only through the persisted-index equi-join on
+    * `word`; everything else is batch-sized. */
+  def bm25ServeInc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val idx = bm25IndexOf(d.filter(col("doc_id") % 2 === 0))
+    val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")
+  }
+
+  /** RRF constant (Cormack et al. 2009's k=60), per-ranker candidate
+    * depth, and the Dirichlet smoothing mass for the query-likelihood
+    * ranker (Zhai & Lafferty). */
+  val RrfK = 60
+  val RrfDepth = 10
+  val LmMu = 300.0
+
+  /** Hybrid-retrieval fusion — reciprocal rank fusion of two rankers
+    * over the SAME probe queries: Okapi BM25 and a Dirichlet-smoothed
+    * query-likelihood language model,
+    * `score(q,D) = Σ_t ln((tf + μ·ctf_t/|C|) / (dl + μ))`. Each ranker
+    * contributes its top-[[RrfDepth]] per query;
+    * `rrf = Σ_r 1/(RrfK + rank_r)` with absent entries contributing 0,
+    * top-[[Bm25TopK]] fused results per query. RRF is the standard
+    * engine-side step that merges lexical and second-opinion rankings
+    * without score calibration — rank arithmetic only, so cross-engine
+    * float drift cannot reorder the fusion once each ranker's
+    * (rounded-score, doc_id) ranking is pinned.
+    *
+    * Scale posture: ONE materialized postings frame serves both rankers
+    * (tf, df, dl, ctf, |C| all derive from it); candidates are docs
+    * sharing ≥1 query term (the inverted-index candidate step — the
+    * LM grid is |candidates|×|query terms|, never corpus-sized), and
+    * every ranking is a Partial/Final `WindowGroupLimit` over
+    * candidates of one query. */
+  def rrfFuse(spark: SparkSession, dir: String): DataFrame =
+    rrfFuseOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[rrfFuse]] over an explicit `(doc_id, text)` frame. */
+  def rrfFuseOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (tf, tfRdd) = Dedup.materializeOwned(bm25Postings(docs),
+        ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(rrfFrom(tf, docs),
+        ckDir.isDefined)
+      Dedup.retire(spark, tfRdd)
+      Dedup.retainResult(spark, "rrfFuse", outRdd, out)
+    }
+  }
+
+  /** The live RRF dataflow over a materialized postings frame — the
+    * PLANS.md audit hook (the registered query returns the retained
+    * `ExistingRDD`). */
+  private[graft] def rrfPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val (tf, _) = Dedup.materializeOwned(bm25Postings(docs), reliable = false)
+    rrfFrom(tf, docs)
+  }
+
+  private def rrfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val ctf = tf.groupBy("word").agg(sum("tf").as("ctf"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"), sum("dl").cast("double").as("c_total"))
+    val n1 = docs.agg(count(lit(1)).as("n"))
+    val qscored = tf.filter(col("doc_id") < Bm25NQueries)
+      .join(df, "word").crossJoin(broadcast(n1))
+      .select(col("doc_id").as("query_id"), col("word"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tscore"))
+    val qw = Window.partitionBy("query_id").orderBy(desc("tscore"), asc("word"))
+    val queryTerms = qscored
+      .withColumn("trank", row_number().over(qw))
+      .filter(col("trank") <= 3).select("query_id", "word")
+    // candidate docs: share >= 1 query term (the inverted-index step)
+    val hits = tf.join(broadcast(queryTerms), "word")
+    val candidates = hits.select("query_id", "doc_id").distinct()
+    // ranker 1: BM25 over the hit postings
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    val bmRanked = hits.join(dl, "doc_id").join(df, "word")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
+      .withColumn("rank_bm25", row_number().over(w))
+      .filter(col("rank_bm25") <= RrfDepth)
+      .select("query_id", "doc_id", "rank_bm25")
+    // ranker 2: query-likelihood with Dirichlet smoothing over the full
+    // candidate x query-term grid (absent terms keep the smoothing mass)
+    val grid = candidates.join(broadcast(queryTerms), "query_id")
+      .join(tf, Seq("doc_id", "word"), "left")
+      .join(ctf, "word").join(dl, "doc_id").crossJoin(broadcast(stats))
+    val lmTerm = log(
+      (coalesce(col("tf"), lit(0L)) + lit(LmMu) * col("ctf") / col("c_total")) /
+        (col("dl") + LmMu))
+    val lmRanked = grid.groupBy("query_id", "doc_id")
+      .agg(round(sum(lmTerm), 4).as("score"))
+      .withColumn("rank_lm", row_number().over(w))
+      .filter(col("rank_lm") <= RrfDepth)
+      .select("query_id", "doc_id", "rank_lm")
+    // fusion: rank arithmetic only
+    val fused = bmRanked.join(lmRanked, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0)).cast("long").as("rank_bm25"),
+        coalesce(col("rank_lm"), lit(0)).cast("long").as("rank_lm"),
+        round(
+          when(col("rank_bm25").isNotNull,
+            lit(1.0) / (col("rank_bm25") + RrfK)).otherwise(lit(0.0)) +
+          when(col("rank_lm").isNotNull,
+            lit(1.0) / (col("rank_lm") + RrfK)).otherwise(lit(0.0)), 6)
+          .as("rrf"))
+    val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select("query_id", "rank", "doc_id", "rrf", "rank_bm25", "rank_lm")
+      .orderBy("query_id", "rank")
+  }
+
   private def bm25From(tf: DataFrame, docs: DataFrame): DataFrame = {
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -1983,14 +2159,10 @@ object TextAnalysis {
     val queryTerms = qscored
       .withColumn("trank", row_number().over(qw))
       .filter(col("trank") <= 3).select("query_id", "word")
-    val idf = log(
-      (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = col("tf") * (Bm25K1 + 1.0) /
-      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
     val scored = tf.join(broadcast(queryTerms), "word")
       .join(dl, "doc_id").join(df, "word").crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(idf * norm), 4).as("score"))
+      .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -206,4 +206,15 @@ object DocsStream {
     * parity by construction, and the suite pins it. */
   def dsirScoreScreen(newDocs: DataFrame, model: DataFrame): DataFrame =
     graft.operators.TextAnalysis.dsirScreenOf(newDocs, model)
+
+  /** Streaming BM25 serving — arriving `(query_id, text)` queries
+    * scored against the PERSISTED denormalized postings index
+    * ([[graft.operators.TextAnalysis.bm25IndexOf]] /
+    * `writeBm25Index`). One stream-static equi-join on `word` (a
+    * bucketed index snapshot joins with no index-side exchange) plus a
+    * single (query, doc) aggregation — run in update mode. The scoring
+    * kernel is literally the batch one (`bm25ScoreOf`), so
+    * stream ≡ batch is parity by construction, and the suite pins it. */
+  def bm25ServeScreen(newQueries: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.bm25ScoreOf(newQueries, index)
 }

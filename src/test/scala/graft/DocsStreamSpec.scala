@@ -74,6 +74,37 @@ class DocsStreamSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming BM25 serve == batch incremental serve, via the PERSISTED index") {
+    // odd probe docs stream as queries against the bucketed index
+    // snapshot of the even half — the production serving flow: write
+    // index once, every arriving query joins bucket-local
+    val dir = "/root/testdata/sf0.001"
+    val even = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+    graft.operators.TextAnalysis.writeBm25Index(even, "bm25_idx_test")
+    val q = DocsStream.bm25ServeScreen(
+        DocsStream.readDocs(spark, dir)
+          .filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("text")),
+        graft.operators.TextAnalysis.readBm25Index(spark, "bm25_idx_test"))
+      .writeStream
+      .format("memory")
+      .queryName("bm25serve_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("bm25serve_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.TextAnalysis.bm25ServeInc(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // scores discriminate (the screen ranks, it does not emit a constant)
+    assert(batch.map(_._3).size > 1)
+  }
+
   test("streaming DSIR importance screen == batch incremental screen") {
     // arriving odd docs scored against the dense model fit on the even
     // docs; the kernel is shared, so every (doc_id, n_grams, weight)

@@ -32,6 +32,30 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(got((0L, 2L)) === 5L)
   }
 
+  test("rrf fusion: consensus rank-1 gets 2/(k+1); the duplicate fuses at rank 2") {
+    val docs = (0L until 5L).map { i =>
+      val sig = ('z' - i).toChar.toString * 3
+      (i, s"$sig $sig $sig common filler words here")
+    } :+ (5L, "zzz zzz zzz common filler words here")
+    val got = TextAnalysis.rrfFuseOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val k = TextAnalysis.RrfK
+    def rrf(ra: Int, rb: Int): Double =
+      BigDecimal(1.0 / (ra + k) + 1.0 / (rb + k))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // both rankers put doc i first for query i (unique signature term,
+    // identical doc lengths), so the fused winner is the consensus doc
+    (0L until 5L).foreach { q =>
+      assert(got((q, 1L))._1 === q, s"query $q rank-1")
+      assert(got((q, 1L))._2 === rrf(1, 1), s"query $q rrf")
+    }
+    // the exact duplicate of doc 0 ties doc 0 in BOTH rankers and loses
+    // both tiebreaks on doc_id -> rank 2 twice -> fused rank 2
+    assert(got((0L, 2L)) === ((5L, rrf(2, 2), 2L, 2L)))
+  }
+
   test("heavy hitters: exactly the plant survives on a unique-bigram corpus") {
     // every organic bigram globally unique -> organic max freq 1, far
     // below N/HhK; expected counts are exactly the plant sizes
