@@ -27,7 +27,7 @@ object Plans {
     "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
-    "q_text_rrf_fusion", "q_text_bm25_serve")
+    "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -65,6 +65,8 @@ object Plans {
           graft.operators.TextAnalysis.bm25PlanOf(spark, sfDir)
         else if (n == "q_text_rrf_fusion")
           graft.operators.TextAnalysis.rrfPlanOf(spark, sfDir)
+        else if (n == "q_sketch_bottomk_union")
+          graft.operators.TextAnalysis.bottomKUnionPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)

@@ -176,6 +176,7 @@ object SparkEntry {
     "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
     "q_text_rrf_fusion"  -> (TextAnalysis.rrfFuse _),
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
+    "q_sketch_bottomk_union" -> (TextAnalysis.bottomKUnion _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
@@ -2680,6 +2681,48 @@ object SparkEntry {
          |SELECT item, cnt, n_total FROM c CROSS JOIN tot
          |WHERE cnt * ${TextAnalysis.HhK} > n_total
          |ORDER BY cnt DESC, item""".stripMargin,
+
+    // coordinated bottom-k sketch algebra: the oracle replays both
+    // sides' samples, the merged union sketch and both estimators with
+    // window/limit SQL — every hash is an exact double (13 hex / 2^52),
+    // so estimates divide identical bits in both engines
+    "q_sketch_bottomk_union" ->
+      s"""WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 13)
+         |              AS BIGINT) AS hl
+         |            FROM documents WHERE doc_id % 2 = 0),
+         |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 13)
+         |         AS BIGINT) AS hl
+         |       FROM documents WHERE doc_id % 3 = 0),
+         |sa AS (SELECT hl, hl::DOUBLE / 4503599627370496.0 AS h FROM ha
+         |       ORDER BY h, hl LIMIT ${TextAnalysis.BkuK}),
+         |sb AS (SELECT hl, hl::DOUBLE / 4503599627370496.0 AS h FROM hb
+         |       ORDER BY h, hl LIMIT ${TextAnalysis.BkuK}),
+         |pa AS (SELECT count(*)::BIGINT AS m_a,
+         |         round((count(*) - 1)::DOUBLE / max(h), 4) AS est_a FROM sa),
+         |pb AS (SELECT count(*)::BIGINT AS m_b,
+         |         round((count(*) - 1)::DOUBLE / max(h), 4) AS est_b FROM sb),
+         |u AS (SELECT DISTINCT hl, h
+         |      FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+         |      ORDER BY h, hl LIMIT ${TextAnalysis.BkuK}),
+         |us AS (SELECT count(*)::BIGINT AS mu, max(h) AS hku FROM u),
+         |sh AS (SELECT count(*)::BIGINT AS n_shared FROM u
+         |       WHERE hl IN (SELECT hl FROM sa)
+         |         AND hl IN (SELECT hl FROM sb)),
+         |ea AS (SELECT count(*)::BIGINT AS exact_a FROM ha),
+         |eb AS (SELECT count(*)::BIGINT AS exact_b FROM hb),
+         |ei AS (SELECT count(*)::BIGINT AS exact_inter
+         |       FROM ha JOIN hb USING (hl))
+         |SELECT ${TextAnalysis.BkuK}::BIGINT AS k,
+         |       m_a, est_a, exact_a, m_b, est_b, exact_b,
+         |       round((mu - 1)::DOUBLE / hku, 4) AS est_union,
+         |       (exact_a + exact_b - exact_inter) AS exact_union,
+         |       round(n_shared::DOUBLE / mu, 4) AS jaccard_est,
+         |       round(exact_inter::DOUBLE
+         |         / (exact_a + exact_b - exact_inter), 4) AS jaccard_exact,
+         |       round(n_shared::DOUBLE / mu
+         |         * ((mu - 1)::DOUBLE / hku), 4) AS est_inter,
+         |       exact_inter
+         |FROM pa, pb, us, sh, ea, eb, ei""".stripMargin,
 
     // serving screen: odd probe docs (query = their distinct tokens)
     // against the index built from the EVEN corpus half — index-side

@@ -2242,6 +2242,125 @@ object TextAnalysis {
   /** Bottom-k sketch size. */
   val BkK = 32
 
+  /** Sketch size for the cross-crawl union/intersection estimator. */
+  val BkuK = 64
+
+  /** Cross-crawl overlap estimation from COORDINATED bottom-k sketches
+    * — the sketch-algebra payoff that makes bottom-k the production
+    * profiler's sample: because both sides sample by the SAME content
+    * hash, their sketches compose. Crawl A = even doc_ids, crawl B =
+    * doc_id % 3 == 0 (true overlap is exactly the % 6 slice, so the
+    * exact audit columns have known structure). From the two k=64
+    * samples alone: `est = (m-1)/h_m` per side; the union sketch is the
+    * bottom-k of the MERGED samples (never the corpora); Jaccard is the
+    * fraction of the union's bottom-k present in both samples (Cohen &
+    * Kaplan's coordinated-sample estimator), and the intersection
+    * estimate is `J x U`. Exact counts ride beside every estimate.
+    *
+    * Scale posture: each side's sketch is the bounded-aggregator
+    * bottom-k (O(k) state, O(P*k) shuffle); everything downstream of
+    * the two sketches operates on <= 2k rows. In production the
+    * per-crawl sketches persist and ANY pair composes without
+    * re-scanning either crawl. */
+  def bottomKUnion(spark: SparkSession, dir: String): DataFrame =
+    bottomKUnionOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** The live union-sketch dataflow for the PLANS.md audit: the report
+    * plan over freshly-materialized hash frames, without the final
+    * materialize/retain (the registered query returns the retained
+    * `ExistingRDD`). */
+  private[graft] def bottomKUnionPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val (ha, _) = Dedup.materializeOwned(bkuHashes(docs, 2), reliable = false)
+    val (hb, _) = Dedup.materializeOwned(bkuHashes(docs, 3), reliable = false)
+    bottomKUnionFrom(ha, hb)
+  }
+
+  /** Distinct content hashes of the `doc_id % modulus == 0` crawl. */
+  private def bkuHashes(docs: DataFrame, modulus: Int): DataFrame =
+    docs.filter(col("doc_id") % modulus === 0).select(
+      (conv(substring(md5(col("text")), 1, 13), 16, 10)
+        .cast("long")).as("hl")).distinct()
+
+  /** [[bottomKUnion]] over an explicit `(doc_id, text)` frame. The two
+    * per-crawl distinct-hash frames are materialized ONCE each (the
+    * sketch, the exact audit and the exact intersection all consume
+    * them; lazily shared they re-scanned the corpus 18 times) — in
+    * production only the ≤k-row SKETCHES persist and the audit runs on
+    * a sampled cadence. */
+  def bottomKUnionOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (ha, haRdd) = Dedup.materializeOwned(bkuHashes(docs, 2), ckDir.isDefined)
+      val (hb, hbRdd) = Dedup.materializeOwned(bkuHashes(docs, 3), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(bottomKUnionFrom(ha, hb),
+        ckDir.isDefined)
+      Dedup.retire(spark, haRdd)
+      Dedup.retire(spark, hbRdd)
+      Dedup.retainResult(spark, "bottomKUnion", outRdd, out)
+    }
+  }
+
+  private def bottomKUnionFrom(ha: DataFrame, hb: DataFrame): DataFrame = {
+    val spark = ha.sparkSession
+    import spark.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val agg = new TopKAggregator(BkuK).toColumn
+    def sample(side: DataFrame, tag: String): DataFrame = side
+      .select(col("hl"), (negate(col("hl").cast("double")) / BkDenom).as("score"))
+      .as[(Long, Double)]
+      .map { case (hl, s) => (tag, Scored(hl, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("bk"))
+      .flatMap { case (t, bk) => bk.map(s => (t, s.id, -s.score)) }
+      .toDF("side", "hl", "h")
+    val sa = sample(ha, "a")
+    val sb = sample(hb, "b")
+    val samples = sa.unionByName(sb)
+    // per-side estimate from the k-th smallest hash
+    val perSide = samples.groupBy("side")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+      .select(col("side"), col("m"),
+        round((col("m") - 1).cast("double") / col("hk"), 4).as("est"))
+    // union sketch: bottom-k of the merged samples (<= 2k rows)
+    val unionK = samples.select("hl", "h").distinct()
+      .orderBy("h", "hl").limit(BkuK)
+    val inBoth = unionK
+      .join(sa.select(col("hl").as("hl_a")), col("hl") === col("hl_a"), "left_semi")
+      .join(sb.select(col("hl").as("hl_b")), col("hl") === col("hl_b"), "left_semi")
+    val uStats = unionK.agg(count(lit(1)).as("mu"), max(col("h")).as("hku"))
+    val shared = inBoth.agg(count(lit(1)).as("n_shared"))
+    // exact audit over the SAME materialized hash frames
+    val exactA = ha.agg(count(lit(1)).as("exact_a"))
+    val exactB = hb.agg(count(lit(1)).as("exact_b"))
+    val exactI = ha.join(hb, "hl")
+      .agg(count(lit(1)).as("exact_inter"))
+    val ea = perSide.filter(col("side") === "a")
+      .select(col("m").as("m_a"), col("est").as("est_a"))
+    val eb = perSide.filter(col("side") === "b")
+      .select(col("m").as("m_b"), col("est").as("est_b"))
+    val report = ea.crossJoin(eb).crossJoin(broadcast(uStats))
+      .crossJoin(broadcast(shared))
+      .crossJoin(broadcast(exactA)).crossJoin(broadcast(exactB))
+      .crossJoin(broadcast(exactI))
+      .select(
+        lit(BkuK).cast("long").as("k"),
+        col("m_a"), col("est_a"), col("exact_a"),
+        col("m_b"), col("est_b"), col("exact_b"),
+        round((col("mu") - 1).cast("double") / col("hku"), 4).as("est_union"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        round(col("n_shared").cast("double") / col("mu"), 4).as("jaccard_est"),
+        round(col("exact_inter").cast("double") /
+          (col("exact_a") + col("exact_b") - col("exact_inter")), 4)
+          .as("jaccard_exact"),
+        round(col("n_shared").cast("double") / col("mu") *
+          ((col("mu") - 1).cast("double") / col("hku")), 4).as("est_inter"),
+        col("exact_inter"))
+    report
+  }
+
   /** 2^52 = 16^13: hashes are 13 hex digits of md5, so both engines
     * hold them EXACTLY in a double (no rounding anywhere in [0,1)). */
   private val BkDenom = 4503599627370496.0

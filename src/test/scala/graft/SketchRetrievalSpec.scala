@@ -88,6 +88,59 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(cands.size <= 16)
   }
 
+  test("bottom-k union: complete-sample case collapses to exact Jaccard; " +
+      "sketched case matches an independent recompute") {
+    def hl(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    def rnd(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expected(n: Int): (Long, Long, Long, Double, Double, Long) = {
+      // replay: crawls by id-modulus, per-side bottom-k, union sketch,
+      // coordinated Jaccard — pure in-memory arithmetic
+      val k = TextAnalysis.BkuK
+      val texts = (0 until n).map(i => i.toLong -> s"doc text number $i")
+      def side(p: Long => Boolean) =
+        texts.filter(t => p(t._1)).map(t => hl(t._2)).distinct.sorted
+      val a = side(_ % 2 == 0); val b = side(_ % 3 == 0)
+      val sa = a.take(k); val sb = b.take(k)
+      val u = (sa ++ sb).distinct.sorted.take(k)
+      val nShared = u.count(x => sa.contains(x) && sb.contains(x))
+      val inter = a.toSet.intersect(b.toSet).size.toLong
+      val estU = rnd((u.size - 1).toDouble /
+        (u.last.toDouble / 4503599627370496.0), 4)
+      val jacc = rnd(nShared.toDouble / u.size, 4)
+      (a.size.toLong, b.size.toLong, u.size.toLong, estU, jacc, inter)
+    }
+    def run(n: Int) = {
+      val docs = (0 until n).map(i => (i.toLong, s"doc text number $i"))
+        .toDF("doc_id", "text")
+      val r = TextAnalysis.bottomKUnionOf(docs).collect()(0)
+      (r.getLong(3), r.getLong(6), r.getLong(12), r.getDouble(7),
+        r.getDouble(9), r.getDouble(10))
+    }
+    // complete-sample regime (60 < k docs/side): the coordinated Jaccard
+    // estimator IS the exact Jaccard
+    val (a60, b60, _, _, j60, i60) = expected(60)
+    val (exactA, exactB, exactI, _, jaccEst, jaccExact) = run(60)
+    assert((exactA, exactB, exactI) === ((a60, b60, i60)))
+    assert(jaccEst === jaccExact)
+    assert(jaccEst === j60)
+    // sketched regime (1000 docs, ~500/334 per side): every reported
+    // number must equal the independent replay
+    val (a1k, b1k, _, estU1k, jacc1k, i1k) = expected(1000)
+    val r1k = (0 until 1000).map(i => (i.toLong, s"doc text number $i"))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.bottomKUnionOf(r1k).collect()(0)
+    assert(row.getLong(3) === a1k)
+    assert(row.getLong(6) === b1k)
+    assert(row.getLong(12) === i1k)
+    assert(row.getDouble(7) === estU1k)
+    assert(row.getDouble(9) === jacc1k)
+  }
+
   test("bottom-k: membership, kth hash and estimator recomputed from md5") {
     val docs = ((0L until 40L).map((_, "aa")) ++
       (100L until 110L).map((_, "bb"))).toDF("doc_id", "lang")
