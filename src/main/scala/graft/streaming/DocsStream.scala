@@ -217,4 +217,47 @@ object DocsStream {
     * stream ≡ batch is parity by construction, and the suite pins it. */
   def bm25ServeScreen(newQueries: DataFrame, index: DataFrame): DataFrame =
     graft.operators.TextAnalysis.bm25ScoreOf(newQueries, index)
+
+  /** Streaming heavy-hitter candidate emitted by [[heavyHitterMonitor]]:
+    * `est_count` is the Misra-Gries LOWER-BOUND estimate (within
+    * N_source/m of truth), not an exact count. */
+  case class HotItem(source: String, item: String, est_count: Long)
+
+  /** STREAMING heavy-hitter monitor — the ingest-time twin of
+    * `q_sketch_heavy_hitters`'s candidate phase: one Misra-Gries
+    * summary per source maintained ACROSS micro-batches in
+    * `flatMapGroupsWithState`, folding each batch's bigrams through the
+    * same `MisraGriesAggregator.reduce` kernel the batch query runs, so
+    * the superset guarantee (every item above N_source/m is present)
+    * and the N/m error bound hold for the stream's lifetime counts —
+    * order-independent properties, which is what makes them pinnable
+    * where summary identity is not (MG content is arrival-order
+    * dependent by nature). State is O(m) per source forever; each
+    * trigger re-emits the current ≤m-row summary per updated source
+    * (update mode). The EXACT phase stays batch — the monitor flags,
+    * the recount confirms — which is the production split: hot-key /
+    * hot-template detection at ingest, exact governance numbers on the
+    * batch cadence. */
+  def heavyHitterMonitor(newDocs: DataFrame,
+      m: Int = graft.operators.TextAnalysis.HhCapacity): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.MisraGriesAggregator(m)
+    newDocs.select(col("source"),
+        explode(graft.functions.TextFunctions.wordNgrams(
+          graft.functions.TextFunctions.tokenize(col("text")), 2)).as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], HotItem](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state: GroupState[Map[String, Long]]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+            (buf, r) => agg.reduce(buf, r._2)
+          }
+          state.update(updated)
+          updated.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => HotItem(src, i, c) }.iterator
+      }.toDF()
+  }
 }

@@ -105,6 +105,58 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.map(_._3).size > 1)
   }
 
+  test("streaming heavy-hitter monitor: guarantee and error bound hold per source") {
+    import spark.implicits._
+    // planted corpus: per-source unique-bigram filler + a hot passage in
+    // src_a whose two bigrams (40 occurrences each) clear N_a/m = 22.5
+    val filler = (0L until 40L).flatMap { i =>
+      Seq((i, ('a' to 'h').map(c => s"f${i}$c").mkString(" "), "en", "src_a", 0L),
+        (1000L + i, ('a' to 'h').map(c => s"g${i}$c").mkString(" "), "en", "src_b", 0L))
+    }
+    val hot = (100L until 120L).map(i =>
+      (i, "hot alpha hot alpha hot", "en", "src_a", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhmon").toString
+    (filler ++ hot).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/staging")
+    // single documents.parquet file -> one trigger
+    val part = new java.io.File(s"$dir/staging").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val m = 16
+    val q = DocsStream.heavyHitterMonitor(DocsStream.readDocs(spark, dir), m)
+      .writeStream
+      .format("memory")
+      .queryName("hhmon_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val got = spark.table("hhmon_test").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // true bigram counts per source, from the same parquet via batch
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.wordNgrams(
+            graft.functions.TextFunctions.tokenize(col("text")), 2)).as("item"))
+      .groupBy("source", "item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerSource = truth.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    // superset guarantee: the hot bigrams (40 > N_a/m) are present
+    assert(got.contains(("src_a", "hot alpha")))
+    assert(got.contains(("src_a", "alpha hot")))
+    // capacity bound per source
+    got.keys.groupBy(_._1).foreach { case (src, ks) =>
+      assert(ks.size <= m, s"$src summary over capacity") }
+    // MG error bound: est <= truth and (truth - est) * m <= N_source
+    got.foreach { case ((src, item), est) =>
+      val t = truth((src, item))
+      assert(est <= t, s"($src,$item) overcount")
+      assert((t - est) * m <= nPerSource(src), s"($src,$item) bound")
+    }
+  }
+
   test("streaming DSIR importance screen == batch incremental screen") {
     // arriving odd docs scored against the dense model fit on the even
     // docs; the kernel is shared, so every (doc_id, n_grams, weight)
