@@ -27,7 +27,8 @@ object Plans {
     "q_dedup_winnow", "q_profile_ks", "q_train_quality_lr_apply",
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
-    "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union")
+    "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union",
+    "q_dedup_source_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_dedup_exact_groups"  -> (Dedup.exactGroups _),
     "q_dedup_exact_planted" -> (Dedup.exactGroupsPlanted _),
     "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "q_dedup_source_matrix" -> (Dedup.sourceDupMatrix _),
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -1467,6 +1468,23 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // provenance matrix over the same pair CTEs: unordered source pair
+    // per kept LSH pair, |sources|^2-bounded output
+    "q_dedup_source_matrix" ->
+      s"""WITH $DuckMinhashCtes,
+         |p AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+         |m AS (SELECT least(da.source, db.source) AS source_x,
+         |        greatest(da.source, db.source) AS source_y,
+         |        p.est_jaccard
+         |      FROM p
+         |      JOIN documents da ON da.doc_id = p.doc_a
+         |      JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT source_x, source_y,
+         |       (source_x <> source_y) AS cross_source,
+         |       count(*)::BIGINT AS n_pairs,
+         |       sum(round(est_jaccard * 10000)::BIGINT)::BIGINT AS jaccard_bp_sum
+         |FROM m GROUP BY 1, 2 ORDER BY source_x, source_y""".stripMargin,
 
     // exact-verify stage over the LSH pairs: same pair set, Levenshtein
     // on the capped lowered prefix; 1.0 - dist/max_len stays in exact

@@ -242,6 +242,43 @@ object Dedup {
   private[graft] def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables.fanOut(Tables.documents(spark, dir)))
 
+  /** Cross-source near-dup PROVENANCE matrix — which crawls duplicate
+    * each other: every memoized LSH pair joined to both endpoints'
+    * sources, counted per unordered source pair with the mean estimated
+    * Jaccard. This is the governance view a multi-crawl pipeline reads
+    * before deciding which source to demote when [[dedupedCorpusBest]]
+    * keeps one survivor — a mostly-off-diagonal matrix (as here) means
+    * sources re-crawl each other's content; a diagonal-heavy one means
+    * within-crawl boilerplate.
+    *
+    * Scale posture: the pair graph is the memoized thin frame four
+    * other dedup consumers share (built once per session); the source
+    * lookup is two id-keyed joins against a two-column projection, and
+    * the output is bounded by |sources|², not the corpus. */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceDupMatrixOf(minhashPairsCached(spark, dir),
+      Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[sourceDupMatrix]] over explicit pair and document frames. */
+  def sourceDupMatrixOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"),
+        col("est_jaccard"))
+      .groupBy("source_x", "source_y")
+      // jaccard total in basis points: the 4dp estimates are exact at
+      // 1e4 scale, so the SUM is integer arithmetic — no average-of-
+      // rounded-values .5 boundary can split the engines
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("est_jaccard") * 10000).cast("long")).as("jaccard_bp_sum"))
+      .withColumn("cross_source", col("source_x") =!= col("source_y"))
+      .select("source_x", "source_y", "cross_source", "n_pairs", "jaccard_bp_sum")
+      .orderBy("source_x", "source_y")
+  }
+
   /** Character budget per side for [[editDistanceVerify]] — caps the
     * O(len²) DP at a constant 256² per pair. */
   val EditPrefix = 256

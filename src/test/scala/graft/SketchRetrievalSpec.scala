@@ -88,6 +88,24 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(cands.size <= 16)
   }
 
+  test("source dup matrix: unordered pairing, exact bp sums, cross flag") {
+    val pairs = Seq(
+      (1L, 2L, 0.9532), // s1 x s2 (cross)
+      (2L, 1L, 0.9531), // s2 x s1 -> same unordered cell as above
+      (1L, 3L, 0.75),   // s1 x s1 (diagonal)
+      (4L, 5L, 0.5))    // s2 x s3 (cross)
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s1"), (4L, "s2"), (5L, "s3"))
+      .toDF("doc_id", "source")
+    val got = graft.operators.Dedup.sourceDupMatrixOf(pairs, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("s1", "s1", false, 1L, 7500L),
+      ("s1", "s2", true, 2L, 9532L + 9531L),
+      ("s2", "s3", true, 1L, 5000L)))
+  }
+
   test("bottom-k union: complete-sample case collapses to exact Jaccard; " +
       "sketched case matches an independent recompute") {
     def hl(text: String): Long = {
