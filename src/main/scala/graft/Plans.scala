@@ -28,7 +28,7 @@ object Plans {
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
     "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union",
-    "q_dedup_source_matrix")
+    "q_dedup_source_matrix", "q_dedup_lsh_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -68,6 +68,8 @@ object Plans {
           graft.operators.TextAnalysis.rrfPlanOf(spark, sfDir)
         else if (n == "q_sketch_bottomk_union")
           graft.operators.TextAnalysis.bottomKUnionPlanOf(spark, sfDir)
+        else if (n == "q_dedup_lsh_sweep")
+          graft.operators.Dedup.lshBandSweepPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)

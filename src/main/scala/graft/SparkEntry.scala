@@ -126,6 +126,7 @@ object SparkEntry {
     "q_dedup_exact_planted" -> (Dedup.exactGroupsPlanted _),
     "q_dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "q_dedup_source_matrix" -> (Dedup.sourceDupMatrix _),
+    "q_dedup_lsh_sweep"     -> (Dedup.lshBandSweep _),
     "q_dedup_simhash"       -> (Dedup.simhashPairs _),
     "q_dedup_simhash_wide"  -> (Dedup.simhashPairsWide _),
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -1468,6 +1469,47 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // operating-point sweep: per (bands, rows) split of the SAME 32
+    // signatures, candidate volume + exact-truth recall in integer
+    // basis points; config CTEs generated from LshSweepConfigs so the
+    // two engines can never sweep different grids
+    "q_dedup_lsh_sweep" ->
+      s"""WITH $DuckMinhashCtes,
+         |posting AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM posting GROUP BY doc_id),
+         |inter2 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |           FROM posting x JOIN posting y
+         |             ON x.g = y.g AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2),
+         |truth2 AS (SELECT doc_a, doc_b
+         |           FROM inter2 JOIN sizes na ON na.doc_id = doc_a
+         |                       JOIN sizes nb ON nb.doc_id = doc_b
+         |           WHERE inter * 2 >= na.n + nb.n - inter),
+         |${graft.operators.Dedup.LshSweepConfigs.map { case (b, r) =>
+           s"""band_$b AS (SELECT doc_id, sigs, b.band,
+              |  array_to_string(list_transform(
+              |    list_slice(sigs, band * $r + 1, band * $r + $r), v -> v::VARCHAR), ',') AS band_sig
+              |  FROM sig CROSS JOIN (SELECT unnest(range(0, $b)) AS band) b),
+              |cands_$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    round(list_sum(list_transform(range(1, 33),
+              |      i -> CASE WHEN x.sigs[i] = y.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est
+              |  FROM band_$b x JOIN band_$b y
+              |    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id),
+              |stats_$b AS (SELECT ${b}::BIGINT AS bands, ${r}::BIGINT AS rows_per_band,
+              |    count(*)::BIGINT AS n_candidates,
+              |    sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              |    (SELECT count(*) FROM truth2)::BIGINT AS n_true,
+              |    (SELECT count(*) FROM cands_$b c JOIN truth2 t
+              |       ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)::BIGINT AS n_caught
+              |  FROM cands_$b)""".stripMargin
+         }.mkString(",\n")}
+         |SELECT bands, rows_per_band, n_candidates, n_kept, n_true, n_caught,
+         |       CASE WHEN n_true > 0 THEN (n_caught * 10000) // n_true
+         |            ELSE 0 END::BIGINT AS recall_bp
+         |FROM (${graft.operators.Dedup.LshSweepConfigs.map { case (b, _) =>
+           s"SELECT * FROM stats_$b" }.mkString(" UNION ALL ")})
+         |ORDER BY bands""".stripMargin,
 
     // provenance matrix over the same pair CTEs: unordered source pair
     // per kept LSH pair, |sources|^2-bounded output

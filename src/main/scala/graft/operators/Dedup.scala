@@ -279,6 +279,104 @@ object Dedup {
       .orderBy("source_x", "source_y")
   }
 
+  /** Band/row operating points swept by [[lshBandSweep]] (b·r = K=32).
+    * The S-curve catch probability is 1−(1−J^r)^b: (4,8) is precise/
+    * low-recall, (16,2) recall-heavy/candidate-heavy, (8,4) the
+    * deployed middle. */
+  val LshSweepConfigs = Seq((4, 8), (8, 4), (16, 2))
+
+  /** LSH OPERATING-POINT SWEEP — the tuning query production runs
+    * before picking a banding: for each (bands, rows) split of the same
+    * K=32 signatures, the candidate volume (the cost axis) and the
+    * recall against exact-Jaccard ≥ 0.5 ground truth (the quality
+    * axis), as one row per configuration. Recall is carried as integer
+    * BASIS POINTS (`(caught·10000) div n_true`) so no float crosses
+    * engines.
+    *
+    * Scale posture: signatures are computed ONCE (materialized owned
+    * RDD) and re-banded per configuration — banding is a narrow explode
+    * + string concat, so the sweep costs b self-joins over the same sig
+    * frame, never b signature builds. The exact truth side is the
+    * deliberately-naive uncapped posting self-join, computed once and
+    * shared; at 100 TB the audit runs on a content-hash sample exactly
+    * like [[lshRecallAuditOf]]. */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame =
+    lshBandSweepOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[lshBandSweep]] over an explicit `(doc_id, text)` frame. */
+  def lshBandSweepOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = confCheckpointDir(spark)
+    withCheckpointDir(spark, ckDir) {
+      val (sigs, sigsRdd, truth, truthRdd) = lshSweepInputs(docs, ckDir.isDefined)
+      val (out, outRdd) = materializeOwned(lshBandSweepFrom(sigs, truth),
+        ckDir.isDefined)
+      retire(spark, sigsRdd)
+      retire(spark, truthRdd)
+      retainResult(spark, "lshBandSweep", outRdd, out)
+    }
+  }
+
+  /** The live sweep dataflow for the PLANS.md audit (the registered
+    * query returns the retained `ExistingRDD`). */
+  private[graft] def lshBandSweepPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val (sigs, _, truth, _) = lshSweepInputs(docs, reliable = false)
+    lshBandSweepFrom(sigs, truth)
+  }
+
+  /** Materialized signature frame + exact ≥0.5 truth pairs, the two
+    * inputs every sweep configuration shares. */
+  private def lshSweepInputs(docs: DataFrame, reliable: Boolean) = {
+    val posting = shinglesOf(docs).distinct()
+    val (sigs, sigsRdd) = materializeOwned(minhashSigFrame(posting), reliable)
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = posting.alias("x").join(posting.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val (truth, truthRdd) = materializeOwned(
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .select("doc_a", "doc_b"),
+      reliable)
+    (sigs, sigsRdd, truth, truthRdd)
+  }
+
+  private def lshBandSweepFrom(sigs: DataFrame, truth: DataFrame): DataFrame = {
+    val perConfig = LshSweepConfigs.map { case (b, r) =>
+        val bands = sigs.select(col("doc_id"), col("sigs"),
+            explode(sequence(lit(0), lit(b - 1))).as("band"))
+          .select(col("doc_id"), col("sigs"), col("band"),
+            concat_ws(",", (0 until r).map(i =>
+              element_at(col("sigs"), col("band") * r + i + 1).cast("string")): _*)
+              .as("band_sig"))
+        val cands = bands
+          .select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
+            col("band"), col("band_sig"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"),
+            col("band"), col("band_sig")), Seq("band", "band_sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), estJaccard.as("est"))
+          .distinct()
+        val stats = cands.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_kept"))
+        val caught = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught"))
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        stats.crossJoin(broadcast(caught)).crossJoin(broadcast(nTrue))
+          .select(lit(b).cast("long").as("bands"),
+            lit(r).cast("long").as("rows_per_band"),
+            col("n_candidates"), col("n_kept"), col("n_true"), col("n_caught"),
+            when(col("n_true") > 0,
+              expr("(n_caught * 10000) div n_true")).otherwise(lit(0L))
+              .as("recall_bp"))
+      }
+    perConfig.reduce(_ unionByName _).orderBy("bands")
+  }
+
   /** Character budget per side for [[editDistanceVerify]] — caps the
     * O(len²) DP at a constant 256² per pair. */
   val EditPrefix = 256

@@ -88,6 +88,27 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(cands.size <= 16)
   }
 
+  test("lsh sweep: nested band splits give monotone candidates and recall") {
+    // (4,8) bands are unions of (8,4) bands are unions of (16,2) bands,
+    // so an all-rows-agree match at a coarse config implies a match at
+    // every finer one: candidate sets NEST, and caught-truth with them
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Dedup.lshBandSweepOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    assert(rows.map(r => r._1 * r._2).forall(_ === 32L))
+    val cands = rows.map(_._3)
+    val caught = rows.map(_._6)
+    assert(cands(0) <= cands(1) && cands(1) <= cands(2), cands.toSeq)
+    assert(caught(0) <= caught(1) && caught(1) <= caught(2), caught.toSeq)
+    // n_true is config-independent and recall_bp is the exact int div
+    assert(rows.map(_._5).distinct.length === 1)
+    rows.foreach { r =>
+      assert(r._7 === (if (r._5 > 0) r._6 * 10000 / r._5 else 0L)) }
+    assert(rows.last._5 > 0, "ground truth empty - sweep is vacuous")
+  }
+
   test("source dup matrix: unordered pairing, exact bp sums, cross flag") {
     val pairs = Seq(
       (1L, 2L, 0.9532), // s1 x s2 (cross)
