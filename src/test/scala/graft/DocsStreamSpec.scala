@@ -157,6 +157,45 @@ class DocsStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-hitter monitor restart: MG state folds counts across runs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // below-capacity vocabulary so the summary is EXACT counting: after
+    // two AvailableNow runs over one checkpoint, lifetime counts must be
+    // the sum of both batches — a fresh run on batch 2 alone would halve
+    val staging = Files.createTempDirectory("graft-hhrestart").toString
+    val ckpt = Files.createTempDirectory("graft-hhrestart-ck").toString
+    val out = Files.createTempDirectory("graft-hhrestart-out").toString
+    def batch(idBase: Long) = (idBase until idBase + 10L)
+      .map(i => (i, "hot alpha hot alpha hot", "en", "src_a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def drain(): Unit = {
+      // foreachBatch: the sink shape that both accepts update-mode
+      // stateful output AND recovers from the checkpoint
+      val q = DocsStream.heavyHitterMonitor(
+          spark.readStream.schema(DocsStream.docSchema).parquet(staging), 64)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+    }
+    batch(0L).write.mode("append").parquet(staging)
+    drain()
+    batch(100L).write.mode("append").parquet(staging)
+    drain()
+    val est = spark.read.parquet(out).collect()
+      .filter(r => r.getString(0) == "src_a")
+      .groupBy(_.getString(1)).map { case (item, rows) =>
+        item -> rows.map(_.getLong(2)).max }
+    // each doc contributes 2x "hot alpha" + 2x "alpha hot"; 20 docs total
+    assert(est("hot alpha") === 40L)
+    assert(est("alpha hot") === 40L)
+  }
+
   test("streaming DSIR importance screen == batch incremental screen") {
     // arriving odd docs scored against the dense model fit on the even
     // docs; the kernel is shared, so every (doc_id, n_grams, weight)
