@@ -2217,11 +2217,14 @@ object TextAnalysis {
     // plant sizing: bigram count without the explode shuffle
     val nOrg = docs.agg(
       sum(greatest(size(toks(col("text"))) - 1, lit(0))).as("n_org"))
+    // sequence(1, k) is DESCENDING for k < 1 (the wordNgrams gotcha):
+    // guard the empty-corpus case so a zero plant stays zero rows
+    val plantN = ceil(col("rate") * col("n_org")).cast("long")
     val planted = HhPlantRates.toDF("item", "rate")
       .crossJoin(broadcast(nOrg))
       .select(col("item"),
-        explode(sequence(lit(1L),
-          ceil(col("rate") * col("n_org")).cast("long"))).as("i"))
+        explode(when(plantN >= 1L, sequence(lit(1L), plantN))
+          .otherwise(array().cast("array<bigint>"))).as("i"))
       .select("item")
     def stream = organic.unionByName(planted)
     val mgUdf = udaf(new graft.functions.MisraGriesAggregator(HhCapacity))

@@ -72,6 +72,13 @@ class SketchRetrievalSpec extends AnyFunSuite {
       .map { case (item, c) => (item, c, nTotal) })
   }
 
+  test("heavy hitters: empty corpus yields zero rows, not a phantom plant") {
+    // sequence(1, 0) is DESCENDING in Spark - an unguarded plant would
+    // emit 2 rows per hot item on an empty corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHittersOf(empty).collect().isEmpty)
+  }
+
   test("misra-gries udaf: hot items survive a 2000-singleton flood at capacity 16") {
     // capacity far below the distinct-key space: the partial/merge path
     // must prune yet keep everything above N/m
