@@ -2113,10 +2113,18 @@ object TextAnalysis {
       .filter(col("rank_bm25") <= RrfDepth)
       .select("query_id", "doc_id", "rank_bm25")
     // ranker 2: query-likelihood with Dirichlet smoothing over the full
-    // candidate x query-term grid (absent terms keep the smoothing mass)
+    // candidate x query-term grid (absent terms keep the smoothing mass).
+    // The left-join lookup side is the QUERY-TERM postings slice, not the
+    // whole tf frame — grid rows only ever match query-term words, and a
+    // left join cannot broadcast a corpus-sized right side (the
+    // unpruned form shuffled all of tf for a candidates-bounded lookup)
+    val qtWords = queryTerms.select("word").distinct()
+    val tfPruned = tf.join(broadcast(qtWords), "word")
+    val ctfPruned = ctf.join(broadcast(qtWords), "word")
     val grid = candidates.join(broadcast(queryTerms), "query_id")
-      .join(tf, Seq("doc_id", "word"), "left")
-      .join(ctf, "word").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .join(tfPruned, Seq("doc_id", "word"), "left")
+      .join(broadcast(ctfPruned), "word")
+      .join(dl, "doc_id").crossJoin(broadcast(stats))
     val lmTerm = log(
       (coalesce(col("tf"), lit(0L)) + lit(LmMu) * col("ctf") / col("c_total")) /
         (col("dl") + LmMu))
