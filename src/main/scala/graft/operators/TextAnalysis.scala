@@ -2103,9 +2103,12 @@ object TextAnalysis {
     // candidate docs: share >= 1 query term (the inverted-index step)
     val hits = tf.join(broadcast(queryTerms), "word")
     val candidates = hits.select("query_id", "doc_id").distinct()
-    // ranker 1: BM25 over the hit postings
+    val qtWords = queryTerms.select("word").distinct()
+    // ranker 1: BM25 over the hit postings (df pruned to query terms —
+    // broadcast-certain, as in bm25From)
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    val bmRanked = hits.join(dl, "doc_id").join(df, "word")
+    val bmRanked = hits.join(dl, "doc_id")
+      .join(broadcast(df.join(broadcast(qtWords), "word")), "word")
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
@@ -2118,7 +2121,6 @@ object TextAnalysis {
     // whole tf frame — grid rows only ever match query-term words, and a
     // left join cannot broadcast a corpus-sized right side (the
     // unpruned form shuffled all of tf for a candidates-bounded lookup)
-    val qtWords = queryTerms.select("word").distinct()
     val tfPruned = tf.join(broadcast(qtWords), "word")
     val ctfPruned = ctf.join(broadcast(qtWords), "word")
     val grid = candidates.join(broadcast(queryTerms), "query_id")
@@ -2167,8 +2169,13 @@ object TextAnalysis {
     val queryTerms = qscored
       .withColumn("trank", row_number().over(qw))
       .filter(col("trank") <= 3).select("query_id", "word")
+    // df pruned to query-term words (the same slice the postings join
+    // keeps) so the per-term df lookup is broadcast-certain
+    val dfPruned =
+      df.join(broadcast(queryTerms.select("word").distinct()), "word")
     val scored = tf.join(broadcast(queryTerms), "word")
-      .join(dl, "doc_id").join(df, "word").crossJoin(broadcast(stats))
+      .join(dl, "doc_id").join(broadcast(dfPruned), "word")
+      .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
     val w = Window.partitionBy("query_id")
