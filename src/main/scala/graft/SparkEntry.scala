@@ -336,6 +336,11 @@ object SparkEntry {
          |         '|' || array_to_string(list_transform(range(1, length(word) + 1),
          |           i -> substr(word, i, 1)), '||') || '|' AS seg
          |       FROM v)""".stripMargin
+    // each s_i LEFT-JOINs its merge row and coalesces to the previous
+    // segmentation, so an exhausted merge chain (m_i empty on a tiny or
+    // fully-merged vocabulary) degenerates s_i to s_{i-1} instead of
+    // emptying every later CTE — mirroring the Spark side, which folds
+    // only the merges the trainer actually learned
     val steps = (1 to rounds).map { i =>
       s""",
          |p$i AS (SELECT t[i] AS lhs, t[i + 1] AS rhs, n_w
@@ -346,9 +351,9 @@ object SparkEntry {
          |         sum(n_w)::BIGINT AS freq
          |       FROM p$i GROUP BY lhs, rhs ORDER BY freq DESC, lhs, rhs LIMIT 1),
          |s$i AS (SELECT q.word, q.n_w,
-         |         replace(q.seg, '|' || m$i.lhs || '||' || m$i.rhs || '|',
-         |                 '|' || m$i.lhs || m$i.rhs || '|') AS seg
-         |       FROM s${i - 1} q, m$i)""".stripMargin
+         |         coalesce(replace(q.seg, '|' || m$i.lhs || '||' || m$i.rhs || '|',
+         |                 '|' || m$i.lhs || m$i.rhs || '|'), q.seg) AS seg
+         |       FROM s${i - 1} q LEFT JOIN m$i ON TRUE)""".stripMargin
     }
     head + steps.mkString
   }

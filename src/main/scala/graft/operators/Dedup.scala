@@ -597,7 +597,7 @@ object Dedup {
     * call between unrelated pipeline runs in a long-lived session (the
     * next consumer rebuilds), and what [[graft.Bench]] calls before each
     * measured pass so the memo build cost is measured, not hidden. */
-  def clearMemos(): Unit =
+  def clearMemos(): Unit = {
     Seq(pairsMemo, componentsMemo, frameMemo, retainedResults).foreach { m =>
       m.values.forEach { e =>
         // releasing against an already-stopped context is a no-op, not an error
@@ -605,6 +605,10 @@ object Dedup {
       }
       m.clear()
     }
+    // the DPP fact layout is the one on-DISK memo — same staleness
+    // contract, same release valve
+    ScaleTechniques.clearDppFactDirs()
+  }
 
   /** One-slot registry of RETAINED result RDDs. The eagerly-materialized
     * queries (boilerplate reports, phash summaries/pairs) return small

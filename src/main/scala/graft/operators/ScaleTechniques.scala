@@ -154,14 +154,46 @@ object ScaleTechniques {
   }
 
   /** On-disk root of [[dppRevenueByMonth]]'s partitioned fact layout:
-    * one per corpus under the JVM temp dir, written once (guarded by
-    * `_SUCCESS`) and read back as a path-partitioned parquet source. */
+    * one per corpus CONTENT under the JVM temp dir, written once
+    * (guarded by `_SUCCESS`) and read back as a path-partitioned parquet
+    * source. The key hashes the source parquet's (name, length, mtime)
+    * fingerprint alongside the path, so regenerating the data under the
+    * same dir changes the key instead of silently serving stale revenue
+    * — the path-only key was exactly the staleness `Dedup.clearMemos`
+    * releases elsewhere, so these dirs are also registered for that
+    * sweep ([[clearDppFactDirs]]). */
   private def dppFactPath(dir: String): String = {
+    val src = new java.io.File(dir, "lineitem.parquet")
+    val files =
+      if (src.isFile) Array(src)
+      else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).sortBy(_.getName)
+    val fp = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(dir + "#", ",", "")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_dpp_fact_$key").getAbsolutePath
   }
+
+  /** Fact dirs written by [[dppRevenueByMonth]] this JVM — released by
+    * [[graft.operators.Dedup.clearMemos]] with the other memo state. */
+  private val dppFactDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def clearDppFactDirs(): Unit = {
+    dppFactDirs.forEach(p => deleteTree(new java.io.File(p)))
+    dppFactDirs.clear()
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  /** In-JVM write gate for the fact layout (cross-JVM, the tmp-dir +
+    * atomic-rename publish below makes concurrent writers safe). */
+  private val dppWriteLock = new Object
 
   /** DYNAMIC PARTITION PRUNING — the partition-layout counterpart of
     * [[bloomPrunedJoin]], and the single biggest I/O lever on a
@@ -181,10 +213,27 @@ object ScaleTechniques {
       dir: String): DataFrame = {
     import graft.sources.Tables
     val path = dppFactPath(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      Tables.lineitem(spark, dir)
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    dppWriteLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        // no _SUCCESS ⇒ absent or a crashed write: clear and republish.
+        // Writers build under a pid-suffixed temp dir and PUBLISH by
+        // atomic rename, so a concurrent JVM never reads a half-written
+        // layout; losing the rename race means the winner's complete
+        // copy is already in place.
+        deleteTree(new java.io.File(path))
+        val tmp = new java.io.File(
+          path + s".w${ProcessHandle.current().pid()}")
+        Tables.lineitem(spark, dir)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ship_month")
+          .parquet(tmp.getAbsolutePath)
+        if (!tmp.renameTo(new java.io.File(path))) {
+          deleteTree(tmp)
+          require(new java.io.File(path, "_SUCCESS").exists(),
+            s"dpp fact layout publish race lost and no complete copy at $path")
+        }
+      }
+      dppFactDirs.add(path)
     }
     val fact = spark.read.parquet(path)
     val dimMonths = Tables.orders(spark, dir)

@@ -1398,11 +1398,16 @@ object SimSearch {
   private[graft] def kcenterSelectOf(e0: DataFrame, k: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
+    // empty input: no centers to select — an empty selection frame, not
+    // an opaque NPE out of the null min() aggregate
+    val seedRow = e0.agg(min("vec_id")).collect()(0)
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Double)].toDF("round", "vec_id", "radius")
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       def mat(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
       val e = e0.select("vec_id", "embedding")
-      val seedId = e.agg(min("vec_id")).collect()(0).getLong(0)
+      val seedId = seedRow.getLong(0)
       def centerEmb(id: Long) = e.filter(col("vec_id") === id)
         .select(col("embedding").as("c_emb"))
       var (state, stateRdd) = mat(

@@ -25,6 +25,27 @@ class DppSpec extends AnyFunSuite {
       Seq("1995-01", "1995-02", "1995-03"))
   }
 
+  test("regenerated source content under the same dir is not served stale") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_stale")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.parquet(s"$tmp/orders.parquet")
+    def items = ScaleTechniques.dppRevenueByMonth(spark, tmp)
+      .agg(sum("n_items")).collect()(0).getLong(0)
+    val first = items
+    // regenerate the fact source in place: half the rows, same path —
+    // the content-fingerprinted cache key must pick the new data up
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val second = items
+    assert(second < first,
+      s"stale DPP fact cache: $second rows served after regeneration vs $first")
+  }
+
   test("pruned result equals the unpartitioned join") {
     val dir = "/root/testdata/sf0.001"
     val got = ScaleTechniques.dppRevenueByMonth(spark, dir).collect()

@@ -40,6 +40,11 @@ class KcenterSpec extends AnyFunSuite {
     }
   }
 
+  test("empty input yields an empty selection, not an NPE") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimSearch.kcenterSelectOf(empty, 3).collect().isEmpty)
+  }
+
   test("registered query: distinct centers, seed at min vec_id, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val a = SimSearch.kcenterSelect(spark, dir).collect()
