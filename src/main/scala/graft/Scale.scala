@@ -281,12 +281,13 @@ object Scale {
     // K ∝ N it stays ~linear. Pair volume is computed from cluster
     // sizes (no pair materialization), so the deliberately-bad fixed-K
     // configuration is measured without paying its cosine pass; the
-    // full dedup (train + pairs + witnesses) runs only at the
-    // production setting K ∝ N.
+    // full dedup (train + pairs + witnesses) runs at the SHIPPED
+    // setting — semDerivedK(N), the dial q_dedup_semantic itself uses.
     val rows5 = factors.filter(_ => sections("semantic")).map { k =>
       System.err.println(s"[scale] factor $k (semantic dedup) ...")
       val e = replicatedEmbeddings(spark, baseDir, k)
       val nVecs = e.count()
+      val kDerived = SimSearch.semDerivedK(nVecs)
       def pairVolume(kk: Int): (Long, Long) = {
         val sizes = SimSearch.kmeansAssignment(e, kk, SimSearch.KmIters)
           .groupBy("cent_id").agg(count(lit(1)).as("n"))
@@ -295,13 +296,13 @@ object Scale {
         (r.getLong(0), r.getLong(1))
       }
       val (maxFixed, pairsFixed) = pairVolume(SimSearch.KmK)
-      val (maxScaled, pairsScaled) = pairVolume(SimSearch.KmK * k)
+      val (maxScaled, pairsScaled) = pairVolume(kDerived)
       val t0 = System.nanoTime()
-      val drops = SimSearch.semanticDedupOf(e, SimSearch.KmK * k,
+      val drops = SimSearch.semanticDedupOf(e, kDerived,
         SimSearch.KmIters).count()
       val tSem = (System.nanoTime() - t0) / 1e9
       s"| ${k}x | $nVecs | ${SimSearch.KmK} | $maxFixed | $pairsFixed | " +
-        s"${SimSearch.KmK * k} | $maxScaled | $pairsScaled | $drops | ${f"$tSem%.1f"}s |"
+        s"$kDerived | $maxScaled | $pairsScaled | $drops | ${f"$tSem%.1f"}s |"
     }
     if (sections("semantic")) {
       println()

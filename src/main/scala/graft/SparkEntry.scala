@@ -475,12 +475,23 @@ object SparkEntry {
     * ending at `c2`, the trained centroid frame in long (cent_id, d, c)
     * form. Used by both the `q_ann_kmeans` report oracle and the
     * `q_ann_kmeans_routed` serving oracle. */
-  private def duckKmeansCtesOver(src: String, p: String = ""): String =
+  private def duckKmeansCtesOver(src: String, p: String = "",
+      derivedK: Boolean = false): String = {
+    // derivedK replays SimSearch.semDerivedK: K = greatest(KmK,
+    // ceil-div(N, SemCellTarget)) in pure INTEGER arithmetic, computed
+    // from count(*) so both engines derive the identical K at any SF
+    val seedPick =
+      if (derivedK)
+        s"""(SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM $src)
+           |          WHERE rn <= (SELECT greatest(${SimSearch.KmK},
+           |            (count(*) + ${SimSearch.SemCellTarget - 1}) // ${SimSearch.SemCellTarget})
+           |            FROM $src)""".stripMargin
+      else s"(SELECT vec_id FROM $src ORDER BY vec_id LIMIT ${SimSearch.KmK})"
     s"""${p}v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
       |        unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
       |      FROM $src),
       |${p}seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
-      |         FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT 8)),
+      |         FROM $seedPick),
       |${p}c0 AS (SELECT cent_id, d, val AS c FROM ${p}v JOIN ${p}seed USING (vec_id)),
       |${p}d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
       |       FROM ${p}v JOIN ${p}c0 USING (d) GROUP BY vec_id, cent_id),
@@ -498,10 +509,17 @@ object SparkEntry {
       |         FROM ${p}d2t) WHERE rnk = 1),
       |${p}c2 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}v JOIN ${p}a2 USING (vec_id)
       |       GROUP BY cent_id, d)""".stripMargin
+  }
 
   /** Shared CTE chain replaying `SimSearch.kmeansTrainedCents` over the
     * full embeddings table (seed pick → two Lloyd re-centers → `c2`). */
   private val DuckKmeansCtes = duckKmeansCtesOver("embeddings")
+
+  /** The SemDeDup clustering chain: same Lloyd unroll, K DERIVED from
+    * the corpus count (`SimSearch.semDerivedK`) — the K∝N scale dial,
+    * recomputed in SQL so the oracle clusters identically. */
+  private val DuckKmeansDerivedCtes =
+    duckKmeansCtesOver("embeddings", derivedK = true)
 
   /** CTE chain replaying `SimSearch.pqTopKOf` through `ranked` (the ADC
     * ranking per query) — shared by the PQ serving oracle and the PQ
@@ -2546,7 +2564,7 @@ object SparkEntry {
     // same trained-quantizer chain as q_dedup_semantic) excluded from
     // an exact cosine ranking — positives must never serve as negatives.
     "q_train_hard_negatives" ->
-      s"""WITH $DuckKmeansCtes,
+      s"""WITH $DuckKmeansDerivedCtes,
          |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
          |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
          |a3 AS (SELECT vec_id, cent_id FROM (
@@ -2572,9 +2590,11 @@ object SparkEntry {
          |SELECT q_id, "rank", neighbor, cos FROM rk
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
-    // Replays SimSearch.hardNegativesRoutedOf: the trained k-means
-    // quantizer (h-prefixed chain — the same frame that defines the
-    // SemDeDup dup clusters) routes each query to its nprobe cells,
+    // Replays SimSearch.hardNegativesRoutedOf: the trained SERVING
+    // quantizer (h-prefixed chain, fixed nlist = KmK — an index
+    // parameter) routes each query to its nprobe cells, while the
+    // EXCLUSION set comes from the derived-K SemDeDup clustering
+    // (s-prefixed chain — the K∝N dial, same as q_dedup_semantic);
     // cell-local candidates score by inner-product ADC over the shared
     // PQ codebook divided by stored exact norms (approximated cosine),
     // the τ-pair dup set anti-joins out, the top-`HnShortlist` ADC
@@ -2591,8 +2611,15 @@ object SparkEntry {
          |hprobe AS (SELECT vec_id AS q_id, cent_id FROM hrnk
          |           WHERE vec_id < ${SimSearch.NQueries} AND rnk <= ${SimSearch.IvfNProbe}),
          |he AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |${duckKmeansCtesOver("embeddings", "s", derivedK = true)},
+         |sd3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
+         |        FROM sv JOIN sc2 USING (d) GROUP BY vec_id, cent_id),
+         |sa3 AS (SELECT vec_id, cent_id FROM (
+         |          SELECT vec_id, cent_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
+         |          FROM sd3) WHERE rnk = 1),
          |hm AS (SELECT he.vec_id, he.embedding, he.nrm, a.cent_id
-         |       FROM he JOIN ha3 a USING (vec_id)),
+         |       FROM he JOIN sa3 a USING (vec_id)),
          |hcp AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor
          |        FROM hm a JOIN hm b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
          |        WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= ${SimSearch.SemTau}),
@@ -2629,7 +2656,7 @@ object SparkEntry {
          |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""WITH $DuckKmeansCtes,
+      s"""WITH $DuckKmeansDerivedCtes,
          |d3 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
          |       FROM v JOIN c2 USING (d) GROUP BY vec_id, cent_id),
          |a3 AS (SELECT vec_id, cent_id FROM (

@@ -392,6 +392,7 @@ object SimSearch {
     kmRankedCached(spark, dir, e)
     pqCodesCached(spark, dir, e)
     opqCodesCached(spark, dir, e)
+    semAssignment(spark, dir, e)
     ()
   }
 
@@ -1068,6 +1069,21 @@ object SimSearch {
     * policy dial, the PLAN is what transfers. */
   val SemTau = 0.40
 
+  /** Mean cluster population the SemDeDup clustering targets — the
+    * denominator of the K∝N dial. With K = ⌈N / SemCellTarget⌉ the
+    * within-cluster pair volume Σ n_c² ≈ N·SemCellTarget stays LINEAR
+    * in the corpus (the paper runs K ≈ 0.01%·N on LAION for the same
+    * reason); a FIXED K makes it N²/K — measured 4.8× wall at 10× data
+    * before this dial was wired (SCALE.md §semantic). */
+  val SemCellTarget = 64L
+
+  /** The SemDeDup cluster count for an N-vector corpus: K∝N with a
+    * [[KmK]] floor, in INTEGER arithmetic (ceil-div) so the DuckDB
+    * oracle recomputes the identical K from `count(*)` — no float
+    * boundary can desync the clustering across engines. */
+  def semDerivedK(n: Long): Int =
+    math.max(KmK.toLong, (n + SemCellTarget - 1) / SemCellTarget).toInt
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): where MinHash/SimHash catch lexical near-copies,
     * this catches semantically redundant pairs that share almost no
@@ -1088,18 +1104,41 @@ object SimSearch {
     * as an audit trail of WHY each drop happened.
     *
     * Scale: the all-pairs comparison is confined to clusters — cost is
-    * Σ n_c², and K is the dial that bounds it (the paper runs K ≈
-    * 0.01 %·N on LAION so n_c stays ~10⁴ regardless of corpus size; K
-    * here matches the oracle-unrolled [[KmK]]). Assignment is the
-    * already-trained quantizer: one broadcast-join pass over the
-    * corpus. The pair join is keyed on cent_id (co-partitioned, no
-    * cross product), and the witness window partitions by the dropped
-    * vector — `WindowGroupLimit` bounds it before the shuffle. */
+    * Σ n_c², and K is the dial that bounds it. K is DERIVED from the
+    * corpus size ([[semDerivedK]]: K = max([[KmK]],
+    * ⌈N/[[SemCellTarget]]⌉), the paper's K∝N regime — n_c stays
+    * ~[[SemCellTarget]] regardless of corpus size, so pair work is
+    * LINEAR in N), and the oracle recomputes the same K from
+    * `count(*)` so both engines cluster identically. When the derived
+    * K lands on [[KmK]] (small corpora) the persisted serving index's
+    * quantizer is reused verbatim; otherwise the derived assignment is
+    * its own memoized index artifact ([[semAssignment]], built with
+    * the rest of the index in `build:ann_index`). Assignment is the
+    * trained quantizer: one broadcast-join pass over the corpus. The
+    * pair join is keyed on cent_id (co-partitioned, no cross product),
+    * and the witness window partitions by the dropped vector —
+    * `WindowGroupLimit` bounds it before the shuffle. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     semanticDedupFromPairs(
-      semanticClosePairsWith(e, kmRankedCached(spark, dir, e).filter(col("rnk") === 1),
-        SemTau))
+      semanticClosePairsWith(e, semAssignment(spark, dir, e), SemTau))
+  }
+
+  /** The SemDeDup cluster assignment at the DERIVED K — the one
+    * definition of "which cluster confines the pair search" shared by
+    * [[semanticDedup]] and the hard-negative miners' exclusion sets.
+    * Reuses the persisted [[KmK]]-cell serving quantizer when the
+    * derived K coincides (no second training); otherwise trains and
+    * memoizes the derived-K assignment as its own per-(session, dir)
+    * index artifact. */
+  private[graft] def semAssignment(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    val k = semDerivedK(e.count())
+    if (k == KmK)
+      kmRankedCached(spark, dir, e).filter(col("rnk") === 1)
+        .select("vec_id", "cent_id")
+    else Dedup.memoizedFrame(spark, s"ann_semassign#$dir")(
+      kmeansAssignment(e, k, KmIters).select("vec_id", "cent_id"))
   }
 
   /** [[semanticDedup]] over any (vec_id, embedding) frame, with the
@@ -1154,8 +1193,7 @@ object SimSearch {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     hardNegativesFromPairs(e,
-      semanticClosePairsWith(e, kmRankedCached(spark, dir, e).filter(col("rnk") === 1),
-        SemTau))
+      semanticClosePairsWith(e, semAssignment(spark, dir, e), SemTau))
   }
 
   /** Eval-set selector for [[semanticDecontaminate]]: every 50th
@@ -1199,7 +1237,8 @@ object SimSearch {
   }
 
   def hardNegativesOf(e: DataFrame): DataFrame =
-    hardNegativesFromPairs(e, semanticClosePairs(e, KmK, KmIters, SemTau))
+    hardNegativesFromPairs(e,
+      semanticClosePairs(e, semDerivedK(e.count()), KmIters, SemTau))
 
   private def hardNegativesFromPairs(e: DataFrame, close: DataFrame): DataFrame = {
     val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
@@ -1280,6 +1319,7 @@ object SimSearch {
   def hardNegativesRouted(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     hardNegativesRoutedWith(e, kmRankedCached(spark, dir, e),
+      semanticClosePairsWith(e, semAssignment(spark, dir, e), SemTau),
       pqBookCached(spark, dir, e), pqCodesCached(spark, dir, e),
       IvfNProbe, HnShortlist)
   }
@@ -1305,17 +1345,21 @@ object SimSearch {
     val book = pqCodebook(e)
     hardNegativesRoutedWith(e,
       kmeansRankedL2(kmeansLongForm(e), kmeansTrainedCents(e, KmK, KmIters)),
+      semanticClosePairs(e, semDerivedK(e.count()), KmIters, SemTau),
       book, pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"),
       nprobe, shortlist)
   }
 
   /** The routed miner over PREBUILT index frames — the cached-index
     * path ([[hardNegativesRouted]]) and the self-contained
-    * [[hardNegativesRoutedOf]] share this body. */
+    * [[hardNegativesRoutedOf]] share this body. `ranked` (the
+    * [[KmK]]-cell serving quantizer) does the ROUTING; `close` (the
+    * derived-K SemDeDup τ-pair set) is the exclusion — two different
+    * index artifacts on purpose: nlist is a serving parameter, the dup
+    * definition is the K∝N dial. */
   private def hardNegativesRoutedWith(e: DataFrame, ranked: DataFrame,
-      book: DataFrame, codes: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
-    val close = semanticClosePairsWith(e,
-      ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), SemTau)
+      close: DataFrame, book: DataFrame, codes: DataFrame,
+      nprobe: Int, shortlist: Int): DataFrame = {
     val dups = close.select(col("keep_id").as("q_id"), col("vec_id").as("neighbor"))
       .unionByName(close.select(col("vec_id").as("q_id"), col("keep_id").as("neighbor")))
     // the index-side norms: stored exactly, one float per vector

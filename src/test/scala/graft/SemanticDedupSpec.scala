@@ -47,6 +47,20 @@ class SemanticDedupSpec extends AnyFunSuite {
       .toDouble
   }
 
+  test("the K dial derives from N: KmK floor, then integer ceil(N/cell)") {
+    assert(SimSearch.semDerivedK(1) == SimSearch.KmK)
+    assert(SimSearch.semDerivedK(8 * SimSearch.SemCellTarget) == SimSearch.KmK)
+    assert(SimSearch.semDerivedK(8 * SimSearch.SemCellTarget + 1) == SimSearch.KmK + 1)
+    assert(SimSearch.semDerivedK(2000) == 32)   // the sf0.1 corpus
+    assert(SimSearch.semDerivedK(20000) == 313) // the sf1 snapshot
+    // pair work stays ~linear: Σ n_c² ≈ N·cell at every N
+    val perCell = SimSearch.SemCellTarget.toDouble
+    Seq(10000L, 100000L, 1000000L).foreach { n =>
+      val k = SimSearch.semDerivedK(n)
+      assert(n.toDouble / k <= perCell, s"mean cell at N=$n exceeds target")
+    }
+  }
+
   test("drops exactly the tau-close higher ids, with best-cos witnesses") {
     val e = vectors.toDF("vec_id", "embedding")
     val out = SimSearch.semanticDedupOf(e, k = 8, iters = 2, tau = 0.9)
