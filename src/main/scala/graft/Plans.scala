@@ -28,7 +28,7 @@ object Plans {
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
     "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union",
-    "q_dedup_source_matrix", "q_dedup_lsh_sweep")
+    "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

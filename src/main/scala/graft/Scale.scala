@@ -71,7 +71,7 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter", "sketch")
+      "kcenter", "sketch", "curationinc")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -422,6 +422,51 @@ object Scale {
         "screen time | full-recompute docs | full-recompute time |")
       println("|---|---|---|---|---|---|---|---|")
       rows8.foreach(println)
+    }
+
+    // Incremental curation screen: a FIXED arriving batch (the base odd
+    // docs) flagged against the artifacts persisted from a GROWING
+    // corpus (even docs × k). Claim: the SCREEN is O(batch) — flat as
+    // the corpus 10×es — because the corpus enters only as the hash-
+    // index equi-join side, the eval-gram set, and the 256-row dense
+    // model. Artifact build is the corpus-side snapshot job, reported
+    // separately (paid per index refresh, not per arrival).
+    val rows15 = factors.filter(_ => sections("curationinc")).map { k =>
+      System.err.println(s"[scale] factor $k (incremental curation) ...")
+      val corpus = replicatedDocs(spark, baseDir, k).filter(col("doc_id") % 2 === 0)
+      val batch = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        .filter(col("doc_id") % 2 === 1)
+      def pin(df: DataFrame): (DataFrame, Long) = {
+        val r = df.rdd; r.localCheckpoint(); val n = r.count()
+        (spark.createDataFrame(r, df.schema), n)
+      }
+      val t0i = System.nanoTime()
+      val (hashes, nHash) = pin(TextAnalysis.corpusHashIndexOf(corpus))
+      val (evalG, nEval) = pin(TextAnalysis.evalGramSetOf(
+        corpus.filter(col("doc_id") % TextAnalysis.EvalMod === 0)))
+      val tokd = corpus.select(col("doc_id"),
+        (col("lang") === "en").as("is_target"),
+        graft.functions.TextFunctions.tokenize(col("text")).as("toks"))
+      val (model, _) = pin(TextAnalysis.dsirModelOf(
+        TextAnalysis.dsirBucketsFromToks(tokd)))
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val t0s = System.nanoTime()
+      val flags = TextAnalysis.curationFlagsOf(batch, hashes, evalG, model)
+        .collect()
+      val tScreen = (System.nanoTime() - t0s) / 1e9
+      val selected = flags.count(r => !r.isNullAt(1) && r.getBoolean(1) &&
+        r.getBoolean(3) && r.getBoolean(4) &&
+        r.getDouble(5) >= TextAnalysis.CurationMinWeight)
+      s"| ${k}x | $nHash | $nEval | ${f"$tIdx%.1f"}s | ${flags.length} | " +
+        s"$selected | ${f"$tScreen%.1f"}s |"
+    }
+    if (sections("curationinc")) {
+      println()
+      println("| factor | corpus hashes | eval grams | artifact build | " +
+        "batch flagged | selected | screen time |")
+      println("|---|---|---|---|---|---|---|")
+      rows15.foreach(println)
     }
 
     // DSIR: docs replicate token-renamed (vocabulary grows with the

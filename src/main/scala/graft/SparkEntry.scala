@@ -187,6 +187,7 @@ object SparkEntry {
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
     "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
+    "q_pipeline_curation_inc" -> (TextAnalysis.curationFunnelInc _),
     "q_mix_doremi"       -> (TextAnalysis.doremiWeights _),
     "q_mix_doremi_draw"  -> (TextAnalysis.doremiMix _),
     "q_train_quality_lr" -> (TextAnalysis.qualityLrTrain _),
@@ -520,6 +521,43 @@ object SparkEntry {
     * recomputed in SQL so the oracle clusters identically. */
   private val DuckKmeansDerivedCtes =
     duckKmeansCtesOver("embeddings", derivedK = true)
+
+  /** CTE chain replaying `TextAnalysis.dsirModelInc` — the dense
+    * 256-bucket log-ratio model fit on the EVEN-doc corpus, ending at
+    * `model (bucket, lr_fp)`. Shared by the incremental DSIR screen
+    * and the incremental curation funnel, whose DSIR stage scores
+    * against this persisted artifact. */
+  private def DuckDsirIncModelCtes: String =
+    s"""tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents
+       |            WHERE doc_id % 2 = 0),
+       |tk AS (SELECT * FROM tok WHERE len(toks) >= 1),
+       |grams AS (
+       |  SELECT doc_id, lang = 'en' AS is_target, unnest(toks) AS g FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, lang = 'en' AS is_target,
+       |         unnest(list_transform(range(1, len(toks)),
+       |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+       |  FROM tk),
+       |db AS (SELECT doc_id, is_target,
+       |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+       |           % ${TextAnalysis.DsirBuckets} AS bucket,
+       |         count(*)::BIGINT AS cnt
+       |       FROM grams GROUP BY 1, 2, 3),
+       |raw AS (SELECT bucket, sum(cnt)::BIGINT AS c_r FROM db GROUP BY 1),
+       |tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c_t FROM db
+       |        WHERE is_target GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
+       |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
+       |buckets AS (SELECT unnest(range(0, ${TextAnalysis.DsirBuckets}))
+       |              AS bucket),
+       |model AS (SELECT bucket,
+       |            CAST(round(round(ln((coalesce(c_t, 0) + 1.0)
+       |                     / (t_t + ${TextAnalysis.DsirBuckets}))
+       |                - ln((coalesce(c_r, 0) + 1.0)
+       |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
+       |              * 1000000, 0) AS BIGINT) AS lr_fp
+       |          FROM buckets LEFT JOIN raw USING (bucket)
+       |          LEFT JOIN tgt USING (bucket) CROSS JOIN tot)""".stripMargin
 
   /** CTE chain replaying `SimSearch.pqTopKOf` through `ranked` (the ADC
     * ranking per query) — shared by the PQ serving oracle and the PQ
@@ -3145,40 +3183,79 @@ object SparkEntry {
          |       sum(n_toks)::BIGINT AS n_tokens
          |FROM stages GROUP BY stage ORDER BY stage""".stripMargin,
 
+    // incremental curation funnel: the odd-doc arriving batch censused
+    // under the three artifacts persisted from the even-doc corpus —
+    // hash index, eval-gram set, dense DSIR model (CTEs shared verbatim
+    // with q_dsir_screen_inc). Stage predicates are q_pipeline_curation's
+    // applied to the batch slice.
+    "q_pipeline_curation_inc" ->
+      s"""WITH $DuckDsirIncModelCtes,
+         |bd AS (SELECT doc_id, text, $DuckTok AS toks FROM documents
+         |       WHERE doc_id % 2 = 1),
+         |cd AS (SELECT doc_id, text, $DuckTok AS toks FROM documents
+         |       WHERE doc_id % 2 = 0),
+         |qf AS (SELECT doc_id,
+         |         (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |            / length(text) < 0.1
+         |          AND ${duckStopHits(TextAnalysis.StopEn)} / len(toks) >= 0.05
+         |          AND len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 500)
+         |           AS q
+         |       FROM bd),
+         |hidx AS (SELECT DISTINCT md5(text) AS h FROM cd),
+         |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |         range(1, len(toks) - ${TextAnalysis.DecontamN - 2}),
+         |         i -> array_to_string(
+         |                list_slice(toks, i, i + ${TextAnalysis.DecontamN - 1}),
+         |                ' ')))) AS g
+         |       FROM cd WHERE doc_id % ${TextAnalysis.EvalMod} = 0),
+         |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, len(toks) - ${TextAnalysis.DecontamN - 2}),
+         |         i -> array_to_string(
+         |                list_slice(toks, i, i + ${TextAnalysis.DecontamN - 1}),
+         |                ' ')))) AS g
+         |       FROM bd),
+         |contam AS (SELECT DISTINCT doc_id FROM bg
+         |           WHERE g IN (SELECT g FROM ev)),
+         |brows AS (SELECT doc_id,
+         |            CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+         |              % ${TextAnalysis.DsirBuckets} AS bucket
+         |          FROM (SELECT doc_id, unnest(toks) AS g
+         |                FROM bd WHERE len(toks) >= 1
+         |                UNION ALL
+         |                SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+         |                FROM bd WHERE len(toks) >= 1)),
+         |scored AS (SELECT doc_id, sum(lr_fp)::BIGINT AS w_fp,
+         |             count(*)::BIGINT AS n_g
+         |           FROM brows JOIN model USING (bucket) GROUP BY doc_id),
+         |f AS (SELECT bd.doc_id, len(bd.toks)::BIGINT AS n_toks, qf.q,
+         |        (hi.h IS NULL) AS keep,
+         |        (bd.doc_id % ${TextAnalysis.EvalMod} <> 0
+         |           AND co.doc_id IS NULL) AS clean,
+         |        coalesce(s.w_fp / 1000000.0 / s.n_g, -1e9) AS w
+         |      FROM bd JOIN qf ON bd.doc_id = qf.doc_id
+         |      LEFT JOIN hidx hi ON md5(bd.text) = hi.h
+         |      LEFT JOIN contam co ON bd.doc_id = co.doc_id
+         |      LEFT JOIN scored s ON bd.doc_id = s.doc_id),
+         |stages AS (SELECT n_toks,
+         |             unnest(list_filter(['1_input',
+         |               CASE WHEN q THEN '2_quality' END,
+         |               CASE WHEN q AND keep THEN '3_dedup' END,
+         |               CASE WHEN q AND keep AND clean THEN '4_decontam' END,
+         |               CASE WHEN q AND keep AND clean
+         |                      AND w >= ${TextAnalysis.CurationMinWeight}
+         |                    THEN '5_selected' END],
+         |               x -> x IS NOT NULL)) AS stage
+         |           FROM f)
+         |SELECT stage, count(*)::BIGINT AS n_docs,
+         |       sum(n_toks)::BIGINT AS n_tokens
+         |FROM stages GROUP BY stage ORDER BY stage""".stripMargin,
+
     // incremental DSIR screen: model fit on even docs (DENSE over all
     // buckets — unseen arriving buckets get the smoothed OOV ratio),
     // odd docs scored by the same fixed-point sum
     "q_dsir_screen_inc" ->
-      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents
-         |            WHERE doc_id % 2 = 0),
-         |tk AS (SELECT * FROM tok WHERE len(toks) >= 1),
-         |grams AS (
-         |  SELECT doc_id, lang = 'en' AS is_target, unnest(toks) AS g FROM tk
-         |  UNION ALL
-         |  SELECT doc_id, lang = 'en' AS is_target,
-         |         unnest(list_transform(range(1, len(toks)),
-         |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
-         |  FROM tk),
-         |db AS (SELECT doc_id, is_target,
-         |         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
-         |           % ${TextAnalysis.DsirBuckets} AS bucket,
-         |         count(*)::BIGINT AS cnt
-         |       FROM grams GROUP BY 1, 2, 3),
-         |raw AS (SELECT bucket, sum(cnt)::BIGINT AS c_r FROM db GROUP BY 1),
-         |tgt AS (SELECT bucket, sum(cnt)::BIGINT AS c_t FROM db
-         |        WHERE is_target GROUP BY 1),
-         |tot AS (SELECT (SELECT sum(c_r) FROM raw)::DOUBLE AS t_r,
-         |               (SELECT sum(c_t) FROM tgt)::DOUBLE AS t_t),
-         |buckets AS (SELECT unnest(range(0, ${TextAnalysis.DsirBuckets}))
-         |              AS bucket),
-         |model AS (SELECT bucket,
-         |            CAST(round(round(ln((coalesce(c_t, 0) + 1.0)
-         |                     / (t_t + ${TextAnalysis.DsirBuckets}))
-         |                - ln((coalesce(c_r, 0) + 1.0)
-         |                     / (t_r + ${TextAnalysis.DsirBuckets})), 6)
-         |              * 1000000, 0) AS BIGINT) AS lr_fp
-         |          FROM buckets LEFT JOIN raw USING (bucket)
-         |          LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+      s"""WITH $DuckDsirIncModelCtes,
          |btok AS (SELECT doc_id, $DuckTok AS toks FROM documents
          |         WHERE doc_id % 2 = 1),
          |btk AS (SELECT * FROM btok WHERE len(toks) >= 1),

@@ -1590,6 +1590,144 @@ object TextAnalysis {
     }
   }
 
+  /** The PERSISTED corpus-hash index the incremental funnel's dedup
+    * stage probes: one distinct md5 per corpus document — the artifact
+    * a production pipeline snapshots (bucketed by `h`) alongside the
+    * DSIR model and the eval-gram set. */
+  private[graft] def corpusHashIndexOf(corpus: DataFrame): DataFrame =
+    corpus.select(md5(col("text")).as("h")).distinct()
+
+  /** The PERSISTED eval-gram set: distinct [[DecontamN]]-grams of the
+    * eval slice — constant-size in production (a benchmark suite), the
+    * broadcast side of the decontamination screen. */
+  private[graft] def evalGramSetOf(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(explode(array_distinct(
+        wordNgrams(toks(col("text")), DecontamN))).as("eg"))
+      .distinct()
+
+  /** Per-document stage flags for an ARRIVING batch under the three
+    * PERSISTED curation artifacts — the incremental funnel's kernel,
+    * shared VERBATIM by the registered batch query
+    * ([[curationFunnelInc]]) and the streaming twin
+    * (`DocsStream.curationScreen`), so stream ≡ batch is parity by
+    * construction:
+    *
+    *  - `q`: the [[qualityFiltered]] predicate, row-local;
+    *  - `keep`: md5 NOT in the corpus-hash index
+    *    ([[corpusHashIndexOf]]) — one equi-join against the bucketed
+    *    snapshot. Arriving duplicates OF EACH OTHER both pass until
+    *    the next index refresh folds them in: the standard
+    *    eventually-consistent ingest trade, stated rather than hidden
+    *    (a within-arrival tiebreak would be a second stateful op and
+    *    is the index refresh's job);
+    *  - `clean`: not an eval doc, and no [[DecontamN]]-gram in the
+    *    persisted eval-gram set ([[evalGramSetOf]]);
+    *  - `w`: the per-gram average DSIR log-ratio under the persisted
+    *    dense model ([[dsirModelOf]]) — [[curationFunnel]]'s
+    *    length-unbiased weight, exact fixed-point integer sum.
+    *
+    * Streaming-legal by design: row-local flags, three stream-static
+    * joins (hash index, 256-row model, eval grams), and ONE per-doc
+    * aggregation — the gram explode serves BOTH the decontamination
+    * hit-test and the DSIR score through a single tagged union, so the
+    * whole dataflow fits update mode. Cost is O(batch): the corpus
+    * enters only as join sides. */
+  private[graft] def curationFlagsOf(batch: DataFrame, corpusHashes: DataFrame,
+      evalGrams: DataFrame, model: DataFrame): DataFrame = {
+    val base = batch
+      .select(col("doc_id"), col("text"), toks(col("text")).as("toks"))
+      .select(col("doc_id"),
+        ((length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
+          length(col("text")) < 0.1) &&
+          (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
+          size(whitespaceTokens(col("text"))).between(10, 500)).as("q"),
+        size(col("toks")).cast("long").as("n_toks"),
+        md5(col("text")).as("h"),
+        (col("doc_id") % EvalMod === 0).as("is_eval"),
+        col("toks"))
+      .join(corpusHashes.select(col("h"), lit(true).as("in_corpus")),
+        Seq("h"), "left")
+    val carry = Seq("doc_id", "q", "n_toks", "is_eval", "in_corpus").map(col)
+    // one tagged gram union: kind 'd' rows score against the model,
+    // kind 'e' rows hit-test the eval set, kind 'b' keeps zero-gram
+    // docs present; null keys never equi-match, so each join touches
+    // only its own rows
+    val dRows = base
+      .filter(size(col("toks")) >= 1)
+      .select(carry :+
+        explode(concat(col("toks"), wordNgrams(col("toks"), 2))).as("g"): _*)
+      .select(carry :+ lit("d").as("kind") :+
+        dsirBucketOf(col("g")).as("bucket") :+
+        lit(null).cast("string").as("eg"): _*)
+    val eRows = base
+      .select(carry :+
+        explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("eg"): _*)
+      .select(carry :+ lit("e").as("kind") :+
+        lit(null).cast("long").as("bucket") :+ col("eg"): _*)
+    val bRows = base.select(carry :+ lit("b").as("kind") :+
+      lit(null).cast("long").as("bucket") :+
+      lit(null).cast("string").as("eg"): _*)
+    dRows.unionByName(eRows).unionByName(bRows)
+      .join(broadcast(model.select(col("bucket"), col("lr_fp"))),
+        Seq("bucket"), "left")
+      .join(evalGrams.select(col("eg"), lit(true).as("contam_hit")),
+        Seq("eg"), "left")
+      .groupBy("doc_id")
+      .agg(first("q").as("q"), first("n_toks").as("n_toks"),
+        first("is_eval").as("is_eval"), first("in_corpus").as("in_corpus"),
+        sum(when(col("kind") === "d", col("lr_fp"))).as("w_fp"),
+        count(when(col("kind") === "d", 1)).as("n_g"),
+        max(coalesce(col("contam_hit"), lit(false))).as("contam"))
+      .select(col("doc_id"), col("q"), col("n_toks"),
+        col("in_corpus").isNull.as("keep"),
+        (!col("is_eval") && !col("contam")).as("clean"),
+        // exact micro-unit long / 1e6 then the per-gram average — the
+        // same two float ops, in the same order, as curationFunnel
+        when(col("n_g") > 0, (col("w_fp") / 1e6) / col("n_g"))
+          .otherwise(lit(-1e9)).as("w"))
+  }
+
+  /** The per-stage funnel census over a stage-flag frame — the same
+    * (stage, n_docs, n_tokens) governance table [[curationFunnel]]
+    * emits, shared by the batch and incremental forms. */
+  private def curationCensusOf(flags: DataFrame): DataFrame = {
+    val passed = filter(array(
+      lit("1_input"),
+      when(col("q"), "2_quality"),
+      when(col("q") && col("keep"), "3_dedup"),
+      when(col("q") && col("keep") && col("clean"), "4_decontam"),
+      when(col("q") && col("keep") && col("clean") &&
+        col("w") >= CurationMinWeight, "5_selected")),
+      s => s.isNotNull)
+    flags.select(col("n_toks"), explode(passed).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("stage")
+  }
+
+  /** INCREMENTAL curation funnel — [[curationFunnel]]'s arriving-crawl
+    * form, the composition the batch funnel's scaladoc promises:
+    * production curation is a loop over arriving batches, and
+    * re-paying the corpus per run is the wrong tool for a recurring
+    * workload. The odd-doc_id batch (the repo's standing arrival
+    * split) is screened against the three artifacts PERSISTED from the
+    * even-doc corpus — the hash index, the eval-gram set, and
+    * [[dsirScreenInc]]'s dense model — via [[curationFlagsOf]]
+    * (kernel shared verbatim with the streaming twin), then censused
+    * into the same (stage, n_docs, n_tokens) governance table.
+    * O(batch) by construction; the SCALE.md §curationinc table pins
+    * the screen flat while the corpus-side index 10×es. */
+  def curationFunnelInc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    curationCensusOf(curationFlagsOf(
+      docs.filter(col("doc_id") % 2 === 1),
+      corpusHashIndexOf(corpus),
+      evalGramSetOf(corpus.filter(col("doc_id") % EvalMod === 0)),
+      dsirModelInc(spark, dir)))
+  }
+
   /** Multiplicative-weights step size for [[doremiWeights]]. */
   val DoremiEta = 1.0
 

@@ -207,6 +207,22 @@ object DocsStream {
   def dsirScoreScreen(newDocs: DataFrame, model: DataFrame): DataFrame =
     graft.operators.TextAnalysis.dsirScreenOf(newDocs, model)
 
+  /** Streaming CURATION screen — the ingest-time twin of
+    * [[graft.operators.TextAnalysis.curationFunnelInc]]: arriving
+    * documents get their full per-stage verdict (quality, dedup vs the
+    * persisted hash index, decontamination vs the persisted eval-gram
+    * set, DSIR weight under the persisted dense model) as one row per
+    * doc. Row-local flags + three stream-static joins + a SINGLE
+    * per-doc aggregation (run in update mode); the kernel is literally
+    * the batch one (`curationFlagsOf`), so stream ≡ batch is parity by
+    * construction, and the suite pins it. The census stays batch-side
+    * (governance numbers on the batch cadence); the stream emits the
+    * per-document admission verdicts an ingest pipeline acts on. */
+  def curationScreen(newDocs: DataFrame, corpusHashes: DataFrame,
+      evalGrams: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.curationFlagsOf(
+      newDocs, corpusHashes, evalGrams, model)
+
   /** Streaming BM25 serving — arriving `(query_id, text)` queries
     * scored against the PERSISTED denormalized postings index
     * ([[graft.operators.TextAnalysis.bm25IndexOf]] /

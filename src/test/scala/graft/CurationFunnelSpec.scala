@@ -38,4 +38,53 @@ class CurationFunnelSpec extends AnyFunSuite {
     // subset of the input on both axes
     assert(rows.last._2 < rows.head._2 && rows.last._3 < rows.head._3)
   }
+
+  /** Hand-derivable verdicts for the INCREMENTAL kernel: four arriving
+    * docs, one tripping each stage against constructed artifacts. */
+  test("incremental flags: each stage verdict against constructed artifacts") {
+    val spark2 = spark
+    import spark2.implicits._
+    def prose(tag: String) =
+      s"the $tag and a the of to in is it was for on are as with his " +
+        "they at be this from have or had by word more"
+    val batch = Seq(
+      (1L, prose("keeper")),            // passes everything
+      (3L, prose("duplicate")),         // md5 in the corpus index
+      (5L, prose("contaminated")),      // shares a 5-gram with eval
+      (7L, "short one"),                // fails quality (under 10 tokens)
+      (31L, prose("evaldoc"))           // 31 % EvalMod == 0: eval, not clean
+    ).toDF("doc_id", "text")
+    val hashes = Seq(prose("duplicate")).toDF("text")
+      .select(md5(col("text")).as("h"))
+    // an eval gram lifted verbatim from doc 5's text
+    val evalGrams = Seq("the contaminated and a the").toDF("eg")
+    // flat model: every bucket 0 → every doc's weight is exactly 0.0
+    val model = spark.range(TextAnalysis.DsirBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("lr_fp"))
+    val f = TextAnalysis.curationFlagsOf(batch, hashes, evalGrams, model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(3), r.getBoolean(4), r.getDouble(5))))
+      .toMap
+    assert(f(1L) == ((true, true, true, 0.0)))
+    assert(f(3L) == ((true, false, true, 0.0)))   // dedup drop
+    assert(f(5L) == ((true, true, false, 0.0)))   // decontam drop
+    assert(f(7L)._1 == false)                     // quality drop
+    assert(f(31L)._3 == false)                    // eval docs never train
+    assert(f.keySet == Set(1L, 3L, 5L, 7L, 31L))
+  }
+
+  /** The registered incremental census agrees with recomputing the
+    * batch-side predicates directly on the arriving slice. */
+  test("incremental funnel census is monotone and anchored to the batch") {
+    val rows = TextAnalysis.curationFunnelInc(spark, dir).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+    val batch = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1)
+    assert(rows.head._1 == "1_input" && rows.head._2 == batch.count())
+    rows.sliding(2).foreach {
+      case Array((s1, d1, t1), (s2, d2, t2)) =>
+        assert(d2 <= d1 && t2 <= t1, s"$s2 grew vs $s1")
+      case _ => ()
+    }
+  }
 }

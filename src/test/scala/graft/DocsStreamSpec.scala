@@ -196,6 +196,37 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(est("alpha hot") === 40L)
   }
 
+  test("streaming curation screen == batch incremental funnel flags") {
+    // arriving odd docs flagged against the three artifacts persisted
+    // from the even-doc corpus; the kernel is shared verbatim, so every
+    // per-doc verdict row must match the batch flags exactly
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.fanOut(
+      graft.sources.Tables.documents(spark, dir))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val hashes = graft.operators.TextAnalysis.corpusHashIndexOf(corpus)
+    val evalG = graft.operators.TextAnalysis.evalGramSetOf(
+      corpus.filter(col("doc_id") % graft.operators.TextAnalysis.EvalMod === 0))
+    val model = graft.operators.TextAnalysis.dsirModelInc(spark, dir)
+    val q = DocsStream.curationScreen(
+        DocsStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1),
+        hashes, evalG, model)
+      .writeStream
+      .format("memory")
+      .queryName("curation_screen_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000L)
+    val streamed = spark.table("curation_screen_test").collect()
+      .map(_.toString).toSet
+    val batch = graft.operators.TextAnalysis.curationFlagsOf(
+        docs.filter(col("doc_id") % 2 === 1), hashes, evalG, model)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming DSIR importance screen == batch incremental screen") {
     // arriving odd docs scored against the dense model fit on the even
     // docs; the kernel is shared, so every (doc_id, n_grams, weight)
