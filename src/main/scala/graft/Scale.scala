@@ -655,12 +655,20 @@ object Scale {
       val t = (System.nanoTime() - t0) / 1e9
       val radii = sel.sortBy(_.getLong(0)).drop(1).map(_.getDouble(2))
       val mono = radii.sliding(2).forall(p => p.length < 2 || p(1) <= p(0))
-      s"| ${k}x | $n | ${sel.length} | $mono | ${f"$t%.1f"}s |"
+      // the batch variant: same center budget from 2 passes instead of
+      // K−1 — the saved axis is DRIVER ROUND-TRIPS, not corpus passes
+      val t0b = System.nanoTime()
+      val selB = SimSearch.kcenterSelectBatchOf(e,
+        SimSearch.KCenterBatchT, SimSearch.KCenterBatchPasses).collect()
+      val tB = (System.nanoTime() - t0b) / 1e9
+      s"| ${k}x | $n | ${sel.length} | $mono | ${f"$t%.1f"}s | " +
+        s"${selB.length} | ${SimSearch.KCenterBatchPasses} | ${f"$tB%.1f"}s |"
     }
     if (sections("kcenter")) {
       println()
-      println("| factor | vectors | centers | radii non-increasing | select time |")
-      println("|---|---|---|---|---|")
+      println("| factor | vectors | centers | radii non-increasing | select time | " +
+        "batch centers | batch passes | batch time |")
+      println("|---|---|---|---|---|---|---|---|")
       rows13.foreach(println)
     }
 

@@ -218,6 +218,7 @@ object SparkEntry {
     "q_text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
     "q_sample_kcenter" -> (SimSearch.kcenterSelect _),
+    "q_sample_kcenter_batch" -> (SimSearch.kcenterSelectBatch _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -469,6 +470,63 @@ object SparkEntry {
     head + steps.mkString + "\nSELECT round, vec_id, radius FROM (" +
       (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
       ") ORDER BY round"
+  }
+
+  /** Generated CTE chain mirroring `SimSearch.kcenterSelectBatchOf`:
+    * per pass, the T farthest candidates pivot into one row and the
+    * greedy β = 1/4 admission cascade unrolls as columns — `f{i}` is
+    * candidate i's effective distance² (its frontier distance, capped
+    * by the distance to every EARLIER-ADMITTED candidate in the pass:
+    * the CASE emits NULL for non-admitted, and `least` ignores NULLs
+    * in both engines), `adm{i}` the admission verdict against
+    * d1/4. State updates against all admitted centers at once. */
+  private def duckKcenterBatchOracle(t: Int, passes: Int): String = {
+    def l2(a: String, b: String) = s"round(${duckL2(a, b)}, 6)"
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |s0 AS (SELECT 0::BIGINT AS round, vec_id, 0.0 AS radius FROM c0),
+         |st0 AS (SELECT e.vec_id, e.embedding,
+         |          ${l2("e.embedding", "c0.embedding")} AS min_d2
+         |        FROM e, c0)""".stripMargin
+    val passSql = (1 to passes).map { p =>
+      val pivot = (1 to t).map(i =>
+        s"""any_value(CASE WHEN rn = $i THEN vec_id END) AS v$i,
+           |           any_value(CASE WHEN rn = $i THEN embedding END) AS e$i,
+           |           any_value(CASE WHEN rn = $i THEN min_d2 END) AS d$i""".stripMargin)
+        .mkString(",\n           ")
+      // admission cascade: one CTE per candidate beyond the first,
+      // each reading the prior verdicts
+      val cascade = (2 to t).map { i =>
+        val caps = (2 until i).map(j =>
+          s"CASE WHEN adm$j THEN ${l2(s"e$i", s"e$j")} END")
+        val f = (Seq(s"d$i", l2(s"e$i", "e1")) ++ caps).mkString("least(", ", ", ")")
+        val src = if (i == 2) s"p$p" else s"a${p}_${i - 1}"
+        s""",
+           |a${p}_$i AS (SELECT *, $f AS f$i, ($f >= d1 / 4) AS adm$i FROM $src)""".stripMargin
+      }.mkString
+      val a = s"a${p}_$t"
+      val outs = (s"SELECT $p::BIGINT AS round, v1 AS vec_id, d1 AS radius " +
+        s"FROM $a WHERE v1 IS NOT NULL") +:
+        (2 to t).map(i =>
+          s"SELECT $p::BIGINT, v$i, f$i FROM $a WHERE coalesce(adm$i, false)")
+      val caps = (2 to t).map(i =>
+        s"CASE WHEN coalesce(a.adm$i, false) THEN ${l2("s.embedding", s"a.e$i")} END")
+      val upd = (Seq("s.min_d2", l2("s.embedding", "a.e1")) ++ caps)
+        .mkString("least(", ", ", ")")
+      s""",
+         |r$p AS (SELECT vec_id, embedding, min_d2,
+         |         row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS rn
+         |       FROM st${p - 1}),
+         |p$p AS (SELECT $pivot
+         |       FROM r$p WHERE rn <= $t)$cascade,
+         |out$p AS (${outs.mkString("\n          UNION ALL ")}),
+         |st$p AS (SELECT s.vec_id, s.embedding, $upd AS min_d2
+         |        FROM st${p - 1} s, $a a)""".stripMargin
+    }.mkString
+    head + passSql + "\nSELECT round, vec_id, radius FROM (SELECT * FROM s0 " +
+      (1 to passes).map(p => s"UNION ALL SELECT * FROM out$p").mkString(" ") +
+      ") ORDER BY round, vec_id"
   }
 
   /** Shared CTE chain replaying `SimSearch.kmeansAssignment`'s two Lloyd
@@ -3757,6 +3815,12 @@ object SparkEntry {
     // k-center greedy: the generated farthest-first chain — both
     // engines must select the identical center sequence and radii
     "q_sample_kcenter" -> duckKcenterOracle(SimSearch.KCenterK),
+
+    // batch farthest-first: the over-sampled variant — T candidates per
+    // pass, driver-greedy β=1/4 admission replayed as an unrolled
+    // column cascade; both engines must admit the identical centers
+    "q_sample_kcenter_batch" ->
+      duckKcenterBatchOracle(SimSearch.KCenterBatchT, SimSearch.KCenterBatchPasses),
 
     // NFC census: DuckDB's nfc_normalize implements the same Unicode
     // canonical composition as the native graft_nfc kernel; chr(769) is

@@ -1439,6 +1439,96 @@ object SimSearch {
       .orderBy(desc("min_d2"), asc("vec_id")).limit(1)
   }
 
+  /** Candidates collected per pass of [[kcenterSelectBatch]]. */
+  val KCenterBatchT = 4
+
+  /** Passes of [[kcenterSelectBatch]] — total driver round-trips, the
+    * axis the batch variant saves (vs K round-trips for sequential
+    * Gonzalez). */
+  val KCenterBatchPasses = 2
+
+  /** BATCH farthest-first k-center — [[kcenterSelect]]'s over-sampled
+    * form, the standard fix for Gonzalez's K sequential driver
+    * round-trips at production K (thousands of coreset centers): each
+    * pass collects the [[KCenterBatchT]] farthest candidates in ONE
+    * job, then admits them greedily ON THE DRIVER — candidate i is
+    * admitted iff its (6dp-rounded) squared distance to the selected
+    * set AND to every center admitted earlier in the same pass is
+    * ≥ r_pass/4, where r_pass is the pass's farthest distance (the
+    * β = 1/4 separation rule of over-sampling k-center/k-means||;
+    * β exact in binary, so both engines compare identical doubles).
+    * Round-trips drop K → K/T while each pass stays one narrow
+    * corpus job; the spatial filter is what blind top-T lacks — T
+    * co-located frontier points would all be "farthest" yet cover
+    * nothing new (Bahmani et al. 2012 oversample-then-filter shape).
+    *
+    * Output (round, vec_id, radius): round 0 is the seed; each
+    * admitted center reports its effective distance² to everything
+    * selected before it. The admitted count per pass is
+    * data-dependent (≤ T) — the honest batch contract; callers wanting
+    * exactly K run ⌈K/T⌉+ passes and cut. Ordered by (round, vec_id)
+    * — within a pass admission order is by frontier rank, not radius,
+    * so vec_id is the deterministic tiebreak. */
+  def kcenterSelectBatch(spark: SparkSession, dir: String): DataFrame =
+    kcenterSelectBatchOf(Tables.fanOut(Tables.embeddings(spark, dir)),
+      KCenterBatchT, KCenterBatchPasses)
+
+  private[graft] def kcenterSelectBatchOf(e0: DataFrame, t: Int,
+      passes: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val seedRow = e0.agg(min("vec_id")).collect()(0)
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Double)].toDF("round", "vec_id", "radius")
+    // driver-side twins of the column kernels: same left-fold order,
+    // same HALF_UP 6dp rounding, so admission compares the exact
+    // doubles the oracle recomputes
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def l2d(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def mat(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      val e = e0.select("vec_id", "embedding")
+      val seedId = seedRow.getLong(0)
+      val seedEmb = e.filter(col("vec_id") === seedId)
+        .select(col("embedding").as("c_emb"))
+      var (state, stateRdd) = mat(
+        e.crossJoin(broadcast(seedEmb))
+          .select(col("vec_id"), col("embedding"),
+            round(l2sq(col("embedding"), col("c_emb")), 6).as("min_d2")))
+      val sel = scala.collection.mutable.ArrayBuffer((0L, seedId, 0.0))
+      (1 to passes).foreach { p =>
+        val cands = state.orderBy(desc("min_d2"), asc("vec_id")).limit(t).collect()
+        if (cands.nonEmpty) {
+          val thr = cands.head.getDouble(2) / 4
+          val admitted =
+            scala.collection.mutable.ArrayBuffer[(Long, Seq[Float], Double)]()
+          cands.foreach { c =>
+            val emb = c.getSeq[Float](1)
+            val eff = admitted.foldLeft(c.getDouble(2)) { (m, a) =>
+              math.min(m, round6(l2d(emb, a._2))) }
+            if (eff >= thr) admitted += ((c.getLong(0), emb, eff))
+          }
+          sel ++= admitted.map(a => (p.toLong, a._1, a._3))
+          val (next, nextRdd) = mat(admitted.foldLeft(state) { (s, a) =>
+            s.withColumn("min_d2", least(col("min_d2"),
+              round(l2sq(col("embedding"), typedLit(a._2)), 6))) })
+          Dedup.retire(spark, stateRdd)
+          state = next; stateRdd = nextRdd
+        }
+      }
+      Dedup.retire(spark, stateRdd)
+      sel.toSeq.toDF("round", "vec_id", "radius").orderBy("round", "vec_id")
+    }
+  }
+
   private[graft] def kcenterSelectOf(e0: DataFrame, k: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._

@@ -40,6 +40,48 @@ class KcenterSpec extends AnyFunSuite {
     }
   }
 
+  /** Max-over-points min squared distance to the selected centers —
+    * the k-center objective, computed exactly on the driver. */
+  private def coverageRadius(points: Seq[(Long, Array[Float])],
+      centerIds: Set[Long]): Double = {
+    val centers = points.filter(p => centerIds(p._1)).map(_._2)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    points.map(p => centers.map(c => l2(p._2, c)).min).max
+  }
+
+  test("batch farthest-first: cluster coverage in 2 passes, radius within 4x of Gonzalez") {
+    val pts = {
+      def vec(base: Float, j: Int) = Array.fill(8)(base) ++ Array(j.toFloat / 100)
+      val big = (0 until 50).map(j => (j.toLong, vec(0f, j)))
+      val mid = (0 until 5).map(j => (100L + j, vec(10f, j)))
+      val tiny = Seq((200L, vec(20f, 0)))
+      big ++ mid ++ tiny
+    }
+    val batch = SimSearch.kcenterSelectBatchOf(clustered, 4, 2).collect()
+    val got = batch.map(_.getLong(1)).toSet
+    // the β=1/4 separation filter must still land centers in all three
+    // clusters despite the 50:5:1 skew
+    val buckets = got.map {
+      case id if id < 100 => "big"
+      case id if id < 200 => "mid"
+      case _ => "tiny"
+    }
+    assert(buckets == Set("big", "mid", "tiny"))
+    // only 1 + passes driver round-trips were paid; coverage must be
+    // within the oversampling guarantee band of sequential Gonzalez at
+    // the same center count
+    val seq = SimSearch.kcenterSelectOf(clustered, got.size).collect()
+      .map(_.getLong(1)).toSet
+    val rBatch = coverageRadius(pts, got)
+    val rSeq = coverageRadius(pts, seq)
+    assert(rBatch <= 4 * math.max(rSeq, 1e-12),
+      s"batch radius $rBatch vs sequential $rSeq")
+    // seed is round 0 at the min vec_id; radii are positive past it
+    assert(batch.head.getLong(0) == 0L && batch.head.getLong(1) == 0L)
+  }
+
   test("empty input yields an empty selection, not an NPE") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SimSearch.kcenterSelectOf(empty, 3).collect().isEmpty)
