@@ -71,7 +71,7 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter", "sketch", "curationinc")
+      "kcenter", "sketch", "curationinc", "bm25merge")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -467,6 +467,45 @@ object Scale {
         "batch flagged | selected | screen time |")
       println("|---|---|---|---|---|---|---|")
       rows15.foreach(println)
+    }
+
+    // BM25 index delta-merge: a FIXED arriving batch (base odd docs)
+    // folds into the postings snapshot of a GROWING corpus (even docs
+    // × k, pinned as the persisted index). Claim: merge + serve is
+    // O(batch + touched words) — the corpus enters the merge only as
+    // the pinned postings and the word-keyed df upsert — while the
+    // full rebuild re-pays the corpus tokenize/aggregate every run.
+    val rows16 = factors.filter(_ => sections("bm25merge")).map { k =>
+      System.err.println(s"[scale] factor $k (bm25 index merge) ...")
+      val corpus = replicatedDocs(spark, baseDir, k).filter(col("doc_id") % 2 === 0)
+      val batch = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        .filter(col("doc_id") % 2 === 1)
+      val queries = batch.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val t0i = System.nanoTime()
+      val snap = TextAnalysis.bm25Postings(corpus)
+      val snapMat = { val r = snap.rdd; r.localCheckpoint(); r.count(); r }
+      val nPost = snapMat.count()
+      val tSnap = (System.nanoTime() - t0i) / 1e9
+      val snapDf = spark.createDataFrame(snapMat, snap.schema)
+      val t0m = System.nanoTime()
+      val served = TextAnalysis.bm25ScoreOf(queries,
+        TextAnalysis.bm25MergedIndexOf(snapDf, batch)).count()
+      val tMerge = (System.nanoTime() - t0m) / 1e9
+      val t0f = System.nanoTime()
+      val full = TextAnalysis.bm25ScoreOf(queries,
+        TextAnalysis.bm25IndexOf(corpus.unionByName(batch))).count()
+      val tFull = (System.nanoTime() - t0f) / 1e9
+      s"| ${k}x | $nPost | ${f"$tSnap%.1f"}s | $served | ${f"$tMerge%.1f"}s | " +
+        s"$full | ${f"$tFull%.1f"}s |"
+    }
+    if (sections("bm25merge")) {
+      println()
+      println("| factor | snapshot postings | snapshot build | served rows | " +
+        "merge+serve time | rebuild rows | rebuild+serve time |")
+      println("|---|---|---|---|---|---|---|")
+      rows16.foreach(println)
     }
 
     // DSIR: docs replicate token-renamed (vocabulary grows with the

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
     "q_text_rrf_fusion"  -> (TextAnalysis.rrfFuse _),
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
+    "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
     "q_sketch_bottomk_union" -> (TextAnalysis.bottomKUnion _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
@@ -2915,6 +2916,35 @@ object SparkEntry {
     // serving screen: odd probe docs (query = their distinct tokens)
     // against the index built from the EVEN corpus half — index-side
     // CTEs aggregate only doc_id % 2 = 0
+    // merged-index serve ≡ full-rebuild serve: the oracle rebuilds the
+    // index over the WHOLE corpus (snapshot ∪ batch), so the hash match
+    // pins the delta-merge's df/dl/avgdl maintenance exactly
+    "q_text_bm25_index_merge" ->
+      s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
+         |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
+         |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok)
+         |SELECT q.query_id, tf.doc_id,
+         |       round(sum(
+         |         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |         * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |         / (tf.tf + ${TextAnalysis.Bm25K1}
+         |            * (1.0 - ${TextAnalysis.Bm25B}
+         |               + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |       ), 4) AS score
+         |FROM q
+         |JOIN tf ON tf.word = q.word
+         |JOIN df ON df.word = q.word
+         |JOIN dl ON dl.doc_id = tf.doc_id
+         |CROSS JOIN stats s
+         |GROUP BY 1, 2
+         |ORDER BY q.query_id, tf.doc_id""".stripMargin,
+
     "q_text_bm25_serve" ->
       s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
          |              WHERE doc_id % 2 = 0),

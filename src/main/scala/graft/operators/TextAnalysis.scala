@@ -2101,7 +2101,7 @@ object TextAnalysis {
     bm25From(tf, docs)
   }
 
-  private def bm25Postings(docs: DataFrame): DataFrame =
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
 
@@ -2166,6 +2166,71 @@ object TextAnalysis {
   def bm25ServeInc(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(spark, dir))
     val idx = bm25IndexOf(d.filter(col("doc_id") % 2 === 0))
+    val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")
+  }
+
+  /** BM25 INDEX MAINTENANCE — fold an arriving batch into a persisted
+    * index snapshot WITHOUT rebuilding it: the `q_merge_ivm`
+    * retract/apply discipline applied to the retrieval index. The
+    * persisted layout for maintenance is the NORMALIZED components
+    * (postings bucketed by word — what [[writeBm25Index]] persists
+    * denormalized for pure serving — plus the word-keyed df table, the
+    * doc-keyed dl table, and the 1-row corpus constants); the merge
+    * touches each at its own delta cost:
+    *
+    *  - postings: APPEND the batch's (doc, word, tf) rows — O(batch);
+    *  - df: word-keyed UPSERT (full-outer merge, coalesce-and-add) —
+    *    only words the batch touches change, and on a word-bucketed
+    *    layout the merge is co-partitioned with no index-side
+    *    exchange;
+    *  - dl: append (new doc_ids are disjoint by construction);
+    *  - n/avgdl: fold the batch's count/sum into the stored totals —
+    *    exact integer sums, so `(s_c+s_b)/(n_c+n_b)` is bit-identical
+    *    to a full rebuild's `avg(dl)` (all dl totals < 2^53).
+    *
+    * The denormalized serve view then composes LAZILY over the merged
+    * components, so the merged index is row-for-row IDENTICAL to
+    * `bm25IndexOf(corpus ∪ batch)` (suite-pinned) and every serving
+    * consumer — [[bm25ScoreOf]], the streaming twin — reads it
+    * unchanged. What a rebuild pays corpus-sized, the merge pays
+    * batch-sized: the SCALE.md §bm25merge table measures the merged
+    * serve flat while the snapshot 10×es. */
+  private[graft] def bm25MergedIndexOf(corpusPostings: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val tfB = bm25Postings(batch)
+    def dfOf(tf: DataFrame, as: String) =
+      tf.groupBy("word").agg(count(lit(1)).as(as))
+    def dlOf(tf: DataFrame) = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfM = dfOf(corpusPostings, "df_c")
+      .join(dfOf(tfB, "df_b"), Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("df_c"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+    val dlC = dlOf(corpusPostings)
+    val dlB = dlOf(tfB)
+    val dlM = dlC.unionByName(dlB)
+    val statsM = dlC.agg(count(lit(1)).as("n_c"), sum("dl").as("s_c"))
+      .crossJoin(dlB.agg(count(lit(1)).as("n_b"), sum("dl").as("s_b")))
+      .select((col("n_c") + col("n_b")).cast("double").as("n"),
+        ((col("s_c") + col("s_b")).cast("double") /
+          (col("n_c") + col("n_b"))).as("avgdl"))
+    corpusPostings.unionByName(tfB)
+      .join(dfM, "word").join(dlM, "doc_id")
+      .crossJoin(broadcast(statsM))
+      .select("doc_id", "word", "tf", "df", "dl", "n", "avgdl")
+  }
+
+  /** Registered form: the odd-doc batch folds into the even-doc
+    * snapshot's components, and the probe queries ([[bm25ServeInc]]'s)
+    * serve from the MERGED index — the oracle recomputes the serve
+    * against a FULL REBUILD over corpus ∪ batch, so the hash match IS
+    * the merged ≡ rebuilt equivalence, cross-engine. */
+  def bm25IndexMergeServe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val idx = bm25MergedIndexOf(
+      bm25Postings(d.filter(col("doc_id") % 2 === 0)),
+      d.filter(col("doc_id") % 2 === 1))
     val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("text"))
     bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")

@@ -32,6 +32,23 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(got((0L, 2L)) === 5L)
   }
 
+  test("bm25 delta-merge: merged index is row-identical to a full rebuild") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.fanOut(
+      graft.sources.Tables.documents(spark, dir))
+    val merged = TextAnalysis.bm25MergedIndexOf(
+        TextAnalysis.bm25Postings(d.filter(col("doc_id") % 2 === 0)),
+        d.filter(col("doc_id") % 2 === 1))
+      .collect().map(_.toString).toSet
+    val rebuilt = TextAnalysis.bm25IndexOf(d)
+      .collect().map(_.toString).toSet
+    // EXACT equality, df/dl/n/avgdl included: the incremental folds
+    // (coalesce-add df, appended dl, integer-sum avgdl) must reproduce
+    // the rebuild bit-for-bit, or serving drifts as the index ages
+    assert(merged == rebuilt)
+    assert(merged.nonEmpty)
+  }
+
   test("rrf fusion: consensus rank-1 gets 2/(k+1); the duplicate fuses at rank 2") {
     val docs = (0L until 5L).map { i =>
       val sig = ('z' - i).toChar.toString * 3
