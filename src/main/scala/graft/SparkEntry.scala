@@ -243,6 +243,7 @@ object SparkEntry {
     // JDK codec) — ImageHashSpec is the additional exact decode gate
     "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
     "q_multimodal_phash_pairs" -> (graft.multimodal.Multimodal.phashPairs _),
+    "q_multimodal_phash_inc" -> (graft.multimodal.Multimodal.phashScreenInc _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
     // produce exactly the unsalted answer (salting redistributes partial
@@ -2063,6 +2064,29 @@ object SparkEntry {
          |SELECT DISTINCT id_a, id_b, hamming FROM pairs
          |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // asymmetric incremental probe over the same committed hash
+    // fixture: arriving planted edits (media_id >= PlantShift) against
+    // the base catalog's banded index — DISTINCT where the Spark plan
+    // uses the first-matching-band filter (same pair set by construction)
+    "q_multimodal_phash_inc" ->
+      s"""WITH h AS (SELECT media_id, dhash
+         |           FROM '${graft.multimodal.Multimodal.PhashFixturePath}'
+         |           WHERE ok),
+         |idx AS (SELECT media_id AS dup_of, dhash AS h_b, band,
+         |          (dhash >> (band::INT * 16)) & 65535 AS band_sig
+         |        FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |        WHERE media_id < ${graft.multimodal.Multimodal.PlantShift}),
+         |pr AS (SELECT media_id AS new_id, dhash AS h_a, band,
+         |         (dhash >> (band::INT * 16)) & 65535 AS band_sig
+         |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |       WHERE media_id >= ${graft.multimodal.Multimodal.PlantShift}),
+         |pairs AS (SELECT new_id, dup_of,
+         |            bit_count(xor(h_a, h_b))::BIGINT AS hamming
+         |          FROM pr JOIN idx USING (band, band_sig))
+         |SELECT DISTINCT new_id, dup_of, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY new_id, dup_of""".stripMargin,
 
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckBucket AS bucket,

@@ -465,6 +465,72 @@ object Multimodal {
     }
   }
 
+  /** The PERSISTED banded dHash index of an image catalog — one row per
+    * (image, band) with the 16-bit band signature as the join key:
+    * exactly what an image-dedup rollout snapshots (64 bits + 4 keys
+    * per image), bucketed by (band, band_sig) in production so arriving
+    * probes join with no index-side exchange. */
+  def imageHashIndexOf(hashes: DataFrame): DataFrame =
+    hashes.filter(col("ok"))
+      .select(col("media_id").as("dup_of"), col("dhash").as("h_b"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_sig", expr("shiftright(h_b, band * 16) & 65535"))
+
+  /** INCREMENTAL banded near-dup screen for ARRIVING images — the
+    * `q_dedup_incremental` pattern on the phash bands, completing the
+    * measure/act × batch/incremental grid for the image modality: new
+    * hashes probe the persisted [[imageHashIndexOf]] snapshot
+    * asymmetrically (new × index — cost scales with the BATCH, not the
+    * catalog), the first-matching-band filter keeps each (new, corpus)
+    * pair once without a distinct, and `bit_count(xor)` verifies at
+    * [[DHashMaxHamming]]. Stateless row-local + one equi-join, so the
+    * identical kernel runs as the streaming twin
+    * ([[graft.streaming.MediaStream.phashScreen]], stream ≡ batch
+    * suite-pinned). */
+  def imageNearDupScreen(newHashes: DataFrame, index: DataFrame,
+      maxHamming: Int = DHashMaxHamming): DataFrame = {
+    val probes = newHashes.filter(col("ok"))
+      .select(col("media_id").as("new_id"), col("dhash").as("h_a"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_sig", expr("shiftright(h_a, band * 16) & 65535"))
+    val earlier = (0 until 4).map(k =>
+      when(col("band") > k,
+        shiftright(col("h_a"), k * 16).bitwiseAND(lit(0xffffL)) ===
+          shiftright(col("h_b"), k * 16).bitwiseAND(lit(0xffffL)))
+        .otherwise(lit(false)))
+      .reduce(_ || _)
+    probes.join(index, Seq("band", "band_sig"))
+      .filter(!earlier) // first matching band only — each pair kept once
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "dup_of", "hamming")
+  }
+
+  /** Registered incremental phash screen: the planted re-encoded edits
+    * (media_id ≥ [[PlantShift]] — the arriving batch by construction)
+    * screened against the base catalog's persisted hash index. Oracle:
+    * the banding/probe stage replayed in SQL over the committed
+    * [[PhashFixturePath]] fixture (the `q_multimodal_phash_pairs`
+    * discipline), so the gate pins both the decode→dHash drift and the
+    * asymmetric probe plan cross-engine. */
+  def phashScreenInc(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (hashes, hashesRdd) = Dedup.materializeOwned(
+        dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(
+        imageNearDupScreen(
+          hashes.filter(col("media_id") >= PlantShift),
+          imageHashIndexOf(hashes.filter(col("media_id") < PlantShift)))
+          .select(col("new_id"), col("dup_of"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("new_id", "dup_of"),
+        ckDir.isDefined)
+      Dedup.retire(spark, hashesRdd)
+      Dedup.retainResult(spark, "phashScreenInc", outRdd, out)
+    }
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

@@ -105,6 +105,57 @@ class ImageHashSpec extends AnyFunSuite {
     assert(hamming(hs(0L), hs(1L)) <= Multimodal.DHashMaxHamming)
   }
 
+  test("incremental screen: every arriving edit hits its base image via the index") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val hashes = Multimodal.dHash(Multimodal.plantedMediaRecords(spark, dir)).toDF()
+    val out = Multimodal.imageNearDupScreen(
+        hashes.filter(col("media_id") >= Multimodal.PlantShift),
+        Multimodal.imageHashIndexOf(
+          hashes.filter(col("media_id") < Multimodal.PlantShift)))
+      .collect()
+    // every planted arriving edit must find its own base as a near-dup
+    val found = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = hashes.filter(col("media_id") >= Multimodal.PlantShift)
+      .collect().map(_.getLong(0))
+      .map(id => (id, id - Multimodal.PlantShift)).toSet
+    assert(expected.subsetOf(found),
+      s"missing planted hits: ${(expected -- found).take(5)}")
+    // asymmetry: the catalog never self-pairs — new_id is always planted
+    assert(out.forall(_.getLong(0) >= Multimodal.PlantShift))
+  }
+
+  test("streaming phash screen == batch incremental screen, via the persisted index") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val recs = Multimodal.plantedMediaRecords(spark, dir)
+    val hashes = Multimodal.dHash(recs).toDF()
+    val index = Multimodal.imageHashIndexOf(
+      hashes.filter(col("media_id") < Multimodal.PlantShift))
+    val arrivals = java.nio.file.Files
+      .createTempDirectory("graft_media_stream").toString
+    recs.toDF().filter(col("media_id") >= Multimodal.PlantShift)
+      .write.parquet(s"$arrivals/batch1.parquet")
+    val q = graft.streaming.MediaStream.phashScreen(
+        graft.streaming.MediaStream.readMedia(spark, s"$arrivals/batch1.parquet"),
+        index)
+      .writeStream
+      .format("memory")
+      .queryName("phash_screen_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("phash_screen_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Multimodal.imageNearDupScreen(
+        hashes.filter(col("media_id") >= Multimodal.PlantShift), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("registered planted query: full recall of the planted edits") {
     val row = Multimodal.phashNearDupPlanted(spark, "/root/testdata/sf0.001")
       .collect().head
