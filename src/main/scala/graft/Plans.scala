@@ -28,7 +28,8 @@ object Plans {
     "q_sample_kcenter", "q_text_unicode_norm", "q_join_dpp",
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
     "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union",
-    "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc")
+    "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc",
+    "q_text_bm25_index_merge", "q_multimodal_phash_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -73,6 +74,10 @@ object Plans {
         // same driver-assembled-result situation: audit one loop round
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)
+        // retained-result situation: audit the live screen dataflow
+        // (hash frame inlined — the registered query decodes once)
+        else if (n == "q_multimodal_phash_inc")
+          graft.multimodal.Multimodal.phashScreenPlanOf(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -531,6 +531,15 @@ object Multimodal {
     }
   }
 
+  /** Plan-audit hook: the live screen dataflow with the hash frame
+    * inlined (the registered query returns a retained `ExistingRDD`). */
+  private[graft] def phashScreenPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = dHash(plantedMediaRecords(spark, dir)).toDF()
+    imageNearDupScreen(
+      hashes.filter(col("media_id") >= PlantShift),
+      imageHashIndexOf(hashes.filter(col("media_id") < PlantShift)))
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */
