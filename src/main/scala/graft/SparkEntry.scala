@@ -161,6 +161,7 @@ object SparkEntry {
     "q_ann_ivfadc_res"  -> (SimSearch.ivfAdcResidualTopK _),
     "q_ann_opq"         -> (SimSearch.opqTopK _),
     "q_train_hard_negatives" -> (SimSearch.hardNegatives _),
+    "q_train_triplets"  -> (SimSearch.tripletMine _),
     "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
     "q_ann_ivfadc_refine" -> (SimSearch.ivfAdcRefineTopK _),
     "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "q_text_entropy"     -> (TextAnalysis.tokenEntropy _),
     "q_text_chunk"       -> (TextAnalysis.chunkSequences _),
     "q_text_lm_score"    -> (TextAnalysis.lmScore _),
+    "q_text_ppl_buckets" -> (TextAnalysis.perplexityBuckets _),
     "q_corpus_composition" -> (TextAnalysis.corpusComposition _),
     "q_dedup_span_coverage" -> (TextAnalysis.dupSpanCoverage _),
     "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
@@ -1973,6 +1975,31 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT label, "rank", vec_a, vec_b, cos FROM ranked
          |WHERE "rank" <= 3 ORDER BY label, "rank"""".stripMargin,
+    // FaceNet-style triplet mining: nearest same-label positive,
+    // nearest different-label negative, margin from the two 6dp cosines
+    "q_train_triplets" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, $DuckNorm AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label,
+         |        nrm AS q_nrm
+         |      FROM e WHERE vec_id < ${SimSearch.NQueries}),
+         |sc AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         |         round(${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm), 6) AS cos
+         |       FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |pos AS (SELECT q_id, vec_id AS positive, cos AS cos_pos FROM (
+         |          SELECT q_id, vec_id, cos,
+         |            row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS rnk
+         |          FROM sc WHERE label = q_label) WHERE rnk = 1),
+         |neg AS (SELECT q_id, vec_id AS negative, cos AS cos_neg FROM (
+         |          SELECT q_id, vec_id, cos,
+         |            row_number() OVER (PARTITION BY q_id
+         |              ORDER BY cos DESC, vec_id) AS rnk
+         |          FROM sc WHERE label <> q_label) WHERE rnk = 1)
+         |SELECT q_id, positive, cos_pos, negative, cos_neg,
+         |       round(cos_pos - cos_neg, 6) AS margin
+         |FROM pos JOIN neg USING (q_id) ORDER BY q_id""".stripMargin,
+
     "q_ann_brute_force" ->
       s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
@@ -2243,6 +2270,35 @@ object SparkEntry {
          |SELECT doc_id, lang, count(*)::BIGINT AS n_bigrams,
          |       round(avg(ll), 4) AS avg_ll
          |FROM terms GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity terciles: ntile(3) per language over the
+    // 4dp-rounded LM score (doc_id tiebreak — total order), per-bucket
+    // mean from exact fixed-point sums
+    "q_text_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $DuckTok AS toks FROM documents),
+         |dbig AS (SELECT doc_id, lang,
+         |           unnest(list_slice(toks, 1, len(toks) - 1)) AS a,
+         |           unnest(list_slice(toks, 2, len(toks))) AS b
+         |         FROM tok WHERE len(toks) >= 2),
+         |cab AS (SELECT a, b, count(*) AS c_ab FROM dbig GROUP BY 1, 2),
+         |ca AS (SELECT a, count(*) AS c_a FROM dbig GROUP BY 1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM tok)),
+         |terms AS (SELECT doc_id, lang,
+         |            ln((c_ab + 1)::DOUBLE / (c_a + v)::DOUBLE) AS ll
+         |          FROM dbig JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v),
+         |scored AS (SELECT doc_id, lang, round(avg(ll), 4) AS avg_ll
+         |           FROM terms GROUP BY 1, 2),
+         |tiered AS (SELECT lang, avg_ll,
+         |             ntile(3) OVER (PARTITION BY lang
+         |               ORDER BY avg_ll DESC, doc_id) AS t
+         |           FROM scored)
+         |SELECT lang,
+         |       CASE t WHEN 1 THEN '1_head' WHEN 2 THEN '2_middle'
+         |              ELSE '3_tail' END AS bucket,
+         |       count(*)::BIGINT AS n_docs,
+         |       (sum(CAST(round(avg_ll * 10000, 0) AS BIGINT))::BIGINT / 10000.0)
+         |         / count(*) AS mean_ll
+         |FROM tiered GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "q_text_chunk" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

@@ -1397,6 +1397,48 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** HARDEST-NEGATIVE TRIPLET MINING (Schroff et al., FaceNet 2015 —
+    * the metric-learning data op): per anchor (the [[NQueries]] probe
+    * vectors), positive = nearest SAME-label vector, negative = nearest
+    * DIFFERENT-label vector (the "nearest miss"), and the triplet
+    * margin cos_pos − cos_neg — negative margins are exactly the
+    * violating triplets a triplet loss trains on. Complements
+    * [[hardNegatives]]: that op excludes SEMANTIC duplicates under the
+    * unsupervised τ-pair set; this one uses the label column as
+    * supervision, the contrastive-training labeled regime.
+    *
+    * Scale: one broadcast of the anchor set over a single narrow corpus
+    * scan (the [[bruteForceTopK]] shape — the honest baseline; IVF
+    * routing is the documented scale dial for corpus-sized anchor
+    * sets), then two `WindowGroupLimit`-bounded argmaxes per anchor.
+    * Cosines 6dp-rounded with vec_id tiebreaks; the margin subtracts
+    * two identical-by-construction doubles, so both engines emit the
+    * same triplets and margins. */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame =
+    tripletMineOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  /** [[tripletMine]] over any (vec_id, embedding, label) frame. */
+  def tripletMineOf(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
+    def top1(df: DataFrame, id: String, c: String) =
+      df.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("q_id"), col("vec_id").as(id), col("cos").as(c))
+    top1(scored.filter(col("label") === col("q_label")), "positive", "cos_pos")
+      .join(top1(scored.filter(col("label") =!= col("q_label")),
+        "negative", "cos_neg"), "q_id")
+      .select(col("q_id"), col("positive"), col("cos_pos"),
+        col("negative"), col("cos_neg"),
+        round(col("cos_pos") - col("cos_neg"), 6).as("margin"))
+      .orderBy("q_id")
+  }
+
   /** Centers selected by [[kcenterSelect]]. */
   val KCenterK = 8
 

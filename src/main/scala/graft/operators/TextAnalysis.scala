@@ -1211,6 +1211,37 @@ object TextAnalysis {
         round(avg(col("ll")), 4).as("avg_ll"))
       .orderBy("doc_id")
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al., LREC 2020): per
+    * language, documents tier into head/middle/tail TERCILES by their
+    * LM score ([[lmScoreOf]]'s per-doc mean bigram log-likelihood —
+    * higher = more target-like = head), the standard quality-tiering
+    * step LLM pipelines run before mixing (train mostly-head, sample
+    * middle, drop tail). Output is the per-(lang, bucket) census with
+    * the mean score, the governance view of where each language's mass
+    * sits.
+    *
+    * Determinism: terciles are `ntile(3)` over the 4dp-ROUNDED score
+    * with a doc_id tiebreak (total order, so both engines assign
+    * identical buckets); the per-bucket mean accumulates the scores as
+    * exact fixed-point longs — a double sum's order-dependence is the
+    * [[dsirResampleOf]] lesson. Scale: the LM pass is the one
+    * corpus-sized stage ([[lmScore]]'s audited shape); the tercile
+    * window partitions per language — at 100 TB the swap is the
+    * quantile-boundary broadcast (`q_profile_eqdepth`'s shape), same
+    * note as `q_window_ntile`. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScoreOf(Tables.fanOut(Tables.documents(spark, dir)))
+    val w = Window.partitionBy("lang").orderBy(desc("avg_ll"), asc("doc_id"))
+    scored.withColumn("t", ntile(3).over(w))
+      .withColumn("bucket", element_at(
+        array(lit("1_head"), lit("2_middle"), lit("3_tail")), col("t")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        ((sum(round(col("avg_ll") * 10000, 0).cast("long")) / 10000.0) /
+          count(lit(1))).as("mean_ll"))
+      .orderBy("lang", "bucket")
+  }
+
   /** The deterministic replicate-and-thin draw shared by
     * [[temperatureMixOf]] and [[doremiMixOf]]: each doc repeats
     * ⌈rate⌉ times, replica r surviving iff u < rate − r (full copies

@@ -122,6 +122,63 @@ class TrainSignalsSpec extends AnyFunSuite {
     assert(poisoned === 0, s"$poisoned semantic duplicates served as negatives")
   }
 
+  test("triplet mining: nearest same-label positive, nearest-miss negative") {
+    def vec(i: Int, eps: (Int, Float)*): Array[Float] = {
+      val v = Array.tabulate(8)(d => if (d == i) 1f else 0f)
+      eps.foreach { case (d, e) => v(d) = v(d) + e }
+      v
+    }
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = (v: Array[Float]) => math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (n(a) * n(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // anchors 0 (label 0) and 1 (label 1); corpus ids >= 10:
+    //  10 lab0 = axis0 tilted 0.3  — anchor 0's positive
+    //  11 lab1 = axis0 tilted 0.1  — CLOSER to anchor 0 but wrong label:
+    //      the nearest miss, so anchor 0's margin is NEGATIVE (violating)
+    //  12 lab1 = axis1 tilted 0.1  — anchor 1's positive
+    //  13 lab0 = axis2             — label-0 filler; anchor 1's nearest
+    //      miss is 10 (its 0.3 dim-1 tilt leans toward axis1, cos ≈ .287
+    //      vs 13's exact 0), and the positive is closer: margin > 0
+    val rows = Seq(
+      (0L, vec(0), 0L), (1L, vec(1), 1L),
+      (10L, vec(0, 1 -> 0.3f), 0L), (11L, vec(0, 1 -> 0.1f), 1L),
+      (12L, vec(1, 2 -> 0.1f), 1L), (13L, vec(2), 0L))
+    val got = SimSearch.tripletMineOf(rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val v = rows.map(r => r._1 -> r._2).toMap
+    assert(got.keySet == Set(0L, 1L))
+    val (p0, cp0, n0, cn0, m0) = got(0L)
+    assert((p0, n0) == ((10L, 11L)))
+    assert(cp0 == cos6(v(0L), v(10L)) && cn0 == cos6(v(0L), v(11L)))
+    assert(m0 < 0, s"anchor 0's nearest miss is closer than its positive: $m0")
+    val (p1, _, n1, cn1, m1) = got(1L)
+    assert((p1, n1) == ((12L, 10L)) && m1 > 0)
+    assert(cn1 == cos6(v(1L), v(10L)))
+  }
+
+  test("perplexity buckets: terciles balance per language, means ordered head >= tail") {
+    val rows = TextAnalysis.perplexityBuckets(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq("1_head", "2_middle", "3_tail"),
+        s"$lang missing a tercile")
+      // ntile balance: bucket sizes differ by at most 1
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1, s"$lang unbalanced")
+      // the tiering must order the means: head is the most target-like
+      val m = bs.map(b => b._2 -> b._4).toMap
+      assert(m("1_head") >= m("2_middle") && m("2_middle") >= m("3_tail"),
+        s"$lang means not ordered: $m")
+    }
+  }
+
   test("k-means: Lloyd SSE is non-increasing over iterations on real data") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val sse = (0 to 2).map(SimSearch.kmeansSse(e, SimSearch.KmK, _))
