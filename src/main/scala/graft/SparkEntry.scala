@@ -194,6 +194,7 @@ object SparkEntry {
     "q_mix_doremi_draw"  -> (TextAnalysis.doremiMix _),
     "q_train_quality_lr" -> (TextAnalysis.qualityLrTrain _),
     "q_train_quality_lr_apply" -> (TextAnalysis.qualityLrApply _),
+    "q_train_quality_lr_calibration" -> (TextAnalysis.qualityLrCalibration _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
@@ -3261,6 +3262,19 @@ object SparkEntry {
 
     // apply screen: per-language keep census under the same trained
     // weights (p3 is per-doc probability; lang rides in from tok)
+    // reliability diagram over the same trained-weights chain: ten
+    // fixed-width probability bins, nano-fixed-point mean p, exact
+    // integer observed rate
+    "q_train_quality_lr_calibration" ->
+      (duckLrChain +
+        """
+          |SELECT least(floor(p * 10), 9)::BIGINT AS bin,
+          |       count(*)::BIGINT AS n_docs,
+          |       sum(CAST(round(p * 1000000000, 0) AS BIGINT))::BIGINT
+          |         / count(*) / 1000000000.0 AS mean_p,
+          |       round(sum(y)::BIGINT / count(*), 4) AS obs_rate
+          |FROM p3 GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q_train_quality_lr_apply" ->
       (duckLrChain +
         """

@@ -1913,6 +1913,36 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** CLASSIFIER CALIBRATION REPORT — the reliability diagram for the
+    * trained quality classifier, as data: every document's predicted
+    * probability lands in one of ten fixed-width bins, and per bin the
+    * report carries the count, the mean PREDICTED probability, and the
+    * OBSERVED positive rate. A well-calibrated model has mean_p ≈
+    * obs_rate per bin; a collapsed or over-confident one shows up
+    * immediately — the check a filtering rollout runs before trusting
+    * p ≥ 0.5 as a keep threshold ([[qualityLrApply]]'s dial).
+    * Same serving shape as apply: one feature pass + the broadcast
+    * weight frame; the census is a 10-key group-by. Mean p accumulates
+    * as nano fixed-point longs; the observed rate is an exact integer
+    * ratio — bins derive from identical doubles in both engines (σ's
+    * libm exp on identical inputs, the training determinism note). */
+  def qualityLrCalibration(spark: SparkSession, dir: String): DataFrame =
+    qualityLrCalibrationOf(Tables.fanOut(Tables.documents(spark, dir)),
+      lrModelCached(spark, dir))
+
+  /** [[qualityLrCalibration]] over any (doc_id, lang, text) frame and
+    * trained weight frame. */
+  private[graft] def qualityLrCalibrationOf(docs: DataFrame,
+      weights: DataFrame): DataFrame =
+    lrProbsOf(lrFeaturesOf(docs), weights)
+      .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .withColumn("p_fp", round(col("p") * 1e9, 0).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("p_fp") / count(lit(1)) / 1e9).as("mean_p"),
+        round(sum(col("y").cast("long")) / count(lit(1)), 4).as("obs_rate"))
+      .orderBy("bin")
+
   /** [[qualityLrTrain]] over any (doc_id, lang, text) frame. */
   def qualityLrTrainOf(docs: DataFrame): DataFrame =
     qualityLrTrainOf(docs, QualityLrRate, QualityLrIters)

@@ -80,4 +80,24 @@ class QualityLrSpec extends AnyFunSuite {
       assert(r.getAs[Long]("kept") <= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("calibration: planted separable corpus spreads across bins, rates ordered") {
+    val docs = plantedDocs
+    val weights = TextAnalysis.qualityLrModelOf(docs,
+      TextAnalysis.QualityLrRate, TextAnalysis.QualityLrIters)
+    val bins = TextAnalysis.qualityLrCalibrationOf(docs, weights).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // a separating model must occupy BOTH sides of the 0.5 threshold
+    assert(bins.exists(_._1 < 5) && bins.exists(_._1 >= 5),
+      s"no spread: ${bins.toSeq}")
+    // perfect separation: below-threshold bins are pure negatives,
+    // above-threshold pure positives; counts conserve the corpus
+    bins.foreach { case (bin, _, meanP, obs) =>
+      assert(meanP >= bin / 10.0 - 1e-9 && meanP <= (bin + 1) / 10.0 + 1e-9 ||
+        bin == 9L, s"mean_p $meanP escapes bin $bin")
+      if (bin < 5) assert(obs == 0.0, s"bin $bin impure: $obs")
+      else assert(obs == 1.0, s"bin $bin impure: $obs")
+    }
+    assert(bins.map(_._2).sum == 400L)
+  }
 }
