@@ -64,7 +64,8 @@ object Bench {
     // reported only cache reads and the build cost vanished — BENCH_r04's
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
-        ann: Boolean, bpe: Boolean, lr: Boolean): Seq[(String, Double)] = {
+        ann: Boolean, bpe: Boolean, lr: Boolean,
+        dpp: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -91,6 +92,13 @@ object Bench {
       (if (lr) Seq(
         timed("build:lr_model") {
           graft.operators.TextAnalysis.lrModelCached(spark, dir); () })
+       else Seq.empty) ++
+      (if (dpp) Seq(
+        // the partitioned fact layout is a per-snapshot write-time
+        // artifact; clearMemos released it above, so rebuild it here —
+        // q_join_dpp's own number is then the pruned-read serving cost
+        timed("build:dpp_layout") {
+          graft.operators.ScaleTechniques.buildDppLayout(spark, dir) })
        else Seq.empty)
     }
 
@@ -127,14 +135,19 @@ object Bench {
     // bpeMergesFrame call sites)
     val bpeConsumers = Set("q_text_bpe_train", "q_text_bpe_apply")
     // consumers of the memoized LR weight frame (lrModelCached call sites)
-    val lrConsumers = Set("q_train_quality_lr", "q_train_quality_lr_apply")
+    val lrConsumers = Set("q_train_quality_lr", "q_train_quality_lr_apply",
+      "q_train_quality_lr_calibration")
+    // consumers of the on-disk partitioned DPP fact layout
+    val dppConsumers = Set("q_join_dpp")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
     val needBpeBuild = names.exists(bpeConsumers)
     val needLrBuild = names.exists(lrConsumers)
+    val needDppBuild = names.exists(dppConsumers)
     def builds(dir: String): Seq[(String, Double)] =
-      if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild)
-        buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild)
+      if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild || needDppBuild)
+        buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild,
+          needDppBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -152,7 +165,8 @@ object Bench {
        else Seq.empty) ++
       (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
-      (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++ names
+      (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
+      (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

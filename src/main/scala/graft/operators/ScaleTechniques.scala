@@ -209,8 +209,17 @@ object ScaleTechniques {
     * full-table scan and a 4% one. The suite asserts the executed plan
     * carries the dynamic filter; the oracle pins the join's algebra on
     * the unpartitioned original. */
-  def dppRevenueByMonth(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+  /** Bench hook: force-write the partitioned fact layout so its cost
+    * lands in the explicit `build:dpp_layout` row — the layout is a
+    * per-snapshot artifact (a real deployment PARTITIONS the table at
+    * write time, once), and since `clearMemos` releases it with the
+    * other memo state, each cold bench pass would otherwise charge the
+    * full repartition-write to `q_join_dpp` itself. */
+  private[graft] def buildDppLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = { ensureFactLayout(spark, dir); () }
+
+  private def ensureFactLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
     import graft.sources.Tables
     val path = dppFactPath(dir)
     dppWriteLock.synchronized {
@@ -235,7 +244,13 @@ object ScaleTechniques {
       }
       dppFactDirs.add(path)
     }
-    val fact = spark.read.parquet(path)
+    path
+  }
+
+  def dppRevenueByMonth(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.sources.Tables
+    val fact = spark.read.parquet(ensureFactLayout(spark, dir))
     val dimMonths = Tables.orders(spark, dir)
       .filter(col("o_orderdate").between(
         lit("1995-01-01").cast("timestamp"), lit("1995-03-31").cast("timestamp")))
