@@ -425,7 +425,7 @@ object SimSearch {
   /** Total within-cluster SSE after `iters` iterations — Lloyd's
     * convergence quantity (provably non-increasing per iteration). */
   private[graft] def kmeansSse(e: DataFrame, k: Int, iters: Int): Double =
-    kmeansAssignment(e, k, iters).agg(sum("d2")).head.getDouble(0)
+    kmeansAssignment(e, k, iters).agg(sum("d2")).head().getDouble(0)
 
   /** Symmetric INT8 quantization audit — the storage-compression step a
     * vector index runs before persisting (4× smaller than float32, and

@@ -82,6 +82,26 @@ class KcenterSpec extends AnyFunSuite {
     assert(batch.head.getLong(0) == 0L && batch.head.getLong(1) == 0L)
   }
 
+  test("batch vs sequential: coverage within 4x across random geometries") {
+    // five FIXED seeds — deterministic, but geometry-diverse enough to
+    // exercise the admission filter beyond the planted clusters
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until (12 + rnd.nextInt(24))).map(i =>
+        (i.toLong, Array.fill(6)(rnd.nextFloat() * 4f - 2f)))
+      val df = pts.toDF("vec_id", "embedding")
+      val batch = SimSearch.kcenterSelectBatchOf(df, 4, 2).collect()
+        .map(_.getLong(1)).toSet
+      assert(batch.size >= 1 && batch.size <= 1 + 4 * 2, s"seed $seed size")
+      val seq = SimSearch.kcenterSelectOf(df, batch.size).collect()
+        .map(_.getLong(1)).toSet
+      val rB = coverageRadius(pts, batch)
+      val rS = coverageRadius(pts, seq)
+      assert(rB <= 4 * math.max(rS, 1e-12),
+        s"seed $seed: batch radius $rB vs sequential $rS")
+    }
+  }
+
   test("empty input yields an empty selection, not an NPE") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(SimSearch.kcenterSelectOf(empty, 3).collect().isEmpty)
