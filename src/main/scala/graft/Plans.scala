@@ -29,7 +29,9 @@ object Plans {
     "q_text_bm25", "q_sketch_heavy_hitters", "q_sample_bottomk",
     "q_text_rrf_fusion", "q_text_bm25_serve", "q_sketch_bottomk_union",
     "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc",
-    "q_text_bm25_index_merge", "q_multimodal_phash_inc")
+    "q_text_bm25_index_merge", "q_multimodal_phash_inc",
+    "q2_min_cost_supp", "q9_product_profit", "q12_priority_shipping",
+    "q16_supplier_cnt", "q20_promo_suppliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -78,6 +78,11 @@ object SparkEntry {
     "q18_large_orders"  -> (Relational.largeOrders _),
     "q19_disjunctive"   -> (Relational.disjunctiveRevenue _),
     "q11_important_parts" -> (Relational.importantParts _),
+    "q2_min_cost_supp"  -> (Relational.minCostSupplier _),
+    "q9_product_profit" -> (Relational.productTypeProfit _),
+    "q12_priority_shipping" -> (Relational.priorityShippingMix _),
+    "q16_supplier_cnt"  -> (Relational.supplierCountByPart _),
+    "q20_promo_suppliers" -> (Relational.dominantShareSuppliers _),
     "q_brand_revenue"  -> (Relational.brandRevenue _),
     "q_semi_join"      -> (Relational.customersWithOpenOrders _),
     "q_anti_join"      -> (Relational.customersWithoutOrders _),
@@ -1203,6 +1208,89 @@ object SparkEntry {
         |FROM vals
         |WHERE val_d * 10000 > (SELECT sum(val_d) FROM vals) * 7
         |ORDER BY value DESC, l_partkey""".stripMargin,
+    // Q2-shaped: the offer relation derives from lineitem (no partsupp
+    // table in the data); min runs on RAW quotients — identical IEEE
+    // doubles in both engines — and rounds only at output, so rounding
+    // cannot flip the argmin
+    "q2_min_cost_supp" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost_raw
+        |  FROM lineitem GROUP BY 1, 2),
+        |euro AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        |sliced AS (
+        |  SELECT o.*, e.s_name, e.s_acctbal, e.n_name, p.p_partkey, p.p_name
+        |  FROM offers o
+        |  JOIN part p ON o.l_partkey = p.p_partkey
+        |  JOIN euro e ON o.l_suppkey = e.s_suppkey
+        |  WHERE p.p_size = 7 AND p.p_type = 'STANDARD'),
+        |best AS (
+        |  SELECT l_partkey, min(unit_cost_raw) AS best_cost
+        |  FROM sliced GROUP BY 1)
+        |SELECT s.s_acctbal, s.s_name, s.n_name, s.p_partkey, s.p_name,
+        |       round(s.unit_cost_raw, 4) AS unit_cost
+        |FROM sliced s JOIN best b
+        |  ON s.l_partkey = b.l_partkey AND s.unit_cost_raw = b.best_cost
+        |ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, s.p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q9-shaped: p_retailprice/10 is the documented unit-cost proxy for
+    // the missing ps_supplycost; DECIMAL accumulation mirrors Spark
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity / 10 AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    // Q12-shaped: ship year stands in for the absent l_shipmode
+    "q12_priority_shipping" ->
+      """SELECT year(l_shipdate) AS ship_year,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q16-shaped: negative balance stands in for the absent complaint
+    // comment; NOT IN is null-safe here (s_suppkey is never null)
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20-shaped: dominant shipped share stands in for the absent
+    // ps_availqty test; exact DECIMAL with the fraction multiplied out
+    "q20_promo_suppliers" ->
+      """WITH reds AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,4))) AS q_sp
+        |  FROM lineitem JOIN reds ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT l_partkey, sum(q_sp) AS t_p FROM shipped GROUP BY 1)
+        |SELECT s_name, round(s_acctbal, 2) AS acctbal, n_name
+        |FROM supplier, nation, region
+        |WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND EXISTS (SELECT 1 FROM shipped sh JOIN totals t
+        |              ON sh.l_partkey = t.l_partkey
+        |              WHERE sh.l_suppkey = s_suppkey AND 5 * sh.q_sp > t.t_p)
+        |ORDER BY s_name""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

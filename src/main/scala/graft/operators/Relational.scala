@@ -939,4 +939,165 @@ object Relational {
       .unionByName(check("orders.o_orderkey UNIQUE", col("v_dup"), col("n_keys")))
       .orderBy("constraint")
   }
+
+  /** TPC-H Q2-shaped MINIMUM-COST SUPPLIER: for each part in a size/type
+    * slice, the EUROPE supplier(s) offering the lowest observed unit
+    * price. The data ships no `partsupp` table, so the part↔supplier
+    * offer relation derives from lineitem history — unit cost =
+    * min(l_extendedprice / l_quantity) per (part, supplier) — the same
+    * derivation q11/q16/q20 use. Q2's correlated MIN subquery becomes the
+    * decorrelated two-level aggregate: per-(part,supp) min, then
+    * per-part min over the region-pruned offers, joined back on cost
+    * equality (raw IEEE doubles, identical in both engines because the
+    * quotient inputs are identical parquet bytes; rounding happens only
+    * at output so it cannot flip the argmin). Offers aggregate shuffles
+    * on (partkey, suppkey); the part slice and the 3-table supplier
+    * geography prune before the join-back, so the equality join runs on
+    * the sliced offer set, not the corpus. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("uc"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("uc")).as("unit_cost_raw"))
+    val euro = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_size") === 7 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_name")
+    val sliced = offers
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .join(euro, col("l_suppkey") === col("s_suppkey"))
+    val best = sliced.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min("unit_cost_raw").as("best_cost"))
+    sliced
+      .join(best, col("l_partkey") === col("b_partkey") &&
+        col("unit_cost_raw") === col("best_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        round(col("unit_cost_raw"), 4).as("unit_cost"))
+      .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+        asc("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9-shaped PRODUCT TYPE PROFIT: profit by supplier nation and
+    * order year for a part-name slice. No `partsupp` means no
+    * ps_supplycost; the documented cost proxy is p_retailprice·qty/10
+    * (one-tenth retail as unit cost), which preserves Q9's plan shape —
+    * a 5-table join (fact + part + supplier + nation + orders) where the
+    * LIKE-sliced part dimension semi-prunes the fact first and only the
+    * pruned rows pay the orders join for the year column. Profit
+    * accumulates in DECIMAL(18,4) (partition-order independent), rounded
+    * once at output. */
+  def productTypeProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%gear%"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") / lit(10))
+          .cast("decimal(18,4)").as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum(col("amount")).cast("double"), 2).as("profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q12-shaped SHIPPING PRIORITY MIX: per ship year, how many
+    * lineitems belonged to critical-priority orders vs the rest. The data
+    * has no l_shipmode/commit/receipt dates, so the ship YEAR stands in
+    * for Q12's mode grouping — the plan shape is Q12's: date-windowed
+    * fact scan (range predicate pushed to parquet), one orderkey join,
+    * then a conditional CASE aggregation (two additive counters in a
+    * single partial→final pass, never two scans). */
+  def priorityShippingMix(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("ship_year")
+  }
+
+  /** TPC-H Q16-shaped SUPPLIER COUNT BY PART DESCRIPTOR: how many
+    * qualified suppliers have shipped each (brand, type, size) slice.
+    * The part↔supplier relation again derives from lineitem; the
+    * "customer complaints" exclusion (no s_comment column) becomes the
+    * negative-balance supplier set, planned as a LEFT ANTI join before
+    * the distinct count. The part slice broadcasts (a few hundred rows
+    * after the size/brand filter at any SF — bounded by the descriptor
+    * domain, not the corpus), so the only corpus-wide exchange is the
+    * distinct-aggregate shuffle on the 4-column key. */
+  def supplierCountByPart(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complained = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  /** TPC-H Q20-shaped DOMINANT-SHARE PROMO SUPPLIERS: ASIA suppliers who
+    * shipped more than a fifth of some red part's total 1997 volume. No
+    * `partsupp` means no ps_availqty, so Q20's "stocked more than half
+    * of shipped" becomes "shipped a dominant share" — the nested
+    * per-(part,supp) vs per-part aggregate pair survives, compared in
+    * exact DECIMAL with the fraction multiplied out (5·q_sp > t_p), so
+    * no engine disagrees at the boundary. Plans as: name-sliced part
+    * broadcast prunes the date-windowed fact, two stacked aggregates on
+    * shuffle-compatible keys ((part,supp) → part), then a LEFT SEMI from
+    * the region-pruned supplier dimension into the qualifying set. */
+  def dominantShareSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val reds = Tables.part(spark, dir)
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(reds, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("q_sp"))
+    val totals = shipped.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum("q_sp").as("t_p"))
+    val qualifying = shipped
+      .join(totals, col("l_partkey") === col("t_partkey"))
+      .filter(col("q_sp") * lit(5) > col("t_p"))
+      .select(col("l_suppkey").as("q_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qualifying, col("s_suppkey") === col("q_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 2).as("acctbal"),
+        col("n_name"))
+      .orderBy("s_name")
+  }
 }
