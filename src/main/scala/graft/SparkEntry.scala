@@ -191,6 +191,7 @@ object SparkEntry {
     "q_sample_weighted"  -> (TextAnalysis.weightedSample _),
     "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
+    "q_mix_unimax"       -> (TextAnalysis.unimaxMix _),
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
     "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
@@ -3253,6 +3254,39 @@ object SparkEntry {
         |      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // UniMax waterfilling: saturation verdicts decided in
+    // cross-multiplied BIGINT over the (cap, source)-sorted prefix —
+    // only the displayed allocated/epochs divide, on identical integers
+    "q_mix_unimax" ->
+      s"""WITH caps AS (
+         |  SELECT source,
+         |         sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens,
+         |         (sum(len(regexp_extract_all(text, '\\S+'))) * ${TextAnalysis.UnimaxEpochCap})::BIGINT AS cap
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS t_tokens,
+         |               count(*)::BIGINT AS d_cnt FROM caps),
+         |ranked AS (
+         |  SELECT c.*, t.d_cnt,
+         |    (${TextAnalysis.UnimaxBudgetNum} * t.t_tokens) // ${TextAnalysis.UnimaxBudgetDen} AS budget,
+         |    row_number() OVER (ORDER BY cap, source) AS rk,
+         |    (sum(cap) OVER (ORDER BY cap, source
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS pre
+         |  FROM caps c, tot t),
+         |flags AS (
+         |  SELECT *, cap * (d_cnt - rk + 1) + (pre - cap) <= budget AS sat
+         |  FROM ranked),
+         |satagg AS (
+         |  SELECT coalesce(sum(CASE WHEN sat THEN cap END), 0)::BIGINT AS s_sat,
+         |         (count(*) FILTER (WHERE sat))::BIGINT AS n_sat FROM flags)
+         |SELECT source, n_tokens, cap,
+         |  CASE WHEN sat THEN 1 ELSE 0 END AS saturated,
+         |  round(CASE WHEN sat THEN CAST(cap AS DOUBLE)
+         |        ELSE CAST(budget - s_sat AS DOUBLE) / (d_cnt - n_sat) END, 2)
+         |    AS allocated,
+         |  round(CASE WHEN sat THEN CAST(cap AS DOUBLE)
+         |        ELSE CAST(budget - s_sat AS DOUBLE) / (d_cnt - n_sat) END
+         |    / n_tokens, 6) AS epochs
+         |FROM flags, satagg ORDER BY source""".stripMargin,
     // temperature mix: rates rounded to 6dp in BOTH engines before the
     // keep comparison, so no libm-pow ulp can flip a draw verdict
     "q_mix_temperature" ->

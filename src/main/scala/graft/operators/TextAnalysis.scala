@@ -1319,6 +1319,80 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Per-domain epoch cap for [[unimaxMix]] — UniMax's one dial: no
+    * domain may be repeated more than this many times, however much
+    * budget is left (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", §3: cap epochs, spread the remainder uniformly). */
+  val UnimaxEpochCap = 2L
+  /** Token budget for [[unimaxMix]] as a fraction of the corpus:
+    * B = ⌊19·T/10⌋ (1.9 epochs' worth) — between 1 and [[UnimaxEpochCap]]
+    * epochs so the waterline lands inside the capacity range and the
+    * allocation mixes saturated (small) and waterlined (large) domains. */
+  val UnimaxBudgetNum = 19L
+  val UnimaxBudgetDen = 10L
+
+  /** UNIMAX budget allocation (Chung et al. 2023): given per-domain
+    * token masses n_d, a total budget B and an epoch cap E, allocate
+    * a_d = min(E·n_d, L) with the waterline L chosen so Σ a_d = B —
+    * the closed form of UniMax's greedy (ascending-capacity domains
+    * each take min(capacity, fair share of what remains); once a
+    * domain saturates, its leftover spreads over the rest). Complements
+    * [[temperatureMix]]/[[doremiMixOf]]: temperature reshapes by a
+    * power law and DoReMi by excess loss, UniMax by an epoch ceiling —
+    * the mixture family's third published dial.
+    *
+    * Determinism across engines: the waterline is found by the
+    * SATURATION PREFIX, tested in cross-multiplied BIGINT
+    * (cap·(D−k+1) + prefix_{k−1} ≤ B over the (cap, source)-sorted
+    * domains) — no float ever decides a saturation verdict; only the
+    * final allocated/epochs outputs divide, on identical integers in
+    * both engines, rounded at output.
+    *
+    * Scale: one map-side-combined token census (|domains| rows), then
+    * every window/join runs on the census frame — bounded by the
+    * domain count, never the corpus. The global-window warning does
+    * not apply: the ordered frame is |domains| rows by construction. */
+  def unimaxMix(spark: SparkSession, dir: String): DataFrame =
+    unimaxAllocOf(Tables.documents(spark, dir)
+      .select(col("source"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens")))
+
+  /** [[unimaxMix]]'s allocation over any (source, n_tokens) census.
+    * Note B = ⌊19T/10⌋ < 2T = Σcaps by construction, so the
+    * all-saturated waterline division-by-zero branch is unreachable at
+    * any corpus. */
+  def unimaxAllocOf(census: DataFrame): DataFrame = {
+    val caps = census
+      .withColumn("cap", col("n_tokens") * lit(UnimaxEpochCap))
+    val tot = caps.agg(sum("n_tokens").as("t_tokens"),
+      count(lit(1)).as("d_cnt"))
+    val w = Window.orderBy("cap", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = caps.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"($UnimaxBudgetNum * t_tokens) div $UnimaxBudgetDen"))
+      .withColumn("rk", row_number().over(Window.orderBy("cap", "source")))
+      .withColumn("pre", sum("cap").over(w))
+      .withColumn("saturated",
+        col("cap") * (col("d_cnt") - col("rk") + 1) +
+          (col("pre") - col("cap")) <= col("budget"))
+    val sat = ranked.agg(
+      sum(when(col("saturated"), col("cap")).otherwise(0L)).as("s_sat"),
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("n_sat"))
+    val level = (col("budget") - col("s_sat")).cast("double") /
+      (col("d_cnt") - col("n_sat"))
+    val alloc = when(col("saturated"), col("cap").cast("double"))
+      .otherwise(level)
+    ranked.crossJoin(broadcast(sat))
+      .select(col("source"), col("n_tokens"), col("cap"),
+        col("saturated").cast("int").as("saturated"),
+        round(alloc, 2).as("allocated"),
+        round(alloc / col("n_tokens"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Hashed-feature buckets for [[dsirResample]] — DSIR's fixed-size
     * n-gram feature space. The paper uses 10k; the dial matters for
     * SELECTIVITY, not just memory: too few buckets mix target and
