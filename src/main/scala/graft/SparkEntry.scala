@@ -144,6 +144,7 @@ object SparkEntry {
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
     "q_dedup_editdist"      -> (Dedup.editDistanceVerify _),
     "q_dedup_clusters"      -> (Dedup.nearDupComponents _),
+    "q_dedup_cc_inc"        -> (Dedup.ccIncremental _),
     "q_dedup_keep_clustered" -> (Dedup.dedupedCorpusClustered _),
     "q_split_leakage_safe"  -> (Dedup.leakageSafeSplit _),
 
@@ -1823,6 +1824,40 @@ object SparkEntry {
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(comp)::BIGINT AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // incremental CC: the oracle is the FULL-graph recompute restricted
+    // to components containing an arriving (odd) doc, with the old-graph
+    // labels recomputed over even-even edges for the status column —
+    // proving the delta-graph merge reaches the same fixpoint
+    "q_dedup_cc_inc" ->
+      s"""WITH RECURSIVE $DuckMinhashCtes,
+         |p AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |full_lab AS (SELECT id, min(comp)::BIGINT AS component
+         |             FROM reach GROUP BY id),
+         |old_edges AS (SELECT src, dst FROM edges
+         |              WHERE src % 2 = 0 AND dst % 2 = 0),
+         |old_reach(id, comp) AS (
+         |  SELECT src, src FROM old_edges
+         |  UNION
+         |  SELECT e.src, r.comp FROM old_edges e JOIN old_reach r
+         |    ON e.dst = r.id),
+         |old_lab AS (SELECT id, min(comp)::BIGINT AS component
+         |            FROM old_reach GROUP BY id),
+         |touched AS (SELECT DISTINCT component FROM full_lab
+         |            WHERE id % 2 = 1)
+         |SELECT f.id AS doc_id, f.component,
+         |  CASE WHEN f.id % 2 = 1 THEN 'new'
+         |       WHEN f.component <> coalesce(o.component, f.id)
+         |         THEN 'relabeled'
+         |       ELSE 'anchor' END AS status
+         |FROM full_lab f LEFT JOIN old_lab o ON f.id = o.id
+         |WHERE f.component IN (SELECT component FROM touched)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep_clustered" ->
       s"""WITH RECURSIVE $DuckMinhashCtes,

@@ -1386,6 +1386,79 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** INCREMENTAL connected components — the dup-graph maintenance step
+    * an arriving-crawl loop runs instead of re-clustering the corpus.
+    * The even half is the indexed graph (its labels stand in for the
+    * persisted state, recomputed in-query like `spanGramIndexOf` in
+    * [[TextAnalysis.dupSpanApplyIncremental]]); the odd half arrives,
+    * and its pairs (from the shared memoized pair graph — in production
+    * the [[writeBandIndex]] probe that `q_dedup_incremental` registers)
+    * merge components WITHOUT touching untouched ones:
+    *
+    *  1. every old endpoint COLLAPSES to its old component label (old
+    *     labels are min-even-ids, arriving ids are odd — the two node
+    *     spaces are disjoint by parity, so no tagging column is needed);
+    *  2. the same pointer-jumping kernel ([[componentsOf]]) runs on the
+    *     BATCH-sized delta graph (arriving docs + touched components);
+    *  3. a delta label is min(old labels, odd ids) of the merged set =
+    *     the global min doc id — so incremental ≡ full recompute, which
+    *     is exactly what the oracle checks (full-graph recursive CTE
+    *     restricted to components containing an arriving doc).
+    *
+    * Output is the UPDATE SET a label store would write: arriving docs
+    * (`new`), indexed docs whose label changed (`relabeled`), indexed
+    * docs whose component absorbed members without changing label
+    * (`anchor`). Work at 100 TB: the delta CC state frames are bounded
+    * by the batch and the components it touches, never the corpus; the
+    * only corpus-scale inputs are the persisted-state analogs. */
+  def ccIncremental(spark: SparkSession, dir: String): DataFrame =
+    ccIncrementalOf(minhashPairsCached(spark, dir).select("doc_a", "doc_b"))
+
+  /** [[ccIncremental]] over any (doc_a, doc_b) pair frame (odd ids =
+    * the arriving batch, even ids = the indexed graph). */
+  private[graft] def ccIncrementalOf(pairs: DataFrame): DataFrame = {
+    val oldPairs = pairs
+      .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    val deltaPairs = pairs
+      .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    val oldLab = componentsOf(oldPairs) // (id, component), even ids only
+    val labA = oldLab.select(col("id").as("doc_a"), col("component").as("comp_a"))
+    val labB = oldLab.select(col("id").as("doc_b"), col("component").as("comp_b"))
+    val deltaEdges = deltaPairs
+      .join(labA, Seq("doc_a"), "left")
+      .join(labB, Seq("doc_b"), "left")
+      .select(
+        when(col("doc_a") % 2 === 1, col("doc_a"))
+          .otherwise(coalesce(col("comp_a"), col("doc_a"))).as("na"),
+        when(col("doc_b") % 2 === 1, col("doc_b"))
+          .otherwise(coalesce(col("comp_b"), col("doc_b"))).as("nb"))
+      .filter(col("na") =!= col("nb"))
+      .select(col("na").as("doc_a"), col("nb").as("doc_b"))
+      .distinct()
+    val deltaLab = componentsOf(deltaEdges) // (id = delta node, component)
+    val newDocs = deltaLab.filter(col("id") % 2 === 1)
+      .select(col("id").as("doc_id"), col("component"),
+        lit("new").as("status"))
+    // even delta nodes: old component labels, or evens unpaired in the
+    // old graph (disjoint cases — a paired doc's id can be a label only
+    // if it IS in oldLab)
+    val tn = deltaLab.filter(col("id") % 2 === 0)
+      .select(col("id").as("old_comp"), col("component").as("new_comp"))
+    val evenPaired = oldLab
+      .join(tn, col("component") === col("old_comp"))
+      .select(col("id").as("doc_id"), col("new_comp").as("component"),
+        when(col("new_comp") =!= col("old_comp"), lit("relabeled"))
+          .otherwise(lit("anchor")).as("status"))
+    val unpaired = tn
+      .join(oldLab.select(col("component").as("old_comp")).distinct(),
+        Seq("old_comp"), "left_anti")
+      .select(col("old_comp").as("doc_id"), col("new_comp").as("component"),
+        when(col("new_comp") =!= col("old_comp"), lit("relabeled"))
+          .otherwise(lit("anchor")).as("status"))
+    newDocs.unionByName(evenPaired).unionByName(unpaired)
+      .orderBy("doc_id")
+  }
+
   /** The dedup ACTION — the corpus a training pipeline actually keeps.
     * Composition of the detectors: (1) one survivor (lowest doc_id) per
     * exact-duplicate group; (2) near-duplicates flagged by
