@@ -31,7 +31,7 @@ object Plans {
     "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc",
     "q_text_bm25_index_merge", "q_multimodal_phash_inc",
     "q2_min_cost_supp", "q9_product_profit", "q12_priority_shipping",
-    "q16_supplier_cnt", "q20_promo_suppliers")
+    "q16_supplier_cnt", "q20_promo_suppliers", "q_pipeline_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -2422,6 +2422,69 @@ object TextAnalysis {
     rrfFrom(tf, docs)
   }
 
+  /** HYBRID retrieval — the lexical+vector serving pipeline a RAG/
+    * curation stack actually runs: Okapi BM25 over the inverted index
+    * and exact cosine over the document embeddings (`vec_id` keys the
+    * corpus 1:1 with `doc_id`), fused by reciprocal rank — the
+    * calibration-free merge of [[rrfFuse]], here across MODALITIES
+    * rather than across two lexical rankers. Self-matches are excluded
+    * (the query is a corpus document; serving returns its neighbors).
+    *
+    * Cross-engine determinism: each ranker pins its ranking on a
+    * (rounded score, doc_id) total order, and the fusion is rank
+    * arithmetic only — `Σ 1/(RrfK + rank)` of small-integer
+    * reciprocals, identical doubles in both engines.
+    *
+    * Scale posture: the BM25 leg is the [[bm25ScoreOf]] serving join
+    * (query-term postings only; at 100 TB the persisted
+    * [[writeBm25Index]] snapshot joins bucket-local); the vector leg
+    * broadcasts |queries| embeddings for one narrow corpus pass
+    * (brute-force is the registered exact form — the IVF-routed server
+    * `q_ann_ivf_routed` is the drop-in at corpus scales where exact
+    * scan is off-budget); every ranking is a Partial/Final
+    * `WindowGroupLimit`, and the fusion join carries ≤ 2·RrfDepth rows
+    * per query. */
+  def hybridRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val queries = docs.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val lex = bm25ScoreOf(queries, bm25IndexOf(docs))
+      .filter(col("doc_id") =!= col("query_id"))
+    val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    val lexRanked = lex
+      .withColumn("rank_lex", row_number().over(wl))
+      .filter(col("rank_lex") <= RrfDepth)
+      .select("query_id", "doc_id", "rank_lex")
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val qv = e.filter(col("vec_id") < Bm25NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val vec = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cos"))
+    val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
+    val vecRanked = vec
+      .withColumn("rank_vec", row_number().over(wv))
+      .filter(col("rank_vec") <= RrfDepth)
+      .select("query_id", "doc_id", "rank_vec")
+    val fused = lexRanked
+      .join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "rank_lex", "rank_vec", "rrf")
+      .orderBy("query_id", "rank")
+  }
+
   private def rrfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
