@@ -206,6 +206,7 @@ object SparkEntry {
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
+    "q_zorder_pruning"   -> (Layout.zonemapPruning _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
@@ -3788,6 +3789,42 @@ object SparkEntry {
          |       sum(hx)::BIGINT AS hash_sum,
          |       min(h) AS h_min, max(h) AS h_max
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // zone-map audit: both engines cut identical ntile blocks on the
+    // unique (key, event_id) total order; box/extent tests are
+    // integer/IEEE-exact
+    "q_zorder_pruning" ->
+      s"""WITH d AS (
+         |  SELECT event_id, ts, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |z AS (SELECT event_id, ts, user_id, value,
+         |        (${Layout.zValueSqlTerms("a", "b")}) AS zval FROM d),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    sum(CASE WHEN user_id BETWEEN ${Layout.ZoneBoxULo} AND ${Layout.ZoneBoxUHi}
+         |             AND value BETWEEN ${Layout.ZoneBoxVLo} AND ${Layout.ZoneBoxVHi}
+         |             THEN 1 ELSE 0 END)::BIGINT AS matched
+         |  FROM (
+         |    SELECT 'natural' AS layout,
+         |      ntile(${Layout.ZoneBlocks}) OVER (ORDER BY ts, event_id) AS blk,
+         |      user_id, value FROM z
+         |    UNION ALL
+         |    SELECT 'zorder' AS layout,
+         |      ntile(${Layout.ZoneBlocks}) OVER (ORDER BY zval, event_id) AS blk,
+         |      user_id, value FROM z)
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(matched)::BIGINT AS rows_matched,
+         |  round(sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
     "q_zorder_values" ->
       s"""WITH d AS (
          |  SELECT event_id,

@@ -119,6 +119,67 @@ object Layout {
       .limit(50)
   }
 
+  /** Block count and box predicate for [[zonemapPruning]]. The user
+    * slice sits in the low-id range so it exists at EVERY SF (the
+    * generator's user domain scales 0..15·SF·1000); combined with the
+    * value slice it selects ~0.5–2% of events — the regime where layout
+    * decides whether a scan reads a few blocks or all of them. */
+  val ZoneBlocks = 64
+  val ZoneBoxULo = 4L
+  val ZoneBoxUHi = 6L
+  val ZoneBoxVLo = 20.0
+  val ZoneBoxVHi = 60.0
+
+  /** ZONE-MAP PRUNING audit — WHY z-order: the same 2-dim box
+    * predicate against the same table under two physical layouts,
+    * scored by how many equal-count blocks a min/max zone map must
+    * read. Blocks are defined RELATIONALLY (ntile over the layout's
+    * total order — exactly the range partition `zorderWrite` performs
+    * at write time), so the whole audit is oracle-checkable; the
+    * file-footer version of the same evidence is [[fileRangeStats]].
+    * A block must be read iff its per-dimension [min, max] extents
+    * intersect the box — the standard zone-map skip test. The
+    * time-ordered "natural" layout spans both dimensions in nearly
+    * every block (ingest order is independent of user/value), while
+    * the z-order layout confines the box to the few blocks whose
+    * interleaved prefix matches.
+    *
+    * Scale: the audit's sort is the SAME sort the layout write pays
+    * (`repartitionByRange` on zval); at warehouse scale the block
+    * stats come from parquet footers/manifests and this query's
+    * aggregate runs over |blocks| rows. The box test and counts are
+    * integer/IEEE-exact in both engines; ntile runs on the unique
+    * (key, event_id) total order so both engines cut identical
+    * blocks. */
+  def zonemapPruning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
+    val base = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("value"), zValue(a, b).as("zval"))
+    val inBox = col("user_id") >= ZoneBoxULo && col("user_id") <= ZoneBoxUHi &&
+      col("value") >= ZoneBoxVLo && col("value") <= ZoneBoxVHi
+    def audit(layout: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      base.withColumn("blk", ntile(ZoneBlocks).over(w))
+        .groupBy("blk")
+        .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("value").as("min_v"), max("value").as("max_v"),
+          sum(when(inBox, 1L).otherwise(0L)).as("matched"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("matched").as("rows_matched"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"), col("rows_matched"),
+          round(col("blocks_read").cast("double") / col("n_blocks"), 4)
+            .as("read_fraction"))
+    import org.apache.spark.sql.expressions.Window
+    audit("natural", Window.orderBy("ts", "event_id"))
+      .unionByName(audit("zorder", Window.orderBy("zval", "event_id")))
+      .orderBy("layout")
+  }
+
   /** The exact SQL mirror of [[zValue]]'s shift/mask terms, generated
     * from the same constants — single source of truth for the oracle. */
   def zValueSqlTerms(a: String, b: String): String =

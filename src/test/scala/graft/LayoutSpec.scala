@@ -123,4 +123,24 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
     }
   }
+
+  test("zone-map audit: z-order prunes blocks the natural layout cannot") {
+    val rows = graft.operators.Layout
+      .zonemapPruning(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("blocks_read"),
+          r.getAs[Long]("rows_matched"))).toMap
+    val (nbN, readN, matchN) = rows("natural")
+    val (nbZ, readZ, matchZ) = rows("zorder")
+    // both layouts hold the same data: identical block and match counts
+    assert(nbN == graft.operators.Layout.ZoneBlocks && nbN == nbZ)
+    assert(matchN == matchZ && matchN > 0)
+    // pruning soundness: must-read blocks can never be fewer than the
+    // blocks that actually contain matches (>= 1 if any match)
+    assert(readZ >= 1 && readN >= 1)
+    // the point of the layout: the interleaved order confines the box
+    // to strictly fewer blocks than ingest order
+    assert(readZ < readN,
+      s"z-order should prune: natural=$readN zorder=$readZ")
+  }
 }
