@@ -71,7 +71,7 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter", "sketch", "curationinc", "bm25merge")
+      "kcenter", "sketch", "curationinc", "bm25merge", "ccinc")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -422,6 +422,51 @@ object Scale {
         "screen time | full-recompute docs | full-recompute time |")
       println("|---|---|---|---|---|---|---|---|")
       rows8.foreach(println)
+    }
+
+    // Incremental connected components: a FIXED arriving batch (the
+    // base odd docs' pairs) merged into label state from a GROWING old
+    // graph (even docs × k; replicas are shingle-disjoint, so replica
+    // components are never touched and the update set stays
+    // batch-sized). Claim: the MERGE KERNEL is O(batch + touched) —
+    // flat as the graph 10×es — while state build and full recompute
+    // grow with the graph. Pairs and old labels are materialized before
+    // the kernel is timed (they are the persisted-state analogs).
+    val rowsCc = factors.filter(_ => sections("ccinc")).map { k =>
+      System.err.println(s"[scale] factor $k (incremental CC) ...")
+      import graft.operators.Dedup
+      val docs = replicatedDocs(spark, baseDir, k)
+      val t0p = System.nanoTime()
+      val pairsDf = Dedup.minhashPairsOf(docs).select("doc_a", "doc_b")
+      val (pairs, pairsRdd) = Dedup.materializeOwned(pairsDf, reliable = false)
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t0p) / 1e9
+      val t0s = System.nanoTime()
+      val oldLabDf = Dedup.componentsOf(
+        pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0))
+      val (oldLab, oldLabRdd) = Dedup.materializeOwned(oldLabDf, reliable = false)
+      val nState = oldLab.count()
+      val tState = (System.nanoTime() - t0s) / 1e9
+      val deltaPairs = pairs.filter(
+        (col("doc_a") % 2 === 1 && col("doc_a") < ReplicaStride) ||
+          (col("doc_b") % 2 === 1 && col("doc_b") < ReplicaStride))
+      val t0m = System.nanoTime()
+      val upd = Dedup.ccIncrementalFrom(oldLab, deltaPairs).collect()
+      val tMerge = (System.nanoTime() - t0m) / 1e9
+      val t0f = System.nanoTime()
+      val nFull = Dedup.componentsOf(pairs).count()
+      val tFull = (System.nanoTime() - t0f) / 1e9
+      Dedup.retire(spark, pairsRdd)
+      Dedup.retire(spark, oldLabRdd)
+      s"| ${k}x | $nPairs | ${f"$tPairs%.1f"}s | $nState | ${f"$tState%.1f"}s | " +
+        s"${upd.length} | ${f"$tMerge%.1f"}s | $nFull | ${f"$tFull%.1f"}s |"
+    }
+    if (sections("ccinc")) {
+      println()
+      println("| factor | pairs | pair build | state labels | state build | " +
+        "update rows | merge time | full labels | full CC time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rowsCc.foreach(println)
     }
 
     // Incremental curation screen: a FIXED arriving batch (the base odd
