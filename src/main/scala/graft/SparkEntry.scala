@@ -255,6 +255,7 @@ object SparkEntry {
     // JDK codec) — ImageHashSpec is the additional exact decode gate
     "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
     "q_multimodal_phash_pairs" -> (graft.multimodal.Multimodal.phashPairs _),
+    "q_multimodal_audio_fp" -> (graft.multimodal.Multimodal.audioFpPairs _),
     "q_multimodal_phash_inc" -> (graft.multimodal.Multimodal.phashScreenInc _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
@@ -2213,6 +2214,24 @@ object SparkEntry {
          |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
          |            bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |          FROM banded a JOIN banded b USING (band, band_sig)
+         |          WHERE a.media_id < b.media_id)
+         |SELECT DISTINCT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // audio modality, same fixture discipline: the Spark side runs the
+    // real WAV decode -> envelope fingerprint; the oracle replays the
+    // banding/pairing over the committed expected-fingerprint fixture
+    "q_multimodal_audio_fp" ->
+      s"""WITH h AS (SELECT media_id, fp
+         |           FROM '${graft.multimodal.Multimodal.AudioFpFixturePath}'
+         |           WHERE ok),
+         |banded AS (SELECT media_id, fp, band,
+         |             (fp >> (band::INT * 16)) & 65535 AS band_sig
+         |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |            bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
          |          FROM banded a JOIN banded b USING (band, band_sig)
          |          WHERE a.media_id < b.media_id)
          |SELECT DISTINCT id_a, id_b, hamming FROM pairs

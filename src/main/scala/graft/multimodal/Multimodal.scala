@@ -540,6 +540,169 @@ object Multimodal {
       imageHashIndexOf(hashes.filter(col("media_id") < PlantShift)))
   }
 
+  // ---- audio fingerprinting (real PCM decode, envelope dHash) ----
+
+  final case class AudioFp(media_id: Long, ok: Boolean, fp: Long)
+
+  /** Segment count for [[audioFingerprint]]: 65 RMS windows give 64
+    * adjacent-energy comparisons — one fingerprint bit each, the audio
+    * analog of dHash's 9×8 grid. */
+  val AudioFpSegments = 65
+
+  /** Serialize PCM 16-bit mono samples as a canonical RIFF/WAVE blob —
+    * the real container [[audioFingerprint]] decodes back through
+    * `javax.sound.sampled`. */
+  private[graft] def wavPcm16Mono(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic per-(track, segment) amplitude for the planted audio
+    * catalog: 13 levels with a 400-unit floor gap, mixed through an
+    * xor-shift so distinct ids get effectively independent envelopes —
+    * a LINEAR mix mod 13 would collapse the catalog into id%13
+    * envelope classes and flood the pair output with accidental
+    * hamming-0 collisions (observed: 24 distinct fingerprints over 550
+    * tracks before the xor-shift). */
+  private def segAmp(id: Long, s: Int): Int = {
+    val x = id * 2654435761L + s * 1099511628211L
+    2000 + 400 * java.lang.Math.floorMod(x ^ (x >>> 29), 13L).toInt
+  }
+
+  /** Planted AUDIO catalog: one ~0.13 s PCM WAV per document whose
+    * 65-segment energy envelope is a deterministic function of the doc
+    * id; every 10th track also ships a perturbed re-master (id +
+    * [[PlantShift]]) — all segments gain-scaled ×1.02 (floor) plus ONE
+    * localized segment edit. Gain scaling preserves every adjacent
+    * energy comparison exactly (equal stays equal, the 400-unit gap
+    * dwarfs the 2% scale), so the edit flips at most 2 fingerprint
+    * bits — the planted near-dups the screen must find, same contract
+    * as [[plantedMediaRecords]]' image edits. */
+  def plantedAudioRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val rate = 8000
+    val segLen = 16
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          def draw(perturbed: Boolean): Array[Byte] = {
+            val samples = new Array[Short](AudioFpSegments * segLen)
+            var s = 0
+            while (s < AudioFpSegments) {
+              val base = segAmp(id, s)
+              val amp =
+                if (!perturbed) base
+                else if (s == 10) segAmp(id * 31L + 7L, s)
+                else base * 102 / 100
+              var i = 0
+              while (i < segLen) { samples(s * segLen + i) = amp.toShort; i += 1 }
+              s += 1
+            }
+            wavPcm16Mono(rate, samples)
+          }
+          val base = MediaRecord(id, "audio/wav", draw(perturbed = false))
+          if (id % 10 == 0)
+            Seq(base, MediaRecord(id + PlantShift, "audio/wav", draw(perturbed = true)))
+          else Seq(base)
+        }
+      }
+  }
+
+  /** ENVELOPE dHash over the DECODED PCM stream — the audio analog of
+    * [[dHash]]: the real `javax.sound.sampled` decode yields the
+    * 16-bit sample stream, absolute amplitudes box-sum onto
+    * [[AudioFpSegments]] integer-boundary segments (`i·65/n`, the
+    * dHash grid rule), and bit s = [energy(s+1) > energy(s)] via
+    * cross-multiplied integer sums — no division, no float, so every
+    * JVM computes identical bits. Energy GRADIENTS survive gain
+    * changes and re-mastering the way image gradients survive
+    * re-encoding — which is what makes this a near-dup key rather
+    * than an exact hash. Corrupt payloads degrade to `ok = false`,
+    * never a dead task. */
+  def audioFingerprint(records: Dataset[MediaRecord]): Dataset[AudioFp] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val decoded =
+          try {
+            val s = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.content))
+            try {
+              val f = s.getFormat
+              if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+                  f.isBigEndian) None
+              else Some(s.readAllBytes())
+            } finally s.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(bytes) if bytes.length / 2 >= AudioFpSegments =>
+            val n = bytes.length / 2
+            val sums = new Array[Long](AudioFpSegments)
+            val cnts = new Array[Long](AudioFpSegments)
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1).toInt
+              val v = (hi << 8) | lo
+              val seg = (i.toLong * AudioFpSegments / n).toInt
+              sums(seg) += math.abs(v)
+              cnts(seg) += 1
+              i += 1
+            }
+            var fp = 0L
+            var s = 0
+            while (s < AudioFpSegments - 1) {
+              if (sums(s + 1) * cnts(s) > sums(s) * cnts(s + 1))
+                fp |= 1L << s
+              s += 1
+            }
+            AudioFp(r.media_id, ok = true, fp)
+          case _ => AudioFp(r.media_id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** Committed expected-fingerprint fixture for [[audioFpPairs]]'
+    * oracle — the [[PhashFixturePath]] discipline on the audio
+    * modality, generated by [[AudioFpFixtureGen]]. */
+  val AudioFpFixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/fixtures") +
+      "/audio_fp_sf0.01.parquet"
+
+  /** Registered AUDIO near-dup pairs: real WAV decode →
+    * [[audioFingerprint]] → the SAME banded pairing kernel as images
+    * ([[imageNearDup]] — a 64-bit fingerprint is a 64-bit fingerprint,
+    * whatever modality produced it). The DuckDB oracle replays
+    * banding/pairing/hamming over the committed [[AudioFpFixturePath]]
+    * fixture, so the gate pins both the decode→fingerprint path (codec
+    * or kernel drift breaks the hash match) and the pairing plan. */
+  def audioFpPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (fps, fpsRdd) = Dedup.materializeOwned(
+        audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
+          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(
+        imageNearDup(fps)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b"),
+        ckDir.isDefined)
+      Dedup.retire(spark, fpsRdd)
+      Dedup.retainResult(spark, "audioFpPairs", outRdd, out)
+    }
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

@@ -123,4 +123,59 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, dir).count()
     assert(total == docs)
   }
+
+  test("audio fingerprint: planted re-masters found, no false positives") {
+    val pairs = Multimodal.audioFpPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    val planted = pairs.filter { case (a, b, _) =>
+      b == a + Multimodal.PlantShift }
+    val nExpected = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" % 10 === 0).count()
+    // every planted re-master pairs with its base within 2 bits (one
+    // localized segment edit moves at most the two adjacent gradients)
+    assert(planted.length == nExpected && nExpected > 0)
+    assert(planted.forall(_._3 <= 2))
+    // and the xor-shift envelope mix keeps accidental collisions out
+    assert(pairs.length == planted.length, s"unexpected pairs: ${
+      pairs.filterNot { case (a, b, _) => b == a + Multimodal.PlantShift }
+        .take(5).toSeq}")
+  }
+
+  test("audio fingerprint: uniform gain change never flips a bit") {
+    val rate = 8000
+    val amps = Array.tabulate(65)(s => (2000 + 370 * (s % 11)).toShort)
+    def wav(scaleNum: Int): Array[Byte] =
+      Multimodal.wavPcm16Mono(rate,
+        amps.flatMap(a => Array.fill(16)((a * scaleNum / 100).toShort)))
+    val recs = Seq(
+      MediaRecord(1L, "audio/wav", wav(100)),
+      MediaRecord(2L, "audio/wav", wav(150)), // +50% gain
+      MediaRecord(3L, "audio/wav", wav(60))). // -40% gain
+      toDS()
+    val fps = Multimodal.audioFingerprint(recs).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(fps.values.forall(_.ok))
+    assert(fps(2L).fp == fps(1L).fp && fps(3L).fp == fps(1L).fp)
+  }
+
+  test("audio fingerprint: corrupt and non-PCM payloads degrade to ok=false") {
+    val recs = Seq(
+      MediaRecord(97L, "audio/wav", Array[Byte](82, 73, 70, 70, 0, 0)),
+      MediaRecord(96L, "audio/wav", "not audio at all".getBytes("UTF-8")),
+      // too short for 65 segments: 10 samples
+      MediaRecord(95L, "audio/wav",
+        Multimodal.wavPcm16Mono(8000, Array.fill(10)(1000.toShort)))).toDS()
+    val fps = Multimodal.audioFingerprint(recs).collect()
+    assert(fps.forall(!_.ok))
+  }
+
+  test("audio fingerprint: decodes the committed real-world WAV fixtures") {
+    val f = new java.io.File("fixtures/media/tone_16k_mono_320.wav")
+    assume(f.exists())
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val fps = Multimodal.audioFingerprint(
+      Seq(MediaRecord(7L, "audio/wav", bytes)).toDS()).collect()
+    assert(fps.length == 1 && fps.head.ok)
+  }
 }
