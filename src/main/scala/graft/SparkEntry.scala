@@ -256,6 +256,7 @@ object SparkEntry {
     "q_multimodal_phash" -> (graft.multimodal.Multimodal.phashNearDupPlanted _),
     "q_multimodal_phash_pairs" -> (graft.multimodal.Multimodal.phashPairs _),
     "q_multimodal_audio_fp" -> (graft.multimodal.Multimodal.audioFpPairs _),
+    "q_multimodal_audio_inc" -> (graft.multimodal.Multimodal.audioFpScreenInc _),
     "q_multimodal_phash_inc" -> (graft.multimodal.Multimodal.phashScreenInc _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
@@ -2237,6 +2238,27 @@ object SparkEntry {
          |SELECT DISTINCT id_a, id_b, hamming FROM pairs
          |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // audio incremental screen: the phash_inc probe SQL over the audio
+    // fingerprint fixture
+    "q_multimodal_audio_inc" ->
+      s"""WITH h AS (SELECT media_id, fp
+         |           FROM '${graft.multimodal.Multimodal.AudioFpFixturePath}'
+         |           WHERE ok),
+         |idx AS (SELECT media_id AS dup_of, fp AS h_b, band,
+         |          (fp >> (band::INT * 16)) & 65535 AS band_sig
+         |        FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |        WHERE media_id < ${graft.multimodal.Multimodal.PlantShift}),
+         |pr AS (SELECT media_id AS new_id, fp AS h_a, band,
+         |         (fp >> (band::INT * 16)) & 65535 AS band_sig
+         |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |       WHERE media_id >= ${graft.multimodal.Multimodal.PlantShift}),
+         |pairs AS (SELECT new_id, dup_of,
+         |            bit_count(xor(h_a, h_b))::BIGINT AS hamming
+         |          FROM pr JOIN idx USING (band, band_sig))
+         |SELECT DISTINCT new_id, dup_of, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY new_id, dup_of""".stripMargin,
 
     // asymmetric incremental probe over the same committed hash
     // fixture: arriving planted edits (media_id >= PlantShift) against

@@ -703,6 +703,36 @@ object Multimodal {
     }
   }
 
+  /** Registered incremental AUDIO screen — arriving re-masters
+    * (media_id ≥ [[PlantShift]]) probed against the base catalog's
+    * persisted fingerprint index: the `q_multimodal_phash_inc` pattern
+    * with [[audioFingerprint]] in front of the SAME asymmetric banded
+    * probe kernel ([[imageNearDupScreen]] — modality-agnostic over
+    * 64-bit fingerprints). Cost scales with the batch, not the
+    * catalog; stateless row-local + one equi-join, so the identical
+    * kernel runs as the streaming twin
+    * ([[graft.streaming.MediaStream.audioFpScreen]], stream ≡ batch
+    * suite-pinned). Oracle: the probe replayed in SQL over the
+    * committed [[AudioFpFixturePath]] fixture. */
+  def audioFpScreenInc(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (fps, fpsRdd) = Dedup.materializeOwned(
+        audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
+          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(
+        imageNearDupScreen(
+          fps.filter(col("media_id") >= PlantShift),
+          imageHashIndexOf(fps.filter(col("media_id") < PlantShift)))
+          .select(col("new_id"), col("dup_of"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("new_id", "dup_of"),
+        ckDir.isDefined)
+      Dedup.retire(spark, fpsRdd)
+      Dedup.retainResult(spark, "audioFpScreenInc", outRdd, out)
+    }
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

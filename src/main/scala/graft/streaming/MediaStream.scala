@@ -44,4 +44,17 @@ object MediaStream {
     Multimodal.imageNearDupScreen(
       Multimodal.dHash(newMedia.as[MediaRecord]).toDF(), index, maxHamming)
   }
+
+  /** The AUDIO twin of [[phashScreen]]: arriving WAVs decode through
+    * the real PCM path into envelope fingerprints, then probe the same
+    * static banded index shape — `Multimodal.audioFpScreenInc`'s
+    * kernel verbatim, so stream ≡ batch is parity by construction. */
+  def audioFpScreen(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = Multimodal.DHashMaxHamming): DataFrame = {
+    val spark = newMedia.sparkSession
+    import spark.implicits._
+    Multimodal.imageNearDupScreen(
+      Multimodal.audioFingerprint(newMedia.as[MediaRecord]).toDF()
+        .withColumnRenamed("fp", "dhash"), index, maxHamming)
+  }
 }

@@ -178,4 +178,49 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(MediaRecord(7L, "audio/wav", bytes)).toDS()).collect()
     assert(fps.length == 1 && fps.head.ok)
   }
+
+  test("incremental audio screen: every arriving re-master finds its base") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.audioFpScreenInc(spark, dir).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of")))
+    val nPlanted = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).count()
+    val expected = (0L until nPlanted).map(_ * 10)
+      .map(id => (id + Multimodal.PlantShift, id)).toSet
+    assert(expected.subsetOf(out.toSet),
+      s"missing planted hits: ${(expected -- out.toSet).take(5)}")
+    // asymmetry: the catalog never self-pairs
+    assert(out.forall(_._1 >= Multimodal.PlantShift))
+  }
+
+  test("streaming audio screen == batch incremental screen") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val recs = Multimodal.plantedAudioRecords(spark, dir)
+    val fps = Multimodal.audioFingerprint(recs).toDF()
+      .withColumnRenamed("fp", "dhash")
+    val index = Multimodal.imageHashIndexOf(
+      fps.filter(col("media_id") < Multimodal.PlantShift))
+    val arrivals = java.nio.file.Files
+      .createTempDirectory("graft_audio_stream").toString
+    recs.toDF().filter(col("media_id") >= Multimodal.PlantShift)
+      .write.parquet(s"$arrivals/batch1.parquet")
+    val q = graft.streaming.MediaStream.audioFpScreen(
+        graft.streaming.MediaStream.readMedia(spark, s"$arrivals/batch1.parquet"),
+        index)
+      .writeStream
+      .format("memory")
+      .queryName("audio_screen_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("audio_screen_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Multimodal.imageNearDupScreen(
+        fps.filter(col("media_id") >= Multimodal.PlantShift), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
