@@ -31,7 +31,8 @@ object Plans {
     "q_dedup_source_matrix", "q_dedup_lsh_sweep", "q_pipeline_curation_inc",
     "q_text_bm25_index_merge", "q_multimodal_phash_inc",
     "q2_min_cost_supp", "q9_product_profit", "q12_priority_shipping",
-    "q16_supplier_cnt", "q20_promo_suppliers", "q_pipeline_retrieval")
+    "q16_supplier_cnt", "q20_promo_suppliers", "q_pipeline_retrieval",
+    "q_zorder_pruning", "q_multimodal_audio_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -80,6 +81,8 @@ object Plans {
         // (hash frame inlined — the registered query decodes once)
         else if (n == "q_multimodal_phash_inc")
           graft.multimodal.Multimodal.phashScreenPlanOf(spark, sfDir)
+        else if (n == "q_multimodal_audio_inc")
+          graft.multimodal.Multimodal.audioScreenPlanOf(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

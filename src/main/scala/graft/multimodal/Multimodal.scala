@@ -733,6 +733,17 @@ object Multimodal {
     }
   }
 
+  /** Plan-audit hook for the audio screen (the registered query returns
+    * a retained `ExistingRDD`): the live decode→fingerprint→probe
+    * dataflow. */
+  private[graft] def audioScreenPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val fps = audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
+      .withColumnRenamed("fp", "dhash")
+    imageNearDupScreen(
+      fps.filter(col("media_id") >= PlantShift),
+      imageHashIndexOf(fps.filter(col("media_id") < PlantShift)))
+  }
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */
