@@ -65,7 +65,7 @@ object Bench {
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
         ann: Boolean, bpe: Boolean, lr: Boolean,
-        dpp: Boolean): Seq[(String, Double)] = {
+        dpp: Boolean, media: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -99,6 +99,14 @@ object Bench {
         // q_join_dpp's own number is then the pruned-read serving cost
         timed("build:dpp_layout") {
           graft.operators.ScaleTechniques.buildDppLayout(spark, dir) })
+       else Seq.empty) ++
+      (if (media) Seq(
+        // the catalog fingerprint indexes the incremental media screens
+        // probe — decoded once per snapshot, the screens' own numbers
+        // are then the O(batch) decode + probe cost
+        timed("build:media_index") {
+          graft.multimodal.Multimodal.phashCatalogIndexCached(spark, dir)
+          graft.multimodal.Multimodal.audioCatalogIndexCached(spark, dir); () })
        else Seq.empty)
     }
 
@@ -139,15 +147,20 @@ object Bench {
       "q_train_quality_lr_calibration")
     // consumers of the on-disk partitioned DPP fact layout
     val dppConsumers = Set("q_join_dpp")
+    // consumers of the memoized media catalog fingerprint indexes
+    // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached)
+    val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
     val needBpeBuild = names.exists(bpeConsumers)
     val needLrBuild = names.exists(lrConsumers)
     val needDppBuild = names.exists(dppConsumers)
+    val needMediaBuild = names.exists(mediaConsumers)
     def builds(dir: String): Seq[(String, Double)] =
-      if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild || needDppBuild)
+      if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild ||
+          needDppBuild || needMediaBuild)
         buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild,
-          needDppBuild)
+          needDppBuild, needMediaBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -166,7 +179,8 @@ object Bench {
       (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
       (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
-      (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++ names
+      (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++
+      (if (needMediaBuild) Seq("build:media_index") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)
       val t2 = pass2(n)

@@ -71,7 +71,7 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter", "sketch", "curationinc", "bm25merge", "ccinc")
+      "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -467,6 +467,49 @@ object Scale {
         "update rows | merge time | full labels | full CC time |")
       println("|---|---|---|---|---|---|---|---|---|")
       rowsCc.foreach(println)
+    }
+
+    // Incremental media screen: a FIXED arriving batch (the base
+    // catalog's planted audio re-masters) fingerprinted and probed
+    // against the banded index of a GROWING catalog (id-spine replicas —
+    // distinct ids draw independent envelopes through the xor-shift, so
+    // replicas populate new band buckets instead of colliding). Claim:
+    // the SCREEN is O(batch) — decode cost fixed, probe one equi-join
+    // whose index side grows but whose output stays batch-bounded —
+    // while the index build (the per-snapshot artifact, charged to
+    // Bench's build:media_index) grows with the catalog.
+    val rowsMedia = factors.filter(_ => sections("media")).map { k =>
+      System.err.println(s"[scale] factor $k (media screen) ...")
+      import graft.multimodal.Multimodal
+      import spark.implicits._
+      val spine = replicatedDocs(spark, baseDir, k).select(col("doc_id")).as[Long]
+      val t0i = System.nanoTime()
+      val idxDf = Multimodal.imageHashIndexOf(
+        Multimodal.audioFingerprint(
+          Multimodal.audioSliceOfIds(spine, emitBase = true, emitEdits = false))
+          .toDF().withColumnRenamed("fp", "dhash"))
+      val (idx, idxRdd) = Dedup.materializeOwned(idxDf, reliable = false)
+      val nIdx = idx.count()
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val batch = Multimodal.audioSliceOfIds(
+        graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir).select(col("doc_id")))
+          .as[Long],
+        emitBase = false, emitEdits = true)
+      val t0s = System.nanoTime()
+      val nScreen = Multimodal.imageNearDupScreen(
+        Multimodal.audioFingerprint(batch).toDF()
+          .withColumnRenamed("fp", "dhash"), idx).count()
+      val tScreen = (System.nanoTime() - t0s) / 1e9
+      Dedup.retire(spark, idxRdd)
+      s"| ${k}x | $nIdx | ${f"$tIdx%.1f"}s | $nScreen | ${f"$tScreen%.1f"}s |"
+    }
+    if (sections("media")) {
+      println()
+      println("| factor | index rows | index build (decode) | screen hits | " +
+        "screen time (fixed batch) |")
+      println("|---|---|---|---|---|")
+      rowsMedia.foreach(println)
     }
 
     // Incremental curation screen: a FIXED arriving batch (the base odd

@@ -356,9 +356,34 @@ object Multimodal {
     * recall summary), [[phashPairs]] (the oracle-checked pairing stage)
     * and the committed fixture generator, so the hash fixture can never
     * drift from the queries' catalog silently. */
-  def plantedMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def plantedMediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    plantedMediaSlice(spark, dir, emitBase = true, emitEdits = true)
+
+  /** Slice generator behind [[plantedMediaRecords]]: `emitBase` /
+    * `emitEdits` choose which catalog half gets DRAWN AND ENCODED — the
+    * incremental screen decodes only the arriving edits, so generating
+    * (and PNG-encoding) the base catalog there would charge it the
+    * full-catalog codec cost its O(batch) contract excludes. The doc_id
+    * spine fans out to core-count partitions first ([[Tables.fanOut]]):
+    * the codec work is CPU-bound, and the pruned one-column spine
+    * otherwise plans file-count partitions — the audio twin measured
+    * 9.1× wall at 10× data before the fan-out (SCALE.md round-8
+    * refresh #2). */
+  private[graft] def plantedMediaSlice(spark: SparkSession, dir: String,
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    mediaSliceOfIds(
+      Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"))).as[Long],
+      emitBase, emitEdits)
+  }
+
+  /** [[plantedMediaSlice]] over an arbitrary doc_id spine — the hook the
+    * scale harness uses to grow the catalog independently of the
+    * arriving batch. */
+  private[graft] def mediaSliceOfIds(ids: Dataset[Long],
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { id =>
@@ -386,10 +411,14 @@ object Multimodal {
             javax.imageio.ImageIO.write(img, "png", out)
             out.toByteArray
           }
-          val base = MediaRecord(id, "image/png", draw(perturbed = false))
-          if (id % 10 == 0)
-            Seq(base, MediaRecord(id + PlantShift, "image/png", draw(perturbed = true)))
-          else Seq(base)
+          val base =
+            if (emitBase) MediaRecord(id, "image/png", draw(perturbed = false)) :: Nil
+            else Nil
+          val edit =
+            if (emitEdits && id % 10 == 0)
+              MediaRecord(id + PlantShift, "image/png", draw(perturbed = true)) :: Nil
+            else Nil
+          base ++ edit
         }
       }
   }
@@ -476,6 +505,33 @@ object Multimodal {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_sig", expr("shiftright(h_b, band * 16) & 65535"))
 
+  /** The base IMAGE catalog's banded hash index, decoded once per
+    * (session, snapshot) and memoized ([[Dedup.memoizedFrame]] — the
+    * `annIndexCached` lifecycle: swept by `clearMemos`, charged to
+    * Bench's `build:media_index` row). This is the persisted-index
+    * stand-in the incremental screen's O(batch) contract assumes:
+    * before it, `q_multimodal_phash_inc`/`q_multimodal_audio_inc`
+    * re-fingerprinted the ENTIRE catalog every run — the audio twin's
+    * standalone sf1 wall matched the full pairs query's (10.9 s vs
+    * 10.1 s, SCALE.md round-8 refresh #2), the signature of paying
+    * the catalog decode the screen exists to avoid. */
+  def phashCatalogIndexCached(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedFrame(spark, s"media_phash_index#$dir") {
+      imageHashIndexOf(
+        dHash(plantedMediaSlice(spark, dir, emitBase = true, emitEdits = false))
+          .toDF())
+    }
+
+  /** The base AUDIO catalog's banded fingerprint index — the
+    * [[phashCatalogIndexCached]] contract on the audio modality. */
+  def audioCatalogIndexCached(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedFrame(spark, s"media_audio_index#$dir") {
+      imageHashIndexOf(
+        audioFingerprint(
+          plantedAudioSlice(spark, dir, emitBase = true, emitEdits = false))
+          .toDF().withColumnRenamed("fp", "dhash"))
+    }
+
   /** INCREMENTAL banded near-dup screen for ARRIVING images — the
     * `q_dedup_incremental` pattern on the phash bands, completing the
     * measure/act × batch/incremental grid for the image modality: new
@@ -516,29 +572,29 @@ object Multimodal {
   def phashScreenInc(spark: SparkSession, dir: String): DataFrame = {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
-      val (hashes, hashesRdd) = Dedup.materializeOwned(
-        dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
+      // decode ONLY the arriving batch (the edits half of the planted
+      // catalog); the base catalog is served from the memoized index —
+      // cost scales with the batch, not the catalog
       val (out, outRdd) = Dedup.materializeOwned(
         imageNearDupScreen(
-          hashes.filter(col("media_id") >= PlantShift),
-          imageHashIndexOf(hashes.filter(col("media_id") < PlantShift)))
+          dHash(plantedMediaSlice(spark, dir, emitBase = false, emitEdits = true))
+            .toDF(),
+          phashCatalogIndexCached(spark, dir))
           .select(col("new_id"), col("dup_of"),
             col("hamming").cast("long").as("hamming"))
           .orderBy("new_id", "dup_of"),
         ckDir.isDefined)
-      Dedup.retire(spark, hashesRdd)
       Dedup.retainResult(spark, "phashScreenInc", outRdd, out)
     }
   }
 
-  /** Plan-audit hook: the live screen dataflow with the hash frame
-    * inlined (the registered query returns a retained `ExistingRDD`). */
-  private[graft] def phashScreenPlanOf(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = dHash(plantedMediaRecords(spark, dir)).toDF()
+  /** Plan-audit hook: the live screen dataflow — the batch-only decode
+    * subtree probing the memoized catalog index (which plans as the
+    * `Scan ExistingRDD` a persisted index read would). */
+  private[graft] def phashScreenPlanOf(spark: SparkSession, dir: String): DataFrame =
     imageNearDupScreen(
-      hashes.filter(col("media_id") >= PlantShift),
-      imageHashIndexOf(hashes.filter(col("media_id") < PlantShift)))
-  }
+      dHash(plantedMediaSlice(spark, dir, emitBase = false, emitEdits = true)).toDF(),
+      phashCatalogIndexCached(spark, dir))
 
   // ---- audio fingerprinting (real PCM decode, envelope dHash) ----
 
@@ -587,11 +643,30 @@ object Multimodal {
     * dwarfs the 2% scale), so the edit flips at most 2 fingerprint
     * bits — the planted near-dups the screen must find, same contract
     * as [[plantedMediaRecords]]' image edits. */
-  def plantedAudioRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def plantedAudioRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    plantedAudioSlice(spark, dir, emitBase = true, emitEdits = true)
+
+  /** Slice generator behind [[plantedAudioRecords]] — the
+    * [[plantedMediaSlice]] contract on the audio modality: the
+    * incremental screen synthesizes/encodes only the arriving
+    * re-masters, and the doc_id spine fans out to core-count
+    * partitions before the CPU-bound WAV encode. */
+  private[graft] def plantedAudioSlice(spark: SparkSession, dir: String,
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
     import spark.implicits._
+    audioSliceOfIds(
+      Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"))).as[Long],
+      emitBase, emitEdits)
+  }
+
+  /** [[plantedAudioSlice]] over an arbitrary doc_id spine — the scale
+    * harness's catalog-growth hook. */
+  private[graft] def audioSliceOfIds(ids: Dataset[Long],
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
     val rate = 8000
     val segLen = 16
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids
       .mapPartitions { it =>
         it.flatMap { id =>
           def draw(perturbed: Boolean): Array[Byte] = {
@@ -609,10 +684,14 @@ object Multimodal {
             }
             wavPcm16Mono(rate, samples)
           }
-          val base = MediaRecord(id, "audio/wav", draw(perturbed = false))
-          if (id % 10 == 0)
-            Seq(base, MediaRecord(id + PlantShift, "audio/wav", draw(perturbed = true)))
-          else Seq(base)
+          val base =
+            if (emitBase) MediaRecord(id, "audio/wav", draw(perturbed = false)) :: Nil
+            else Nil
+          val edit =
+            if (emitEdits && id % 10 == 0)
+              MediaRecord(id + PlantShift, "audio/wav", draw(perturbed = true)) :: Nil
+            else Nil
+          base ++ edit
         }
       }
   }
@@ -717,32 +796,31 @@ object Multimodal {
   def audioFpScreenInc(spark: SparkSession, dir: String): DataFrame = {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
-      val (fps, fpsRdd) = Dedup.materializeOwned(
-        audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
-          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+      // decode ONLY the arriving re-masters; the base catalog is served
+      // from the memoized fingerprint index ([[audioCatalogIndexCached]])
       val (out, outRdd) = Dedup.materializeOwned(
         imageNearDupScreen(
-          fps.filter(col("media_id") >= PlantShift),
-          imageHashIndexOf(fps.filter(col("media_id") < PlantShift)))
+          audioFingerprint(
+            plantedAudioSlice(spark, dir, emitBase = false, emitEdits = true))
+            .toDF().withColumnRenamed("fp", "dhash"),
+          audioCatalogIndexCached(spark, dir))
           .select(col("new_id"), col("dup_of"),
             col("hamming").cast("long").as("hamming"))
           .orderBy("new_id", "dup_of"),
         ckDir.isDefined)
-      Dedup.retire(spark, fpsRdd)
       Dedup.retainResult(spark, "audioFpScreenInc", outRdd, out)
     }
   }
 
   /** Plan-audit hook for the audio screen (the registered query returns
-    * a retained `ExistingRDD`): the live decode→fingerprint→probe
-    * dataflow. */
-  private[graft] def audioScreenPlanOf(spark: SparkSession, dir: String): DataFrame = {
-    val fps = audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
-      .withColumnRenamed("fp", "dhash")
+    * a retained `ExistingRDD`): the batch-only decode→fingerprint
+    * subtree probing the memoized catalog index. */
+  private[graft] def audioScreenPlanOf(spark: SparkSession, dir: String): DataFrame =
     imageNearDupScreen(
-      fps.filter(col("media_id") >= PlantShift),
-      imageHashIndexOf(fps.filter(col("media_id") < PlantShift)))
-  }
+      audioFingerprint(
+        plantedAudioSlice(spark, dir, emitBase = false, emitEdits = true))
+        .toDF().withColumnRenamed("fp", "dhash"),
+      audioCatalogIndexCached(spark, dir))
 
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
