@@ -170,6 +170,7 @@ object SparkEntry {
     "q_train_triplets"  -> (SimSearch.tripletMine _),
     "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
     "q_ann_ivfadc_refine" -> (SimSearch.ivfAdcRefineTopK _),
+    "q_ann_index_merge"  -> (SimSearch.annIndexMergeServe _),
     "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
@@ -2791,6 +2792,68 @@ object SparkEntry {
     // ADC — every engine-side float sum feeds a 6dp round before any
     // rank, and ranks tie-break on the unique neighbor id.
     "q_ann_pq" -> DuckPqSql,
+
+    // IVF-PQ delta-merge serve: the oracle re-derives the serve from a
+    // full re-assign/re-encode of the WHOLE corpus at the FROZEN
+    // snapshot-trained artifacts (codebook + coarse cells from the
+    // even-id half only), so the hash match IS merged ≡ rebuilt for
+    // the add path — assignment, encoding and list maintenance
+    "q_ann_index_merge" ->
+      s"""WITH mv0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+         |       FROM embeddings),
+         |mv AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM mv0),
+         |msv AS (SELECT * FROM mv WHERE vec_id % 2 = 0),
+         |mseeds AS (SELECT vec_id,
+         |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+         |           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+         |                 ORDER BY vec_id LIMIT ${SimSearch.PqK})),
+         |mc0 AS (SELECT sub, code_id, d, val AS c FROM msv JOIN mseeds USING (vec_id)),
+         |md1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+         |        FROM msv JOIN mc0 USING (sub, d) GROUP BY 1, 2, 3),
+         |ma1 AS (SELECT vec_id, sub, code_id FROM (
+         |          SELECT vec_id, sub, code_id,
+         |            row_number() OVER (PARTITION BY vec_id, sub
+         |              ORDER BY d2, code_id) AS rnk
+         |          FROM md1) WHERE rnk = 1),
+         |mbook AS (SELECT sub, code_id, d, avg(val) AS c
+         |          FROM msv JOIN ma1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+         |menc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+         |         FROM mv JOIN mbook USING (sub, d) GROUP BY 1, 2, 3),
+         |mcodes AS (SELECT vec_id, sub, code_id FROM (
+         |             SELECT vec_id, sub, code_id,
+         |               row_number() OVER (PARTITION BY vec_id, sub
+         |                 ORDER BY d2, code_id) AS rnk
+         |             FROM menc) WHERE rnk = 1),
+         |me AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |mcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+         |           FROM me WHERE vec_id % 2 = 0 AND vec_id >= ${SimSearch.IvfSeedBase}
+         |           ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+         |mrank AS (SELECT me.vec_id, mcents.cent_id,
+         |            row_number() OVER (PARTITION BY me.vec_id
+         |              ORDER BY round(${duckDot("me.embedding", "mcents.cent_emb")} / (me.nrm * mcents.cent_nrm), 6) DESC,
+         |                       mcents.cent_id) AS rnk
+         |          FROM me CROSS JOIN mcents),
+         |massign AS (SELECT vec_id, cent_id FROM mrank WHERE rnk = 1),
+         |mprobe AS (SELECT vec_id AS q_id, cent_id FROM mrank
+         |           WHERE vec_id < ${SimSearch.NQueries}
+         |             AND rnk <= ${SimSearch.IvfNProbe}),
+         |mlut AS (SELECT mv.vec_id AS q_id, sub, code_id,
+         |           sum((val - c) * (val - c)) AS sub_d2
+         |         FROM mv JOIN mbook USING (sub, d)
+         |         WHERE mv.vec_id < ${SimSearch.NQueries} GROUP BY 1, 2, 3),
+         |mrouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
+         |            FROM mcodes c JOIN massign a USING (vec_id)
+         |            JOIN mprobe p USING (cent_id)
+         |            WHERE c.vec_id <> p.q_id),
+         |madc AS (SELECT q_id, vec_id AS neighbor, round(sum(sub_d2), 6) AS adc_d2
+         |         FROM mrouted JOIN mlut USING (q_id, sub, code_id) GROUP BY 1, 2),
+         |mranked AS (SELECT q_id, neighbor, adc_d2,
+         |              row_number() OVER (PARTITION BY q_id
+         |                ORDER BY adc_d2, neighbor) AS "rank"
+         |            FROM madc)
+         |SELECT q_id, "rank", neighbor, adc_d2 FROM mranked
+         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
 
     // The PQ recall audit: both compressed-domain serving chains (flat
     // ADC `ranked`, IVF-routed `iranked` — each verbatim its serving

@@ -229,17 +229,43 @@ object ScaleTechniques {
         // atomic rename, so a concurrent JVM never reads a half-written
         // layout; losing the rename race means the winner's complete
         // copy is already in place.
-        deleteTree(new java.io.File(path))
-        val tmp = new java.io.File(
-          path + s".w${ProcessHandle.current().pid()}")
-        Tables.lineitem(spark, dir)
-          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-          .write.mode("overwrite").partitionBy("ship_month")
-          .parquet(tmp.getAbsolutePath)
-        if (!tmp.renameTo(new java.io.File(path))) {
-          deleteTree(tmp)
-          require(new java.io.File(path, "_SUCCESS").exists(),
-            s"dpp fact layout publish race lost and no complete copy at $path")
+        //
+        // Eviction goes through an atomic rename-to-staging, NOT a
+        // direct deleteTree: a second JVM may have PUBLISHED between
+        // our _SUCCESS check and now, and deleting its complete copy
+        // out from under concurrent readers was the round-8 advice
+        // finding. The rename captures whatever is at `path`
+        // atomically; if the captured copy turns out complete, it is
+        // restored (open handles survive a same-fs rename, so even
+        // in-flight reads continue), and only a genuinely partial
+        // write is ever deleted.
+        val cur = new java.io.File(path)
+        if (cur.exists()) {
+          val staged = new java.io.File(
+            path + s".evict${ProcessHandle.current().pid()}")
+          if (cur.renameTo(staged)) {
+            if (new java.io.File(staged, "_SUCCESS").exists()) {
+              // raced a publisher: put the complete copy back (if the
+              // restore loses yet another race, a complete copy is at
+              // `path` already and the staged duplicate is dropped)
+              if (!staged.renameTo(cur)) deleteTree(staged)
+            } else deleteTree(staged)
+          }
+        }
+        // re-check: the eviction may have just RESTORED a complete
+        // copy (publisher race above) — then there is nothing to write
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(
+            path + s".w${ProcessHandle.current().pid()}")
+          Tables.lineitem(spark, dir)
+            .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+            .write.mode("overwrite").partitionBy("ship_month")
+            .parquet(tmp.getAbsolutePath)
+          if (!tmp.renameTo(new java.io.File(path))) {
+            deleteTree(tmp)
+            require(new java.io.File(path, "_SUCCESS").exists(),
+              s"dpp fact layout publish race lost and no complete copy at $path")
+          }
         }
       }
       dppFactDirs.add(path)

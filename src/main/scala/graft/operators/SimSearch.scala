@@ -393,6 +393,10 @@ object SimSearch {
     pqCodesCached(spark, dir, e)
     opqCodesCached(spark, dir, e)
     semAssignment(spark, dir, e)
+    // the delta-merge query's persisted snapshot index (frozen
+    // quantizer/codebook + the snapshot's inverted-list frames)
+    mergeSnapCodesCached(spark, dir, e)
+    mergeSnapAssignCached(spark, dir, e)
     ()
   }
 
@@ -914,6 +918,158 @@ object SimSearch {
     adcRanked(routed)
   }
 
+  // ---- IVF-PQ INDEX MAINTENANCE: the add path ----
+  //
+  // A production vector store ingests continuously; rebuilding the
+  // index per batch is the corpus-sized cost the delta-merge removes
+  // (the `q_text_bm25_index_merge` discipline applied to
+  // `build:ann_index`). The FROZEN artifacts are trained ONCE on the
+  // snapshot — the coarse quantizer cells and the PQ codebook — and an
+  // arriving batch folds in at O(batch): assign each new vector to the
+  // frozen quantizer, encode it with the frozen codebooks, append the
+  // (code, cell) rows to the inverted lists. Because assignment and
+  // encoding are PER-VECTOR functions of the frozen artifacts, the
+  // merged index is row-for-row identical to re-encoding snapshot ∪
+  // batch at the same artifacts — which is exactly what the DuckDB
+  // oracle recomputes, so the hash match IS the merged ≡ rebuilt
+  // equivalence, cross-engine. (FAISS's IndexIVFPQ `add` does the
+  // same: quantizers are immutable after `train`; only the inverted
+  // lists grow. Codebook drift over a growing corpus is a re-TRAIN
+  // decision — a new snapshot — not an ingest-path concern.)
+
+  /** The frozen coarse cells of the merge index: the [[IvfK]] lowest
+    * SNAPSHOT ids at/above [[IvfSeedBase]] (cent_id = the seed's own
+    * vec_id, the [[ivfRanked]] convention). Picked from the snapshot
+    * only, so an arriving batch can never shift a cell. */
+  private def mergeCoarseCentsOf(snap: DataFrame): DataFrame =
+    snap.filter(col("vec_id") >= IvfSeedBase)
+      .orderBy("vec_id").limit(IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  // the persisted snapshot-index frames, memoized per (session, dir)
+  // through the same lifecycle as the other ANN artifacts (swept by
+  // clearMemos, build cost charged to the bench's `build:ann_index`
+  // row); `snap` is the even-id half — the standing snapshot/batch
+  // split of the incremental family
+  private def mergeSnap(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 2 === 0)
+
+  private def mergeCentsCached(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_merge_cents#$dir")(
+      mergeCoarseCentsOf(mergeSnap(e)))
+
+  private def mergeBookCached(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"ann_merge_book#$dir") {
+      val snap = mergeSnap(e)
+      pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    }
+
+  private def mergeSnapCodesCached(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    val book = mergeBookCached(spark, dir, e)
+    Dedup.memoizedFrame(spark, s"ann_merge_codes#$dir")(
+      pqAssign(pqLongForm(mergeSnap(e)), book)
+        .select("vec_id", "sub", "code_id"))
+  }
+
+  private def mergeSnapAssignCached(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame = {
+    val cents = mergeCentsCached(spark, dir, e)
+    Dedup.memoizedFrame(spark, s"ann_merge_assign#$dir")(
+      rankedAgainst(mergeSnap(e), cents)
+        .filter(col("rnk") === 1).select("vec_id", "cent_id"))
+  }
+
+  /** The DELTA-MERGE: batch rows assigned to the frozen quantizer and
+    * encoded with the frozen codebooks — both batch-sized passes
+    * against broadcast artifacts (8 cells; [[PqM]]×[[PqK]] codewords) —
+    * appended to the snapshot's inverted-list frames. Returns
+    * (mergedAssign, mergedCodes). */
+  private[graft] def mergedIndexOf(snapAssign: DataFrame, snapCodes: DataFrame,
+      batch: DataFrame, cents: DataFrame, book: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val batchAssign = rankedAgainst(batch, cents)
+      .filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val batchCodes = pqAssign(pqLongForm(batch), book)
+      .select("vec_id", "sub", "code_id")
+    (snapAssign.unionByName(batchAssign), snapCodes.unionByName(batchCodes))
+  }
+
+  /** The routed ADC serve over explicit merged-index frames — shared by
+    * the registered cached-index query, the self-contained `Of` form
+    * and the rebuild arm of the equivalence spec. Queries (vec_id <
+    * [[NQueries]], un-quantized as in every serving path) route to
+    * their [[IvfNProbe]] nearest FROZEN cells and score only those
+    * cells' codes via the broadcast LUT. */
+  private def mergedServe(e: DataFrame, assign: DataFrame, codes: DataFrame,
+      cents: DataFrame, book: DataFrame): DataFrame = {
+    val probes = rankedAgainst(e.filter(col("vec_id") < NQueries), cents)
+      .filter(col("rnk") <= IvfNProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val routed = codes.join(assign, "vec_id")
+      .join(broadcast(probes), Seq("cent_id"))
+    adcRanked(routed.join(broadcast(pqLut(e, book)), Seq("q_id", "sub", "code_id")))
+  }
+
+  /** Registered form: the odd-id batch folds into the even-id
+    * snapshot's persisted index, and the standard query set serves from
+    * the MERGED index. The oracle re-derives the serve from a full
+    * re-encode of the whole corpus at the SAME frozen artifacts
+    * (codebook trained on the even half only), so the hash match pins
+    * the add path's assignment, encoding and list maintenance exactly.
+    * Cost shape: the snapshot index is a persisted artifact (memoized,
+    * `build:ann_index`); the query pays batch-encode + routed serve —
+    * O(batch + probed lists), never O(corpus). SCALE.md §annmerge
+    * measures the merged serve flat while the rebuild arm grows with
+    * the snapshot. */
+  def annIndexMergeServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cents = mergeCentsCached(spark, dir, e)
+    val book = mergeBookCached(spark, dir, e)
+    val (assign, codes) = mergedIndexOf(
+      mergeSnapAssignCached(spark, dir, e),
+      mergeSnapCodesCached(spark, dir, e),
+      e.filter(col("vec_id") % 2 === 1), cents, book)
+    mergedServe(e, assign, codes, cents, book)
+  }
+
+  /** Self-contained merge arm over explicit (snapshot, batch) frames —
+    * the suite/scale hook. `full` supplies the query vectors. */
+  private[graft] def annIndexMergeServeOf(full: DataFrame, snap: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val cents = mergeCoarseCentsOf(snap)
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val snapAssign = rankedAgainst(snap, cents)
+      .filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val snapCodes = pqAssign(pqLongForm(snap), book)
+      .select("vec_id", "sub", "code_id")
+    val (assign, codes) = mergedIndexOf(snapAssign, snapCodes, batch, cents, book)
+    mergedServe(full, assign, codes, cents, book)
+  }
+
+  /** The rebuild-at-frozen-artifacts arm: snapshot ∪ batch re-assigned
+    * and re-encoded wholesale at the SAME snapshot-trained artifacts —
+    * what the merge must equal row-for-row (spec-pinned), and the
+    * corpus-sized cost it avoids (scale-measured). */
+  private[graft] def annIndexRebuildServeOf(full: DataFrame, snap: DataFrame,
+      union: DataFrame): DataFrame = {
+    val cents = mergeCoarseCentsOf(snap)
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val assign = rankedAgainst(union, cents)
+      .filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val codes = pqAssign(pqLongForm(union), book)
+      .select("vec_id", "sub", "code_id")
+    mergedServe(full, assign, codes, cents, book)
+  }
+
+  /** Per-cell list counts of a merged index — the list-count
+    * maintenance a real IVF `add` keeps (merged count = stored + batch
+    * per cell, additive); spec-pinned against a full recount. */
+  private[graft] def mergedListCounts(assign: DataFrame): DataFrame =
+    assign.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+
   /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
     * compressed-domain path: per query, how many of the exact squared-L2
     * top-3 the ADC top-3 recovers. This is the number that decides the
@@ -1131,9 +1287,20 @@ object SimSearch {
     * derived K coincides (no second training); otherwise trains and
     * memoizes the derived-K assignment as its own per-(session, dir)
     * index artifact. */
+  /** Corpus count memoized per (session, dir) through the same frame
+    * memo as the index artifacts: [[semAssignment]] derives K from it
+    * on EVERY registered query construction, and without the memo each
+    * build paid a corpus-count action even when the derived-K
+    * assignment itself was already memoized — reading the 1-row cached
+    * frame costs a row fetch, not a scan. */
+  private def corpusCountCached(spark: SparkSession, dir: String,
+      e: DataFrame): Long =
+    Dedup.memoizedFrame(spark, s"ann_count#$dir")(
+      e.agg(count(lit(1)).as("n"))).head().getLong(0)
+
   private[graft] def semAssignment(spark: SparkSession, dir: String,
       e: DataFrame): DataFrame = {
-    val k = semDerivedK(e.count())
+    val k = semDerivedK(corpusCountCached(spark, dir, e))
     if (k == KmK)
       kmRankedCached(spark, dir, e).filter(col("rnk") === 1)
         .select("vec_id", "cent_id")
