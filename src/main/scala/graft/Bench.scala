@@ -106,7 +106,8 @@ object Bench {
         // are then the O(batch) decode + probe cost
         timed("build:media_index") {
           graft.multimodal.Multimodal.phashCatalogIndexCached(spark, dir)
-          graft.multimodal.Multimodal.audioCatalogIndexCached(spark, dir); () })
+          graft.multimodal.Multimodal.audioCatalogIndexCached(spark, dir)
+          graft.multimodal.Multimodal.videoCatalogIndexCached(spark, dir); () })
        else Seq.empty)
     }
 
@@ -138,7 +139,7 @@ object Bench {
     val annConsumers = Set("q_ann_kmeans", "q_ann_kmeans_routed",
       "q_ann_pq", "q_ann_pq_recall", "q_ann_ivfadc", "q_ann_ivfadc_refine",
       "q_ann_opq", "q_dedup_semantic", "q_train_hard_negatives",
-      "q_train_hard_negatives_routed")
+      "q_train_hard_negatives_routed", "q_ann_index_merge")
     // consumers of the memoized BPE merge table (TextAnalysis
     // bpeMergesFrame call sites)
     val bpeConsumers = Set("q_text_bpe_train", "q_text_bpe_apply")
@@ -149,7 +150,8 @@ object Bench {
     val dppConsumers = Set("q_join_dpp")
     // consumers of the memoized media catalog fingerprint indexes
     // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached)
-    val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc")
+    val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc",
+      "q_multimodal_video_inc")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
     val needBpeBuild = names.exists(bpeConsumers)

@@ -259,6 +259,8 @@ object SparkEntry {
     "q_multimodal_audio_fp" -> (graft.multimodal.Multimodal.audioFpPairs _),
     "q_multimodal_audio_inc" -> (graft.multimodal.Multimodal.audioFpScreenInc _),
     "q_multimodal_phash_inc" -> (graft.multimodal.Multimodal.phashScreenInc _),
+    "q_multimodal_video_fp" -> (graft.multimodal.Multimodal.videoFpPairs _),
+    "q_multimodal_video_inc" -> (graft.multimodal.Multimodal.videoFpScreenInc _),
 
     // ---- scale-technique surface: the salted two-phase aggregation must
     // produce exactly the unsalted answer (salting redistributes partial
@@ -2275,6 +2277,46 @@ object SparkEntry {
          |        WHERE media_id < ${graft.multimodal.Multimodal.PlantShift}),
          |pr AS (SELECT media_id AS new_id, dhash AS h_a, band,
          |         (dhash >> (band::INT * 16)) & 65535 AS band_sig
+         |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |       WHERE media_id >= ${graft.multimodal.Multimodal.PlantShift}),
+         |pairs AS (SELECT new_id, dup_of,
+         |            bit_count(xor(h_a, h_b))::BIGINT AS hamming
+         |          FROM pr JOIN idx USING (band, band_sig))
+         |SELECT DISTINCT new_id, dup_of, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY new_id, dup_of""".stripMargin,
+
+    // video modality, same fixture discipline as phash/audio: the
+    // Spark side runs the real Y4M demux -> frame-sampled majority
+    // fingerprint; the oracle replays the banding/pairing over the
+    // committed expected-fingerprint fixture
+    "q_multimodal_video_fp" ->
+      s"""WITH h AS (SELECT media_id, fp
+         |           FROM '${graft.multimodal.Multimodal.VideoFpFixturePath}'
+         |           WHERE ok),
+         |banded AS (SELECT media_id, fp, band,
+         |             (fp >> (band::INT * 16)) & 65535 AS band_sig
+         |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |            bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         |          FROM banded a JOIN banded b USING (band, band_sig)
+         |          WHERE a.media_id < b.media_id)
+         |SELECT DISTINCT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // video incremental screen: the phash_inc probe SQL over the video
+    // fingerprint fixture
+    "q_multimodal_video_inc" ->
+      s"""WITH h AS (SELECT media_id, fp
+         |           FROM '${graft.multimodal.Multimodal.VideoFpFixturePath}'
+         |           WHERE ok),
+         |idx AS (SELECT media_id AS dup_of, fp AS h_b, band,
+         |          (fp >> (band::INT * 16)) & 65535 AS band_sig
+         |        FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+         |        WHERE media_id < ${graft.multimodal.Multimodal.PlantShift}),
+         |pr AS (SELECT media_id AS new_id, fp AS h_a, band,
+         |         (fp >> (band::INT * 16)) & 65535 AS band_sig
          |       FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
          |       WHERE media_id >= ${graft.multimodal.Multimodal.PlantShift}),
          |pairs AS (SELECT new_id, dup_of,

@@ -822,6 +822,315 @@ object Multimodal {
         .toDF().withColumnRenamed("fp", "dhash"),
       audioCatalogIndexCached(spark, dir))
 
+  // ---- video fingerprinting (raw codec-free container, frame-sampled
+  //      dHash, temporal majority) ----
+  //
+  // The JDK ships no video CODEC — but a raw container needs none: Y4M
+  // (YUV4MPEG2) is an uncompressed interchange format whose "decode" is
+  // a header parse plus fixed-size frame payloads, the `wavPcm16Mono`
+  // position on the video modality. The pipeline is the real
+  // production shape end to end: demux (header + frame boundaries) →
+  // frame sampling (every [[VideoSampleNth]]th frame — nobody hashes
+  // every frame of a clip) → per-frame spatial dHash on the luma plane
+  // (the image kernel's integer grid arithmetic on raw gray bytes) →
+  // clip fingerprint by per-bit MAJORITY across the sampled frames
+  // (robust to any minority of edited/transitional frames, and pure
+  // integer counting so every JVM computes identical bits). Compressed
+  // codecs (H.264/VP9/AV1) stay honestly stubbed — swapping the demux
+  // step for an ffmpeg binding leaves every Spark-side shape here
+  // unchanged.
+
+  final case class VideoFp(media_id: Long, ok: Boolean, fp: Long)
+
+  /** Planted-clip geometry: 64×32 luma, 40 frames, every 4th sampled
+    * (10 hashed frames per clip). */
+  val VideoW = 64
+  val VideoH = 32
+  val VideoFrames = 40
+  val VideoSampleNth = 4
+
+  /** Serialize mono (luma-only) frames as a canonical YUV4MPEG2 blob —
+    * the real container [[videoFingerprint]] demuxes back. */
+  private[graft] def y4mMono(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII")); out.write(f)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic per-(clip, grid cell, frame) luma for the planted
+    * catalog: 13 levels with 12-unit floor gaps on [32, 176] (the
+    * [[segAmp]] trick on the dHash grid — cell-aligned constants, so a
+    * ×1.02 gain re-grade can never flip an adjacent-cell comparison),
+    * mixed through the same xor-shift so distinct clips get independent
+    * patterns. Grid column 6 is the MOTION column — its cells vary per
+    * frame, so sampled frames genuinely differ and the temporal
+    * majority is exercised, not vacuous. */
+  private def cellLum(id: Long, gx: Int, gy: Int, t: Int): Int = {
+    val cell = (gy * 9 + gx).toLong
+    val s = if (gx == 6) cell + ((t + 1L) << 16) else cell
+    val x = id * 2654435761L + s * 1099511628211L
+    32 + 12 * java.lang.Math.floorMod(x ^ (x >>> 29), 13L).toInt
+  }
+
+  /** Planted VIDEO catalog: one Y4M clip per document; every 10th clip
+    * also ships a re-edited master (id + [[PlantShift]]) — all frames
+    * gain-graded ×1.02 (bit-preserving by the floor-gap construction)
+    * plus one grid cell replaced in EVERY frame (a logo/watermark-style
+    * edit), so the clip fingerprints differ in at most the 2 bits whose
+    * comparisons touch the edited cell — the planted near-dups the
+    * screen must find, the [[plantedAudioRecords]] contract on the
+    * video modality. */
+  def plantedVideoRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    plantedVideoSlice(spark, dir, emitBase = true, emitEdits = true)
+
+  private[graft] def plantedVideoSlice(spark: SparkSession, dir: String,
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
+    import spark.implicits._
+    videoSliceOfIds(
+      Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"))).as[Long],
+      emitBase, emitEdits)
+  }
+
+  /** [[plantedVideoSlice]] over an arbitrary doc_id spine — the scale
+    * harness's catalog-growth hook. */
+  private[graft] def videoSliceOfIds(ids: Dataset[Long],
+      emitBase: Boolean, emitEdits: Boolean): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        def draw(perturbed: Boolean): Array[Byte] = {
+          val (w, h) = (VideoW, VideoH)
+          val frames = (0 until VideoFrames).map { t =>
+            val f = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              val gy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val gx = x * 9 / w
+                val edited = perturbed && gx == 2 && gy == 3
+                val v =
+                  if (edited) cellLum(id * 31L + 7L, gx, gy, 0)
+                  else if (perturbed) cellLum(id, gx, gy, t) * 102 / 100
+                  else cellLum(id, gx, gy, t)
+                f(y * w + x) = v.toByte
+                x += 1
+              }
+              y += 1
+            }
+            f
+          }
+          y4mMono(w, h, frames)
+        }
+        val base =
+          if (emitBase) MediaRecord(id, "video/x-y4m", draw(perturbed = false)) :: Nil
+          else Nil
+        val edit =
+          if (emitEdits && id % 10 == 0)
+            MediaRecord(id + PlantShift, "video/x-y4m", draw(perturbed = true)) :: Nil
+          else Nil
+        base ++ edit
+      }
+    }
+  }
+
+  /** Y4M demux: header (W/H/colorspace) + FRAME-delimited payloads,
+    * returning the LUMA plane of each frame (chroma, when present, is
+    * skipped — fingerprinting is luma-only, like most perceptual video
+    * hashes). Any malformation — bad magic, missing dims, unknown
+    * colorspace, truncated payload — returns None, which the
+    * fingerprint degrades to `ok = false` (never a dead task). */
+  private def parseY4m(bytes: Array[Byte])
+      : Option[(Int, Int, Seq[Array[Byte]])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+      if (i < bytes.length) i else -1
+    }
+    val nl = lineEnd(0)
+    if (nl < 0) return None
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var w = -1; var h = -1; var cs = "420" // y4m's default colorspace
+    header.split(' ').drop(1).foreach { p =>
+      try {
+        if (p.startsWith("W")) w = p.drop(1).toInt
+        else if (p.startsWith("H")) h = p.drop(1).toInt
+        else if (p.startsWith("C")) cs = p.drop(1)
+      } catch { case _: NumberFormatException => return None }
+    }
+    if (w <= 0 || h <= 0) return None
+    val luma = w * h
+    val frameSize =
+      if (cs == "mono") luma
+      else if (cs.startsWith("420")) luma * 3 / 2
+      else if (cs.startsWith("422")) luma * 2
+      else if (cs.startsWith("444")) luma * 3
+      else return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = nl + 1
+    while (pos < bytes.length) {
+      val fnl = lineEnd(pos)
+      if (fnl < 0) return None
+      if (!new String(bytes, pos, fnl - pos, "US-ASCII").startsWith("FRAME"))
+        return None
+      if (fnl + 1 + frameSize > bytes.length) return None
+      frames += java.util.Arrays.copyOfRange(bytes, fnl + 1, fnl + 1 + luma)
+      pos = fnl + 1 + frameSize
+    }
+    if (frames.isEmpty) None else Some((w, h, frames.toSeq))
+  }
+
+  /** [[dHash]]'s integer grid kernel on a raw gray frame: box-sum onto
+    * the 9×8 grid with the `x·9/w` boundary rule, bit = [cell(x+1,y) >
+    * cell(x,y)] via cross-multiplied sums — no division, no float. */
+  private def frameDHashGray(f: Array[Byte], w: Int, h: Int): Long = {
+    val cell = Array.ofDim[Long](8, 9)
+    val cnt = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        cell(gy)(gx) += (f(y * w + x) & 0xff).toLong
+        cnt(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gy)(gx + 1) * cnt(gy)(gx) > cell(gy)(gx) * cnt(gy)(gx + 1))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Clip fingerprint: demux → sample every [[VideoSampleNth]]th frame
+    * → per-frame luma dHash → per-bit STRICT MAJORITY across the
+    * sampled frames (bit set iff more than half the sampled frames set
+    * it; ties clear — deterministic integer counting). Majority is
+    * what makes the clip hash stable under minority-frame edits,
+    * transitions and sampling phase jitter, while a persistent edit
+    * (a watermark across the clip) flips exactly its cells' bits.
+    * Frames too small for the 9×8 grid, empty clips and malformed
+    * containers degrade to `ok = false`. */
+  def videoFingerprint(records: Dataset[MediaRecord]): Dataset[VideoFp] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val parsed =
+          try parseY4m(r.content)
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case Some((w, h, frames)) if w >= 9 && h >= 8 =>
+            val sampled = frames.indices
+              .collect { case i if i % VideoSampleNth == 0 => frames(i) }
+            val hashes = sampled.map(frameDHashGray(_, w, h))
+            var fp = 0L
+            var b = 0
+            while (b < 64) {
+              var set = 0
+              hashes.foreach(hh => if ((hh & (1L << b)) != 0) set += 1)
+              if (2 * set > hashes.size) fp |= 1L << b
+              b += 1
+            }
+            VideoFp(r.media_id, ok = true, fp)
+          case _ => VideoFp(r.media_id, ok = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** Committed expected-fingerprint fixture for [[videoFpPairs]]'
+    * oracle — the [[PhashFixturePath]] discipline on the video
+    * modality, generated by [[VideoFpFixtureGen]]. */
+  val VideoFpFixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURE_DIR", "/root/repo/fixtures") +
+      "/video_fp_sf0.01.parquet"
+
+  /** The base VIDEO catalog's banded fingerprint index — the
+    * [[phashCatalogIndexCached]] contract on the video modality. */
+  def videoCatalogIndexCached(spark: SparkSession, dir: String): DataFrame =
+    Dedup.memoizedFrame(spark, s"media_video_index#$dir") {
+      imageHashIndexOf(
+        videoFingerprint(
+          plantedVideoSlice(spark, dir, emitBase = true, emitEdits = false))
+          .toDF().withColumnRenamed("fp", "dhash"))
+    }
+
+  /** Registered VIDEO near-dup pairs: real Y4M demux →
+    * [[videoFingerprint]] → the SAME banded pairing kernel as images
+    * and audio ([[imageNearDup]] — 64-bit fingerprints are
+    * modality-agnostic). The DuckDB oracle replays
+    * banding/pairing/hamming over the committed [[VideoFpFixturePath]]
+    * fixture, so the gate pins both the demux→fingerprint path and the
+    * pairing plan. */
+  def videoFpPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (fps, fpsRdd) = Dedup.materializeOwned(
+        videoFingerprint(plantedVideoRecords(spark, dir)).toDF()
+          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(
+        imageNearDup(fps)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b"),
+        ckDir.isDefined)
+      Dedup.retire(spark, fpsRdd)
+      Dedup.retainResult(spark, "videoFpPairs", outRdd, out)
+    }
+  }
+
+  /** Registered incremental VIDEO screen — arriving re-edited masters
+    * (media_id ≥ [[PlantShift]]) probed against the base catalog's
+    * persisted fingerprint index: the `q_multimodal_phash_inc` pattern
+    * with [[videoFingerprint]] in front of the SAME asymmetric banded
+    * probe kernel. Only the batch is demuxed; cost scales with the
+    * batch, not the catalog. Stateless row-local + one equi-join, so
+    * the identical kernel runs as the streaming twin
+    * ([[graft.streaming.MediaStream.videoFpScreen]], stream ≡ batch
+    * suite-pinned). Oracle: the probe replayed in SQL over the
+    * committed [[VideoFpFixturePath]] fixture. */
+  def videoFpScreenInc(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (out, outRdd) = Dedup.materializeOwned(
+        imageNearDupScreen(
+          videoFingerprint(
+            plantedVideoSlice(spark, dir, emitBase = false, emitEdits = true))
+            .toDF().withColumnRenamed("fp", "dhash"),
+          videoCatalogIndexCached(spark, dir))
+          .select(col("new_id"), col("dup_of"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy("new_id", "dup_of"),
+        ckDir.isDefined)
+      Dedup.retainResult(spark, "videoFpScreenInc", outRdd, out)
+    }
+  }
+
+  /** Plan-audit hook for the video screen (the registered query returns
+    * a retained `ExistingRDD`): the batch-only demux→fingerprint
+    * subtree probing the memoized catalog index. */
+  private[graft] def videoScreenPlanOf(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupScreen(
+      videoFingerprint(
+        plantedVideoSlice(spark, dir, emitBase = false, emitEdits = true))
+        .toDF().withColumnRenamed("fp", "dhash"),
+      videoCatalogIndexCached(spark, dir))
+
   /** Per-mime payload statistics — the registered, oracle-checked query
     * over the binary column (pure column ops: octet_length etc. work on
     * BinaryType like any scalar type). */

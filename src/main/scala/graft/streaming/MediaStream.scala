@@ -57,4 +57,18 @@ object MediaStream {
       Multimodal.audioFingerprint(newMedia.as[MediaRecord]).toDF()
         .withColumnRenamed("fp", "dhash"), index, maxHamming)
   }
+
+  /** The VIDEO twin of [[phashScreen]]: arriving Y4M clips demux
+    * through the codec-free container path into frame-sampled majority
+    * fingerprints, then probe the same static banded index shape —
+    * `Multimodal.videoFpScreenInc`'s kernel verbatim, so stream ≡
+    * batch is parity by construction. */
+  def videoFpScreen(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = Multimodal.DHashMaxHamming): DataFrame = {
+    val spark = newMedia.sparkSession
+    import spark.implicits._
+    Multimodal.imageNearDupScreen(
+      Multimodal.videoFingerprint(newMedia.as[MediaRecord]).toDF()
+        .withColumnRenamed("fp", "dhash"), index, maxHamming)
+  }
 }
