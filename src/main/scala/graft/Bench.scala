@@ -65,7 +65,7 @@ object Bench {
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
         ann: Boolean, bpe: Boolean, lr: Boolean,
-        dpp: Boolean, media: Boolean): Seq[(String, Double)] = {
+        dpp: Boolean, media: Boolean, zblocks: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -99,6 +99,13 @@ object Bench {
         // q_join_dpp's own number is then the pruned-read serving cost
         timed("build:dpp_layout") {
           graft.operators.ScaleTechniques.buildDppLayout(spark, dir) })
+       else Seq.empty) ++
+      (if (zblocks) Seq(
+        // the z-prefix block layout is a per-snapshot write-time
+        // artifact like the DPP layout; the footer audit's own number
+        // is then the manifest-read cost alone
+        timed("build:zorder_blocks") {
+          graft.operators.Layout.buildZorderBlocks(spark, dir) })
        else Seq.empty) ++
       (if (media) Seq(
         // the catalog fingerprint indexes the incremental media screens
@@ -148,6 +155,8 @@ object Bench {
       "q_train_quality_lr_calibration")
     // consumers of the on-disk partitioned DPP fact layout
     val dppConsumers = Set("q_join_dpp")
+    // consumers of the on-disk z-prefix block layout
+    val zblockConsumers = Set("q_zorder_pruning_files")
     // consumers of the memoized media catalog fingerprint indexes
     // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached)
     val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc",
@@ -158,11 +167,12 @@ object Bench {
     val needLrBuild = names.exists(lrConsumers)
     val needDppBuild = names.exists(dppConsumers)
     val needMediaBuild = names.exists(mediaConsumers)
+    val needZblockBuild = names.exists(zblockConsumers)
     def builds(dir: String): Seq[(String, Double)] =
       if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild ||
-          needDppBuild || needMediaBuild)
+          needDppBuild || needMediaBuild || needZblockBuild)
         buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild,
-          needDppBuild, needMediaBuild)
+          needDppBuild, needMediaBuild, needZblockBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -182,6 +192,7 @@ object Bench {
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
       (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
       (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++
+      (if (needZblockBuild) Seq("build:zorder_blocks") else Seq.empty) ++
       (if (needMediaBuild) Seq("build:media_index") else Seq.empty) ++ names
     val results = allNames.map { n =>
       val t1 = pass1(n)

@@ -188,6 +188,7 @@ object SparkEntry {
     "q_pipeline_retrieval" -> (TextAnalysis.hybridRetrieve _),
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
     "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
+    "q_text_bm25_capped" -> (TextAnalysis.bm25CappedServe _),
     "q_sketch_bottomk_union" -> (TextAnalysis.bottomKUnion _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_zorder_values"    -> (Layout.zorderValues _),
     "q_zorder_pruning"   -> (Layout.zonemapPruning _),
+    "q_zorder_pruning_files" -> (Layout.zonemapPruningFiles _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
@@ -3325,6 +3327,43 @@ object SparkEntry {
          |GROUP BY 1, 2
          |ORDER BY q.query_id, tf.doc_id""".stripMargin,
 
+    // capped serve: same snapshot/probe split, but the index keeps only
+    // each term's top-CapK postings by (6dp-rounded impact, doc_id) —
+    // the oracle rebuilds the identical capped index, so the gate pins
+    // the impact arithmetic, the per-term cut and the capped serve
+    "q_text_bm25_capped" ->
+      s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |              WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |imp AS (SELECT tf.doc_id, tf.word,
+         |          round(
+         |            ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |            * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |            / (tf.tf + ${TextAnalysis.Bm25K1}
+         |               * (1.0 - ${TextAnalysis.Bm25B}
+         |                  + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl)), 6)
+         |            AS impact
+         |        FROM tf
+         |        JOIN df USING (word)
+         |        JOIN dl ON dl.doc_id = tf.doc_id
+         |        CROSS JOIN stats s),
+         |capped AS (SELECT doc_id, word, impact FROM (
+         |             SELECT doc_id, word, impact,
+         |               row_number() OVER (PARTITION BY word
+         |                 ORDER BY impact DESC, doc_id) AS irnk
+         |             FROM imp) WHERE irnk <= ${TextAnalysis.Bm25CapK}),
+         |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
+         |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
+         |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok)
+         |SELECT q.query_id, c.doc_id, round(sum(c.impact), 4) AS score
+         |FROM q JOIN capped c ON c.word = q.word
+         |GROUP BY 1, 2
+         |ORDER BY q.query_id, c.doc_id""".stripMargin,
+
     // RRF fuses RANKS, not scores: once each ranker's (rounded score,
     // doc_id) ranking is pinned, the fusion is integer arithmetic —
     // 1/(60+rank) sums of two terms, rounded — so the oracle replays
@@ -3971,6 +4010,35 @@ object SparkEntry {
          |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
          |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
+    // the FILE-level production twin: the Spark side reads REAL parquet
+    // footers of the published z-prefix block layout; the oracle
+    // re-buckets relationally with the identical shift arithmetic —
+    // the hash match pins that footer statistics equal the exact
+    // per-block extents and the skip test reads the same blocks
+    "q_zorder_pruning_files" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |z AS (SELECT event_id, user_id, value,
+         |        (${Layout.zValueSqlTerms("a", "b")}) AS zval FROM d),
+         |blocks AS (
+         |  SELECT zval >> ${Layout.ZPrefixShift} AS blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM z GROUP BY 1)
+         |SELECT 'zorder_files' AS layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  round(sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction,
+         |  sum(n_rows)::BIGINT AS n_rows
+         |FROM blocks""".stripMargin,
+
     "q_zorder_values" ->
       s"""WITH d AS (
          |  SELECT event_id,

@@ -162,8 +162,18 @@ object ScaleTechniques {
     * — the path-only key was exactly the staleness `Dedup.clearMemos`
     * releases elsewhere, so these dirs are also registered for that
     * sweep ([[clearDppFactDirs]]). */
-  private def dppFactPath(dir: String): String = {
-    val src = new java.io.File(dir, "lineitem.parquet")
+  private def dppFactPath(dir: String): String =
+    layoutPath(dir, "lineitem.parquet", "dpp_fact")
+
+  /** On-disk path of a per-corpus-CONTENT layout artifact under the
+    * JVM temp dir: the key hashes the source parquet's (name, length,
+    * mtime) fingerprint alongside the path, so regenerating the data
+    * under the same dir changes the key instead of silently serving a
+    * stale layout. Shared by the DPP fact layout and the z-order
+    * block layout ([[graft.operators.Layout.ensureZorderBlocks]]). */
+  private[graft] def layoutPath(dir: String, srcName: String,
+      tag: String): String = {
+    val src = new java.io.File(dir, srcName)
     val files =
       if (src.isFile) Array(src)
       else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -173,10 +183,11 @@ object ScaleTechniques {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_dpp_fact_$key").getAbsolutePath
+      s"graft_${tag}_$key").getAbsolutePath
   }
 
-  /** Fact dirs written by [[dppRevenueByMonth]] this JVM — released by
+  /** Layout dirs published via [[ensureLayout]] this JVM (the DPP fact
+    * layout, the z-order block layout) — released by
     * [[graft.operators.Dedup.clearMemos]] with the other memo state. */
   private val dppFactDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -221,7 +232,20 @@ object ScaleTechniques {
   private def ensureFactLayout(spark: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     import graft.sources.Tables
-    val path = dppFactPath(dir)
+    ensureLayout(dppFactPath(dir)) { tmp =>
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(tmp)
+    }
+  }
+
+  /** Write-once publish of an on-disk layout artifact at `path`:
+    * `_SUCCESS`-guarded, staged-eviction of partial writes, build under
+    * a pid-suffixed temp dir, atomic-rename publish, registered for
+    * the [[graft.operators.Dedup.clearMemos]] sweep. Shared by the DPP
+    * fact layout and the z-order block layout. */
+  private[graft] def ensureLayout(path: String)(write: String => Unit): String = {
     dppWriteLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         // no _SUCCESS ⇒ absent or a crashed write: clear and republish.
@@ -257,14 +281,11 @@ object ScaleTechniques {
         if (!new java.io.File(path, "_SUCCESS").exists()) {
           val tmp = new java.io.File(
             path + s".w${ProcessHandle.current().pid()}")
-          Tables.lineitem(spark, dir)
-            .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-            .write.mode("overwrite").partitionBy("ship_month")
-            .parquet(tmp.getAbsolutePath)
+          write(tmp.getAbsolutePath)
           if (!tmp.renameTo(new java.io.File(path))) {
             deleteTree(tmp)
             require(new java.io.File(path, "_SUCCESS").exists(),
-              s"dpp fact layout publish race lost and no complete copy at $path")
+              s"layout publish race lost and no complete copy at $path")
           }
         }
       }

@@ -2371,6 +2371,71 @@ object TextAnalysis {
     bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")
   }
 
+  /** Per-term posting cap for the impact-ordered serving index
+    * ([[bm25CappedIndexOf]]) — the recall/cost dial, like LSH banding:
+    * larger keeps more of each term's tail. */
+  val Bm25CapK = 64
+
+  /** IMPACT-ORDERED, PER-TERM-CAPPED BM25 index — the posting-length
+    * bound production retrieval serves under (Anh & Moffat's
+    * impact-sorted indexes; the static index-pruning half of
+    * WAND-family processing). The un-capped serve join
+    * ([[bm25ScoreOf]]) touches EVERY posting of every query term, so a
+    * hot term makes a query linear in the corpus — sf1 measured the
+    * fusion join growing with posting length (SCALE.md §retrieval).
+    * The fix is decided at INDEX time: a posting's exact Okapi
+    * contribution ("impact" = idf·norm) is fully determined by the
+    * stored stats (tf, df, dl, n, avgdl), so each term keeps only its
+    * top-[[Bm25CapK]] postings by (6dp-rounded impact, doc_id) — serve
+    * cost is then ≤ cap·|query terms| REGARDLESS of corpus size, and
+    * the dropped tail is each term's provably least-contributing
+    * postings. A capped serve is a documented recall dial, not an
+    * approximation bug: scores of surviving (query, doc) pairs are
+    * EXACT (the stored impact is the exact term contribution), only
+    * docs cut from a term's list lose that term's contribution —
+    * `Bm25CappedSpec` pins cap-doesn't-bind ≡ full serve and the
+    * lowest-impact-tail-only drop rule.
+    *
+    * Scale posture: one [[bm25IndexOf]] pass plus a per-word
+    * `WindowGroupLimit` rank (partial top-cap before the shuffle);
+    * persisted bucketed by `word` like [[writeBm25Index]], arriving
+    * queries join bucket-local. Cross-engine determinism: ranking and
+    * the cap cut on the ROUNDED impact with the doc_id tiebreak, the
+    * library's standard discipline. */
+  def bm25CappedIndexOf(docs: DataFrame, cap: Int = Bm25CapK): DataFrame = {
+    val idx = bm25IndexOf(docs)
+      .withColumn("impact", round(bm25Idf * bm25Norm, 6))
+    val w = Window.partitionBy("word").orderBy(desc("impact"), asc("doc_id"))
+    idx.withColumn("irnk", row_number().over(w))
+      .filter(col("irnk") <= cap)
+      .select("doc_id", "word", "impact")
+  }
+
+  /** Serving over a capped index: the [[bm25ScoreOf]] join with the
+    * stored impacts summed directly — no per-posting Okapi arithmetic
+    * at serve time at all (the other win of impact-ordered indexes). */
+  def bm25CappedScoreOf(queries: DataFrame, index: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"),
+        explode(array_distinct(toks(col("text")))).as("word"))
+      .join(index, "word")
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("impact"), 4).as("score"))
+
+  /** Registered form: [[bm25ServeInc]]'s probe workload (odd doc_ids
+    * < 10 against the even-half snapshot) served from the CAPPED
+    * index — the oracle rebuilds the identical capped index in SQL, so
+    * the gate pins the impact arithmetic, the per-term cut and the
+    * capped serve join cross-engine. SCALE.md §bm25cap measures the
+    * serve bounded while the corpus 10×es. */
+  def bm25CappedServe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val idx = bm25CappedIndexOf(d.filter(col("doc_id") % 2 === 0))
+    val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    bm25CappedScoreOf(queries, idx).orderBy("query_id", "doc_id")
+  }
+
   /** RRF constant (Cormack et al. 2009's k=60), per-ranker candidate
     * depth, and the Dirichlet smoothing mass for the query-likelihood
     * ranker (Zhai & Lafferty). */
