@@ -32,7 +32,9 @@ object Plans {
     "q_text_bm25_index_merge", "q_multimodal_phash_inc",
     "q2_min_cost_supp", "q9_product_profit", "q12_priority_shipping",
     "q16_supplier_cnt", "q20_promo_suppliers", "q_pipeline_retrieval",
-    "q_zorder_pruning", "q_multimodal_audio_inc")
+    "q_zorder_pruning", "q_multimodal_audio_inc",
+    "q_ann_index_merge", "q_text_bm25_capped", "q_zorder_pruning_files",
+    "q_multimodal_video_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -83,6 +85,8 @@ object Plans {
           graft.multimodal.Multimodal.phashScreenPlanOf(spark, sfDir)
         else if (n == "q_multimodal_audio_inc")
           graft.multimodal.Multimodal.audioScreenPlanOf(spark, sfDir)
+        else if (n == "q_multimodal_video_inc")
+          graft.multimodal.Multimodal.videoScreenPlanOf(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
       println(df.queryExecution.explainString(

@@ -71,7 +71,8 @@ object Scale {
     // stage doesn't force a full re-measure of the others
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
-      "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media")
+      "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
+      "kcenterprod", "annmerge", "bm25cap", "videomedia")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -510,6 +511,169 @@ object Scale {
         "screen time (fixed batch) |")
       println("|---|---|---|---|---|")
       rowsMedia.foreach(println)
+    }
+
+    // Incremental VIDEO media screen — the audio table's contract on
+    // the third modality: fixed arriving batch (the base re-edits,
+    // demuxed per run), growing catalog served from the pinned banded
+    // index. Claim: screen O(batch) while the index build (charged to
+    // build:media_index) grows with the catalog.
+    val rowsVideo = factors.filter(_ => sections("videomedia")).map { k =>
+      System.err.println(s"[scale] factor $k (video screen) ...")
+      import graft.multimodal.Multimodal
+      import spark.implicits._
+      val spine = replicatedDocs(spark, baseDir, k).select(col("doc_id")).as[Long]
+      val t0i = System.nanoTime()
+      val idxDf = Multimodal.imageHashIndexOf(
+        Multimodal.videoFingerprint(
+          Multimodal.videoSliceOfIds(spine, emitBase = true, emitEdits = false))
+          .toDF().withColumnRenamed("fp", "dhash"))
+      val (idx, idxRdd) = Dedup.materializeOwned(idxDf, reliable = false)
+      val nIdx = idx.count()
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val batch = Multimodal.videoSliceOfIds(
+        graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir).select(col("doc_id")))
+          .as[Long],
+        emitBase = false, emitEdits = true)
+      val t0s = System.nanoTime()
+      val nScreen = Multimodal.imageNearDupScreen(
+        Multimodal.videoFingerprint(batch).toDF()
+          .withColumnRenamed("fp", "dhash"), idx).count()
+      val tScreen = (System.nanoTime() - t0s) / 1e9
+      Dedup.retire(spark, idxRdd)
+      s"| ${k}x | $nIdx | ${f"$tIdx%.1f"}s | $nScreen | ${f"$tScreen%.1f"}s |"
+    }
+    if (sections("videomedia")) {
+      println()
+      println("| factor | index rows | index build (demux) | screen hits | " +
+        "screen time (fixed batch) |")
+      println("|---|---|---|---|---|")
+      rowsVideo.foreach(println)
+    }
+
+    // ANN index delta-merge: a FIXED arriving batch (the base odd
+    // vectors) folds into the PINNED snapshot index of a GROWING
+    // even-id corpus. Claim: merge + routed serve pays batch
+    // assign/encode plus the probed inverted lists — while the rebuild
+    // arm re-encodes the whole corpus through the PQ assignment every
+    // run. (The serve leg itself grows with list length at fixed
+    // nlist=8 — the K∝N dial documented at q_dedup_semantic is the
+    // production bound on that axis.)
+    val rowsAnnMerge = factors.filter(_ => sections("annmerge")).map { k =>
+      System.err.println(s"[scale] factor $k (ann index merge) ...")
+      import graft.operators.SimSearch
+      val snap = replicatedEmbeddings(spark, baseDir, k)
+        .filter(col("vec_id") % 2 === 0)
+      val base = replicatedEmbeddings(spark, baseDir, 1)
+      val batch = base.filter(col("vec_id") % 2 === 1)
+      val full = base // supplies the fixed query vectors (vec_id < 10)
+      def pin(df: DataFrame): (DataFrame, Long) = {
+        val r = df.rdd; r.localCheckpoint(); val n = r.count()
+        (spark.createDataFrame(r, df.schema), n)
+      }
+      val t0i = System.nanoTime()
+      val (cents0, book0, assign0, codes0) = SimSearch.annMergeScaleFrames(snap)
+      val (cents, _) = pin(cents0)
+      val (book, _) = pin(book0)
+      val (assign, _) = pin(assign0)
+      val (codes, nCodes) = pin(codes0)
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val t0m = System.nanoTime()
+      val served = SimSearch.annMergeServeWith(full, cents, book,
+        assign, codes, batch).count()
+      val tMerge = (System.nanoTime() - t0m) / 1e9
+      val t0f = System.nanoTime()
+      val rebuilt = SimSearch.annIndexRebuildServeOf(full, snap,
+        snap.unionByName(batch)).count()
+      val tFull = (System.nanoTime() - t0f) / 1e9
+      s"| ${k}x | $nCodes | ${f"$tIdx%.1f"}s | $served | ${f"$tMerge%.1f"}s | " +
+        s"$rebuilt | ${f"$tFull%.1f"}s |"
+    }
+    if (sections("annmerge")) {
+      println()
+      println("| factor | snapshot code rows | snapshot build | served rows | " +
+        "merge+serve time | rebuild rows | rebuild+serve time |")
+      println("|---|---|---|---|---|---|---|")
+      rowsAnnMerge.foreach(println)
+    }
+
+    // Capped-postings serve: FIXED probe queries against the pinned
+    // index of a GROWING corpus. Claim: the capped serve join carries
+    // ≤ cap·|query terms| postings at every factor — bounded — while
+    // the uncapped serve join grows with posting length (the
+    // q_pipeline_retrieval 3.9× finding this dial exists to bound).
+    // VERBATIM replication (same text, shifted ids) — the cap test
+    // needs posting LISTS to grow with the corpus; the token-renamed
+    // replicas keep per-term df flat by design and would hide exactly
+    // the growth this dial bounds
+    def replicatedDocsVerbatim(k: Int): DataFrame = {
+      val d = graft.sources.Tables.fanOut(
+        graft.sources.Tables.documents(spark, baseDir))
+      (0 until k).map { i =>
+        if (i == 0) d
+        else d.withColumn("doc_id", col("doc_id") + lit(i * ReplicaStride))
+      }.reduce(_ unionByName _)
+    }
+    val rowsBm25Cap = factors.filter(_ => sections("bm25cap")).map { k =>
+      System.err.println(s"[scale] factor $k (bm25 posting caps) ...")
+      val corpus = replicatedDocsVerbatim(k).filter(col("doc_id") % 2 === 0)
+      val queries = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      def pin(df: DataFrame): (DataFrame, Long) = {
+        val r = df.rdd; r.localCheckpoint(); val n = r.count()
+        (spark.createDataFrame(r, df.schema), n)
+      }
+      val t0i = System.nanoTime()
+      val (capIdx, nCap) = pin(TextAnalysis.bm25CappedIndexOf(corpus))
+      val (fullIdx, nFull) = pin(TextAnalysis.bm25IndexOf(corpus))
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val t0c = System.nanoTime()
+      val capRows = TextAnalysis.bm25CappedScoreOf(queries, capIdx).count()
+      val tCap = (System.nanoTime() - t0c) / 1e9
+      val t0u = System.nanoTime()
+      val fullRows = TextAnalysis.bm25ScoreOf(queries, fullIdx).count()
+      val tUncap = (System.nanoTime() - t0u) / 1e9
+      s"| ${k}x | $nFull | $nCap | ${f"$tIdx%.1f"}s | $capRows | " +
+        s"${f"$tCap%.1f"}s | $fullRows | ${f"$tUncap%.1f"}s |"
+    }
+    if (sections("bm25cap")) {
+      println()
+      println("| factor | full index rows | capped index rows | index builds | " +
+        "capped served | capped serve time | uncapped served | uncapped serve time |")
+      println("|---|---|---|---|---|---|---|---|")
+      rowsBm25Cap.foreach(println)
+    }
+
+    // Batch k-center at PRODUCTION K: fixed corpus, K in the hundreds.
+    // The claim the round-8 verdict asked to pin: driver round-trips
+    // are the latency axis — sequential Gonzalez pays K−1 argmax
+    // round-trips; the batch variant pays ⌈K/T⌉ passes at T=16, each
+    // one narrow corpus job.
+    val rowsKcProd = (if (sections("kcenterprod")) Seq(32, 128)
+      else Seq.empty[Int]).map { bigK =>
+      System.err.println(s"[scale] K=$bigK (kcenter production) ...")
+      import graft.operators.SimSearch
+      val e = replicatedEmbeddings(spark, baseDir, 1)
+      val t0 = System.nanoTime()
+      val seq = SimSearch.kcenterSelectOf(e, bigK).collect()
+      val tSeq = (System.nanoTime() - t0) / 1e9
+      val t = 16
+      val passes = math.ceil((bigK - 1).toDouble / t).toInt
+      val t0b = System.nanoTime()
+      val selB = SimSearch.kcenterSelectBatchOf(e, t, passes).collect()
+      val tB = (System.nanoTime() - t0b) / 1e9
+      s"| $bigK | ${seq.length} | ${bigK - 1} | ${f"$tSeq%.1f"}s | " +
+        s"${selB.length} | $passes | ${f"$tB%.1f"}s |"
+    }
+    if (sections("kcenterprod")) {
+      println()
+      println("| K | seq centers | seq round-trips | seq time | " +
+        "batch centers | batch passes (T=16) | batch time |")
+      println("|---|---|---|---|---|---|---|")
+      rowsKcProd.foreach(println)
     }
 
     // Incremental curation screen: a FIXED arriving batch (the base odd

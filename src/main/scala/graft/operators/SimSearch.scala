@@ -1070,6 +1070,28 @@ object SimSearch {
   private[graft] def mergedListCounts(assign: DataFrame): DataFrame =
     assign.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
 
+  /** Scale-harness hooks: the snapshot's frozen artifacts and index
+    * frames as EXPLICIT values so the harness can pin them (the
+    * persisted-index stand-in) and time the merge arm without charging
+    * it the snapshot build. */
+  private[graft] def annMergeScaleFrames(snap: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cents = mergeCoarseCentsOf(snap)
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val snapAssign = rankedAgainst(snap, cents)
+      .filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val snapCodes = pqAssign(pqLongForm(snap), book)
+      .select("vec_id", "sub", "code_id")
+    (cents, book, snapAssign, snapCodes)
+  }
+
+  private[graft] def annMergeServeWith(full: DataFrame, cents: DataFrame,
+      book: DataFrame, snapAssign: DataFrame, snapCodes: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val (assign, codes) = mergedIndexOf(snapAssign, snapCodes, batch, cents, book)
+    mergedServe(full, assign, codes, cents, book)
+  }
+
   /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
     * compressed-domain path: per query, how many of the exact squared-L2
     * top-3 the ADC top-3 recovers. This is the number that decides the
@@ -1631,7 +1653,14 @@ object SimSearch {
     * Output (round, vec_id, radius): radius is the chosen point's
     * distance² to the previously-selected set — the coverage-radius
     * sequence, non-increasing by construction (suite-pinned); the seed
-    * row carries 0.0 by convention. */
+    * row carries 0.0 by convention.
+    *
+    * DIAL: this sequential form pays K−1 driver round-trips — the
+    * latency axis, fine at small K (the registered K=8) and exact.
+    * At PRODUCTION K (hundreds-plus coreset centers) the DEFAULT is
+    * [[kcenterSelectBatch]]: ⌈K/T⌉ passes at T=16 with the β=1/4
+    * separation filter — SCALE.md §kcenterprod measures K=128 at 8
+    * batch passes vs 127 sequential round-trips on the same corpus. */
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
     kcenterSelectOf(Tables.fanOut(Tables.embeddings(spark, dir)), KCenterK)
 
