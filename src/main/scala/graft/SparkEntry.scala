@@ -186,6 +186,7 @@ object SparkEntry {
     "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
     "q_text_rrf_fusion"  -> (TextAnalysis.rrfFuse _),
     "q_pipeline_retrieval" -> (TextAnalysis.hybridRetrieve _),
+    "q_pipeline_retrieval_capped" -> (TextAnalysis.hybridRetrieveCapped _),
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
     "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
     "q_text_bm25_capped" -> (TextAnalysis.bm25CappedServe _),
@@ -3509,6 +3510,75 @@ object SparkEntry {
          |SELECT query_id, "rank", doc_id, rank_lex, rank_vec, rrf
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+    // the capped hybrid: identical fusion SQL, but the lexical leg
+    // rebuilds and serves the impact-ordered capped index — stored
+    // impacts summed, per-term lists cut at CapK on (impact, doc_id)
+    "q_pipeline_retrieval_capped" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |imp AS (SELECT tf.doc_id, tf.word,
+         |          round(
+         |            ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |            * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |            / (tf.tf + ${TextAnalysis.Bm25K1}
+         |               * (1.0 - ${TextAnalysis.Bm25B}
+         |                  + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl)), 6)
+         |            AS impact
+         |        FROM tf
+         |        JOIN df USING (word)
+         |        JOIN dl ON dl.doc_id = tf.doc_id
+         |        CROSS JOIN stats s),
+         |capped AS (SELECT doc_id, word, impact FROM (
+         |             SELECT doc_id, word, impact,
+         |               row_number() OVER (PARTITION BY word
+         |                 ORDER BY impact DESC, doc_id) AS irnk
+         |             FROM imp) WHERE irnk <= ${TextAnalysis.Bm25CapK}),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS word
+         |      FROM tok WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
+         |bm AS (SELECT q.query_id, c.doc_id,
+         |         round(sum(c.impact), 4) AS score
+         |       FROM q JOIN capped c ON c.word = q.word
+         |       WHERE c.doc_id <> q.query_id
+         |       GROUP BY 1, 2),
+         |lex_r AS (SELECT query_id, doc_id, rank_lex FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS rank_lex
+         |            FROM bm) WHERE rank_lex <= ${TextAnalysis.RrfDepth}),
+         |e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |       FROM e WHERE vec_id < ${TextAnalysis.Bm25NQueries}),
+         |cosine AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |             round(${duckDot("qv.q_emb", "e.embedding")}
+         |               / (qv.q_nrm * e.nrm), 6) AS cos
+         |           FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |vec_r AS (SELECT query_id, doc_id, rank_vec FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, doc_id) AS rank_vec
+         |            FROM cosine) WHERE rank_vec <= ${TextAnalysis.RrfDepth}),
+         |fused AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |            coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |            coalesce(l.rank_lex, 0)::BIGINT AS rank_lex,
+         |            coalesce(v.rank_vec, 0)::BIGINT AS rank_vec,
+         |            round(coalesce(1.0::DOUBLE / (l.rank_lex + ${TextAnalysis.RrfK}), 0.0)
+         |              + coalesce(1.0::DOUBLE / (v.rank_vec + ${TextAnalysis.RrfK}), 0.0), 6)
+         |              AS rrf
+         |          FROM lex_r l
+         |          FULL OUTER JOIN vec_r v
+         |            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |ranked AS (SELECT query_id, doc_id, rrf, rank_lex, rank_vec,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY rrf DESC, doc_id) AS "rank"
+         |           FROM fused)
+         |SELECT query_id, "rank", doc_id, rank_lex, rank_vec, rrf
+         |FROM ranked WHERE "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
     // 13 hex md5 digits = 2^52 denominator: the hash is EXACT in a
     // double in both engines, so kth_h and the estimator divide the
     // same bits; the id_sum pins sample membership, not just size

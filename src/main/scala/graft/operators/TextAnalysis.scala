@@ -2510,12 +2510,43 @@ object TextAnalysis {
     * `WindowGroupLimit`, and the fusion join carries ≤ 2·RrfDepth rows
     * per query. */
   def hybridRetrieve(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     val queries = docs.filter(col("doc_id") < Bm25NQueries)
       .select(col("doc_id").as("query_id"), col("text"))
-    val lex = bm25ScoreOf(queries, bm25IndexOf(docs))
-      .filter(col("doc_id") =!= col("query_id"))
+    hybridFuseWith(spark, dir,
+      bm25ScoreOf(queries, bm25IndexOf(docs))
+        .filter(col("doc_id") =!= col("query_id")))
+  }
+
+  /** [[hybridRetrieve]] SERVED FROM THE CAPPED INDEX — the production
+    * form of the hybrid pipeline: the lexical leg reads the
+    * impact-ordered per-term-capped index ([[bm25CappedIndexOf]] —
+    * serve cost ≤ cap·|query terms| whatever the corpus), summing
+    * stored impacts with zero per-posting Okapi arithmetic; the vector
+    * leg and the reciprocal-rank fusion are unchanged. This is the
+    * registered answer to the sf1 finding that the uncapped fusion
+    * join grows with posting length: the capped serve is the bound,
+    * the cap the documented recall dial (a doc cut from a hot term's
+    * list loses that term's contribution, exactly as in
+    * [[bm25CappedServe]]). The oracle rebuilds the identical capped
+    * index inside the hybrid SQL, so cap arithmetic, cut, serve and
+    * fusion are all pinned cross-engine. */
+  def hybridRetrieveCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val queries = docs.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("text"))
+    hybridFuseWith(spark, dir,
+      bm25CappedScoreOf(queries, bm25CappedIndexOf(docs))
+        .filter(col("doc_id") =!= col("query_id")))
+  }
+
+  /** The shared vector leg + reciprocal-rank fusion tail over ANY
+    * scored lexical leg (query_id, doc_id, score) — one definition,
+    * so the uncapped and capped hybrids can never diverge in fusion
+    * semantics. */
+  private def hybridFuseWith(spark: SparkSession, dir: String,
+      lex: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
     val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     val lexRanked = lex
       .withColumn("rank_lex", row_number().over(wl))

@@ -181,6 +181,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_text_repetition" -> "q_text_lm_score",
     "q_text_ppl_buckets" -> "q_text_lm_score",
     "q_text_tfidf" -> "q_text_bm25",
+    "q_pipeline_retrieval_capped" -> "q_pipeline_retrieval",
     "q_train_quality_lr_calibration" -> "q_train_quality_lr_apply",
     // profiling: distinct-value-spine aggregation family
     "q_profile_columns" -> "q_profile_skew",
