@@ -1092,6 +1092,29 @@ object SimSearch {
     mergedServe(full, assign, codes, cents, book)
   }
 
+  /** The frozen merge-index artifacts COLLECTED to driver-held dense
+    * form — what a streaming ingest job broadcasts
+    * ([[graft.streaming.AnnIngestStream]]): the coarse cells as raw
+    * FLOAT vectors (cent_id → embedding, so the stream evaluates the
+    * identical float→double cosine fold as [[rankedAgainst]]) and the
+    * PQ codebook as (sub, code_id, ordered (dim, centroid) pairs).
+    * Bounded by construction: [[IvfK]]×dims + [[PqM]]×[[PqK]]×(64/M)
+    * rows — the "persist the index" step, like
+    * [[trainedQuantizerArrays]]. */
+  private[graft] def frozenMergeArtifacts(snap: DataFrame)
+      : (Seq[(Long, Seq[Float])], Seq[(Int, Long, Seq[(Int, Double)])]) = {
+    val cents = mergeCoarseCentsOf(snap).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
+      .toSeq.sortBy(_._1)
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((sub, code), rs) =>
+        (sub, code, rs.sortBy(_._3).map(r => (r._3, r._4)).toSeq) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    (cents, book)
+  }
+
   /** PQ RECALL AUDIT — [[annRecall]]'s pattern applied to the
     * compressed-domain path: per query, how many of the exact squared-L2
     * top-3 the ADC top-3 recovers. This is the number that decides the

@@ -73,6 +73,40 @@ class AnnIndexMergeSpec extends AnyFunSuite {
     assert(mergedCounts.values.sum == e.count())
   }
 
+  test("streaming ingest == batch delta-encode (frozen artifacts)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (centsDf, bookDf, snapAssign, snapCodes) =
+      SimSearch.annMergeScaleFrames(snap)
+    // batch truth: the delta-merge's batch-only legs (empty snapshot)
+    val (bAssign, bCodes) = SimSearch.mergedIndexOf(
+      snapAssign.limit(0), snapCodes.limit(0), batch, centsDf, bookDf)
+    val batchRows = bCodes.join(bAssign, "vec_id")
+      .select("vec_id", "cent_id", "sub", "code_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // stream: the same arrivals through the frozen-artifact projection
+    val (cents, book) = SimSearch.frozenMergeArtifacts(snap)
+    val arrivals = java.nio.file.Files
+      .createTempDirectory("graft_ann_ingest").toString
+    batch.write.parquet(s"$arrivals/batch1.parquet")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$arrivals/batch1.parquet")
+    val q = graft.streaming.AnnIngestStream.ingestRows(stream, cents, book)
+      .writeStream
+      .format("memory")
+      .queryName("ann_ingest_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("ann_ingest_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batchRows)
+    assert(streamed.nonEmpty)
+  }
+
   test("registered cached-index path returns the Of-form's rows") {
     val cached = SimSearch.annIndexMergeServe(spark, dir)
       .collect().map(_.toSeq).toSeq
