@@ -190,6 +190,7 @@ object SparkEntry {
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
     "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
     "q_text_bm25_capped" -> (TextAnalysis.bm25CappedServe _),
+    "q_text_bm25_cap_sweep" -> (TextAnalysis.bm25CapSweepAudit _),
     "q_sketch_bottomk_union" -> (TextAnalysis.bottomKUnion _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
@@ -3352,7 +3353,9 @@ object SparkEntry {
          |        JOIN df USING (word)
          |        JOIN dl ON dl.doc_id = tf.doc_id
          |        CROSS JOIN stats s),
-         |capped AS (SELECT doc_id, word, impact FROM (
+         |capped AS (SELECT doc_id, word,
+         |             CAST(round(impact * 1000000, 0) AS BIGINT) AS impact_fp
+         |           FROM (
          |             SELECT doc_id, word, impact,
          |               row_number() OVER (PARTITION BY word
          |                 ORDER BY impact DESC, doc_id) AS irnk
@@ -3360,10 +3363,76 @@ object SparkEntry {
          |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
          |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
          |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok)
-         |SELECT q.query_id, c.doc_id, round(sum(c.impact), 4) AS score
+         |SELECT q.query_id, c.doc_id,
+         |       ((sum(c.impact_fp) + 50) // 100)::DOUBLE / 10000.0 AS score
          |FROM q JOIN capped c ON c.word = q.word
          |GROUP BY 1, 2
          |ORDER BY q.query_id, c.doc_id""".stripMargin,
+
+    // cap-dial calibration sweep: per candidate cap, recall@10 of the
+    // capped serve against the uncapped ranking (ground truth for the
+    // dial); the oracle rebuilds the ranked impact frame once and
+    // replays every arm from it, exactly as the Spark side does
+    "q_text_bm25_cap_sweep" ->
+      s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |              WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |imp AS (SELECT tf.doc_id, tf.word,
+         |          round(
+         |            ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |            * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |            / (tf.tf + ${TextAnalysis.Bm25K1}
+         |               * (1.0 - ${TextAnalysis.Bm25B}
+         |                  + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl)), 6)
+         |            AS impact
+         |        FROM tf
+         |        JOIN df USING (word)
+         |        JOIN dl ON dl.doc_id = tf.doc_id
+         |        CROSS JOIN stats s),
+         |rk AS (SELECT doc_id, word,
+         |         CAST(round(impact * 1000000, 0) AS BIGINT) AS impact_fp,
+         |         row_number() OVER (PARTITION BY word
+         |           ORDER BY impact DESC, doc_id) AS irnk
+         |       FROM imp),
+         |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
+         |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
+         |nq AS (SELECT count(*)::BIGINT AS n_queries FROM qtok),
+         |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok),
+         |fullsc AS (SELECT q.query_id, rk.doc_id,
+         |             ((sum(rk.impact_fp) + 50) // 100)::DOUBLE / 10000.0 AS score
+         |           FROM q JOIN rk ON rk.word = q.word GROUP BY 1, 2),
+         |fulltop AS (SELECT query_id, doc_id FROM (
+         |              SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY score DESC, doc_id) AS rnk
+         |              FROM fullsc) WHERE rnk <= 10),
+         |caps AS (SELECT unnest([${TextAnalysis.Bm25CapSweep.mkString(", ")}]) AS cap),
+         |csc AS (SELECT c.cap, q.query_id, rk.doc_id,
+         |          ((sum(rk.impact_fp) + 50) // 100)::DOUBLE / 10000.0 AS score
+         |        FROM caps c
+         |        CROSS JOIN q
+         |        JOIN rk ON rk.word = q.word AND rk.irnk <= c.cap
+         |        GROUP BY 1, 2, 3),
+         |ctop AS (SELECT cap, query_id, doc_id FROM (
+         |           SELECT cap, query_id, doc_id,
+         |             row_number() OVER (PARTITION BY cap, query_id
+         |               ORDER BY score DESC, doc_id) AS rnk
+         |           FROM csc) WHERE rnk <= 10),
+         |hits AS (SELECT cap, count(*)::BIGINT AS hits10
+         |         FROM ctop JOIN fulltop USING (query_id, doc_id) GROUP BY 1),
+         |arms AS (SELECT c.cap, coalesce(h.hits10, 0)::BIGINT AS hits10
+         |         FROM caps c LEFT JOIN hits h USING (cap)
+         |         UNION ALL
+         |         SELECT 0 AS cap, (SELECT count(*) FROM fulltop)::BIGINT)
+         |SELECT cap, (SELECT n_queries FROM nq) AS n_queries, hits10,
+         |  CASE WHEN cap = 0 THEN 1.0
+         |       ELSE round(hits10::DOUBLE
+         |              / ((SELECT n_queries FROM nq) * 10.0), 4) END AS recall10
+         |FROM arms ORDER BY cap""".stripMargin,
 
     // RRF fuses RANKS, not scores: once each ranker's (rounded score,
     // doc_id) ranking is pinned, the fusion is integer arithmetic —
@@ -3532,7 +3601,9 @@ object SparkEntry {
          |        JOIN df USING (word)
          |        JOIN dl ON dl.doc_id = tf.doc_id
          |        CROSS JOIN stats s),
-         |capped AS (SELECT doc_id, word, impact FROM (
+         |capped AS (SELECT doc_id, word,
+         |             CAST(round(impact * 1000000, 0) AS BIGINT) AS impact_fp
+         |           FROM (
          |             SELECT doc_id, word, impact,
          |               row_number() OVER (PARTITION BY word
          |                 ORDER BY impact DESC, doc_id) AS irnk
@@ -3540,7 +3611,7 @@ object SparkEntry {
          |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS word
          |      FROM tok WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
          |bm AS (SELECT q.query_id, c.doc_id,
-         |         round(sum(c.impact), 4) AS score
+         |         ((sum(c.impact_fp) + 50) // 100)::DOUBLE / 10000.0 AS score
          |       FROM q JOIN capped c ON c.word = q.word
          |       WHERE c.doc_id <> q.query_id
          |       GROUP BY 1, 2),
@@ -4094,12 +4165,18 @@ object SparkEntry {
          |z AS (SELECT event_id, user_id, value,
          |        (${Layout.zValueSqlTerms("a", "b")}) AS zval FROM d),
          |blocks AS (
-         |  SELECT zval >> ${Layout.ZPrefixShift} AS blk,
+         |  SELECT layout, blk,
          |    min(user_id) AS min_u, max(user_id) AS max_u,
          |    min(value) AS min_v, max(value) AS max_v,
          |    count(*)::BIGINT AS n_rows
-         |  FROM z GROUP BY 1)
-         |SELECT 'zorder_files' AS layout, count(*)::BIGINT AS n_blocks,
+         |  FROM (
+         |    SELECT 'zorder_files' AS layout,
+         |      zval >> ${Layout.ZPrefixShift} AS blk, user_id, value FROM z
+         |    UNION ALL
+         |    SELECT 'hashed_files' AS layout,
+         |      event_id % ${Layout.ZoneBlocks} AS blk, user_id, value FROM z)
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
          |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
          |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
          |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
@@ -4107,7 +4184,7 @@ object SparkEntry {
          |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
          |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction,
          |  sum(n_rows)::BIGINT AS n_rows
-         |FROM blocks""".stripMargin,
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
     "q_zorder_values" ->
       s"""WITH d AS (

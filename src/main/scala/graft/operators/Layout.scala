@@ -201,15 +201,30 @@ object Layout {
     * staged eviction, atomic-rename publish, swept by `clearMemos`). */
   private[graft] def ensureZorderBlocks(spark: SparkSession, dir: String): String =
     ScaleTechniques.ensureLayout(
-      ScaleTechniques.layoutPath(dir, "events.parquet", "zblocks")) { tmp =>
+      ScaleTechniques.layoutPath(dir, "events.parquet", "zblocks2")) { tmp =>
       val ev = Tables.events(spark, dir)
       val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
       val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
-      ev.select(col("event_id"), col("user_id"), col("value"),
-          zValue(a, b).as("zval"))
-        .withColumn("blk", shiftright(col("zval"), ZPrefixShift))
+      val base = ev.select(col("event_id"), col("user_id"), col("value"),
+        zValue(a, b).as("zval"))
+      // the clustered layout under audit: z-prefix blocks
+      base.withColumn("blk", shiftright(col("zval"), ZPrefixShift))
+        .drop("zval")
         .repartition(ZoneBlocks, col("blk"))
-        .write.mode("overwrite").partitionBy("blk").parquet(tmp)
+        .write.mode("overwrite").partitionBy("blk").parquet(s"$tmp/zorder")
+      // the contrast layout: ingest-hash blocks (what a layout-less
+      // table degenerates to) — every block spans both dimensions, so
+      // the zone map can skip NOTHING; written the same way so the
+      // footer audit reads both with identical machinery
+      base.withColumn("blk", pmod(col("event_id"), lit(ZoneBlocks.toLong)))
+        .drop("zval")
+        .repartition(ZoneBlocks, col("blk"))
+        .write.mode("overwrite").partitionBy("blk").parquet(s"$tmp/hashed")
+      // two subdir writes leave no root _SUCCESS: publish one marker
+      // for the write-once machinery's completeness check
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
     }
 
   /** Bench hook: force-publish the block layout so its one-time write
@@ -289,35 +304,44 @@ object Layout {
   /** Registered FILE-level zone-map audit — [[zonemapPruning]]'s
     * production twin: the same box predicate scored against REAL
     * written parquet files whose min/max extents come from the footers
-    * alone (zero data rows read in the audit itself). Blocks are the
-    * deterministic z-prefix buckets of [[ensureZorderBlocks]], so the
-    * DuckDB oracle re-derives identical blocks relationally and the
-    * hash match pins: the layout write routed every row to its prefix
-    * block, the footer statistics are exact per-column extents, and
-    * the skip test reads the same few blocks. No global window
-    * anywhere — the audit aggregates |files| footer rows (the ntile
-    * variant stays registered as the relational WHY-audit;
-    * `q_zorder_pruning`'s scaladoc names this query as the production
-    * form). */
+    * alone (zero data rows read in the audit itself), under BOTH
+    * layouts [[ensureZorderBlocks]] publishes — the z-prefix clustered
+    * layout and the ingest-hash contrast layout (what a layout-less
+    * table degenerates to: every block spans both dimensions, the
+    * zone map can skip nothing). The DuckDB oracle re-derives both
+    * block partitions relationally with identical arithmetic, so the
+    * hash match pins: the writes routed every row to its block, the
+    * footer statistics are exact per-column extents, and the skip
+    * test reads the same blocks — sf0.01 measures 1/31 blocks for
+    * z-order vs 64/64 for the hash layout. No global window anywhere
+    * — the audit aggregates |files| footer rows (the ntile variant
+    * stays registered as the relational WHY-audit). */
   def zonemapPruningFiles(spark: SparkSession, dir: String): DataFrame = {
-    val stats = parquetFooterExtents(spark, ensureZorderBlocks(spark, dir))
-    // multiple files in a block (hash-collision tasks, maxRecordsPerFile
-    // splits) fold into block-level extents first — the manifest view
-    val blocks = stats.groupBy("blk")
-      .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
-        min("min_v").as("min_v"), max("max_v").as("max_v"),
-        sum("n_rows").as("n_rows"))
-    blocks
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
-          col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
-          1L).otherwise(0L)).as("blocks_read"),
-        sum("n_rows").as("n_rows"))
-      .select(lit("zorder_files").as("layout"), col("n_blocks"),
-        col("blocks_read"),
-        round(col("blocks_read").cast("double") / col("n_blocks"), 4)
-          .as("read_fraction"),
-        col("n_rows"))
+    val root = ensureZorderBlocks(spark, dir)
+    def audit(layout: String, sub: String): DataFrame = {
+      val stats = parquetFooterExtents(spark, s"$root/$sub")
+      // multiple files in a block (hash-collision tasks,
+      // maxRecordsPerFile splits) fold into block-level extents first
+      // — the manifest view
+      val blocks = stats.groupBy("blk")
+        .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
+          min("min_v").as("min_v"), max("max_v").as("max_v"),
+          sum("n_rows").as("n_rows"))
+      blocks
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("n_rows").as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"),
+          round(col("blocks_read").cast("double") / col("n_blocks"), 4)
+            .as("read_fraction"),
+          col("n_rows"))
+    }
+    audit("hashed_files", "hashed")
+      .unionByName(audit("zorder_files", "zorder"))
+      .orderBy("layout")
   }
 
   /** The exact SQL mirror of [[zValue]]'s shift/mask terms, generated

@@ -2373,8 +2373,16 @@ object TextAnalysis {
 
   /** Per-term posting cap for the impact-ordered serving index
     * ([[bm25CappedIndexOf]]) — the recall/cost dial, like LSH banding:
-    * larger keeps more of each term's tail. */
-  val Bm25CapK = 64
+    * larger keeps more of each term's tail. CALIBRATED, not guessed:
+    * the registered sweep ([[bm25CapSweepAudit]]) measures recall@10
+    * vs the uncapped ranking per candidate cap — on THIS corpus's
+    * flat synthetic idf (scores accumulate over many weak shared
+    * terms) caps of 4–64 lose most of the top-10 (0.0/0.0/0.1) while
+    * 256 is lossless, so 256 is the default; a Zipfian production
+    * corpus tolerates far smaller caps (hot terms contribute little
+    * per posting), and the sweep is the artifact a rollout re-runs to
+    * pick its own knee. */
+  val Bm25CapK = 256
 
   /** IMPACT-ORDERED, PER-TERM-CAPPED BM25 index — the posting-length
     * bound production retrieval serves under (Anh & Moffat's
@@ -2403,24 +2411,103 @@ object TextAnalysis {
     * the cap cut on the ROUNDED impact with the doc_id tiebreak, the
     * library's standard discipline. */
   def bm25CappedIndexOf(docs: DataFrame, cap: Int = Bm25CapK): DataFrame = {
+    // impact stored BOTH as the 6dp double (human-readable index
+    // column) and as micro-fixed-point BIGINT: serve-time score sums
+    // run over the integers, so accumulation order cannot move a
+    // 4dp-boundary rounding between engines (the nano-fixed-point LR
+    // discipline; a 256-term float sum measurably crossed a boundary)
     val idx = bm25IndexOf(docs)
       .withColumn("impact", round(bm25Idf * bm25Norm, 6))
+      .withColumn("impact_fp", round(col("impact") * 1e6, 0).cast("long"))
     val w = Window.partitionBy("word").orderBy(desc("impact"), asc("doc_id"))
     idx.withColumn("irnk", row_number().over(w))
       .filter(col("irnk") <= cap)
-      .select("doc_id", "word", "impact")
+      .select("doc_id", "word", "impact", "impact_fp")
   }
 
   /** Serving over a capped index: the [[bm25ScoreOf]] join with the
-    * stored impacts summed directly — no per-posting Okapi arithmetic
-    * at serve time at all (the other win of impact-ordered indexes). */
+    * stored fixed-point impacts summed exactly — no per-posting Okapi
+    * arithmetic at serve time at all (the other win of impact-ordered
+    * indexes), and integer sums are order-independent so the 4dp score
+    * is deterministic cross-engine. */
   def bm25CappedScoreOf(queries: DataFrame, index: DataFrame): DataFrame =
     queries
       .select(col("query_id"),
         explode(array_distinct(toks(col("text")))).as("word"))
       .join(index, "word")
       .groupBy("query_id", "doc_id")
-      .agg(round(sum("impact"), 4).as("score"))
+      // 4dp half-up in INTEGER micro-units, then one exact division:
+      // round(sum/1e6, 4) re-rounds a double and the two engines split
+      // decimal-half boundaries (8.37385 measurably rounded both ways)
+      .agg((floor((sum("impact_fp") + lit(50)) / lit(100.0)) / 1e4)
+        .as("score"))
+
+  /** Cap values the sweep audits — the dial positions a rollout would
+    * choose between (the [[Bm25CapK]] production default sits inside). */
+  val Bm25CapSweep: Seq[Int] = Seq(4, 16, 64, 256)
+
+  /** CAP-DIAL CALIBRATION sweep — the `q_dedup_lsh_sweep` discipline
+    * applied to the posting cap: for each candidate cap, how much of
+    * the UNCAPPED top-10 ranking does the capped serve recover? The
+    * uncapped ranking IS ground truth for this dial (the cap is a
+    * lossy index-pruning choice; no external labels needed), so
+    * recall@10 per cap is the exact number that picks [[Bm25CapK]]
+    * before a rollout — the same evidence pattern as the LSH banding
+    * sweep and the ANN recall audits.
+    *
+    * One index build serves every arm: the full impact-ranked postings
+    * frame (irnk already computed by the per-word window) is built
+    * ONCE; each cap is a FILTER over it, each arm's serve the same
+    * capped join, each ranking a Partial/Final WindowGroupLimit.
+    * Output one row per cap: (cap, n_queries, hits10, recall10) with
+    * recall10 = hits/(10·queries), 4dp — plus the uncapped arm's row
+    * (cap = 0 by convention, recall 1) as the in-band reference. */
+  def bm25CapSweepAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val snap = d.filter(col("doc_id") % 2 === 0)
+    val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    // the ranked impact frame, built once (cap = ∞ keeps every row and
+    // its irnk); materialized so the K+1 arms share one build
+    val idx = bm25IndexOf(snap)
+      .withColumn("impact", round(bm25Idf * bm25Norm, 6))
+      .withColumn("impact_fp", round(col("impact") * 1e6, 0).cast("long"))
+    val w = Window.partitionBy("word").orderBy(desc("impact"), asc("doc_id"))
+    val (ranked, rankedRdd) = Dedup.materializeOwned(
+      idx.withColumn("irnk", row_number().over(w))
+        .select("doc_id", "word", "impact_fp", "irnk"),
+      reliable = false)
+    val qTerms = queries
+      .select(col("query_id"), explode(array_distinct(toks(col("text")))).as("word"))
+    def top10(index: DataFrame): DataFrame = {
+      // fixed-point sums: rank boundaries at 4dp cannot move with
+      // accumulation order (same discipline as the serve)
+      val scored = qTerms.join(index, "word")
+        .groupBy("query_id", "doc_id")
+        .agg((floor((sum("impact_fp") + lit(50)) / lit(100.0)) / 1e4)
+          .as("score"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      scored.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10).select("query_id", "doc_id")
+    }
+    val full10 = top10(ranked)
+    val nQ = lit(queries.count())
+    val rows = Bm25CapSweep.map { cap =>
+      top10(ranked.filter(col("irnk") <= cap))
+        .join(full10, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).as("hits10"))
+        .select(lit(cap).as("cap"), nQ.as("n_queries"), col("hits10"),
+          round(col("hits10").cast("double") / (nQ * 10.0), 4).as("recall10"))
+    }
+    val reference = full10.agg(count(lit(1)).as("hits10"))
+      .select(lit(0).as("cap"), nQ.as("n_queries"), col("hits10"),
+        lit(1.0).as("recall10"))
+    val out = rows.reduce(_ unionByName _).unionByName(reference)
+      .orderBy("cap")
+    val (res, resRdd) = Dedup.materializeOwned(out, reliable = false)
+    Dedup.retire(spark, rankedRdd)
+    Dedup.retainResult(spark, "bm25CapSweep", resRdd, res)
+  }
 
   /** Registered form: [[bm25ServeInc]]'s probe workload (odd doc_ids
     * < 10 against the even-half snapshot) served from the CAPPED

@@ -12,7 +12,7 @@ class ZorderFilesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("footer extents equal scanned per-block extents exactly") {
-    val path = Layout.ensureZorderBlocks(spark, dir)
+    val path = Layout.ensureZorderBlocks(spark, dir) + "/zorder"
     val footer = Layout.parquetFooterExtents(spark, path)
       .groupBy("blk")
       .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
@@ -36,7 +36,7 @@ class ZorderFilesSpec extends AnyFunSuite {
   }
 
   test("z-prefix blocks give each file a bounded curve segment") {
-    val path = Layout.ensureZorderBlocks(spark, dir)
+    val path = Layout.ensureZorderBlocks(spark, dir) + "/zorder"
     // every row's z-prefix equals its file's blk directory — the write
     // routed rows correctly, which is what makes the footer audit mean
     // something
