@@ -156,7 +156,7 @@ object Bench {
     // consumers of the on-disk partitioned DPP fact layout
     val dppConsumers = Set("q_join_dpp")
     // consumers of the on-disk z-prefix block layout
-    val zblockConsumers = Set("q_zorder_pruning_files")
+    val zblockConsumers = Set("q_zorder_pruning_files", "q_zorder_ingest")
     // consumers of the memoized media catalog fingerprint indexes
     // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached)
     val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc",

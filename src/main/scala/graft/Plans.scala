@@ -34,7 +34,9 @@ object Plans {
     "q16_supplier_cnt", "q20_promo_suppliers", "q_pipeline_retrieval",
     "q_zorder_pruning", "q_multimodal_audio_inc",
     "q_ann_index_merge", "q_text_bm25_capped", "q_zorder_pruning_files",
-    "q_multimodal_video_inc")
+    "q_multimodal_video_inc",
+    "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
+    "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -66,6 +68,8 @@ object Plans {
           graft.operators.TextAnalysis.bpeRoundPlan(spark, sfDir)
         else if (n == "q_dedup_winnow")
           graft.operators.Dedup.winnowPairsPlan(spark, sfDir)
+        else if (n == "q_dedup_cdc_chunks")
+          graft.operators.Dedup.cdcChunksPlan(spark, sfDir)
         // retained-result situation again: audit the live scoring
         // dataflow over the materialized postings frame
         else if (n == "q_text_bm25")

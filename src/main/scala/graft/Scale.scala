@@ -54,6 +54,18 @@ object Scale {
     }.reduce(_ unionByName _)
   }
 
+  /** Base events plus k-1 id-shifted replicas: timestamps, types and
+    * values replicate IN PLACE, so the (hour × type) grid is invariant
+    * while the log grows k× — the growth model for resample (a busier
+    * feed over the same clock, not a longer history). */
+  private[graft] def replicatedEvents(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val ev = graft.sources.Tables.fanOut(graft.sources.Tables.events(spark, dir))
+    (0 until k).map { i =>
+      if (i == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(i * ReplicaStride))
+    }.reduce(_ unionByName _)
+  }
+
   private[graft] def replicatedEmbeddings(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = graft.sources.Tables.fanOut(graft.sources.Tables.embeddings(spark, dir))
     (0 until k).map { i =>
@@ -72,7 +84,8 @@ object Scale {
     val knownSections = Set("dedup", "signals", "graph", "prefix", "semantic",
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
       "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
-      "kcenterprod", "annmerge", "bm25cap", "videomedia")
+      "kcenterprod", "annmerge", "bm25cap", "videomedia",
+      "resample", "snapdiff", "bq", "compaction", "cdc")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -645,6 +658,126 @@ object Scale {
         "capped served | capped serve time | uncapped served | uncapped serve time |")
       println("|---|---|---|---|---|---|---|---|")
       rowsBm25Cap.foreach(println)
+    }
+
+    // GAP-FILL/RESAMPLE: the log grows k× with timestamps and types
+    // replicated IN PLACE, so the (hour × type) grid is invariant —
+    // the claim: output rows CONSTANT while the cost is the single
+    // map-side-combined corpus collapse (everything downstream is
+    // grid-sized).
+    val rowsResample = factors.filter(_ => sections("resample")).map { k =>
+      System.err.println(s"[scale] factor $k (resample) ...")
+      val ev = replicatedEvents(spark, baseDir, k)
+      val nEv = ev.count()
+      val (n, t) = timedCount(graft.operators.EventsOps.resampleHourlyOf(ev))
+      s"| ${k}x | $nEv | $n | ${f"$t%.1f"}s |"
+    }
+    if (sections("resample")) {
+      println()
+      println("| factor | log rows | grid rows out | resample time |")
+      println("|---|---|---|---|")
+      rowsResample.foreach(println)
+    }
+
+    // SNAPSHOT DIFF: both snapshots grow k× (the registered identity
+    // form — replayed merge + full-outer compare); the touched set
+    // grows with the mod-rule batch. Claim: the co-partitioned compare
+    // is linear with a flat per-row cost and the output is |Δ|-sized,
+    // never corpus-sized.
+    val rowsDiff = factors.filter(_ => sections("snapdiff")).map { k =>
+      System.err.println(s"[scale] factor $k (snapshot diff) ...")
+      import graft.operators.CorpusMerge
+      val (snap, snapRdd) = Dedup.materializeOwned(
+        replicatedDocs(spark, baseDir, k)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")),
+        reliable = false)
+      val n = snap.count()
+      val merged = CorpusMerge.mergeUpsert(snap,
+        CorpusMerge.changeBatchOf(spark, snap), "doc_id",
+        Seq("text", "lang", "source"))
+      val (nd, td) = timedCount(CorpusMerge.snapshotDiffOf(snap, merged))
+      Dedup.retire(spark, snapRdd)
+      s"| ${k}x | $n | $nd | ${f"$td%.1f"}s |"
+    }
+    if (sections("snapdiff")) {
+      println()
+      println("| factor | snapshot rows | diff rows out | merge+diff time |")
+      println("|---|---|---|---|")
+      rowsDiff.foreach(println)
+    }
+
+    // BINARY QUANTIZATION: the corpus grows k× (fresh vec_ids, vectors
+    // unchanged), the query set stays the 10 base vectors. Claim: the
+    // signature scan is the only corpus-sized stage — candidates stay
+    // |queries|×BqCandidates and the rerank fixed, so output is
+    // constant and time scan-bound.
+    val rowsBq = factors.filter(_ => sections("bq")).map { k =>
+      System.err.println(s"[scale] factor $k (bq hamming) ...")
+      import graft.operators.SimSearch
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nv = e.count()
+      val (n, t) = timedCount(SimSearch.bqHammingTopKOf(e))
+      s"| ${k}x | $nv | $n | ${f"$t%.1f"}s |"
+    }
+    if (sections("bq")) {
+      println()
+      println("| factor | vectors | reranked rows out | bq search time |")
+      println("|---|---|---|---|")
+      rowsBq.foreach(println)
+    }
+
+    // COMPACTION: the corpus grows k×, the layout contract does not
+    // (64 fragments → 8 bins at every factor). Claim: cost is the one
+    // shuffle+write of the data being compacted — the OPTIMIZE
+    // contract — and the output file count is a property of the
+    // layout, not the volume. Fragmented fixture written untimed.
+    val rowsCompact = factors.filter(_ => sections("compaction")).map { k =>
+      System.err.println(s"[scale] factor $k (compaction) ...")
+      import graft.operators.Layout
+      val tmp = System.getProperty("java.io.tmpdir")
+      val fragRoot = s"$tmp/graft_scale_frag_$k"
+      val outRoot = s"$tmp/graft_scale_compacted_$k"
+      val docs = replicatedDocs(spark, baseDir, k)
+      Layout.writeFragmented(docs, fragRoot)
+      val t0 = System.nanoTime()
+      val audit = Layout.compactionRunOf(spark, fragRoot, outRoot)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val t = (System.nanoTime() - t0) / 1e9
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(fragRoot)); rmTree(new java.io.File(outRoot))
+      s"| ${k}x | ${audit("fragmented")._2} | ${audit("fragmented")._1} | " +
+        s"${audit("compacted")._1} | ${f"$t%.1f"}s |"
+    }
+    if (sections("compaction")) {
+      println()
+      println("| factor | rows | files before | files after | compact+audit time |")
+      println("|---|---|---|---|---|")
+      rowsCompact.foreach(println)
+    }
+
+    // CONTENT-DEFINED CHUNKING: corpus grows k× (shingle-disjoint
+    // replicas — each replica's chunk hashes are fresh, so the df frame
+    // grows linearly too). Claim: the whole census is scan-shaped —
+    // chunking inside one codegen lambda, O(chunks) rows after, the df
+    // group-by posting-list shaped — so time grows ~linearly with no
+    // quadratic pair stage anywhere.
+    val rowsCdc = factors.filter(_ => sections("cdc")).map { k =>
+      System.err.println(s"[scale] factor $k (cdc chunking) ...")
+      val docs = replicatedDocs(spark, baseDir, k)
+      val nd = docs.count()
+      val (n, t) = timedCount(Dedup.cdcChunkStatsOf(docs))
+      s"| ${k}x | $nd | $n | ${f"$t%.1f"}s |"
+    }
+    if (sections("cdc")) {
+      println()
+      println("| factor | docs | census rows out | chunk census time |")
+      println("|---|---|---|---|")
+      rowsCdc.foreach(println)
     }
 
     // Batch k-center at PRODUCTION K: fixed corpus, K in the hundreds.

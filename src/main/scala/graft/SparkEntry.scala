@@ -121,6 +121,7 @@ object SparkEntry {
     "q_events_rolling"  -> (EventsOps.rollingUserActivity _),
     "q_events_decay"    -> (EventsOps.decayedUserFeatures _),
     "q_events_anomaly"  -> (EventsOps.anomalousDays _),
+    "q_events_resample" -> (EventsOps.resampleHourly _),
     "q_asof_join"  -> (EventsOps.asofPriorPurchase _),
     "q_range_join" -> (EventsOps.valueTierJoin _),
     "q_range_join_binned" -> (EventsOps.valueTierJoinBinned _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_containment" -> (Dedup.containmentPairs _),
     "q_dedup_winnow"        -> (Dedup.winnowPairs _),
+    "q_dedup_cdc_chunks"    -> (Dedup.cdcChunkStats _),
     "q_dedup_prefix_join"   -> (Dedup.prefixFilterJoin _),
     "q_dedup_recall"        -> (Dedup.lshRecallAudit _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
@@ -150,6 +152,8 @@ object SparkEntry {
 
     // ---- similarity search surface ----
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
+    "q_ann_bq_hamming"  -> (SimSearch.bqHammingTopK _),
+    "q_ann_bq_recall"   -> (SimSearch.bqRecall _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
     "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
     "q_ann_multiprobe"  -> (SimSearch.lshMultiProbeTopK _),
@@ -209,9 +213,12 @@ object SparkEntry {
     "q_train_quality_lr_calibration" -> (TextAnalysis.qualityLrCalibration _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
+    "q_snapshot_diff"    -> (CorpusMerge.snapshotDiff _),
+    "q_layout_compaction" -> (Layout.compactionAudit _),
     "q_zorder_values"    -> (Layout.zorderValues _),
     "q_zorder_pruning"   -> (Layout.zonemapPruning _),
     "q_zorder_pruning_files" -> (Layout.zonemapPruningFiles _),
+    "q_zorder_ingest"    -> (Layout.zorderIngest _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
@@ -447,6 +454,14 @@ object SparkEntry {
     * (mirror of `VectorFunctions.signBucket(…, 8)`). */
   private val DuckBucket =
     "list_sum(list_transform(range(0, 8), d -> CASE WHEN embedding[d + 1] >= 0 THEN (1::BIGINT << d) ELSE 0 END))::BIGINT"
+
+  /** DuckDB fragment: one 32-bit sign word of the binary-quantized
+    * embedding starting at dimension `lo` (mirror of
+    * `VectorFunctions.signWord(…, lo, 32)`). */
+  private def duckSignWord(lo: Int): String =
+    s"list_sum(list_transform(range(0, 32), d -> CASE WHEN " +
+      s"embedding[d + ${lo + 1}] >= 0 THEN (1::BIGINT << d) " +
+      s"ELSE 0::BIGINT END))::BIGINT"
 
   /** DuckDB fragment: sequential-fold dot product of `$a` and `$b`
     * (mirror of `VectorFunctions.dot`). */
@@ -2053,6 +2068,44 @@ object SparkEntry {
          |WHERE overlap >= ${Dedup.WinnowOverlapFloor}
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // content-defined chunking: identical boundary rule (gram-hash mod),
+    // identical segment closure and md5 chunk identity; the reassembly
+    // audit column (sum of chunk lengths tiles the doc) is recomputed,
+    // not trusted
+    "q_dedup_cdc_chunks" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < ${Dedup.ContainmentPlantDocs}
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         substr(text, 1, greatest(n_chars // 3, 40)) AS text
+         |  FROM documents WHERE doc_id < ${Dedup.ContainmentPlantDocs}),
+         |nrm AS (SELECT doc_id, array_to_string($DuckTok, ' ') AS norm
+         |        FROM corpus),
+         |nn AS (SELECT doc_id, norm, length(norm)::BIGINT AS chars
+         |       FROM nrm WHERE length(norm) >= ${Dedup.CdcK}),
+         |bounds AS (SELECT doc_id, i + ${Dedup.CdcK} AS start
+         |           FROM nn, unnest(range(1, length(norm) - ${Dedup.CdcK - 1} + 1)) AS u(i)
+         |           WHERE CAST('0x' || substr(md5(substr(norm, i, ${Dedup.CdcK})), 1, 8)
+         |                   AS BIGINT) % ${Dedup.CdcDivisor} = 0),
+         |starts AS (SELECT doc_id, 1 AS start FROM nn
+         |           UNION ALL SELECT doc_id, start FROM bounds),
+         |segs AS (SELECT s.doc_id, s.start,
+         |           coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+         |             ORDER BY s.start), chars + 1) - s.start AS clen,
+         |           norm, chars
+         |         FROM starts s JOIN nn USING (doc_id)),
+         |chunks AS (SELECT doc_id, chars, clen,
+         |             md5(substr(norm, start, clen::INT)) AS ch
+         |           FROM segs WHERE clen > 0),
+         |dfs AS (SELECT ch, count(DISTINCT doc_id) AS df FROM chunks GROUP BY ch)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |       any_value(chars)::BIGINT AS chars,
+         |       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |       (sum(clen) = any_value(chars)) AS covered_ok
+         |FROM chunks JOIN dfs USING (ch)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
          |sh AS (SELECT doc_id, $DuckShingles AS shingles
@@ -2149,6 +2202,91 @@ object SparkEntry {
          |           FROM pairs)
          |SELECT q_id, "rank", neighbor, cos FROM ranked
          |WHERE "rank" <= 5 ORDER BY q_id, "rank"""".stripMargin,
+
+    // binary quantization: sign words, popcount-of-xor Hamming
+    // candidates, exact-cosine rerank — identical two-stage plan with
+    // ties on (ham, vec_id) and ranks on (6dp cos, neighbor)
+    "q_ann_bq_hamming" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${duckSignWord(0)} AS w_lo,
+         |             ${duckSignWord(32)} AS w_hi,
+         |             $DuckNorm AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, w_lo AS q_lo,
+         |             w_hi AS q_hi, nrm AS q_nrm
+         |      FROM e WHERE vec_id < ${graft.operators.SimSearch.NQueries}),
+         |ham AS (SELECT q.q_id, e.vec_id,
+         |          (bit_count(xor(e.w_lo, q.q_lo)) +
+         |           bit_count(xor(e.w_hi, q.q_hi)))::BIGINT AS ham
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |cand AS (SELECT q_id, vec_id, ham FROM (
+         |           SELECT q_id, vec_id, ham,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY ham, vec_id) AS crank FROM ham)
+         |         WHERE crank <= ${graft.operators.SimSearch.BqCandidates}),
+         |sc AS (SELECT c.q_id, c.vec_id AS neighbor, c.ham,
+         |         round(${duckDot("q.q_emb", "e.embedding")} /
+         |           (q.q_nrm * e.nrm), 6) AS cos
+         |       FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |                   JOIN q ON q.q_id = c.q_id),
+         |ranked AS (SELECT q_id, neighbor, ham, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank" FROM sc)
+         |SELECT q_id, "rank", neighbor, ham, cos FROM ranked
+         |WHERE "rank" <= ${graft.operators.SimSearch.K}
+         |ORDER BY q_id, "rank"""".stripMargin,
+
+    // BQ recall audit: both pool arms replayed from ONE shared word/ham
+    // frame, scored against the exact top-K, monotone-in-pool pinned
+    "q_ann_bq_recall" -> {
+      import graft.operators.SimSearch.{BqCandidates, BqPoolSmall, K, NQueries}
+      def arm(pool: Int): String =
+        s"""r$pool AS (SELECT q_id, neighbor FROM (
+           |  SELECT c.q_id, c.vec_id AS neighbor,
+           |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+           |      round(${duckDot("q.q_emb", "e.embedding")} /
+           |        (q.q_nrm * e.nrm), 6) DESC, c.vec_id) AS rnk
+           |  FROM (SELECT q_id, vec_id FROM (
+           |          SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |            ORDER BY ham, vec_id) AS crank FROM ham)
+           |        WHERE crank <= $pool) c
+           |  JOIN e ON e.vec_id = c.vec_id JOIN q ON q.q_id = c.q_id)
+           |WHERE rnk <= $K)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${duckSignWord(0)} AS w_lo,
+         |             ${duckSignWord(32)} AS w_hi,
+         |             $DuckNorm AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, w_lo AS q_lo,
+         |             w_hi AS q_hi, nrm AS q_nrm
+         |      FROM e WHERE vec_id < $NQueries),
+         |ham AS (SELECT q.q_id, e.vec_id,
+         |          (bit_count(xor(e.w_lo, q.q_lo)) +
+         |           bit_count(xor(e.w_hi, q.q_hi)))::BIGINT AS ham
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |${arm(BqPoolSmall)},
+         |${arm(BqCandidates)},
+         |exact AS (SELECT q_id, neighbor FROM (
+         |  SELECT q.q_id, e.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      round(${duckDot("q.q_emb", "e.embedding")} /
+         |        (q.q_nrm * e.nrm), 6) DESC, e.vec_id) AS rnk
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         |WHERE rnk <= $K),
+         |approx AS (
+         |  SELECT 'bq_pool$BqPoolSmall' AS method, q_id, neighbor FROM r$BqPoolSmall
+         |  UNION ALL
+         |  SELECT 'bq_pool$BqCandidates', q_id, neighbor FROM r$BqCandidates),
+         |recalls AS (
+         |  SELECT method, coalesce(sum(hit), 0)::BIGINT AS hits
+         |  FROM approx a LEFT JOIN (SELECT q_id, neighbor, 1 AS hit FROM exact) x
+         |    USING (q_id, neighbor) GROUP BY method)
+         |SELECT method, hits,
+         |       round(hits::DOUBLE / ${K * NQueries}, 4) AS recall5,
+         |       CASE WHEN method = 'bq_pool$BqCandidates'
+         |         THEN hits >= (SELECT hits FROM recalls
+         |                       WHERE method = 'bq_pool$BqPoolSmall')
+         |         ELSE true END AS mono_ok
+         |FROM recalls ORDER BY method""".stripMargin
+    },
     "q_multimodal_stats" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3)::INT + 1] AS mime,
@@ -4101,6 +4239,39 @@ object SparkEntry {
          |ORDER BY source""".stripMargin
     },
 
+    // snapshot diff: replay the merge (same CTEs as q_merge_upsert),
+    // then the full-outer md5 compare — diff(apply(S, delta), S) must
+    // recover exactly the change batch
+    "q_snapshot_diff" -> {
+      val ins = CorpusMerge.InsertedDocs
+        .map { case (id, t, l, s) => s"($id, '$t', '$l', '$s')" }
+        .mkString(", ")
+      s"""WITH inserted(doc_id, text, lang, source) AS (VALUES $ins),
+         |batch AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 101 = 0 THEN 'D'
+         |         WHEN doc_id % 97 = 0 THEN 'U' END AS op,
+         |    text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 101 = 0 OR doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id, 'I', text FROM inserted),
+         |merged AS (
+         |  SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+         |    CASE WHEN c.op IN ('U', 'I') THEN c.text ELSE s.text END AS text
+         |  FROM documents s FULL OUTER JOIN batch c ON s.doc_id = c.doc_id
+         |  WHERE c.op IS NULL OR c.op <> 'D'),
+         |diff AS (
+         |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |    CASE WHEN b.doc_id IS NULL THEN 'I'
+         |         WHEN a.doc_id IS NULL THEN 'D'
+         |         WHEN b.old_md5 <> a.new_md5 THEN 'U' END AS op,
+         |    b.old_md5, a.new_md5
+         |  FROM (SELECT doc_id, md5(text) AS old_md5 FROM documents) b
+         |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS new_md5 FROM merged) a
+         |    ON b.doc_id = a.doc_id)
+         |SELECT doc_id, op, old_md5, new_md5 FROM diff
+         |WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+
     // the bit-interleave terms are generated from the same Scala
     // constants as the Spark kernel (Layout.zValueSqlTerms)
     "q_export_shards" ->
@@ -4115,6 +4286,42 @@ object SparkEntry {
          |       sum(hx)::BIGINT AS hash_sum,
          |       min(h) AS h_min, max(h) AS h_max
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // compaction audit: the oracle re-derives BOTH layouts' file counts
+    // relationally — fragmented = distinct content-hash shards,
+    // compacted = distinct bins from the same size-ordered cumulative
+    // packing arithmetic (BIGINT cross-multiplication, double-exact
+    // division at these magnitudes) — and the content totals from the
+    // source table; equality with the Spark side's REAL filesystem
+    // listing + read-back pins the physical rewrite
+    "q_layout_compaction" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hx
+         |           FROM documents),
+         |s AS (SELECT *, hx % ${Layout.CompactFragments} AS shard FROM d),
+         |sizes AS (SELECT shard, sum(length(text))::BIGINT AS chars
+         |          FROM s GROUP BY shard),
+         |tot AS (SELECT sum(chars)::BIGINT AS total_chars FROM sizes),
+         |cum AS (SELECT shard,
+         |          coalesce(sum(chars) OVER (ORDER BY shard
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |            AS cum_before
+         |        FROM sizes),
+         |bins AS (SELECT shard,
+         |           floor(cum_before * ${Layout.CompactBins} / total_chars)::BIGINT
+         |             AS bin
+         |         FROM cum, tot),
+         |totals AS (SELECT count(*)::BIGINT AS n_rows,
+         |             sum(length(text))::BIGINT AS chars,
+         |             sum(hx)::BIGINT AS hash_sum FROM s)
+         |SELECT 'compacted' AS layout,
+         |       (SELECT count(DISTINCT bin) FROM bins)::BIGINT AS n_files,
+         |       n_rows, chars, hash_sum FROM totals
+         |UNION ALL
+         |SELECT 'fragmented',
+         |       (SELECT count(DISTINCT shard) FROM s)::BIGINT,
+         |       n_rows, chars, hash_sum FROM totals
+         |ORDER BY layout""".stripMargin,
     // zone-map audit: both engines cut identical ntile blocks on the
     // unique (key, event_id) total order; box/extent tests are
     // integer/IEEE-exact
@@ -4194,6 +4401,38 @@ object SparkEntry {
          |  FROM events)
          |SELECT event_id, (${Layout.zValueSqlTerms("a", "b")}) AS zval
          |FROM d ORDER BY zval DESC, event_id LIMIT 50""".stripMargin,
+
+    // layout ingest: same frozen interleave routing, same mod-rule
+    // batch; pre/post scored from the relational block extents the
+    // footer audit is spec-pinned to equal
+    "q_zorder_ingest" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |z AS (SELECT event_id, user_id, value,
+         |        (${Layout.zValueSqlTerms("a", "b")}) >> ${Layout.ZPrefixShift}
+         |          AS blk FROM d),
+         |states AS (
+         |  SELECT 'zorder_pre' AS layout, blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'zorder_post', blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'zorder_post', blk, user_id, value FROM z
+         |  WHERE event_id % 97 = 0),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM states GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(n_rows)::BIGINT AS n_rows
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
     // the IVM oracle is the FULL RECOMPUTE over the merged corpus —
     // equality proves the delta retract/apply algebra
@@ -4408,6 +4647,30 @@ object SparkEntry {
          |       (abs(z) > ${EventsOps.AnomalyZ}
          |        OR (mad = 0 AND n <> med)) AS is_anomaly
          |FROM scored ORDER BY day, event_type""".stripMargin,
+
+    // gap-fill/resample: the spine replays Spark's sequence(min..max
+    // hour) with generate_series; ffill is the identical ignore-nulls
+    // running last_value; averages divide a DECIMAL-exact sum by the
+    // exact count (both round 4dp); hours cross as strings
+    "q_events_resample" ->
+      """WITH obs AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |          count(*)::BIGINT AS n_obs,
+        |          round(sum(value::DECIMAL(18,4))::DOUBLE / count(*), 4) AS obs_avg
+        |        FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM obs),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |          FROM b),
+        |types AS (SELECT DISTINCT event_type FROM obs),
+        |grid AS (SELECT h.hour, t.event_type, o.n_obs, o.obs_avg
+        |         FROM hours h CROSS JOIN types t
+        |         LEFT JOIN obs o ON o.hour = h.hour AND o.event_type = t.event_type)
+        |SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour, event_type,
+        |       coalesce(n_obs, 0)::BIGINT AS n_events,
+        |       last_value(obs_avg IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+        |       n_obs IS NULL AS filled
+        |FROM grid ORDER BY event_type, hour""".stripMargin,
 
     // unpivot → one grouped pass, exactly the Spark stack() plan's algebra;
     // values profile as strings (binary collation in both engines)

@@ -57,4 +57,16 @@ object VectorFunctions {
     (0 until nBits).map(d =>
       when(element_at(v, d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** One machine word of a BINARY-QUANTIZED vector: bit d set iff
+    * v[lo + d] >= 0 — [[signBucket]] generalized to an arbitrary
+    * dimension window, so a d-dim vector packs into ⌈d/nBits⌉ BIGINT
+    * words (the 1-bit-per-dimension code of sign-random-projection
+    * hashing, Charikar STOC'02, with axis-aligned hyperplanes).
+    * Same unrolled codegen-friendly shape as [[signBucket]]: this
+    * column is the per-row hot path of the BQ signature scan. */
+  def signWord(v: Column, lo: Int, nBits: Int): Column =
+    (0 until nBits).map(d =>
+      when(element_at(v, lo + d + 1) >= 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
 }

@@ -49,9 +49,11 @@ object CorpusMerge {
     (9200002L, "merge batch arrival two", "de", "planted_merge"),
     (9200003L, "merge batch arrival three", "fr", "planted_merge"))
 
-  def changeBatch(spark: SparkSession, dir: String): DataFrame = {
+  def changeBatch(spark: SparkSession, dir: String): DataFrame =
+    changeBatchOf(spark, Tables.documents(spark, dir))
+
+  def changeBatchOf(spark: SparkSession, snap: DataFrame): DataFrame = {
     import spark.implicits._
-    val snap = Tables.documents(spark, dir)
     val touched = snap
       .filter(col("doc_id") % 101 === 0 || col("doc_id") % 97 === 0)
       .select(col("doc_id"),
@@ -126,5 +128,52 @@ object CorpusMerge {
         coalesce(col("n_upd"), lit(0L)).as("n_upd"),
         coalesce(col("n_del"), lit(0L)).as("n_del"))
       .orderBy("source")
+  }
+
+  /** SNAPSHOT DIFF — the inverse of [[mergeUpsert]]: derive the change
+    * set FROM two snapshots (CDC derivation / backfill reconciliation —
+    * what a pipeline runs when an upstream re-delivers a corpus without
+    * a changelog and it must recover what actually changed). One
+    * full-outer join on the key, rows classified by presence and by
+    * content hash: only-new → insert, only-old → delete, both sides
+    * present with differing md5 → update; unchanged rows are dropped —
+    * the diff is |Δ|-sized, never corpus-sized, no matter how large the
+    * snapshots.
+    *
+    * Registered as the round-trip identity `diff(apply(S, Δ), S) ≡ Δ`:
+    * the "new" snapshot is [[mergeUpsert]] applied to the deterministic
+    * [[changeBatch]], so the recovered diff must be exactly that batch
+    * (every update in the batch really changes the text, so no-op
+    * updates cannot hide). The DuckDB oracle replays merge + diff
+    * relationally — the hash match pins the merge algebra AND the diff
+    * classification at once. `DiffSpec` pins the identity directly
+    * against the batch frame.
+    *
+    * Scale: the join is one key-equi shuffle of both snapshots
+    * (co-partitioned; with both sides bucketed by the key —
+    * [[Layout.writeBucketed]] — it runs with zero exchanges). At
+    * warehouse scale, partition-level content fingerprints (the
+    * manifest's per-partition hash) short-circuit untouched partitions
+    * before any row is read; the row-level compare here is the
+    * within-touched-partition step of that plan. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.documents(spark, dir)
+    snapshotDiffOf(snap,
+      mergeUpsert(snap, changeBatch(spark, dir),
+        "doc_id", Seq("text", "lang", "source")))
+  }
+
+  /** The diff kernel over any two (doc_id, text) snapshots. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val before = oldSnap.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val after = newSnap.select(col("doc_id"), md5(col("text")).as("new_md5"))
+    before.join(after, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("old_md5").isNull, OpInsert)
+          .when(col("new_md5").isNull, OpDelete)
+          .when(col("old_md5") =!= col("new_md5"), OpUpdate))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"), col("op"), col("old_md5"), col("new_md5"))
+      .orderBy("doc_id")
   }
 }

@@ -1048,6 +1048,95 @@ object Dedup {
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairsOf(winnowPlant(spark, dir))
 
+  /** Rolling-gram width for content-defined chunking. */
+  val CdcK = 8
+  /** Boundary divisor — a cut lands where the gram hash ≡ 0 (mod this),
+    * so the EXPECTED chunk length ≈ divisor chars: the dedup-granularity
+    * dial (smaller chunks dedup more, cost more metadata). */
+  val CdcDivisor = 64L
+
+  /** CONTENT-DEFINED CHUNKING (the LBFS/rsync primitive —
+    * Muthitacharoen et al., SOSP 2001; the FastCDC family): cut a
+    * document AFTER every position whose rolling [[CdcK]]-gram hash ≡ 0
+    * (mod [[CdcDivisor]]), so boundaries are a pure function of LOCAL
+    * content — an edit re-chunks only its own neighborhood, where
+    * fixed-size blocks shift every later block by one inserted byte
+    * (`CdcChunkSpec` pins exactly that locality). This is the
+    * storage-dedup / delta-sync primitive: shared regions between
+    * documents (or snapshot versions) fingerprint to shared chunk
+    * hashes regardless of their offsets.
+    *
+    * Relational shape: the boundary set is computed INSIDE one
+    * collection expression per document (transform + filter over the
+    * gram positions — no per-position row explosion for the boundary
+    * scan), then one `explode` emits only the ~len/divisor chunk
+    * starts, a per-doc `lead` window closes each segment, and the
+    * chunk content hashes with md5 (the cross-engine hash). Cost is
+    * one scan-shaped pass, O(corpus chars) inside the codegen'd
+    * lambda, O(chunks) rows after — the same budget as the winnowing
+    * pass. Returns (doc_id, start, clen, ch, chars). */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = docs
+      .select(col("doc_id"), array_join(tokenize(col("text")), " ").as("norm"))
+      .filter(length(col("norm")) >= CdcK)
+    val starts = nrm.select(col("doc_id"), col("norm"),
+      explode(expr(
+        s"""array_sort(concat(array(1),
+           |  filter(transform(sequence(1, length(norm) - ${CdcK - 1}),
+           |    i -> IF(cast(conv(substring(md5(substring(norm, i, $CdcK)), 1, 8),
+           |                   16, 10) as bigint) % $CdcDivisor = 0,
+           |            i + $CdcK, 0)),
+           |    s -> s > 0)))""".stripMargin)).as("start"))
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    starts
+      .withColumn("next", lead(col("start"), 1).over(w))
+      .withColumn("clen",
+        coalesce(col("next"), length(col("norm")) + 1) - col("start"))
+      .filter(col("clen") > 0)
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        col("clen").cast("long").as("clen"),
+        md5(expr("substring(norm, start, clen)")).as("ch"),
+        length(col("norm")).cast("long").as("chars"))
+  }
+
+  /** Registered CDC census over the containment plant (full docs plus
+    * their truncated prefixes — guaranteed shared regions at shifted
+    * offsets, the geometry CDC exists for): per document, its chunk
+    * count, normalized length, how many of its chunk occurrences are
+    * SHARED (hash present in ≥2 docs — the dedupable fraction a
+    * chunk-store would not re-store), and the reassembly audit
+    * (chunk lengths must tile the document exactly — a chunker that
+    * drops or overlaps a byte corrupts restores, so the invariant is
+    * oracle-checked on every doc). Chunk sharing is computed over the
+    * corpus-wide hash frame — one groupBy on the chunk hash, posting-
+    * list shaped, never all-pairs. */
+  def cdcChunkStats(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkStatsOf(winnowPlant(spark, dir))
+
+  /** Plan-audit hook: the corpus-shaped chunking pass (the registered
+    * query materializes its output once for the two downstream
+    * consumers, so the retained plan would dump as an ExistingRDD
+    * scan — the [[winnowPairsPlan]] situation). */
+  private[graft] def cdcChunksPlan(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(winnowPlant(spark, dir))
+
+  def cdcChunkStatsOf(docs: DataFrame): DataFrame = {
+    // the chunk frame feeds two consumers (the df frame and the census
+    // join) — materialized once so the corpus-shaped chunking pass runs
+    // once, not per consumer
+    val (chunks, _) = materializeOwned(cdcChunksOf(docs), reliable = false)
+    val dfs = chunks.groupBy("ch")
+      .agg(countDistinct("doc_id").as("df"))
+    chunks.join(dfs, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        first(col("chars")).as("chars"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"),
+        (sum(col("clen")) === first(col("chars"))).as("covered_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Plan-audit hook: the corpus-shaped fingerprint pass — the part
     * whose shape decides the 100 TB cost (PLANS.md dumps this instead
     * of the retained ExistingRDD the registered query returns; the pair

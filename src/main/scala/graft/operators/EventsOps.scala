@@ -380,6 +380,61 @@ object EventsOps {
       .orderBy("day", "event_type")
   }
 
+  /** GAP-FILL / RESAMPLE onto a regular hourly grid — the time-series
+    * completeness operator every monitoring/feature pipeline needs
+    * before windowed math is meaningful (a rolling mean over a series
+    * with silent holes is wrong in exactly the hours that matter, the
+    * outage ones). Emits one row per (event_type × hour) cell of the
+    * corpus' full [min, max] hour span: observed cells carry their
+    * count and DECIMAL-exact hourly average; empty cells carry
+    * n_events = 0, a `filled` flag, and the last PRIOR observed average
+    * forward-filled (`last(..., ignoreNulls)` over the per-type
+    * hour-ordered window — the carry-forward semantics of every
+    * downstream feature store). Hours before a type's first observation
+    * have nothing to carry and stay NULL — honestly absent, not zero.
+    *
+    * Scale: the 100 TB log collapses to the (hour × type) grid in ONE
+    * map-side-combined groupBy — the only full pass. The spine is
+    * |hours| × |types| rows generated from a 1-row bounds aggregate
+    * (`sequence` + `explode`, no driver round-trip), the ffill window
+    * runs per type over that bounded grid, and the join of spine to
+    * observations is grid-sized. Nothing downstream of the first
+    * aggregate ever touches the corpus again. Averages divide a
+    * DECIMAL-exact sum by an exact count and round to 4dp in both
+    * engines (partition-order independence); hours cross the oracle as
+    * strings (the temporal-parity rule). */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame =
+    resampleHourlyOf(Tables.events(spark, dir))
+
+  def resampleHourlyOf(ev: DataFrame): DataFrame = {
+    // the observed grid feeds three consumers (spine bounds, the type
+    // set, the join) — materialized once so the corpus is scanned
+    // exactly once (lazy sharing would re-run the scan per consumer)
+    val (obs, _) = Dedup.materializeOwned(ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("obs_avg")), reliable = false)
+    // spine bounds and the type set both derive from the ALREADY
+    // AGGREGATED grid, not the log — the corpus is scanned exactly once
+    val bounds = obs.agg(min(col("hour")).as("h_lo"), max(col("hour")).as("h_hi"))
+    val hours = bounds.select(
+      explode(sequence(col("h_lo"), col("h_hi"), expr("interval 1 hour")))
+        .as("hour"))
+    val types = obs.select("event_type").distinct()
+    val ffill = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.crossJoin(broadcast(types))
+      .join(obs, Seq("hour", "event_type"), "left")
+      .withColumn("filled", col("n_obs").isNull)
+      .withColumn("n_events", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("avg_value",
+        last(col("obs_avg"), ignoreNulls = true).over(ffill))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("avg_value"), col("filled"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Day-N RETENTION cohorts — the staple growth-analytics rollup: users
     * grouped by their first-seen day, counted on each subsequent day they
     * return (day_n = 0 is the cohort size itself). Day 0..7 horizon.

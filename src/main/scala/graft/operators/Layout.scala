@@ -344,6 +344,195 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Fragment count of the deliberately-small-file input layout the
+    * registered compaction audit rewrites, and the bin count it
+    * compacts to. 64 → 8 at every SF: compaction's yield is the file-
+    * count ratio, which is a property of the layout, not the data
+    * volume. */
+  val CompactFragments = 64
+  val CompactBins = 8
+
+  /** The fragmented input state for [[compactionAudit]]: the documents
+    * corpus written as [[CompactFragments]] content-hash-sharded small
+    * parquet files — the small-file debris an incremental ingest
+    * accumulates (each micro-batch writes its own files; after a day a
+    * partition is thousands of kilobyte-files and every scan pays
+    * per-file open/footer/list cost). Published once per corpus content
+    * through the write-once layout machinery; the audit's own cost is
+    * then the compaction itself, not fixture creation. */
+  private[graft] def writeFragmented(docs: DataFrame, root: String): Unit =
+    sharded(docs, CompactFragments)
+      .select("doc_id", "text", "hx", "shard")
+      .repartition(CompactFragments, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+
+  private[graft] def ensureFragmentedDocs(spark: SparkSession, dir: String): String =
+    ScaleTechniques.ensureLayout(
+      ScaleTechniques.layoutPath(dir, "documents.parquet", "frag")) { tmp =>
+      writeFragmented(Tables.fanOut(Tables.documents(spark, dir)), s"$tmp/docs")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+
+  /** Recursive count of real parquet data files under a layout root —
+    * the metric compaction exists to shrink. */
+  private def parquetFileCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  /** Registered SMALL-FILE COMPACTION audit — the table-maintenance
+    * OPTIMIZE job as an oracle-checkable operator: rewrite the
+    * [[CompactFragments]]-file fragmented layout into [[CompactBins]]
+    * size-balanced files and prove the rewrite lossless. Bin assignment
+    * is SIZE-ORDERED CUMULATIVE PACKING on a deterministic logical size
+    * (per-file char totals — the oracle-reproducible proxy for physical
+    * bytes, which DuckDB cannot observe): files ordered by shard id,
+    * bin = ⌊cum_chars_before · bins / total_chars⌋ in exact BIGINT
+    * cross-multiplication — contiguous runs of input files fold into
+    * each output file, which also preserves any range-clustering the
+    * input layout had (the reason real OPTIMIZE jobs pack sorted runs
+    * rather than hash-scattering rows).
+    *
+    * The result is one row per layout with the REAL data-file count
+    * from the filesystem listing plus content totals (rows, chars, and
+    * the additive md5-prefix checksum) read back from the actual files;
+    * the DuckDB oracle re-derives the file counts RELATIONALLY
+    * (distinct shards / distinct packed bins from the same arithmetic)
+    * and the totals from the source table — so the hash match pins: the
+    * fragmented write routed every row to its shard, the packing
+    * arithmetic, the physical rewrite really produced one file per bin,
+    * and not a row was lost or altered in the rewrite.
+    *
+    * Scale: the plan-side aggregates run per input file (|files| rows;
+    * the packing window orders that bounded manifest frame, never row
+    * data), the rewrite is one shuffle of the data being compacted —
+    * the cost any OPTIMIZE pays — and the audit re-read is one pass
+    * over the compacted output. At warehouse scale the same packing
+    * runs from manifest byte sizes, partition by partition. */
+  def compactionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val fragRoot = s"${ensureFragmentedDocs(spark, dir)}/docs"
+    val outRoot = new java.io.File(
+      ScaleTechniques.layoutPath(dir, "documents.parquet", "compacted"),
+      "docs").getAbsolutePath
+    compactionRunOf(spark, fragRoot, outRoot)
+  }
+
+  /** The plan + rewrite + audit kernel over any fragmented layout root
+    * (the Scale harness runs it on replicated corpora at scratch
+    * paths). */
+  private[graft] def compactionRunOf(spark: SparkSession, fragRoot: String,
+      outRoot: String): DataFrame = {
+    val frag = spark.read.parquet(fragRoot)
+    // the compaction PLAN: per-file manifest + cumulative packing
+    val sizes = frag.groupBy("shard")
+      .agg(sum(length(col("text"))).cast("long").as("chars"))
+    val total = sizes.agg(sum("chars").cast("long").as("total_chars"))
+    import org.apache.spark.sql.expressions.Window
+    // global window over the |files|-row MANIFEST frame (64 rows), never
+    // row data — the bounded-frame exception to the no-global-sort rule
+    val packW = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bins = sizes.crossJoin(broadcast(total))
+      .withColumn("cum_before",
+        coalesce(sum("chars").over(packW).cast("long"), lit(0L)))
+      .select(col("shard"),
+        floor(col("cum_before") * CompactBins / col("total_chars"))
+          .cast("long").as("bin"))
+    // the physical rewrite: one file per bin (idempotent overwrite,
+    // re-run per invocation — the rewrite IS the measured operator)
+    frag.join(broadcast(bins), Seq("shard"))
+      .repartition(CompactBins, col("bin"))
+      // deterministic in-file order (the exportWrite contract): two
+      // compactions of the same corpus are row-identical
+      .sortWithinPartitions("bin", "hx", "doc_id")
+      .select("doc_id", "text", "hx", "bin")
+      .write.mode("overwrite").partitionBy("bin").parquet(outRoot)
+    // the audit: REAL file counts + content totals read back from disk
+    def audit(layout: String, root: String): DataFrame =
+      spark.read.parquet(root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          sum(col("hx")).as("hash_sum"))
+        .select(lit(layout).as("layout"),
+          lit(parquetFileCount(spark, root)).as("n_files"),
+          col("n_rows"), col("chars"), col("hash_sum"))
+    audit("compacted", outRoot)
+      .unionByName(audit("fragmented", fragRoot))
+      .orderBy("layout")
+  }
+
+  /** Id shift for [[zorderIngest]]'s arriving batch — new event ids,
+    * same (user, value) distribution. */
+  val ZIngestIdShift = 8000000000L
+
+  /** Deterministic arriving batch for the layout-ingest audit: every
+    * base event with event_id ≡ 0 (mod 97), id-shifted so the ids are
+    * NEW, user/value preserved — fresh data from the same distribution,
+    * which is what steady-state ingest looks like. */
+  private def zorderIngestBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 97 === 0)
+      .select((col("event_id") + ZIngestIdShift).as("event_id"),
+        col("user_id"), col("value"))
+
+  /** Z-ORDER LAYOUT INGEST — the ADD path of the clustered layout (the
+    * `q_text_bm25_index_merge` / `q_ann_index_merge` maintenance
+    * discipline applied to [[ensureZorderBlocks]]): arriving rows route
+    * to their block with the SAME frozen row-local z-prefix the layout
+    * was written with — a per-row shift, no bounds retraining, no
+    * relayout, no touch of existing files — and land as small delta
+    * files beside the snapshot (`partitionBy(blk)` into a delta root;
+    * a lakehouse manifest unions them; [[compactionAudit]]'s operator
+    * is exactly what later folds them into the base files). Cost is
+    * O(batch): route + write the batch, nothing else.
+    *
+    * The audit then scores the standard box against the UNIONED footer
+    * manifest (base + delta), pre vs post: because every delta row
+    * carries a (user, value) its block already covers, the per-block
+    * extents are unchanged and `blocks_read` must be IDENTICAL before
+    * and after ingest while `n_rows` grows by the batch — pruning is
+    * preserved under maintenance, which is the property that makes the
+    * add path sound. The DuckDB oracle re-derives both states
+    * relationally (same interleave arithmetic, same mod-rule batch), so
+    * the hash match pins the frozen routing, the physical delta write,
+    * and the extent stability at once. */
+  def zorderIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureZorderBlocks(spark, dir)
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
+    val deltaRoot = new java.io.File(
+      ScaleTechniques.layoutPath(dir, "events.parquet", "zdelta"),
+      "zorder").getAbsolutePath
+    zorderIngestBatch(spark, dir)
+      .withColumn("blk", shiftright(zValue(a, b), ZPrefixShift))
+      .repartition(8, col("blk"))
+      .write.mode("overwrite").partitionBy("blk").parquet(deltaRoot)
+    def score(layout: String, stats: DataFrame): DataFrame = {
+      val blocks = stats.groupBy("blk")
+        .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
+          min("min_v").as("min_v"), max("max_v").as("max_v"),
+          sum("n_rows").as("n_rows"))
+      blocks
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("n_rows").as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"), col("n_rows"))
+    }
+    val base = parquetFooterExtents(spark, s"$root/zorder")
+    score("zorder_post", base.unionByName(parquetFooterExtents(spark, deltaRoot)))
+      .unionByName(score("zorder_pre", base))
+      .orderBy("layout")
+  }
+
   /** The exact SQL mirror of [[zValue]]'s shift/mask terms, generated
     * from the same constants — single source of truth for the oracle. */
   def zValueSqlTerms(a: String, b: String): String =

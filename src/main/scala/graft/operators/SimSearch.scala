@@ -72,6 +72,105 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** Candidate pool per query for [[bqHammingTopK]]'s Hamming stage —
+    * the recall dial: larger pools cost more exact rerank distance
+    * computations and miss fewer sign-boundary neighbors. */
+  val BqCandidates = 32
+
+  /** BINARY QUANTIZATION + Hamming candidate scan + exact rerank — the
+    * memory-bound ANN default of modern vector stores: each 64-dim
+    * float vector compresses 32× into two 32-bit sign words (one bit
+    * per dimension — sign-random-projection codes, Charikar STOC'02,
+    * here with axis-aligned hyperplanes, the same family as
+    * `q_dedup_simhash`'s token-space fingerprints), candidates are the
+    * [[BqCandidates]] smallest Hamming distances per query (popcount of
+    * XOR — pure codegen'd integer ops, no floating point in the scan),
+    * and only the survivors pay an exact float cosine in the rerank.
+    *
+    * Scale shape: the signature scan touches 8 bytes/vector instead of
+    * 256 — at 100 TB of embeddings that is the difference between a
+    * memory-resident scan and a disk-bound one; the scan itself is the
+    * broadcast-query pattern of [[bruteForceTopK]] with
+    * `WindowGroupLimit` bounding per-task state, the rerank fetch is a
+    * second corpus scan row-locally filtered by the broadcast ≤
+    * |queries|·[[BqCandidates]] candidate ids (production: an id-keyed
+    * point fetch), and exact math touches candidates only. Composes
+    * with IVF routing (`q_ann_ivf_routed`) when even the signature scan
+    * must be sub-linear. Hamming ties break on vec_id; rerank ranks on
+    * 6dp-rounded cosine + neighbor id (the cross-engine rank rule). */
+  def bqHammingTopK(spark: SparkSession, dir: String): DataFrame =
+    bqHammingTopKOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  def bqHammingTopKOf(e: DataFrame, pool: Int = BqCandidates): DataFrame = {
+    val words = e.select(col("vec_id"),
+      signWord(col("embedding"), 0, 32).as("w_lo"),
+      signWord(col("embedding"), 32, 32).as("w_hi"))
+    val q = words.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("w_lo").as("q_lo"),
+        col("w_hi").as("q_hi"))
+    val wc = Window.partitionBy("q_id").orderBy(asc("ham"), asc("vec_id"))
+    val cand = words.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("w_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("w_hi").bitwiseXOR(col("q_hi")))).cast("long").as("ham"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= pool)
+      .select("q_id", "vec_id", "ham")
+    // rerank fetch: corpus scan filtered row-locally by the broadcast
+    // candidate ids, then the tiny q_emb broadcast for the exact cosine
+    val qe = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("ham"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor", "ham", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Small candidate pool for [[bqRecall]]'s contrast arm — the other
+    * end of the pool dial. */
+  val BqPoolSmall = 8
+
+  /** BQ RECALL AUDIT — [[annRecall]]'s pattern applied to the binary-
+    * quantized chain: recall@[[K]] of [[bqHammingTopKOf]] against the
+    * fold-exact cosine top-[[K]], at BOTH ends of the candidate-pool
+    * dial ([[BqPoolSmall]] vs [[BqCandidates]]). Because the rerank
+    * ranks candidates by the SAME (cos, neighbor) order as the exact
+    * arm, recall is monotone in the pool — the larger pool can never
+    * score below the smaller — and `mono_ok` locks that dominance into
+    * the correctness gate (the same dial-audit discipline as nprobe and
+    * the LSH banding sweep). Measures the 1-bit code's real retrieval
+    * cost: what the 32× compression gives up at each pool size, which
+    * is the number that calibrates the pool in production. */
+  def bqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val exact = bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("neighbor"), lit(1).as("hit"))
+    val approx = Seq(
+      s"bq_pool$BqPoolSmall" -> bqHammingTopKOf(e, BqPoolSmall),
+      s"bq_pool$BqCandidates" -> bqHammingTopKOf(e, BqCandidates))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("q_id"), col("neighbor")) }
+      .reduce(_ unionByName _)
+    val recalls = approx.join(exact, Seq("q_id", "neighbor"), "left")
+      .groupBy("method")
+      .agg(coalesce(sum("hit"), lit(0)).cast("long").as("hits"))
+    val withBase = recalls.withColumn("base",
+      when(col("method") === s"bq_pool$BqCandidates", lit(s"bq_pool$BqPoolSmall")))
+    withBase
+      .join(recalls.select(col("method").as("base"), col("hits").as("base_hits")),
+        Seq("base"), "left")
+      .select(col("method"), col("hits"),
+        round(col("hits") / lit(1.0 * K * NQueries), 4).as("recall5"),
+        coalesce(col("hits") >= col("base_hits"), lit(true)).as("mono_ok"))
+      .orderBy("method")
+  }
+
   /** The same exact top-k as [[bruteForceTopK]], but through the custom
     * typed [[graft.functions.TopKAggregator]] instead of a rank window:
     * one O(k) buffer per query, partial-reduced map-side and merged

@@ -157,6 +157,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_ann_opq" -> "q_ann_pq",
     "q_ann_quantize_int8" -> "q_ann_pq",
     "q_train_triplets" -> "q_ann_brute_force",
+    "q_ann_bq_recall" -> "q_ann_bq_hamming",
     "q_sample_kcenter_batch" -> "q_sample_kcenter",
     // samples: content-hash-ordered draw family
     "q_sample_stratified" -> "q_sample_domain_cap",
