@@ -36,7 +36,8 @@ object Plans {
     "q_ann_index_merge", "q_text_bm25_capped", "q_zorder_pruning_files",
     "q_multimodal_video_inc",
     "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
-    "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest")
+    "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
+    "q_dedup_cdc_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -85,7 +85,7 @@ object Scale {
       "boiler", "training", "spaninc", "dsir", "bloom", "bpe", "winnow",
       "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
-      "resample", "snapdiff", "bq", "compaction", "cdc")
+      "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -778,6 +778,35 @@ object Scale {
       println("| factor | docs | census rows out | chunk census time |")
       println("|---|---|---|---|")
       rowsCdc.foreach(println)
+    }
+
+    // INCREMENTAL CDC screen: a FIXED re-delivered batch probed against
+    // a GROWING chunk store (replicated docs — replicas chunk to fresh
+    // hash spaces, so the key set grows linearly). Claim: the screen is
+    // O(batch) — only the batch is chunked, the probe is one equi-join
+    // whose output stays batch-bounded — while the store's key-set
+    // build (the per-snapshot artifact) grows with the store.
+    val rowsCdcInc = factors.filter(_ => sections("cdcinc")).map { k =>
+      System.err.println(s"[scale] factor $k (cdc incremental screen) ...")
+      val t0i = System.nanoTime()
+      val (idx, idxRdd) = Dedup.materializeOwned(
+        Dedup.cdcChunkIndexOf(replicatedDocs(spark, baseDir, k)),
+        reliable = false)
+      val nIdx = idx.count()
+      val tIdx = (System.nanoTime() - t0i) / 1e9
+      val batch = graft.sources.Tables.fanOut(
+          graft.sources.Tables.documents(spark, baseDir))
+        .select((col("doc_id") + Dedup.CdcRedeliverShift).as("doc_id"),
+          concat(lit("redelivered copy "), col("text")).as("text"))
+      val (n, t) = timedCount(Dedup.cdcScreenOf(batch, idx))
+      Dedup.retire(spark, idxRdd)
+      s"| ${k}x | $nIdx | ${f"$tIdx%.1f"}s | $n | ${f"$t%.1f"}s |"
+    }
+    if (sections("cdcinc")) {
+      println()
+      println("| factor | store chunk keys | key-set build | screened docs | screen time |")
+      println("|---|---|---|---|---|")
+      rowsCdcInc.foreach(println)
     }
 
     // Batch k-center at PRODUCTION K: fixed corpus, K in the hundreds.

@@ -139,6 +139,7 @@ object SparkEntry {
     "q_dedup_containment" -> (Dedup.containmentPairs _),
     "q_dedup_winnow"        -> (Dedup.winnowPairs _),
     "q_dedup_cdc_chunks"    -> (Dedup.cdcChunkStats _),
+    "q_dedup_cdc_inc"       -> (Dedup.cdcScreenIncremental _),
     "q_dedup_prefix_join"   -> (Dedup.prefixFilterJoin _),
     "q_dedup_recall"        -> (Dedup.lshRecallAudit _),
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
@@ -454,6 +455,29 @@ object SparkEntry {
     * (mirror of `VectorFunctions.signBucket(…, 8)`). */
   private val DuckBucket =
     "list_sum(list_transform(range(0, 8), d -> CASE WHEN embedding[d + 1] >= 0 THEN (1::BIGINT << d) ELSE 0 END))::BIGINT"
+
+  /** DuckDB CTE chain mirroring `Dedup.cdcChunksOf` over corpus CTE
+    * `$src` — emits `${p}chunks(doc_id, chars, clen, ch)`; single
+    * source of truth for both CDC oracles. */
+  private def duckCdcChunkCtes(src: String, p: String): String =
+    s"""${p}nrm AS (SELECT doc_id, array_to_string($DuckTok, ' ') AS norm
+       |        FROM $src),
+       |${p}nn AS (SELECT doc_id, norm, length(norm)::BIGINT AS chars
+       |       FROM ${p}nrm WHERE length(norm) >= ${Dedup.CdcK}),
+       |${p}bounds AS (SELECT doc_id, i + ${Dedup.CdcK} AS start
+       |           FROM ${p}nn, unnest(range(1, length(norm) - ${Dedup.CdcK - 1} + 1)) AS u(i)
+       |           WHERE CAST('0x' || substr(md5(substr(norm, i, ${Dedup.CdcK})), 1, 8)
+       |                   AS BIGINT) % ${Dedup.CdcDivisor} = 0),
+       |${p}starts AS (SELECT doc_id, 1 AS start FROM ${p}nn
+       |           UNION ALL SELECT doc_id, start FROM ${p}bounds),
+       |${p}segs AS (SELECT s.doc_id, s.start,
+       |           coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+       |             ORDER BY s.start), chars + 1) - s.start AS clen,
+       |           norm, chars
+       |         FROM ${p}starts s JOIN ${p}nn USING (doc_id)),
+       |${p}chunks AS (SELECT doc_id, chars, clen,
+       |             md5(substr(norm, start, clen::INT)) AS ch
+       |           FROM ${p}segs WHERE clen > 0)""".stripMargin
 
   /** DuckDB fragment: one 32-bit sign word of the binary-quantized
     * embedding starting at dimension `lo` (mirror of
@@ -2080,24 +2104,7 @@ object SparkEntry {
          |  SELECT doc_id + 2000000 AS doc_id,
          |         substr(text, 1, greatest(n_chars // 3, 40)) AS text
          |  FROM documents WHERE doc_id < ${Dedup.ContainmentPlantDocs}),
-         |nrm AS (SELECT doc_id, array_to_string($DuckTok, ' ') AS norm
-         |        FROM corpus),
-         |nn AS (SELECT doc_id, norm, length(norm)::BIGINT AS chars
-         |       FROM nrm WHERE length(norm) >= ${Dedup.CdcK}),
-         |bounds AS (SELECT doc_id, i + ${Dedup.CdcK} AS start
-         |           FROM nn, unnest(range(1, length(norm) - ${Dedup.CdcK - 1} + 1)) AS u(i)
-         |           WHERE CAST('0x' || substr(md5(substr(norm, i, ${Dedup.CdcK})), 1, 8)
-         |                   AS BIGINT) % ${Dedup.CdcDivisor} = 0),
-         |starts AS (SELECT doc_id, 1 AS start FROM nn
-         |           UNION ALL SELECT doc_id, start FROM bounds),
-         |segs AS (SELECT s.doc_id, s.start,
-         |           coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
-         |             ORDER BY s.start), chars + 1) - s.start AS clen,
-         |           norm, chars
-         |         FROM starts s JOIN nn USING (doc_id)),
-         |chunks AS (SELECT doc_id, chars, clen,
-         |             md5(substr(norm, start, clen::INT)) AS ch
-         |           FROM segs WHERE clen > 0),
+         |${duckCdcChunkCtes("corpus", "")},
          |dfs AS (SELECT ch, count(DISTINCT doc_id) AS df FROM chunks GROUP BY ch)
          |SELECT doc_id, count(*)::BIGINT AS n_chunks,
          |       any_value(chars)::BIGINT AS chars,
@@ -2105,6 +2112,24 @@ object SparkEntry {
          |       (sum(clen) = any_value(chars)) AS covered_ok
          |FROM chunks JOIN dfs USING (ch)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // incremental CDC screen: stored half chunked to its key set, the
+    // re-delivered batch chunked and probed — identical kernel CTEs
+    // via the shared generator
+    "q_dedup_cdc_inc" ->
+      s"""WITH stored AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (SELECT doc_id + ${Dedup.CdcRedeliverShift} AS doc_id,
+         |            'redelivered copy ' || text AS text
+         |          FROM documents WHERE doc_id % 2 = 0),
+         |${duckCdcChunkCtes("stored", "s_")},
+         |${duckCdcChunkCtes("batch", "b_")},
+         |idx AS (SELECT DISTINCT ch FROM s_chunks)
+         |SELECT b.doc_id, count(*)::BIGINT AS n_chunks,
+         |       sum(b.clen)::BIGINT AS chunk_chars,
+         |       sum(CASE WHEN i.ch IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         |       sum(CASE WHEN i.ch IS NULL THEN b.clen ELSE 0 END)::BIGINT AS new_chars
+         |FROM b_chunks b LEFT JOIN idx i ON b.ch = i.ch
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),

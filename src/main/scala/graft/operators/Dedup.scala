@@ -1066,39 +1066,41 @@ object Dedup {
     * documents (or snapshot versions) fingerprint to shared chunk
     * hashes regardless of their offsets.
     *
-    * Relational shape: the boundary set is computed INSIDE one
-    * collection expression per document (transform + filter over the
-    * gram positions — no per-position row explosion for the boundary
-    * scan), then one `explode` emits only the ~len/divisor chunk
-    * starts, a per-doc `lead` window closes each segment, and the
-    * chunk content hashes with md5 (the cross-engine hash). Cost is
+    * Relational shape: ENTIRELY row-local until the single chunk
+    * explode — the boundary set AND the segment closure are computed
+    * inside collection expressions per document (transform + filter
+    * over gram positions, then consecutive-starts pairing over the
+    * sorted starts array), so chunking needs ZERO exchanges and the
+    * identical kernel is streaming-legal (no window, no state) — the
+    * property [[graft.streaming.DocsStream.cdcScreen]] rides. Cost is
     * one scan-shaped pass, O(corpus chars) inside the codegen'd
     * lambda, O(chunks) rows after — the same budget as the winnowing
     * pass. Returns (doc_id, start, clen, ch, chars). */
-  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nrm = docs
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), array_join(tokenize(col("text")), " ").as("norm"))
       .filter(length(col("norm")) >= CdcK)
-    val starts = nrm.select(col("doc_id"), col("norm"),
-      explode(expr(
-        s"""array_sort(concat(array(1),
-           |  filter(transform(sequence(1, length(norm) - ${CdcK - 1}),
-           |    i -> IF(cast(conv(substring(md5(substring(norm, i, $CdcK)), 1, 8),
-           |                   16, 10) as bigint) % $CdcDivisor = 0,
-           |            i + $CdcK, 0)),
-           |    s -> s > 0)))""".stripMargin)).as("start"))
-    val w = Window.partitionBy("doc_id").orderBy("start")
-    starts
-      .withColumn("next", lead(col("start"), 1).over(w))
-      .withColumn("clen",
-        coalesce(col("next"), length(col("norm")) + 1) - col("start"))
-      .filter(col("clen") > 0)
-      .select(col("doc_id"), col("start").cast("long").as("start"),
-        col("clen").cast("long").as("clen"),
-        md5(expr("substring(norm, start, clen)")).as("ch"),
+      .select(col("doc_id"), col("norm"),
+        expr(
+          s"""array_sort(concat(array(1),
+             |  filter(transform(sequence(1, length(norm) - ${CdcK - 1}),
+             |    i -> IF(cast(conv(substring(md5(substring(norm, i, $CdcK)), 1, 8),
+             |                   16, 10) as bigint) % $CdcDivisor = 0,
+             |            i + $CdcK, 0)),
+             |    s -> s > 0)))""".stripMargin).as("starts"))
+      .select(col("doc_id"), col("norm"),
+        explode(expr(
+          // the j+1 lookup is guarded, not coalesced: ANSI mode makes an
+          // out-of-range element_at an error, not a NULL
+          """transform(sequence(1, size(starts)), j -> struct(
+            |  element_at(starts, j) AS start,
+            |  IF(j < size(starts), element_at(starts, j + 1),
+            |     length(norm) + 1) - element_at(starts, j) AS clen))""".stripMargin)).as("c"))
+      .filter(col("c.clen") > 0)
+      .select(col("doc_id"), col("c.start").cast("long").as("start"),
+        col("c.clen").cast("long").as("clen"),
+        md5(expr("substring(norm, c.start, c.clen)")).as("ch"),
         length(col("norm")).cast("long").as("chars"))
-  }
 
   /** Registered CDC census over the containment plant (full docs plus
     * their truncated prefixes — guaranteed shared regions at shifted
@@ -1120,6 +1122,55 @@ object Dedup {
     * scan — the [[winnowPairsPlan]] situation). */
   private[graft] def cdcChunksPlan(spark: SparkSession, dir: String): DataFrame =
     cdcChunksOf(winnowPlant(spark, dir))
+
+  /** The persisted chunk-store KEY SET of the stored corpus half — at a
+    * deployment, the content-addressed hash set the chunk store already
+    * holds (its whole point: membership is one key lookup). */
+  private[graft] def cdcChunkIndexOf(docs: DataFrame): DataFrame =
+    cdcChunksOf(docs).select("ch").distinct()
+
+  /** INCREMENTAL CDC screen — chunk ONLY the arriving batch and probe
+    * the persisted chunk store: per arriving document, the chunks and
+    * chars it carries vs the NEW chunks and chars the store must
+    * actually persist (everything else is already content-addressed —
+    * the storage-dedup payoff). O(batch) by construction: the batch is
+    * the only thing chunked, the probe is one equi-join against the
+    * store's key set, and the census is one per-doc aggregation.
+    * Streaming-legal end to end (the chunking kernel is row-local, the
+    * probe stream-static, the census a single update-mode agg) —
+    * [[graft.streaming.DocsStream.cdcScreen]] shares it verbatim. */
+  def cdcScreenOf(batch: DataFrame, index: DataFrame): DataFrame =
+    cdcChunksOf(batch)
+      .join(index.select(col("ch"), lit(1L).as("stored")), Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("clen").as("chunk_chars"),
+        sum(when(col("stored").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("stored").isNull, col("clen")).otherwise(0L)).as("new_chars"))
+      // no orderBy here: the kernel must stay streaming-legal (a sort on
+      // an update-mode stream is rejected); the registered batch query
+      // adds the total order
+
+  /** Id shift for [[cdcScreenIncremental]]'s re-delivered batch. */
+  val CdcRedeliverShift = 3000000L
+
+  /** Registered incremental form: the even docs are the stored corpus;
+    * the batch RE-DELIVERS every stored doc under a fresh id with a
+    * prepended marker — the delta-sync geometry CDC exists for: a head
+    * edit disturbs only the head chunk(s) because boundaries are
+    * content-local, so the store pays for the edit, never for the
+    * re-delivery (fixed-size blocks would re-store every block of
+    * every re-delivered doc — the offsets all shifted). `CdcChunkSpec`
+    * pins the locality; the oracle recomputes both halves and the
+    * probe relationally. */
+  def cdcScreenIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val stored = docs.filter(col("doc_id") % 2 === 0)
+    val batch = stored.select(
+      (col("doc_id") + CdcRedeliverShift).as("doc_id"),
+      concat(lit("redelivered copy "), col("text")).as("text"))
+    cdcScreenOf(batch, cdcChunkIndexOf(stored)).orderBy("doc_id")
+  }
 
   def cdcChunkStatsOf(docs: DataFrame): DataFrame = {
     // the chunk frame feeds two consumers (the df frame and the census

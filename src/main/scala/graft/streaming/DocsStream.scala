@@ -223,6 +223,19 @@ object DocsStream {
     graft.operators.TextAnalysis.curationFlagsOf(
       newDocs, corpusHashes, evalGrams, model)
 
+  /** Streaming CDC chunk screen — the ingest-time twin of
+    * [[graft.operators.Dedup.cdcScreenIncremental]]: arriving documents
+    * are content-defined-chunked ROW-LOCALLY (the chunk closure is pure
+    * collection expressions — no window, no state, which is what makes
+    * the identical kernel streaming-legal), probed against the
+    * persisted chunk store's key set in one stream-static join, and
+    * censused per doc (update mode): how many chunks/chars arrive vs
+    * how many the store must actually persist. The kernel is literally
+    * the batch one ([[graft.operators.Dedup.cdcScreenOf]]), so stream ≡
+    * batch is parity by construction; the suite pins it. */
+  def cdcScreen(newDocs: DataFrame, chunkIndex: DataFrame): DataFrame =
+    graft.operators.Dedup.cdcScreenOf(newDocs, chunkIndex)
+
   /** Streaming BM25 serving — arriving `(query_id, text)` queries
     * scored against the PERSISTED denormalized postings index
     * ([[graft.operators.TextAnalysis.bm25IndexOf]] /

@@ -416,4 +416,41 @@ class DocsStreamSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming CDC chunk screen == batch incremental screen") {
+    // the re-delivered even docs arrive as a stream and are chunked
+    // row-locally, probed against the static chunk-store key set; the
+    // kernel is shared verbatim with Dedup.cdcScreenOf, so every
+    // (doc_id, n_chunks, chunk_chars, n_new, new_chars) row must match
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val stored = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+    val index = Dedup.cdcChunkIndexOf(stored)
+    def redelivered(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + Dedup.CdcRedeliverShift).as("doc_id"),
+        concat(lit("redelivered copy "), col("text")).as("text"))
+    val q = DocsStream.cdcScreen(redelivered(DocsStream.readDocs(spark, dir)), index)
+      .writeStream
+      .format("memory")
+      .queryName("cdc_screen_test")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000L)
+    val streamed = spark.table("cdc_screen_test").collect()
+      .map(_.toString).toSet
+    val batch = Dedup.cdcScreenOf(
+        redelivered(graft.sources.Tables.documents(spark, dir)), index)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the LBFS payoff on this plant: most re-delivered bytes dedup away
+    val totals = Dedup.cdcScreenOf(
+        redelivered(graft.sources.Tables.documents(spark, dir)), index)
+      .agg(sum("chunk_chars"), sum("new_chars")).head()
+    assert(totals.getLong(1) < totals.getLong(0) / 2,
+      s"expected most re-delivered bytes to dedup: ${totals.mkString(",")}")
+  }
 }
