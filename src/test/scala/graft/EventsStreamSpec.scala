@@ -190,4 +190,34 @@ class EventsStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(perUser == batchTotals)
   }
+
+  test("streaming z-order layout ingest: routing == batch, delta files land " +
+      "in the batch-named blk dirs") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-zingest").toString
+    val q = graft.streaming.LayoutStream.routeToBlocks(
+        EventsStream.readEvents(spark, dir))
+      .writeStream
+      .format("parquet")
+      .partitionBy("blk")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val streamed = spark.read.parquet(s"$out/data").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("blk").longValue())).toMap
+    val batch = graft.streaming.LayoutStream.routeToBlocks(
+        graft.sources.Tables.events(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    // exact routing parity, row for row (integer interleave, not float)
+    assert(streamed == batch && batch.nonEmpty)
+    // physical layout: delta files live only under blk= dirs the batch names
+    val dirs = new java.io.File(s"$out/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("blk=")).map(_.stripPrefix("blk=").toLong).toSet
+    assert(dirs == batch.values.toSet)
+  }
 }
