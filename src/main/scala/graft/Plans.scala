@@ -37,7 +37,7 @@ object Plans {
     "q_multimodal_video_inc",
     "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
-    "q_dedup_cdc_inc")
+    "q_dedup_cdc_inc", "q_ann_bq_routed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

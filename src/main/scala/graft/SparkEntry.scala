@@ -155,6 +155,7 @@ object SparkEntry {
     "q_ann_brute_force" -> (SimSearch.bruteForceTopK _),
     "q_ann_bq_hamming"  -> (SimSearch.bqHammingTopK _),
     "q_ann_bq_recall"   -> (SimSearch.bqRecall _),
+    "q_ann_bq_routed"   -> (SimSearch.bqRoutedTopK _),
     "q_ann_lsh_bucket"  -> (SimSearch.lshBucketedTopK _),
     "q_ann_topk_agg"    -> (SimSearch.topKViaAggregator _),
     "q_ann_multiprobe"  -> (SimSearch.lshMultiProbeTopK _),
@@ -2248,6 +2249,54 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY q_id
          |               ORDER BY ham, vec_id) AS crank FROM ham)
          |         WHERE crank <= ${graft.operators.SimSearch.BqCandidates}),
+         |sc AS (SELECT c.q_id, c.vec_id AS neighbor, c.ham,
+         |         round(${duckDot("q.q_emb", "e.embedding")} /
+         |           (q.q_nrm * e.nrm), 6) AS cos
+         |       FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |                   JOIN q ON q.q_id = c.q_id),
+         |ranked AS (SELECT q_id, neighbor, ham, cos,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor) AS "rank" FROM sc)
+         |SELECT q_id, "rank", neighbor, ham, cos FROM ranked
+         |WHERE "rank" <= ${graft.operators.SimSearch.K}
+         |ORDER BY q_id, "rank"""".stripMargin,
+
+    // IVF x BQ composition: the q_ann_ivf_routed routing CTEs feeding
+    // the bq Hamming/rerank CTEs — each stage's SQL identical to its
+    // standalone oracle
+    "q_ann_bq_routed" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${duckSignWord(0)} AS w_lo,
+         |             ${duckSignWord(32)} AS w_hi,
+         |             $DuckNorm AS nrm FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+         |          FROM e WHERE vec_id >= ${graft.operators.SimSearch.IvfSeedBase}
+         |            AND vec_id < ${graft.operators.SimSearch.IvfSeedBase +
+                                     graft.operators.SimSearch.IvfK}),
+         |crank AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${duckDot("e.embedding", "c.cent_emb")} / (e.nrm * c.cent_nrm), 6) DESC,
+         |               c.cent_id) AS rnk
+         |  FROM e CROSS JOIN cents c),
+         |lists AS (SELECT e.vec_id, e.w_lo, e.w_hi, a.cent_id
+         |          FROM e JOIN (SELECT vec_id, cent_id FROM crank WHERE rnk = 1) a
+         |            USING (vec_id)),
+         |qp AS (SELECT e.vec_id AS q_id, e.w_lo AS q_lo, e.w_hi AS q_hi, k.cent_id
+         |       FROM e JOIN crank k USING (vec_id)
+         |       WHERE e.vec_id < ${graft.operators.SimSearch.NQueries}
+         |         AND k.rnk <= ${graft.operators.SimSearch.IvfNProbe}),
+         |ham AS (SELECT qp.q_id, l.vec_id,
+         |          (bit_count(xor(l.w_lo, qp.q_lo)) +
+         |           bit_count(xor(l.w_hi, qp.q_hi)))::BIGINT AS ham
+         |        FROM lists l JOIN qp USING (cent_id) WHERE l.vec_id <> qp.q_id),
+         |cand AS (SELECT q_id, vec_id, ham FROM (
+         |           SELECT q_id, vec_id, ham,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY ham, vec_id) AS crank2 FROM ham)
+         |         WHERE crank2 <= ${graft.operators.SimSearch.BqCandidates}),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM e WHERE vec_id < ${graft.operators.SimSearch.NQueries}),
          |sc AS (SELECT c.q_id, c.vec_id AS neighbor, c.ham,
          |         round(${duckDot("q.q_emb", "e.embedding")} /
          |           (q.q_nrm * e.nrm), 6) AS cos

@@ -132,6 +132,55 @@ object SimSearch {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF × BQ COMPOSITION — the production billion-vector serving
+    * shape (coarse routing, then a 1-bit signature scan, then exact
+    * rerank — what [[bqHammingTopKOf]]'s scaladoc promises composes):
+    * each query routes to its `nprobe` nearest inverted lists over the
+    * SAME coarse quantizer `q_ann_ivf_routed` serves from, the Hamming
+    * scan reads ONLY those lists' 8-byte signatures (sub-linear scan ×
+    * 32× compression — multiplicative), and the exact cosine touches
+    * only the [[BqCandidates]]-bounded survivors. Every stage reuses
+    * its standalone kernel verbatim: the routing frame is
+    * [[ivfRanked]], the signature words [[signWord]], the candidate
+    * bound the same `WindowGroupLimit` shape, the rerank the same
+    * broadcast-id fetch. */
+  def bqRoutedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val ranked = ivfRanked(e)
+    val words = e.select(col("vec_id"),
+      signWord(col("embedding"), 0, 32).as("w_lo"),
+      signWord(col("embedding"), 32, 32).as("w_hi"))
+    // the per-list signature store: each vector's words keyed by its
+    // rnk=1 inverted list
+    val lists = words
+      .join(ranked.filter(col("rnk") === 1).select("vec_id", "cent_id"), "vec_id")
+    val qProbe = words.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("w_lo").as("q_lo"),
+        col("w_hi").as("q_hi"))
+      .join(ranked.filter(col("vec_id") < NQueries && col("rnk") <= IvfNProbe)
+        .select(col("vec_id").as("q_id"), col("cent_id")), "q_id")
+    val wc = Window.partitionBy("q_id").orderBy(asc("ham"), asc("vec_id"))
+    val cand = lists.join(broadcast(qProbe), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("w_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("w_hi").bitwiseXOR(col("q_hi")))).cast("long").as("ham"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= BqCandidates)
+      .select("q_id", "vec_id", "ham")
+    val qe = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+    e.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("ham"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "neighbor", "ham", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Small candidate pool for [[bqRecall]]'s contrast arm — the other
     * end of the pool dial. */
   val BqPoolSmall = 8

@@ -64,6 +64,27 @@ class BqHammingSpec extends AnyFunSuite {
     assert(out.filter(col("ham") > 64 || col("ham") < 0).count() == 0)
   }
 
+  test("routed BQ: K rows per query, neighbors only from the probed lists") {
+    val out = SimSearch.bqRoutedTopK(spark, dir).collect()
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQ.size == SimSearch.NQueries && perQ.values.forall(_ == SimSearch.K))
+    // containment: every returned neighbor lives in one of its query's
+    // nprobe probed inverted lists (the q_ann_ivfadc discipline)
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val ranked = SimSearch.ivfRanked(e)
+    val assign = ranked.filter(col("rnk") === 1)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = ranked
+      .filter(col("vec_id") < SimSearch.NQueries && col("rnk") <= SimSearch.IvfNProbe)
+      .select("vec_id", "cent_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    out.foreach { r =>
+      assert(probes(r.getLong(0)).contains(assign(r.getLong(2))),
+        s"neighbor ${r.getLong(2)} of q ${r.getLong(0)} outside probed lists")
+    }
+  }
+
   test("recall audit: monotone in the pool dial, recall in [0, 1]") {
     val rows = SimSearch.bqRecall(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
