@@ -158,9 +158,12 @@ object Bench {
     // consumers of the on-disk z-prefix block layout
     val zblockConsumers = Set("q_zorder_pruning_files", "q_zorder_ingest")
     // consumers of the memoized media catalog fingerprint indexes
-    // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached)
+    // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached/
+    // videoCatalogIndexCached — since r10 the full-pairs arms recover
+    // their base half from the index too)
     val mediaConsumers = Set("q_multimodal_phash_inc", "q_multimodal_audio_inc",
-      "q_multimodal_video_inc")
+      "q_multimodal_video_inc", "q_multimodal_phash_pairs",
+      "q_multimodal_audio_fp", "q_multimodal_video_fp")
     val needBuilds = names.exists(memoConsumers)
     val needAnnBuild = names.exists(annConsumers)
     val needBpeBuild = names.exists(bpeConsumers)

@@ -478,12 +478,18 @@ object Multimodal {
     * the Spark plan uses the first-matching-band filter: same pair set,
     * by construction. */
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // same decode-once materialization as [[phashNearDupPlanted]]: the
-    // banded self-join consumes the hash frame on both sides
+    // decode ONLY the arriving edits; the base half is recovered from
+    // the memoized catalog index ([[baseHashesFromIndex]]) — the r9
+    // verdict measured this arm re-paying the full catalog decode the
+    // index already charges to `build:media_index` (9.7× at 10× data
+    // vs the screens' ~2×)
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       val (hashes, hashesRdd) = Dedup.materializeOwned(
-        dHash(plantedMediaRecords(spark, dir)).toDF(), ckDir.isDefined)
+        baseHashesFromIndex(phashCatalogIndexCached(spark, dir)).unionByName(
+          dHash(plantedMediaSlice(spark, dir, emitBase = false,
+            emitEdits = true)).toDF()),
+        ckDir.isDefined)
       val (out, outRdd) = Dedup.materializeOwned(
         imageNearDup(hashes)
           .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
@@ -504,6 +510,20 @@ object Multimodal {
       .select(col("media_id").as("dup_of"), col("dhash").as("h_b"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_sig", expr("shiftright(h_b, band * 16) & 65535"))
+
+  /** Base-catalog hash frame RECOVERED from a memoized banded index
+    * (band 0's row carries the full 64-bit hash): the full-pairs arms
+    * consume this for their base half instead of re-decoding the
+    * catalog the index build already paid for (the cost sits in
+    * Bench's `build:media_index` row, exactly like the incremental
+    * screens). Undecodable base records are absent from the index —
+    * they contribute no pairs either way ([[imageNearDup]] filters
+    * `ok`), so the recovered frame is pair-equivalent to a fresh
+    * full-catalog decode. */
+  private def baseHashesFromIndex(index: DataFrame): DataFrame =
+    index.filter(col("band") === 0)
+      .select(col("dup_of").as("media_id"), lit(true).as("ok"),
+        col("h_b").as("dhash"))
 
   /** The base IMAGE catalog's banded hash index, decoded once per
     * (session, snapshot) and memoized ([[Dedup.memoizedFrame]] — the
@@ -768,9 +788,15 @@ object Multimodal {
   def audioFpPairs(spark: SparkSession, dir: String): DataFrame = {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
+      // base half from the memoized fingerprint index; only the
+      // arriving re-masters are decoded (the [[phashPairs]] fix on the
+      // audio modality)
       val (fps, fpsRdd) = Dedup.materializeOwned(
-        audioFingerprint(plantedAudioRecords(spark, dir)).toDF()
-          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+        baseHashesFromIndex(audioCatalogIndexCached(spark, dir)).unionByName(
+          audioFingerprint(
+            plantedAudioSlice(spark, dir, emitBase = false, emitEdits = true))
+            .toDF().withColumnRenamed("fp", "dhash")),
+        ckDir.isDefined)
       val (out, outRdd) = Dedup.materializeOwned(
         imageNearDup(fps)
           .select(col("id_a"), col("id_b"),
@@ -1080,9 +1106,15 @@ object Multimodal {
   def videoFpPairs(spark: SparkSession, dir: String): DataFrame = {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
+      // base half from the memoized fingerprint index; only the
+      // arriving re-edits are demuxed (the [[phashPairs]] fix on the
+      // video modality)
       val (fps, fpsRdd) = Dedup.materializeOwned(
-        videoFingerprint(plantedVideoRecords(spark, dir)).toDF()
-          .withColumnRenamed("fp", "dhash"), ckDir.isDefined)
+        baseHashesFromIndex(videoCatalogIndexCached(spark, dir)).unionByName(
+          videoFingerprint(
+            plantedVideoSlice(spark, dir, emitBase = false, emitEdits = true))
+            .toDF().withColumnRenamed("fp", "dhash")),
+        ckDir.isDefined)
       val (out, outRdd) = Dedup.materializeOwned(
         imageNearDup(fps)
           .select(col("id_a"), col("id_b"),
