@@ -146,7 +146,10 @@ object Bench {
     val annConsumers = Set("q_ann_kmeans", "q_ann_kmeans_routed",
       "q_ann_pq", "q_ann_pq_recall", "q_ann_ivfadc", "q_ann_ivfadc_refine",
       "q_ann_opq", "q_dedup_semantic", "q_train_hard_negatives",
-      "q_train_hard_negatives_routed", "q_ann_index_merge")
+      "q_train_hard_negatives_routed", "q_ann_index_merge",
+      // the pruned k-center arms route their update through the
+      // semAssignment cells + the memoized cell geometry
+      "q_sample_kcenter", "q_sample_kcenter_batch")
     // consumers of the memoized BPE merge table (TextAnalysis
     // bpeMergesFrame call sites)
     val bpeConsumers = Set("q_text_bpe_train", "q_text_bpe_apply")

@@ -37,7 +37,8 @@ object Plans {
     "q_multimodal_video_inc",
     "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
-    "q_dedup_cdc_inc", "q_ann_bq_routed")
+    "q_dedup_cdc_inc", "q_ann_bq_routed",
+    "q_text_retrieval_ndcg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -82,8 +83,13 @@ object Plans {
         else if (n == "q_dedup_lsh_sweep")
           graft.operators.Dedup.lshBandSweepPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
+        // (since r10: the PRUNED round — guarded update + stats refresh)
         else if (n == "q_sample_kcenter")
           graft.operators.SimSearch.kcenterRoundPlan(spark, sfDir)
+        // retained-result: audit the live rank-quality dataflow over
+        // the materialized index/vector-leg/ideal frames
+        else if (n == "q_text_retrieval_ndcg")
+          graft.operators.TextAnalysis.rankQualityPlanOf(spark, sfDir)
         // retained-result situation: audit the live screen dataflow
         // (hash frame inlined — the registered query decodes once)
         else if (n == "q_multimodal_phash_inc")

@@ -197,6 +197,7 @@ object SparkEntry {
     "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
     "q_text_bm25_capped" -> (TextAnalysis.bm25CappedServe _),
     "q_text_bm25_cap_sweep" -> (TextAnalysis.bm25CapSweepAudit _),
+    "q_text_retrieval_ndcg" -> (TextAnalysis.retrievalRankQuality _),
     "q_sketch_bottomk_union" -> (TextAnalysis.bottomKUnion _),
     "q_text_quality_filter" -> (TextAnalysis.qualityFiltered _),
     "q_sample_stratified" -> (TextAnalysis.stratifiedSample _),
@@ -244,7 +245,7 @@ object SparkEntry {
     "q_text_unicode_norm" -> (TextAnalysis.unicodeNormCensus _),
     "q_text_bpe_apply" -> (TextAnalysis.bpeApply _),
     "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
-    "q_sample_kcenter" -> (SimSearch.kcenterSelect _),
+    "q_sample_kcenter" -> (SimSearch.kcenterSelectPruned _),
     "q_sample_kcenter_batch" -> (SimSearch.kcenterSelectBatch _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
@@ -565,8 +566,11 @@ object SparkEntry {
           s"CASE WHEN adm$j THEN ${l2(s"e$i", s"e$j")} END")
         val f = (Seq(s"d$i", l2(s"e$i", "e1")) ++ caps).mkString("least(", ", ", ")")
         val src = if (i == 2) s"p$p" else s"a${p}_${i - 1}"
+        // MATERIALIZED: each cascade level references the previous one
+        // multiple times — DuckDB's default CTE inlining would copy the
+        // expression tree exponentially in t (OOM at t=16)
         s""",
-           |a${p}_$i AS (SELECT *, $f AS f$i, ($f >= d1 / 4) AS adm$i FROM $src)""".stripMargin
+           |a${p}_$i AS MATERIALIZED (SELECT *, $f AS f$i, ($f >= d1 / 4) AS adm$i FROM $src)""".stripMargin
       }.mkString
       val a = s"a${p}_$t"
       val outs = (s"SELECT $p::BIGINT AS round, v1 AS vec_id, d1 AS radius " +
@@ -578,13 +582,13 @@ object SparkEntry {
       val upd = (Seq("s.min_d2", l2("s.embedding", "a.e1")) ++ caps)
         .mkString("least(", ", ", ")")
       s""",
-         |r$p AS (SELECT vec_id, embedding, min_d2,
+         |r$p AS MATERIALIZED (SELECT vec_id, embedding, min_d2,
          |         row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS rn
          |       FROM st${p - 1}),
-         |p$p AS (SELECT $pivot
+         |p$p AS MATERIALIZED (SELECT $pivot
          |       FROM r$p WHERE rn <= $t)$cascade,
          |out$p AS (${outs.mkString("\n          UNION ALL ")}),
-         |st$p AS (SELECT s.vec_id, s.embedding, $upd AS min_d2
+         |st$p AS MATERIALIZED (SELECT s.vec_id, s.embedding, $upd AS min_d2
          |        FROM st${p - 1} s, $a a)""".stripMargin
     }.mkString
     head + passSql + "\nSELECT round, vec_id, radius FROM (SELECT * FROM s0 " +
@@ -3861,6 +3865,139 @@ object SparkEntry {
          |SELECT query_id, "rank", doc_id, rank_lex, rank_vec, rrf
          |FROM ranked WHERE "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // rank-quality audit: nDCG@10/MRR of bm25 vs hybrid vs capped
+    // hybrid against the full hybrid as ground truth — discounts are
+    // the precomputed fixed-point integers (interpolated literals, no
+    // log2 at query time), every division integer until the final
+    // power-of-ten divide, so both engines emit identical doubles
+    "q_text_retrieval_ndcg" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS word
+         |      FROM tok WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
+         |bm AS (SELECT q.query_id, tf.doc_id,
+         |         round(sum(
+         |           ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |           / (tf.tf + ${TextAnalysis.Bm25K1}
+         |              * (1.0 - ${TextAnalysis.Bm25B}
+         |                 + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |         ), 4) AS score
+         |       FROM q
+         |       JOIN tf ON tf.word = q.word
+         |       JOIN df ON df.word = q.word
+         |       JOIN dl ON dl.doc_id = tf.doc_id
+         |       CROSS JOIN stats s
+         |       WHERE tf.doc_id <> q.query_id
+         |       GROUP BY 1, 2),
+         |lex_r AS (SELECT query_id, doc_id, rank_lex FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS rank_lex
+         |            FROM bm) WHERE rank_lex <= ${TextAnalysis.RrfDepth}),
+         |imp AS (SELECT tf.doc_id, tf.word,
+         |          round(
+         |            ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |            * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |            / (tf.tf + ${TextAnalysis.Bm25K1}
+         |               * (1.0 - ${TextAnalysis.Bm25B}
+         |                  + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl)), 6)
+         |            AS impact
+         |        FROM tf
+         |        JOIN df USING (word)
+         |        JOIN dl ON dl.doc_id = tf.doc_id
+         |        CROSS JOIN stats s),
+         |capped AS (SELECT doc_id, word,
+         |             CAST(round(impact * 1000000, 0) AS BIGINT) AS impact_fp
+         |           FROM (
+         |             SELECT doc_id, word, impact,
+         |               row_number() OVER (PARTITION BY word
+         |                 ORDER BY impact DESC, doc_id) AS irnk
+         |             FROM imp) WHERE irnk <= ${TextAnalysis.Bm25CapK}),
+         |bmc AS (SELECT q.query_id, c.doc_id,
+         |          ((sum(c.impact_fp) + 50) // 100)::DOUBLE / 10000.0 AS score
+         |        FROM q JOIN capped c ON c.word = q.word
+         |        WHERE c.doc_id <> q.query_id
+         |        GROUP BY 1, 2),
+         |lexc_r AS (SELECT query_id, doc_id, rank_lex FROM (
+         |             SELECT query_id, doc_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, doc_id) AS rank_lex
+         |             FROM bmc) WHERE rank_lex <= ${TextAnalysis.RrfDepth}),
+         |e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |       FROM e WHERE vec_id < ${TextAnalysis.Bm25NQueries}),
+         |cosine AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |             round(${duckDot("qv.q_emb", "e.embedding")}
+         |               / (qv.q_nrm * e.nrm), 6) AS cos
+         |           FROM e CROSS JOIN qv WHERE e.vec_id <> qv.query_id),
+         |vec_r AS (SELECT query_id, doc_id, rank_vec FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY cos DESC, doc_id) AS rank_vec
+         |            FROM cosine) WHERE rank_vec <= ${TextAnalysis.RrfDepth}),
+         |fused_f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |              coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |              round(coalesce(1.0::DOUBLE / (l.rank_lex + ${TextAnalysis.RrfK}), 0.0)
+         |                + coalesce(1.0::DOUBLE / (v.rank_vec + ${TextAnalysis.RrfK}), 0.0), 6)
+         |                AS rrf
+         |            FROM lex_r l FULL OUTER JOIN vec_r v
+         |              ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |ideal AS (SELECT query_id, doc_id, irank FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY rrf DESC, doc_id) AS irank
+         |            FROM fused_f) WHERE irank <= ${TextAnalysis.NdcgDepth}),
+         |fused_c AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |              coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |              round(coalesce(1.0::DOUBLE / (l.rank_lex + ${TextAnalysis.RrfK}), 0.0)
+         |                + coalesce(1.0::DOUBLE / (v.rank_vec + ${TextAnalysis.RrfK}), 0.0), 6)
+         |                AS rrf
+         |            FROM lexc_r l FULL OUTER JOIN vec_r v
+         |              ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+         |cap10 AS (SELECT query_id, doc_id, rnk FROM (
+         |            SELECT query_id, doc_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY rrf DESC, doc_id) AS rnk
+         |            FROM fused_c) WHERE rnk <= ${TextAnalysis.NdcgDepth}),
+         |arms AS (SELECT 'bm25' AS system, query_id, doc_id, rank_lex AS rnk
+         |           FROM lex_r WHERE rank_lex <= ${TextAnalysis.NdcgDepth}
+         |         UNION ALL
+         |         SELECT 'hybrid', query_id, doc_id, irank FROM ideal
+         |         UNION ALL
+         |         SELECT 'hybrid_capped', query_id, doc_id, rnk FROM cap10),
+         |disc AS (SELECT [${TextAnalysis.NdcgDiscFp.mkString(", ")}] AS d),
+         |idcg AS (SELECT query_id,
+         |           sum((11 - irank) * (SELECT d FROM disc)[irank])::BIGINT
+         |             AS idcg_fp
+         |         FROM ideal GROUP BY 1),
+         |top1 AS (SELECT query_id, doc_id FROM ideal WHERE irank = 1),
+         |dcg AS (SELECT a.system, a.query_id,
+         |          sum(coalesce(11 - i.irank, 0)
+         |            * (SELECT d FROM disc)[a.rnk])::BIGINT AS dcg_fp
+         |        FROM arms a LEFT JOIN ideal i
+         |          ON i.query_id = a.query_id AND i.doc_id = a.doc_id
+         |        GROUP BY 1, 2),
+         |rr AS (SELECT a.system, a.query_id, 1000000 // a.rnk AS rr_fp
+         |       FROM arms a JOIN top1 t1
+         |         ON t1.query_id = a.query_id AND t1.doc_id = a.doc_id),
+         |sys AS (SELECT * FROM (VALUES ('bm25'), ('hybrid'),
+         |          ('hybrid_capped')) s(system)),
+         |perq AS (SELECT s.system, i.query_id,
+         |           (coalesce(d.dcg_fp, 0) * 10000) // i.idcg_fp AS ndcg_fp,
+         |           coalesce(r.rr_fp, 0) AS rr_fp
+         |         FROM sys s CROSS JOIN idcg i
+         |         LEFT JOIN dcg d ON d.system = s.system AND d.query_id = i.query_id
+         |         LEFT JOIN rr r ON r.system = s.system AND r.query_id = i.query_id)
+         |SELECT system, count(*)::BIGINT AS n_queries,
+         |       (sum(ndcg_fp)::BIGINT // count(*))::DOUBLE / 10000.0 AS ndcg10,
+         |       (sum(rr_fp)::BIGINT // count(*))::DOUBLE / 1000000.0 AS mrr
+         |FROM perq GROUP BY system ORDER BY system""".stripMargin,
 
     // 13 hex md5 digits = 2^52 denominator: the hash is EXACT in a
     // double in both engines, so kth_h and the estimator divide the

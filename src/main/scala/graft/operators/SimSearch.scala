@@ -541,6 +541,9 @@ object SimSearch {
     pqCodesCached(spark, dir, e)
     opqCodesCached(spark, dir, e)
     semAssignment(spark, dir, e)
+    // the pruned k-center arms' quantizer-cell geometry (centroid,
+    // radius, members) — derived from semAssignment's cells
+    kcenterGeoCached(spark, dir, e)
     // the delta-merge query's persisted snapshot index (frozen
     // quantizer/codebook + the snapshot's inverted-list frames)
     mergeSnapCodesCached(spark, dir, e)
@@ -1835,21 +1838,41 @@ object SimSearch {
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
     kcenterSelectOf(Tables.fanOut(Tables.embeddings(spark, dir)), KCenterK)
 
-  /** Plan-audit hook: one round's state-update + argmax (the registered
-    * query returns a driver-assembled K-row frame; this is the loop
-    * body whose shape carries the 100 TB cost). */
+  /** Plan-audit hook: one PRUNED round's dataflow — the cell-guarded
+    * min-distance update followed by the active-cell stats refresh
+    * (the registered query is a driver-assembled loop; the global
+    * argmax itself is a driver-side fold over the collected per-cell
+    * stats, so no corpus-scan argmax appears in the plan at all). */
   private[graft] def kcenterRoundPlan(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-      .select("vec_id", "embedding")
-    val seed = e.orderBy("vec_id").limit(1).select(col("embedding").as("c_emb"))
-    e.crossJoin(broadcast(seed))
-      .select(col("vec_id"),
-        round(l2sq(col("embedding"), col("c_emb")), 6).as("min_d2"))
-      .orderBy(desc("min_d2"), asc("vec_id")).limit(1)
+    val assign = semAssignment(spark, dir, e).withColumnRenamed("cent_id", "cell")
+    val seedEmb = e.select("vec_id", "embedding").orderBy("vec_id").limit(1)
+      .collect()(0).getSeq[Float](1)
+    val state = e.select("vec_id", "embedding")
+      .join(assign, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("cell"), lit(-1L)).as("cell"),
+        round(l2sq(col("embedding"), typedLit(seedEmb)), 6).as("min_d2"))
+    // a representative round: cells 0/1 active, the rest triangle-skipped
+    val active = Seq(0L, 1L)
+    val upd = least(col("min_d2"),
+      round(l2sq(col("embedding"), typedLit(seedEmb)), 6))
+    state
+      .withColumn("min_d2",
+        when(col("cell").isin(active: _*), upd).otherwise(col("min_d2")))
+      .filter(col("cell").isin(active: _*))
+      .groupBy("cell")
+      .agg(max(col("min_d2")).as("mx"),
+        max_by(struct(col("vec_id"), col("embedding")),
+          struct(col("min_d2"), (-col("vec_id")).as("nv"))).as("arg"))
   }
 
-  /** Candidates collected per pass of [[kcenterSelectBatch]]. */
-  val KCenterBatchT = 4
+  /** Candidates collected per pass of [[kcenterSelectBatch]] — T=16
+    * since round 10: with [[KCenterBatchPasses]] passes the registered
+    * batch arm is the PRODUCTION serving default at K ≥ 32 (up to
+    * 1 + T·passes = 33 centers from 2 corpus passes), per the round-9
+    * directive; the sequential arm stays the exact small-K form. */
+  val KCenterBatchT = 16
 
   /** Passes of [[kcenterSelectBatch]] — total driver round-trips, the
     * axis the batch variant saves (vs K round-trips for sequential
@@ -1878,12 +1901,18 @@ object SimSearch {
     * exactly K run ⌈K/T⌉+ passes and cut. Ordered by (round, vec_id)
     * — within a pass admission order is by frontier rank, not radius,
     * so vec_id is the deterministic tiebreak. */
-  def kcenterSelectBatch(spark: SparkSession, dir: String): DataFrame =
-    kcenterSelectBatchOf(Tables.fanOut(Tables.embeddings(spark, dir)),
-      KCenterBatchT, KCenterBatchPasses)
+  def kcenterSelectBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kcenterSelectBatchOf(e, KCenterBatchT, KCenterBatchPasses,
+      assign = Some(semAssignment(spark, dir, e).withColumnRenamed("cent_id", "cell")),
+      geo = Some(kcenterGeoCached(spark, dir, e)))
+  }
 
   private[graft] def kcenterSelectBatchOf(e0: DataFrame, t: Int,
-      passes: Int): DataFrame = {
+      passes: Int, assign: Option[DataFrame] = None,
+      geo: Option[DataFrame] = None,
+      telemetry: Option[scala.collection.mutable.ArrayBuffer[KcenterRoundPrune]] = None)
+      : DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val seedRow = e0.agg(min("vec_id")).collect()(0)
@@ -1901,6 +1930,21 @@ object SimSearch {
       }
       acc
     }
+    // optional triangle-bound prune through the quantizer cells — the
+    // same conservative test as [[kcenterSelectPrunedOf]], applied per
+    // admitted center against the cell maxes collected BEFORE the
+    // pass's update (stored min_d2 only shrinks inside a pass, so the
+    // pre-pass max keeps the test conservative for later centers too)
+    val pruning = assign.isDefined && geo.isDefined
+    val geoMap: Map[Long, (Array[Double], Double, Long)] =
+      if (pruning) geo.get.collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toArray, r.getDouble(2), r.getLong(3)))).toMap
+      else Map.empty
+    def l2dd(a: Array[Double], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       def mat(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
@@ -1908,13 +1952,25 @@ object SimSearch {
       val seedId = seedRow.getLong(0)
       val seedEmb = e.filter(col("vec_id") === seedId)
         .select(col("embedding").as("c_emb"))
+      val withCell =
+        if (pruning)
+          e.join(assign.get, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("embedding"),
+              coalesce(col("cell"), lit(-1L)).as("cell"))
+        else e.withColumn("cell", lit(-1L))
       var (state, stateRdd) = mat(
-        e.crossJoin(broadcast(seedEmb))
-          .select(col("vec_id"), col("embedding"),
+        withCell.crossJoin(broadcast(seedEmb))
+          .select(col("vec_id"), col("embedding"), col("cell"),
             round(l2sq(col("embedding"), col("c_emb")), 6).as("min_d2")))
       val sel = scala.collection.mutable.ArrayBuffer((0L, seedId, 0.0))
       (1 to passes).foreach { p =>
-        val cands = state.orderBy(desc("min_d2"), asc("vec_id")).limit(t).collect()
+        val cellMax: Map[Long, Double] =
+          if (pruning)
+            state.groupBy("cell").agg(max("min_d2").as("mx")).collect()
+              .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          else Map.empty
+        val cands = state.orderBy(desc("min_d2"), asc("vec_id"))
+          .limit(t).select("vec_id", "embedding", "min_d2").collect()
         if (cands.nonEmpty) {
           val thr = cands.head.getDouble(2) / 4
           val admitted =
@@ -1926,11 +1982,40 @@ object SimSearch {
             if (eff >= thr) admitted += ((c.getLong(0), emb, eff))
           }
           sel ++= admitted.map(a => (p.toLong, a._1, a._3))
+          // the LAST pass's admissions are final — nobody reads the
+          // post-update state, so don't pay a corpus pass producing it
+          if (p < passes) {
           val (next, nextRdd) = mat(admitted.foldLeft(state) { (s, a) =>
-            s.withColumn("min_d2", least(col("min_d2"),
-              round(l2sq(col("embedding"), typedLit(a._2)), 6))) })
+            val upd = least(col("min_d2"),
+              round(l2sq(col("embedding"), typedLit(a._2)), 6))
+            if (!pruning) s.withColumn("min_d2", upd)
+            else {
+              val active = cellMax.keys.filter { cell =>
+                geoMap.get(cell) match {
+                  case Some((cent, r, _)) =>
+                    val lb = math.max(0.0, math.sqrt(l2dd(cent, a._2)) - r)
+                    lb * lb < cellMax(cell) + KcPruneEps
+                  case None => true
+                }
+              }.toSeq.sorted
+              telemetry.foreach { buf =>
+                val act = active.toSet
+                val (ra, rs) = cellMax.keys.foldLeft((0L, 0L)) {
+                  case ((x, y), cell) =>
+                    val n = geoMap.get(cell).map(_._3).getOrElse(0L)
+                    if (act(cell)) (x + n, y) else (x, y + n)
+                }
+                buf += KcenterRoundPrune(p.toLong, active.size,
+                  cellMax.size - active.size, ra, rs)
+              }
+              if (active.size == cellMax.size) s.withColumn("min_d2", upd)
+              else s.withColumn("min_d2",
+                when(col("cell").isin(active: _*), upd).otherwise(col("min_d2")))
+            }
+          })
           Dedup.retire(spark, stateRdd)
           state = next; stateRdd = nextRdd
+          }
         }
       }
       Dedup.retire(spark, stateRdd)
@@ -1972,5 +2057,193 @@ object SimSearch {
       Dedup.retire(spark, stateRdd)
       sel.toSeq.toDF("round", "vec_id", "radius").orderBy("round")
     }
+  }
+
+  // ---- IVF-cell-pruned farthest-first (the round-9 perf-weak fix) ----
+  //
+  // Both k-center arms above pay a full-corpus min-distance pass per
+  // round/pass — linear-in-N each time, the round-9 scale-killer (9.9×
+  // wall at 10× data). The FAISS-style fix: route the update through
+  // the operator's own trained coarse quantizer. For a cell with
+  // centroid μ and member radius R (max distance of any member to μ),
+  // the triangle inequality lower-bounds every member's distance to a
+  // new center c: d(x, c) ≥ d(μ, c) − R. If that bound squared already
+  // exceeds the cell's LARGEST stored min-distance, no member's
+  // min_d2 can improve — the whole cell skips the round: no distance
+  // arithmetic, no stats refresh, and (because per-cell argmax state
+  // lives on the driver) no participation in the argmax either. The
+  // prune is exactness-preserving: a 1e-6 margin dominates the 6dp
+  // HALF_UP rounding grid (a stored min_d2 understates the true value
+  // by at most 5e-7, a rounded candidate distance likewise), so the
+  // pruned arm selects the bit-identical center sequence as exact
+  // Gonzalez — suite-pinned across random geometries and oracle-pinned
+  // by the SAME unrolled CTE chain as the exact arm.
+
+  /** Safety margin dominating the 6dp rounding grid (±5e-7 on each of
+    * the two compared quantities) plus double fp noise. */
+  private val KcPruneEps = 1e-6
+
+  /** Per-round prune telemetry: how many quantizer cells (and corpus
+    * rows) the triangle-inequality bound excused from the update. */
+  final case class KcenterRoundPrune(round: Long, cellsActive: Int,
+    cellsSkipped: Int, rowsActive: Long, rowsSkipped: Long)
+
+  /** Per-cell geometry of a coarse-quantizer assignment — (cell,
+    * cent_emb, radius, n_members) where cent_emb is the MEMBER MEAN
+    * (any (μ, R) pair with R ≥ max member distance is a valid prune
+    * witness; the member mean gives the tightest R for the cells we
+    * actually have) and radius is inflated by [[KcPruneEps]] so
+    * float→double noise in the assignment distances can never make it
+    * understate. Two bounded passes: one long-form groupBy for the
+    * means, one row-local distance + per-cell max. */
+  private[graft] def cellGeometryOf(e: DataFrame, assign: DataFrame): DataFrame = {
+    val withCell = e.join(assign, "vec_id").select("vec_id", "embedding", "cell")
+    val centsLong = withCell
+      .select(col("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").as("d"), col("col").cast("double").as("v"))
+      .groupBy("cell", "d").agg(avg("v").as("c"))
+    val cents = centsLong
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cent_emb"))
+    withCell.join(cents, "cell")
+      .groupBy("cell")
+      .agg((max(sqrt(l2sq(col("embedding"), col("cent_emb")))) + lit(KcPruneEps))
+          .as("radius"),
+        count(lit(1)).as("n_members"))
+      .join(cents, "cell")
+      .select("cell", "cent_emb", "radius", "n_members")
+  }
+
+  /** The registered pruned arm's quantizer geometry, memoized per
+    * (session, corpus snapshot) like every other ANN index artifact
+    * (built once, charged to Bench's `build:ann_index` row). Cells are
+    * [[semAssignment]]'s — K ∝ N at ~[[SemCellTarget]] members/cell, so
+    * the prune gets FINER as the corpus grows, which is what keeps the
+    * per-round active set bounded at scale. */
+  private[graft] def kcenterGeoCached(spark: SparkSession, dir: String,
+      e: DataFrame): DataFrame =
+    Dedup.memoizedFrame(spark, s"kcenter_geo#$dir")(
+      cellGeometryOf(e,
+        semAssignment(spark, dir, e).withColumnRenamed("cent_id", "cell")))
+
+  /** PRUNED sequential farthest-first — [[kcenterSelectOf]]'s exact
+    * output (bit-identical center sequence, see the block comment) at a
+    * fraction of the per-round work:
+    *
+    *  - per-cell argmax state (max min_d2 + its row) lives on the
+    *    DRIVER, refreshed only for cells a round actually updated — the
+    *    global argmax is a driver-side fold over ≤K cell entries, so
+    *    the per-round `TakeOrdered` corpus scan of the exact arm is
+    *    gone entirely;
+    *  - the min-distance update guards each cell behind the triangle
+    *    bound: skipped cells flow through the plan untouched (the
+    *    `when` short-circuits before any 64-dim fold);
+    *  - state is materialized once and re-materialized every
+    *    `matEvery` rounds (lineage stays bounded for production K) —
+    *    NOT per round: the exact arm's per-round checkpoint write was
+    *    the other linear-in-N cost with nothing to amortize it.
+    *
+    * `assign` maps vec_id → cell (any total assignment works; rows
+    * missing from it fall into cell −1, which is never pruned);
+    * `geo` is [[cellGeometryOf]] over the same assignment. `telemetry`
+    * collects per-round prune counts for the scale harness. */
+  private[graft] def kcenterSelectPrunedOf(e0: DataFrame, k: Int,
+      assign: DataFrame, geo: DataFrame, matEvery: Int = 4,
+      telemetry: Option[scala.collection.mutable.ArrayBuffer[KcenterRoundPrune]] = None)
+      : DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val seedRows = e0.select("vec_id", "embedding").orderBy("vec_id").limit(1).collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("round", "vec_id", "radius")
+    val seedId = seedRows(0).getLong(0)
+    val seedEmb = seedRows(0).getSeq[Float](1)
+    // driver-held geometry: cell → (centroid, radius); member counts
+    // feed telemetry only
+    val geoMap = geo.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Double](1).toArray, r.getDouble(2), r.getLong(3)))).toMap
+    def l2dd(a: Array[Double], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      def mat(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
+      var (state, stateRdd) = mat(
+        e0.select("vec_id", "embedding")
+          .join(assign, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("embedding"),
+            coalesce(col("cell"), lit(-1L)).as("cell"),
+            round(l2sq(col("embedding"), typedLit(seedEmb)), 6).as("min_d2")))
+      var layers = 0
+      // cell → (max min_d2, argmax vec_id, argmax embedding): the
+      // driver-side argmax index. max_by's ordering struct replays the
+      // exact arm's (min_d2 DESC, vec_id ASC) tie-break per cell.
+      def statsOf(df: DataFrame): Map[Long, (Double, Long, Seq[Float])] =
+        df.groupBy("cell")
+          .agg(max(col("min_d2")).as("mx"),
+            max_by(struct(col("vec_id"), col("embedding")),
+              struct(col("min_d2"), (-col("vec_id")).as("nv"))).as("arg"))
+          .collect()
+          .map { r =>
+            val a = r.getStruct(2)
+            r.getLong(0) -> ((r.getDouble(1), a.getLong(0), a.getSeq[Float](1)))
+          }.toMap
+      var stats = statsOf(state)
+      val sel = scala.collection.mutable.ArrayBuffer((1L, seedId, 0.0))
+      (2 to k).foreach { i =>
+        // global argmax from the per-cell index — no corpus scan
+        val (_, (mx, vid, cEmb)) = stats.minBy { case (_, (m, v, _)) => (-m, v) }
+        sel += ((i.toLong, vid, mx))
+        // triangle-bound skip test per cell, conservative by KcPruneEps
+        val active = stats.keys.filter { cell =>
+          geoMap.get(cell) match {
+            case Some((cent, r, _)) =>
+              val lb = math.max(0.0, math.sqrt(l2dd(cent, cEmb)) - r)
+              lb * lb < stats(cell)._1 + KcPruneEps
+            case None => true
+          }
+        }.toSeq.sorted
+        telemetry.foreach { buf =>
+          val act = active.toSet
+          val (ra, rs) = stats.keys.foldLeft((0L, 0L)) { case ((a, s), cell) =>
+            val n = geoMap.get(cell).map(_._3).getOrElse(0L)
+            if (act(cell)) (a + n, s) else (a, s + n)
+          }
+          buf += KcenterRoundPrune(i.toLong, active.size,
+            stats.size - active.size, ra, rs)
+        }
+        val upd = least(col("min_d2"),
+          round(l2sq(col("embedding"), typedLit(cEmb)), 6))
+        state = state.withColumn("min_d2",
+          if (active.size == stats.size) upd
+          else when(col("cell").isin(active: _*), upd).otherwise(col("min_d2")))
+        layers += 1
+        if (layers >= matEvery && i < k) {
+          val (next, nextRdd) = mat(state)
+          Dedup.retire(spark, stateRdd)
+          state = next; stateRdd = nextRdd; layers = 0
+        }
+        // refresh the argmax index for touched cells only (filter
+        // pushes below the chained projections to the materialized scan)
+        if (i < k)
+          stats = stats ++ statsOf(state.filter(col("cell").isin(active: _*)))
+      }
+      Dedup.retire(spark, stateRdd)
+      sel.toSeq.toDF("round", "vec_id", "radius").orderBy("round")
+    }
+  }
+
+  /** Registered pruned k-center (the `q_sample_kcenter` serving form
+    * since round 10): exact Gonzalez output — same oracle CTE chain —
+    * with the per-round pass pruned through the trained quantizer's
+    * cells. */
+  def kcenterSelectPruned(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kcenterSelectPrunedOf(e, KCenterK,
+      semAssignment(spark, dir, e).withColumnRenamed("cent_id", "cell"),
+      kcenterGeoCached(spark, dir, e))
   }
 }

@@ -2632,13 +2632,26 @@ object TextAnalysis {
     * so the uncapped and capped hybrids can never diverge in fusion
     * semantics. */
   private def hybridFuseWith(spark: SparkSession, dir: String,
-      lex: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions
+      lex: DataFrame): DataFrame =
+    rrfFusedOf(lexRankedOf(lex), vecRankedOf(spark, dir))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "rank_lex", "rank_vec", "rrf")
+      .orderBy("query_id", "rank")
+
+  /** Top-[[RrfDepth]] ranking of any scored lexical leg (query_id,
+    * doc_id, score) — (rounded score, doc_id) tie-break, planned as
+    * Partial/Final `WindowGroupLimit`. */
+  private def lexRankedOf(lex: DataFrame): DataFrame = {
     val wl = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    val lexRanked = lex
-      .withColumn("rank_lex", row_number().over(wl))
+    lex.withColumn("rank_lex", row_number().over(wl))
       .filter(col("rank_lex") <= RrfDepth)
       .select("query_id", "doc_id", "rank_lex")
+  }
+
+  /** The vector leg: exact cosine of the broadcast query embeddings
+    * against the corpus, top-[[RrfDepth]] per query (self excluded). */
+  private def vecRankedOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     val qv = e.filter(col("vec_id") < Bm25NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -2648,10 +2661,14 @@ object TextAnalysis {
         round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 6)
           .as("cos"))
     val wv = Window.partitionBy("query_id").orderBy(desc("cos"), asc("doc_id"))
-    val vecRanked = vec
-      .withColumn("rank_vec", row_number().over(wv))
+    vec.withColumn("rank_vec", row_number().over(wv))
       .filter(col("rank_vec") <= RrfDepth)
       .select("query_id", "doc_id", "rank_vec")
+  }
+
+  /** Reciprocal-rank fusion of two rank frames, fully ranked (`rank`
+    * carries the fused position; callers cut to their depth). */
+  private def rrfFusedOf(lexRanked: DataFrame, vecRanked: DataFrame): DataFrame = {
     val fused = lexRanked
       .join(vecRanked, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
@@ -2663,9 +2680,116 @@ object TextAnalysis {
           6).as("rrf"))
     val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
     fused.withColumn("rank", row_number().over(wf))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "doc_id", "rank_lex", "rank_vec", "rrf")
-      .orderBy("query_id", "rank")
+  }
+
+  /** Rank-quality audit depth (nDCG@10 / MRR@10). */
+  val NdcgDepth = 10
+
+  /** Fixed-point DCG discount table: disc(r) = round(1e6/log₂(r+1)),
+    * r = 1..[[NdcgDepth]]. Computed ONCE here and interpolated into the
+    * oracle as integer literals, so neither engine evaluates a
+    * transcendental at query time and the DCG sums are pure BIGINT
+    * arithmetic — order-independent, bit-identical cross-engine (the
+    * impact_fp discipline applied to rank discounts). */
+  private[graft] val NdcgDiscFp: Seq[Long] =
+    (1 to NdcgDepth).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** RETRIEVAL RANK-QUALITY audit — the cap sweep's recall discipline
+    * extended to GRADED rank quality: nDCG@10 and MRR of the three
+    * serving arms (lexical-only BM25, the full hybrid, the capped-index
+    * hybrid) against the engine's own most complete ranking as ground
+    * truth. The full hybrid IS the ideal by construction (uncapped
+    * lexical leg + exact vector leg, reciprocally fused), so its row
+    * reads (1.0, 1.0) — the in-band reference, like the sweep's cap=0
+    * row — while the BM25-only and capped rows measure exactly what a
+    * rollout trades away: relevance grade of ideal rank r is 11−r,
+    * DCG discounts are the precomputed [[NdcgDiscFp]] integers, MRR is
+    * the reciprocal rank of the ideal's top-1 doc.
+    *
+    * Every division is integer (`div` / `//`) until one final divide by
+    * a power of ten, so both engines emit identical doubles. ONE
+    * index build (the impact-augmented [[bm25IndexOf]] frame) serves
+    * all three lexical arms; the vector leg is computed once and
+    * shared by both hybrid arms. All frames after the legs are
+    * ≤ queries×depth rows — audit cost is serving cost, not a second
+    * corpus pass. */
+  def retrievalRankQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (out, owned) = rankQualityBuild(spark, dir, ckDir.isDefined)
+      val (res, resRdd) = Dedup.materializeOwned(out, ckDir.isDefined)
+      owned.foreach(Dedup.retire(spark, _))
+      Dedup.retainResult(spark, "retrievalRankQuality", resRdd, res)
+    }
+  }
+
+  /** Plan-audit hook: the live audit dataflow over the materialized
+    * index/vector-leg/ideal frames (the registered query returns a
+    * retained `ExistingRDD`). */
+  private[graft] def rankQualityPlanOf(spark: SparkSession, dir: String): DataFrame =
+    rankQualityBuild(spark, dir, reliable = false)._1
+
+  private def rankQualityBuild(spark: SparkSession, dir: String,
+      reliable: Boolean)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val queries = docs.filter(col("doc_id") < Bm25NQueries)
+      .select(col("doc_id").as("query_id"), col("text"))
+    locally {
+      val (idx, idxRdd) = Dedup.materializeOwned(
+        bm25IndexOf(docs)
+          .withColumn("impact", round(bm25Idf * bm25Norm, 6))
+          .withColumn("impact_fp", round(col("impact") * 1e6, 0).cast("long")),
+        reliable)
+      val (vecR, vecRdd) = Dedup.materializeOwned(
+        vecRankedOf(spark, dir), reliable)
+      val lexFull = bm25ScoreOf(queries, idx)
+        .filter(col("doc_id") =!= col("query_id"))
+      val wCap = Window.partitionBy("word").orderBy(desc("impact"), asc("doc_id"))
+      val capped = idx.withColumn("irnk", row_number().over(wCap))
+        .filter(col("irnk") <= Bm25CapK)
+        .select("doc_id", "word", "impact", "impact_fp")
+      val lexCapped = bm25CappedScoreOf(queries, capped)
+        .filter(col("doc_id") =!= col("query_id"))
+      val (ideal, idealRdd) = Dedup.materializeOwned(
+        rrfFusedOf(lexRankedOf(lexFull), vecR)
+          .filter(col("rank") <= NdcgDepth)
+          .select(col("query_id"), col("doc_id"), col("rank").as("irank")),
+        reliable)
+      val capped10 = rrfFusedOf(lexRankedOf(lexCapped), vecR)
+        .filter(col("rank") <= NdcgDepth)
+        .select("query_id", "doc_id", "rank")
+      val bm10 = lexRankedOf(lexFull)
+        .select(col("query_id"), col("doc_id"), col("rank_lex").as("rank"))
+      val disc = typedLit(NdcgDiscFp)
+      val idcg = ideal.groupBy("query_id")
+        .agg(sum((lit(11L) - col("irank")) *
+          element_at(disc, col("irank").cast("int"))).as("idcg_fp"))
+      val top1 = ideal.filter(col("irank") === 1).select("query_id", "doc_id")
+      def armOf(name: String, arm: DataFrame): DataFrame = {
+        val dcg = arm.join(ideal, Seq("query_id", "doc_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(lit(11L) - col("irank"), lit(0L)) *
+            element_at(disc, col("rank").cast("int"))).as("dcg_fp"))
+        val rr = arm.join(top1, Seq("query_id", "doc_id"))
+          .select(col("query_id"), expr("1000000 div rank").as("rr_fp"))
+        idcg.join(dcg, Seq("query_id"), "left").join(rr, Seq("query_id"), "left")
+          .select(
+            expr("(coalesce(dcg_fp, 0) * 10000) div idcg_fp").as("ndcg_fp"),
+            coalesce(col("rr_fp"), lit(0L)).as("rr_fp"))
+          .agg(count(lit(1)).as("n_queries"),
+            (expr("sum(ndcg_fp) div count(1)") / 1e4).as("ndcg10"),
+            (expr("sum(rr_fp) div count(1)") / 1e6).as("mrr"))
+          .select(lit(name).as("system"), col("n_queries"),
+            col("ndcg10"), col("mrr"))
+      }
+      val out = armOf("bm25", bm10)
+        .unionByName(armOf("hybrid",
+          ideal.select(col("query_id"), col("doc_id"), col("irank").as("rank"))))
+        .unionByName(armOf("hybrid_capped", capped10))
+        .orderBy("system")
+      (out, Seq(idxRdd, vecRdd, idealRdd))
+    }
   }
 
   private def rrfFrom(tf: DataFrame, docs: DataFrame): DataFrame = {

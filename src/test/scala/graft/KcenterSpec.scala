@@ -107,6 +107,81 @@ class KcenterSpec extends AnyFunSuite {
     assert(SimSearch.kcenterSelectOf(empty, 3).collect().isEmpty)
   }
 
+  /** An arbitrary (but total) cell assignment plus its geometry — the
+    * prune must be exactness-preserving under ANY quantizer, not just a
+    * trained one. */
+  private def cellsOf(df: org.apache.spark.sql.DataFrame, mod: Int) = {
+    import org.apache.spark.sql.functions._
+    val assign = df.select(col("vec_id"), (col("vec_id") % mod).as("cell"))
+    (assign, SimSearch.cellGeometryOf(df, assign))
+  }
+
+  test("pruned sequential selects the bit-identical center sequence as exact Gonzalez") {
+    // cluster-aligned cells (the trained-quantizer shape): tight radii
+    // against wide inter-cell distances is what lets the bound bite
+    val assign = {
+      import org.apache.spark.sql.functions._
+      clustered.select(col("vec_id"), (col("vec_id") / 100).cast("long").as("cell"))
+    }
+    val geo = SimSearch.cellGeometryOf(clustered, assign)
+    val exact = SimSearch.kcenterSelectOf(clustered, 6).collect()
+    val tel = scala.collection.mutable.ArrayBuffer.empty[SimSearch.KcenterRoundPrune]
+    val pruned = SimSearch.kcenterSelectPrunedOf(clustered, 6, assign, geo,
+      telemetry = Some(tel)).collect()
+    assert(pruned.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+    // the well-separated clusters make the triangle bound bite: at
+    // least one round must actually skip a cell, or the prune is dead
+    // code on the geometry built to exercise it
+    assert(tel.map(_.cellsSkipped).sum > 0, tel.mkString(", "))
+  }
+
+  test("pruned ≡ exact across random geometries and assignments") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val pts = (0 until (20 + rnd.nextInt(30))).map(i =>
+        (i.toLong, Array.fill(6)(rnd.nextFloat() * 4f - 2f)))
+      val df = pts.toDF("vec_id", "embedding")
+      val (assign, geo) = cellsOf(df, 1 + rnd.nextInt(6))
+      val exact = SimSearch.kcenterSelectOf(df, 5).collect()
+      val pruned = SimSearch.kcenterSelectPrunedOf(df, 5, assign, geo).collect()
+      assert(pruned.map(_.toString).toSeq == exact.map(_.toString).toSeq,
+        s"seed $seed")
+    }
+  }
+
+  test("pruned re-materialization (matEvery) does not change the sequence") {
+    val (assign, geo) = cellsOf(clustered, 3)
+    val a = SimSearch.kcenterSelectPrunedOf(clustered, 7, assign, geo,
+      matEvery = 2).collect()
+    val b = SimSearch.kcenterSelectPrunedOf(clustered, 7, assign, geo,
+      matEvery = 16).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("batch arm: prune guards do not change admissions") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val pts = (0 until (20 + rnd.nextInt(30))).map(i =>
+        (i.toLong, Array.fill(6)(rnd.nextFloat() * 4f - 2f)))
+      val df = pts.toDF("vec_id", "embedding")
+      val (assign, geo) = cellsOf(df, 1 + rnd.nextInt(5))
+      val plain = SimSearch.kcenterSelectBatchOf(df, 4, 2).collect()
+      val pruned = SimSearch.kcenterSelectBatchOf(df, 4, 2,
+        assign = Some(assign), geo = Some(geo)).collect()
+      assert(pruned.map(_.toString).toSeq == plain.map(_.toString).toSeq,
+        s"seed $seed")
+    }
+  }
+
+  test("registered pruned query equals the exact form on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.fanOut(
+      graft.sources.Tables.embeddings(spark, dir))
+    val exact = SimSearch.kcenterSelectOf(e, SimSearch.KCenterK).collect()
+    val pruned = SimSearch.kcenterSelectPruned(spark, dir).collect()
+    assert(pruned.map(_.toString).toSeq == exact.map(_.toString).toSeq)
+  }
+
   test("registered query: distinct centers, seed at min vec_id, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val a = SimSearch.kcenterSelect(spark, dir).collect()
