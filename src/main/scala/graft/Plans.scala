@@ -38,7 +38,7 @@ object Plans {
     "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
     "q_dedup_cdc_inc", "q_ann_bq_routed",
-    "q_text_retrieval_ndcg")
+    "q_text_retrieval_ndcg", "q_dedup_span_maximal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -90,6 +90,10 @@ object Plans {
         // the materialized index/vector-leg/ideal frames
         else if (n == "q_text_retrieval_ndcg")
           graft.operators.TextAnalysis.rankQualityPlanOf(spark, sfDir)
+        // retained-result: audit the live maximal-run (gaps-and-islands
+        // window + threshold) dataflow
+        else if (n == "q_dedup_span_maximal")
+          graft.operators.TextAnalysis.dupSpanMaximalPlanOf(spark, sfDir)
         // retained-result situation: audit the live screen dataflow
         // (hash frame inlined — the registered query decodes once)
         else if (n == "q_multimodal_phash_inc")

@@ -275,18 +275,22 @@ object Scale {
           .join(posting.alias("y"),
             col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id"), col("y.doc_id")).distinct())
+      // r9 candidate shape (prefix + length filters) vs the r10 shape
+      // (+ PPJoin positional filter) — the measured verify-stage ceiling
+      val (pCandsOld, _) = timedCount(Dedup.prefixCandidatesNoPositional(docs))
       val (pCands, tCand) = timedCount(Dedup.prefixCandidatesOf(docs))
       val t0 = System.nanoTime()
       val nPairs = Dedup.prefixFilterJoinOf(docs).count()
       val tJoin = (System.nanoTime() - t0) / 1e9
-      s"| ${k}x | $naive | ${f"$tNaive%.1f"}s | $pCands | ${f"$tCand%.1f"}s | " +
-        s"${f"${100.0 * (naive - pCands) / naive}%.1f"}%% | $nPairs | ${f"$tJoin%.1f"}s |"
+      s"| ${k}x | $naive | ${f"$tNaive%.1f"}s | $pCandsOld | $pCands | " +
+        s"${f"$tCand%.1f"}s | " +
+        s"${f"${100.0 * (naive - pCands) / naive}%.1f"}% | $nPairs | ${f"$tJoin%.1f"}s |"
     }
     if (sections("prefix")) {
       println()
-      println("| factor | shared-shingle pairs | naive time | prefix candidates | " +
-        "cand time | pruned | pairs>=0.5 | join time |")
-      println("|---|---|---|---|---|---|---|---|")
+      println("| factor | shared-shingle pairs | naive time | candidates (r9, no positional) | " +
+        "candidates (+positional) | cand time | pruned vs naive | pairs>=0.5 | join time |")
+      println("|---|---|---|---|---|---|---|---|---|")
       rows4.foreach(println)
     }
 

@@ -236,6 +236,7 @@ object SparkEntry {
     "q_text_boilerplate" -> (TextAnalysis.boilerplateStrip _),
     "q_text_boilerplate_apply" -> (TextAnalysis.boilerplateApply _),
     "q_dedup_span_apply" -> (TextAnalysis.dupSpanApply _),
+    "q_dedup_span_maximal" -> (TextAnalysis.dupSpanApplyMaximal _),
     "q_dedup_span_inc" -> (TextAnalysis.dupSpanApplyIncremental _),
     "q_text_boilerplate_inc" -> (TextAnalysis.boilerplateApplyIncremental _),
     "q_text_collocations" -> (TextAnalysis.collocationsTop _),
@@ -2835,6 +2836,42 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_kept,
          |       md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Variable-length exact-substring dedup at the Lee-et-al 50-token
+    // threshold: adjacent duplicated gram starts merge into maximal
+    // runs (gaps-and-islands on p − row_number), only runs covering
+    // >= SpanDedupMinLen tokens are stripped, rebuilt texts md5-pinned.
+    "q_dedup_span_maximal" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 1),
+         |gr AS (SELECT doc_id,
+         |         unnest(range(1, len(toks) - ${TextAnalysis.SpanN - 2})) AS p,
+         |         unnest(list_transform(range(1, len(toks) - ${TextAnalysis.SpanN - 2}),
+         |           i -> md5(array_to_string(list_slice(toks, i, i + ${TextAnalysis.SpanN - 1}), ' ')))) AS g
+         |       FROM base),
+         |shared AS (SELECT g FROM gr GROUP BY g
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |       FROM gr JOIN shared USING (g)),
+         |runs AS (SELECT doc_id, min(p) AS rs,
+         |           max(p) + ${TextAnalysis.SpanN - 1} AS re
+         |         FROM st GROUP BY doc_id, island
+         |         HAVING max(p) + ${TextAnalysis.SpanN - 1} - min(p) + 1
+         |                >= ${TextAnalysis.SpanDedupMinLen}),
+         |cov AS (SELECT DISTINCT doc_id, t FROM (
+         |          SELECT doc_id, unnest(range(rs, re + 1)) AS t FROM runs)),
+         |nr AS (SELECT doc_id, count(*)::BIGINT AS runs_stripped
+         |       FROM runs GROUP BY doc_id),
+         |toks2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS t,
+         |            unnest(toks) AS tok FROM base),
+         |kept AS (SELECT * FROM toks2 ANTI JOIN cov USING (doc_id, t)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |          md5(string_agg(tok, ' ' ORDER BY t)) AS cleaned_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT reb.doc_id, coalesce(nr.runs_stripped, 0)::BIGINT AS runs_stripped,
+         |       n_kept, cleaned_md5
+         |FROM reb LEFT JOIN nr USING (doc_id) ORDER BY reb.doc_id""".stripMargin,
 
     // The INCREMENTAL screen: odd docs (the arriving batch) rebuilt
     // against the gram-df index of the even docs (the existing corpus)

@@ -1344,7 +1344,68 @@ object Dedup {
       .withColumn("n", size(col("toks")) + col("c1"))
     // Prefix membership is decided on the FULL kept set (the theorem
     // needs the first p = n − ⌈tc·n⌉ + 1 tokens of the whole ordering,
-    // with tc the relaxed threshold above).
+    // with tc the relaxed threshold above). posexplode carries each
+    // token's position INSIDE the df≥2 array; +c1 recovers its 1-based
+    // position in the full rarity order (all df=1 singletons sort first).
+    val prefix = docsets
+      .select(col("doc_id"), col("n"), col("c1"),
+        posexplode(slice(col("toks"), lit(1),
+          greatest(
+            (col("n") - ceil(lit(tc) * col("n")) + 1 - col("c1")).cast("int"),
+            lit(0)))))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1 + col("c1")).as("p"), col("col.g").as("g"))
+    // The PPJoin LENGTH filter rides the join: J ≥ tc forces
+    // min(na,nb) ≥ tc·max(na,nb), so size-mismatched pairs never reach
+    // the distinct or the verify. The 1e-9 slack makes the float product
+    // err only toward KEEPING a boundary pair (verification stays exact).
+    val lengthOk =
+      least(col("x.n"), col("y.n")).cast("double") >=
+        lit(tc) * greatest(col("x.n"), col("y.n")) - lit(1e-9)
+    // The PPJoin POSITIONAL filter (Xiao et al., WWW'08 — the r10
+    // verify-stage governor), at its TIGHT first-common-token form:
+    // both docs order tokens by the SAME global (df, g) rarity order,
+    // so the matched token with the minimum position on one side is
+    // the minimum on the other side too, and it is the globally FIRST
+    // common token of the pair (any earlier common token would sit at
+    // smaller positions in BOTH prefixes and appear in the join). No
+    // common token precedes it, so the achievable overlap is bounded
+    // by 1 + min(na−i₁, nb−j₁); J ≥ tc needs overlap ≥
+    // tc·(na+nb)/(1+tc), and a pair whose bound can't reach that
+    // never enters the verify. LOSSLESS: the bound dominates the true
+    // overlap (the naive all-pairs oracle hash-match is the machine
+    // check); the 1e-9 slack errs toward keeping. The groupBy replaces
+    // the old `distinct()` — same shuffle, the min/first aggregates
+    // ride it for free.
+    val cand = prefix.alias("x")
+      .join(prefix.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          lengthOk)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(min(col("x.p")).as("i1"), min(col("y.p")).as("j1"),
+        first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
+      .filter((lit(1) + least(col("na") - col("i1"), col("nb") - col("j1")))
+          .cast("double") >=
+        lit(tc) / (1.0 + tc) * (col("na") + col("nb")) - lit(1e-9))
+      .select("doc_a", "doc_b")
+    (docsets, cand)
+  }
+
+  /** Candidate count WITHOUT the positional filter — the r9 candidate
+    * shape, kept for the SCALE harness to measure what the positional
+    * filter buys per factor. */
+  private[graft] def prefixCandidatesNoPositional(docs: DataFrame,
+      t: Double = PrefixJoinThreshold): DataFrame = {
+    val tc = t - 5e-5
+    val posting = shinglesOf(docs).distinct()
+    val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
+    val docsets = kept
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+          when(col("df") >= 2, struct(col("df"), col("g"))))).as("toks"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("c1"))
+      .withColumn("n", size(col("toks")) + col("c1"))
     val prefix = docsets
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
@@ -1352,18 +1413,13 @@ object Dedup {
             (col("n") - ceil(lit(tc) * col("n")) + 1 - col("c1")).cast("int"),
             lit(0)))).as("tk"))
       .select(col("doc_id"), col("n"), col("tk.g").as("g"))
-    // The PPJoin LENGTH filter rides the join: J ≥ tc forces
-    // min(na,nb) ≥ tc·max(na,nb), so size-mismatched pairs never reach
-    // the distinct or the verify. The 1e-9 slack makes the float product
-    // err only toward KEEPING a boundary pair (verification stays exact).
-    val cand = prefix.alias("x")
+    prefix.alias("x")
       .join(prefix.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
             lit(tc) * greatest(col("x.n"), col("y.n")) - lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    (docsets, cand)
   }
 
   private[graft] def prefixCandidatesOf(docs: DataFrame,

@@ -1009,6 +1009,101 @@ object TextAnalysis {
   def dupSpanApply(spark: SparkSession, dir: String): DataFrame =
     boilerplateApplyOf(Tables.fanOut(Tables.documents(spark, dir)), SpanN, 2)
 
+  /** Lee et al.'s VARIABLE-LENGTH threshold (arXiv:2107.06499 §4.1
+    * uses 50 BPE tokens): only maximal duplicated runs of at least
+    * this many tokens are stripped by [[dupSpanApplyMaximal]]. */
+  val SpanDedupMinLen = 50
+
+  /** VARIABLE-LENGTH exact-substring dedup at the Lee-et-al 50-token
+    * threshold — the fixed-gram [[dupSpanApply]] upgraded to the
+    * paper's semantics: adjacent duplicated [[SpanN]]-gram starts merge
+    * into MAXIMAL runs (a duplicated substring of L tokens yields
+    * starts at every position of its L−n+1 window, so a maximal run of
+    * m consecutive starts covers m+n−1 tokens), and only runs of
+    * ≥ [[SpanDedupMinLen]] tokens are stripped — a 49-token repeat
+    * survives, a 50-token repeat goes (suite-pinned). Chained coverage
+    * across DIFFERENT partner documents merges into one run (the
+    * standard gram-chaining approximation of the paper's suffix-array
+    * maximal matches — strictly more conservative than per-partner
+    * matching would be for the threshold test, never less).
+    *
+    * Plan shape: the run merge is the gaps-and-islands window
+    * (pos − row_number over (doc_id, pos)) — doc-local partitions, so
+    * the window never sees more rows than the longest document;
+    * everything else is the [[boilerplateApplyOf]] machinery (one
+    * gram-df shuffle, broadcast-bounded shared set, md5-pinned
+    * rebuilds). Docs stripped to zero tokens vanish from the output in
+    * BOTH engines (full-document duplicates at ≥ minLen — the
+    * document-level dedup family's jurisdiction). */
+  def dupSpanApplyMaximal(spark: SparkSession, dir: String): DataFrame =
+    dupSpanApplyMaximalOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  def dupSpanApplyMaximalOf(docs: DataFrame, n: Int = SpanN,
+      minLen: Int = SpanDedupMinLen): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (out, owned) =
+        spanMaximalBuild(docs, n, minLen, ckDir.isDefined)
+      val (res, resRdd) = Dedup.materializeOwned(out, ckDir.isDefined)
+      owned.foreach(Dedup.retire(spark, _))
+      Dedup.retainResult(spark, s"dupSpanMaximal#$n#$minLen", resRdd, res)
+    }
+  }
+
+  /** Plan-audit hook: the live maximal-run dataflow over the
+    * materialized tokenized/gram frames (the registered query returns
+    * a retained `ExistingRDD`). */
+  private[graft] def dupSpanMaximalPlanOf(spark: SparkSession, dir: String): DataFrame =
+    spanMaximalBuild(Tables.fanOut(Tables.documents(spark, dir)),
+      SpanN, SpanDedupMinLen, reliable = false)._1
+
+  private def spanMaximalBuild(docs: DataFrame, n: Int, minLen: Int,
+      reliable: Boolean)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    locally {
+      def materialize(df: DataFrame) = Dedup.materializeOwned(df, reliable)
+      val (d, dRdd) = materialize(
+        docs.select(col("doc_id"), toks(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 1))
+      val (grams, gramsRdd) = materialize(
+        d.select(col("doc_id"), posexplode(wordNgrams(col("toks"), n)))
+          .select(col("doc_id"), col("pos"), md5(col("col")).as("g")))
+      val shared = grams.groupBy("g")
+        .agg(countDistinct("doc_id").as("df_docs"))
+        .filter(col("df_docs") >= 2)
+        .select("g")
+      // gaps-and-islands: consecutive duplicated gram starts share
+      // (pos − row_number), each island is one maximal duplicated run
+      val wi = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = grams.join(shared, "g")
+        .select("doc_id", "pos")
+        .withColumn("island", col("pos") - row_number().over(wi))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("run_start"),
+          (max("pos") + lit(n - 1)).as("run_end"))
+        .filter(col("run_end") - col("run_start") + 1 >= minLen)
+      val covered = runs.select(col("doc_id"),
+        explode(sequence(col("run_start"), col("run_end"))).as("pos"))
+      val nRuns = runs.groupBy("doc_id")
+        .agg(count(lit(1)).as("runs_stripped"))
+      val kept = d.select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+      val out = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")))).as("cleaned_md5"))
+        .join(nRuns, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("runs_stripped"), lit(0L)).as("runs_stripped"),
+          col("n_kept"), col("cleaned_md5"))
+        .orderBy("doc_id")
+      (out, Seq(dRdd, gramsRdd))
+    }
+  }
+
   /** The persisted GRAM-DF INDEX of a corpus — the static side of
     * INCREMENTAL span dedup: (g, df_docs) for every [[SpanN]]-gram md5
     * digest, the frame a production pipeline snapshots once per corpus

@@ -67,4 +67,35 @@ class PrefixJoinSpec extends AnyFunSuite {
     val tight = Dedup.prefixCandidatesOf(docs, 0.8).count()
     assert(tight <= loose)
   }
+
+  test("positional filter (r10) is lossless and only ever shrinks candidates") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val withPos = Dedup.prefixCandidatesOf(docs).collect().map(key).toSet
+    val without = Dedup.prefixCandidatesNoPositional(docs).collect().map(key).toSet
+    assert(withPos.subsetOf(without),
+      s"positional filter ADDED candidates: ${(withPos -- without).toSeq.sorted}")
+    // every verified pair must still be a candidate (losslessness at
+    // the result level — the oracle's hash-match pins it corpus-wide)
+    val results = Dedup.prefixFilterJoinOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results.subsetOf(withPos))
+  }
+
+  test("positional filter lossless across random corpora") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(300 + seed)
+      val vocab = (0 until 40).map(i => s"v$i")
+      val rdocs = (0 until 25).map { i =>
+        (i.toLong, (0 until (8 + rnd.nextInt(10)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val fast = Dedup.prefixFilterJoinOf(rdocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val naive = Dedup.ngramJaccardOf(rdocs)
+        .filter(col("jaccard") >= Dedup.PrefixJoinThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == naive, s"seed $seed")
+    }
+  }
 }
