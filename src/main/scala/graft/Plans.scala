@@ -38,7 +38,8 @@ object Plans {
     "q_events_resample", "q_snapshot_diff", "q_ann_bq_hamming",
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
     "q_dedup_cdc_inc", "q_ann_bq_routed",
-    "q_text_retrieval_ndcg", "q_dedup_span_maximal")
+    "q_text_retrieval_ndcg", "q_dedup_span_maximal",
+    "q_ann_mrl_recall", "q_merge_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -162,6 +162,7 @@ object SparkEntry {
     "q_ann_ivf_assign"  -> (SimSearch.ivfAssign _),
     "q_ann_ivf_routed"  -> (SimSearch.ivfRoutedTopK _),
     "q_ann_recall"      -> (SimSearch.annRecall _),
+    "q_ann_mrl_recall"  -> (SimSearch.mrlRecall _),
     "q_dedup_semantic"  -> (SimSearch.semanticDedup _),
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
@@ -215,6 +216,8 @@ object SparkEntry {
     "q_train_quality_lr_apply" -> (TextAnalysis.qualityLrApply _),
     "q_train_quality_lr_calibration" -> (TextAnalysis.qualityLrCalibration _),
     "q_merge_upsert"     -> (CorpusMerge.mergeSummary _),
+    "q_merge_scd2"       -> (CorpusMerge.scd2History _),
+    "q_merge_timetravel" -> (CorpusMerge.timeTravelCensus _),
     "q_merge_ivm"        -> (CorpusMerge.incrementalViewMaintenance _),
     "q_snapshot_diff"    -> (CorpusMerge.snapshotDiff _),
     "q_layout_compaction" -> (Layout.compactionAudit _),
@@ -2316,6 +2319,54 @@ object SparkEntry {
 
     // BQ recall audit: both pool arms replayed from ONE shared word/ham
     // frame, scored against the exact top-K, monotone-in-pool pinned
+    // Matryoshka dimension dial: per retained prefix width, recall@K of
+    // the sliced cosine top-K against the full-dim exact top-K; every
+    // cosine is the same sequential fold on list_slice prefixes, every
+    // ranking pinned on (rounded cos, neighbor); mono_ok reported as
+    // data (no monotonicity theorem for prefixes)
+    "q_ann_mrl_recall" -> {
+      import graft.operators.SimSearch.{K, MrlDims, NQueries}
+      def arm(d: Int): String = {
+        val qs = s"list_slice(q.q_emb, 1, $d)"
+        val es = s"list_slice(e.embedding, 1, $d)"
+        s"""m$d AS (SELECT q_id, neighbor FROM (
+           |  SELECT q.q_id, e.vec_id AS neighbor,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      round(${duckDot(qs, es)} /
+           |        (${duckNormOf(qs)} * ${duckNormOf(es)}), 6) DESC,
+           |      e.vec_id) AS rnk
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+           |WHERE rnk <= $K)""".stripMargin
+      }
+      val armUnion = MrlDims.map(d =>
+        s"SELECT ${d}::BIGINT AS dims, q_id, neighbor FROM m$d")
+        .mkString("\n  UNION ALL\n  ")
+      val monoCase = MrlDims.sliding(2).collect { case Seq(lo, hi) =>
+        s"WHEN dims = $hi THEN hits >= (SELECT hits FROM recalls WHERE dims = $lo)"
+      }.mkString("\n         ")
+      s"""WITH e AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+         |      FROM e WHERE vec_id < $NQueries),
+         |${MrlDims.map(arm).mkString(",\n")},
+         |exact AS (SELECT q_id, neighbor FROM (
+         |  SELECT q.q_id, e.vec_id AS neighbor,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      round(${duckDot("q.q_emb", "e.embedding")} /
+         |        (q.q_nrm * e.nrm), 6) DESC, e.vec_id) AS rnk
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         |WHERE rnk <= $K),
+         |approx AS (
+         |  $armUnion),
+         |recalls AS (
+         |  SELECT dims, coalesce(sum(hit), 0)::BIGINT AS hits
+         |  FROM approx a LEFT JOIN (SELECT q_id, neighbor, 1 AS hit FROM exact) x
+         |    USING (q_id, neighbor) GROUP BY dims)
+         |SELECT dims, hits,
+         |       round(hits::DOUBLE / ${K * NQueries}, 4) AS recall5,
+         |       CASE $monoCase
+         |         ELSE true END AS mono_ok
+         |FROM recalls ORDER BY dims""".stripMargin
+    },
     "q_ann_bq_recall" -> {
       import graft.operators.SimSearch.{BqCandidates, BqPoolSmall, K, NQueries}
       def arm(pool: Int): String =
@@ -4450,6 +4501,86 @@ object SparkEntry {
 
     // change batch rebuilt bit-for-bit from the snapshot + the planted
     // inserts (CorpusMerge.InsertedDocs is the single source of truth)
+    // SCD Type-2 history: the three-version change log replayed, one
+    // lead() window per key builds the validity intervals; a delete
+    // closes without a successor, a later insert reopens (doc_id 0)
+    "q_merge_scd2" -> {
+      val ins = CorpusMerge.InsertedDocs
+        .map { case (id, t, l, s) => s"($id, '$t')" }
+        .mkString(", ")
+      val tweaks = CorpusMerge.ThirdBatchTweaks
+        .map { case (id, t, op) => s"($id, '$t', '$op')" }
+        .mkString(", ")
+      s"""WITH inserted(doc_id, text) AS (VALUES $ins),
+         |tweaks(doc_id, text, op) AS (VALUES $tweaks),
+         |v1 AS (SELECT doc_id, 1::BIGINT AS version, 'I' AS op, text
+         |       FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, 2::BIGINT AS version,
+         |    CASE WHEN doc_id % 101 = 0 THEN 'D'
+         |         WHEN doc_id % 97 = 0 THEN 'U' END AS op,
+         |    text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 101 = 0 OR doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id, 2::BIGINT, 'I', text FROM inserted),
+         |v3 AS (
+         |  SELECT doc_id, 3::BIGINT AS version, 'U' AS op,
+         |    text || ' [rev3]' AS text
+         |  FROM documents WHERE doc_id % 89 = 0
+         |  UNION ALL SELECT doc_id, 3::BIGINT, op, text FROM tweaks),
+         |log AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         |        UNION ALL SELECT * FROM v3),
+         |h AS (SELECT doc_id, version, op, text,
+         |        lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+         |          AS next_v
+         |      FROM log)
+         |SELECT doc_id, version AS valid_from, next_v AS valid_to,
+         |       (next_v IS NULL) AS is_current, md5(text) AS text_md5
+         |FROM h WHERE op <> 'D' ORDER BY doc_id, valid_from""".stripMargin
+    },
+
+    // time-travel read over the SCD2 intervals: per AS-OF version, the
+    // reconstructed corpus census (open intervals current forever)
+    "q_merge_timetravel" -> {
+      val ins = CorpusMerge.InsertedDocs
+        .map { case (id, t, l, s) => s"($id, '$t')" }
+        .mkString(", ")
+      val tweaks = CorpusMerge.ThirdBatchTweaks
+        .map { case (id, t, op) => s"($id, '$t', '$op')" }
+        .mkString(", ")
+      s"""WITH inserted(doc_id, text) AS (VALUES $ins),
+         |tweaks(doc_id, text, op) AS (VALUES $tweaks),
+         |v1 AS (SELECT doc_id, 1::BIGINT AS version, 'I' AS op, text
+         |       FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, 2::BIGINT AS version,
+         |    CASE WHEN doc_id % 101 = 0 THEN 'D'
+         |         WHEN doc_id % 97 = 0 THEN 'U' END AS op,
+         |    text || ' [rev2]' AS text
+         |  FROM documents WHERE doc_id % 101 = 0 OR doc_id % 97 = 0
+         |  UNION ALL SELECT doc_id, 2::BIGINT, 'I', text FROM inserted),
+         |v3 AS (
+         |  SELECT doc_id, 3::BIGINT AS version, 'U' AS op,
+         |    text || ' [rev3]' AS text
+         |  FROM documents WHERE doc_id % 89 = 0
+         |  UNION ALL SELECT doc_id, 3::BIGINT, op, text FROM tweaks),
+         |log AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         |        UNION ALL SELECT * FROM v3),
+         |h AS (SELECT doc_id, version AS valid_from, op, text,
+         |        lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+         |          AS valid_to
+         |      FROM log),
+         |iv AS (SELECT doc_id, valid_from, valid_to, md5(text) AS text_md5
+         |       FROM h WHERE op <> 'D'),
+         |x AS (SELECT iv.*, v.as_of
+         |      FROM iv CROSS JOIN (VALUES (1::BIGINT), (2::BIGINT),
+         |        (3::BIGINT)) v(as_of)
+         |      WHERE valid_from <= as_of
+         |        AND (valid_to IS NULL OR as_of < valid_to))
+         |SELECT as_of, count(*)::BIGINT AS n_docs,
+         |       count(DISTINCT text_md5)::BIGINT AS distinct_texts
+         |FROM x GROUP BY as_of ORDER BY as_of""".stripMargin
+    },
+
     "q_merge_upsert" -> {
       val ins = CorpusMerge.InsertedDocs
         .map { case (id, t, l, s) => s"($id, '$t', '$l', '$s')" }

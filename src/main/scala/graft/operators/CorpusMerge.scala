@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -161,6 +162,81 @@ object CorpusMerge {
     snapshotDiffOf(snap,
       mergeUpsert(snap, changeBatch(spark, dir),
         "doc_id", Seq("text", "lang", "source")))
+  }
+
+  /** Version-3 tweaks to the [[InsertedDocs]] keys — exercising SCD2
+    * intervals on keys BORN inside the log: the first arrival gets a
+    * second revision, the second is deleted. Single source of truth
+    * for the Spark build and the oracle's VALUES clause. */
+  val ThirdBatchTweaks: Seq[(Long, String, String)] = Seq(
+    (InsertedDocs(0)._1, InsertedDocs(0)._2 + " [rev3]", OpUpdate),
+    (InsertedDocs(1)._1, "", OpDelete))
+
+  /** SCD TYPE-2 HISTORY materialization — the warehouse temporal
+    * operator the merge family was missing: given a versioned change
+    * log, build the dimension-history table (key, payload digest,
+    * valid_from, valid_to, is_current) that point-in-time joins read.
+    * The log here is three deterministic versions derived from the
+    * snapshot itself (v1 = the initial load as inserts; v2 = the
+    * [[changeBatch]]; v3 = a second revision wave at doc_id ≡ 0
+    * (mod 89) plus [[ThirdBatchTweaks]]), so the oracle rebuilds it
+    * bit-for-bit with no side files.
+    *
+    * The build is ONE window: rows ordered by version per key, each
+    * non-delete row opens an interval, `lead(version)` closes it (an
+    * update supersedes, a delete closes without a successor, and a
+    * later insert after a delete REOPENS the key — doc_id 0 exercises
+    * delete-then-revive here). valid_to is NULL on open intervals and
+    * is_current ⇔ no successor row. Per-key partitions are bounded by
+    * the version count, so the window never sees more than
+    * |versions| rows per key — the 100 TB shape is a co-partitioned
+    * sort within key groups, exactly how a warehouse MERGEs SCD2. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables.documents(spark, dir)
+    val v1 = snap.select(col("doc_id"), lit(1L).as("version"),
+      lit(OpInsert).as("op"), col("text"))
+    val v2 = changeBatch(spark, dir)
+      .select(col("doc_id"), lit(2L).as("version"), col("op"), col("text"))
+    val v3 = snap.filter(col("doc_id") % 89 === 0)
+      .select(col("doc_id"), lit(3L).as("version"), lit(OpUpdate).as("op"),
+        concat(col("text"), lit(" [rev3]")).as("text"))
+      .unionByName(ThirdBatchTweaks.toDF("doc_id", "text", "op")
+        .select(col("doc_id"), lit(3L).as("version"), col("op"), col("text")))
+    scd2Of(v1.unionByName(v2).unionByName(v3))
+      .orderBy("doc_id", "valid_from")
+  }
+
+  /** TIME-TRAVEL census — the read side of [[scd2History]]: for each
+    * version v, reconstruct the corpus AS OF v straight from the
+    * validity intervals (valid_from ≤ v < valid_to, open intervals
+    * current forever) and report the per-version census. AS OF 1 is
+    * the initial load; 2 reflects the change batch (deletes gone,
+    * revisions live); 3 the second wave. One row-local interval test
+    * per (interval, version) — versions ride an `explode` over a
+    * 3-element literal, so the frame never exceeds 3× the history. */
+  def timeTravelCensus(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir)
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        col("text_md5"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("as_of"))
+      .filter(col("valid_from") <= col("as_of") &&
+        (col("valid_to").isNull || col("as_of") < col("valid_to")))
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_md5")).as("distinct_texts"))
+      .orderBy("as_of")
+
+  /** The SCD2 kernel over ANY (doc_id, version, op, text) change log:
+    * one lead() window per key builds the validity intervals. */
+  def scd2Of(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("version")
+    log.withColumn("next_v", lead(col("version"), 1).over(w))
+      .filter(col("op") =!= OpDelete)
+      .select(col("doc_id"), col("version").as("valid_from"),
+        col("next_v").as("valid_to"),
+        col("next_v").isNull.as("is_current"),
+        md5(col("text")).as("text_md5"))
   }
 
   /** The diff kernel over any two (doc_id, text) snapshots. */

@@ -220,6 +220,58 @@ object SimSearch {
       .orderBy("method")
   }
 
+  /** Matryoshka truncation dims audited by [[mrlRecall]] — the dial
+    * positions below the corpus's full 64 dims. */
+  val MrlDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** MATRYOSHKA (MRL) DIMENSION-DIAL recall audit — Kusupati et al.,
+    * NeurIPS 2022: an MRL-trained embedding nests usable
+    * representations in its prefixes, so serving can retrieve on the
+    * first d dims (d/64 of the scan bytes and FLOPs) and pay a
+    * measured recall cost. This is the third dial of the ANN audit
+    * family — nprobe (`q_ann_recall`), candidate pool
+    * (`q_ann_bq_recall`), now RETAINED DIMENSIONS: recall@[[K]] of the
+    * sliced-prefix cosine top-K against the full-dim exact top-K, one
+    * row per dial position. The corpus embeddings are synthetic (not
+    * MRL-trained), so the measured numbers are the honest pessimistic
+    * floor — the PLUMBING (slice, rank, audit) is what transfers.
+    * `mono_ok` reports dominance over the previous dial position as
+    * DATA (cross-engine-pinned), not as an assertion: unlike the BQ
+    * pool (a superset rerank, provably monotone), prefix recall has no
+    * monotonicity guarantee — reporting it is the audit's job. */
+  def mrlRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val exact = bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("neighbor"), lit(1).as("hit"))
+    val arms = MrlDims.map { d =>
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"),
+          slice(col("embedding"), 1, d).as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("neighbor"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(lit(d.toLong).as("dims"), col("q_id"),
+          col("vec_id").as("neighbor"),
+          round(cosine(slice(col("embedding"), 1, d), col("q_emb")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select("dims", "q_id", "neighbor")
+    }.reduce(_ unionByName _)
+    val recalls = arms.join(exact, Seq("q_id", "neighbor"), "left")
+      .groupBy("dims")
+      .agg(coalesce(sum("hit"), lit(0)).cast("long").as("hits"))
+    val prevExpr = MrlDims.sliding(2).collect { case Seq(lo, hi) => (hi, lo) }
+      .foldLeft(lit(null).cast("long")) { case (acc, (hi, lo)) =>
+        when(col("dims") === hi, lit(lo.toLong)).otherwise(acc) }
+    recalls.withColumn("prev", prevExpr)
+      .join(recalls.select(col("dims").as("prev"), col("hits").as("prev_hits")),
+        Seq("prev"), "left")
+      .select(col("dims"), col("hits"),
+        round(col("hits") / lit(1.0 * K * NQueries), 4).as("recall5"),
+        coalesce(col("hits") >= col("prev_hits"), lit(true)).as("mono_ok"))
+      .orderBy("dims")
+  }
+
   /** The same exact top-k as [[bruteForceTopK]], but through the custom
     * typed [[graft.functions.TopKAggregator]] instead of a rank window:
     * one O(k) buffer per query, partial-reduced map-side and merged

@@ -190,6 +190,8 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_profile_eqdepth" -> "q_profile_skew",
     "q_profile_drift" -> "q_profile_skew",
     "q_zorder_values" -> "q_zorder_pruning",
+    // time travel is the bounded read tail over the scd2 intervals
+    "q_merge_timetravel" -> "q_merge_scd2",
     // multimodal: decode-once + banded pairing family
     "q_multimodal_stats" -> "q_multimodal_phash",
     "q_multimodal_dedup" -> "q_multimodal_phash",
