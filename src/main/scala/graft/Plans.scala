@@ -39,7 +39,7 @@ object Plans {
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
     "q_dedup_cdc_inc", "q_ann_bq_routed",
     "q_text_retrieval_ndcg", "q_dedup_span_maximal",
-    "q_ann_mrl_recall", "q_merge_scd2")
+    "q_ann_mrl_recall", "q_merge_scd2", "q_sample_kcenter_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -97,6 +97,10 @@ object Plans {
           graft.operators.TextAnalysis.dupSpanMaximalPlanOf(spark, sfDir)
         // retained-result situation: audit the live screen dataflow
         // (hash frame inlined — the registered query decodes once)
+        // retained-result: audit the live hash-group pairing dataflow
+        // (base half from the cached index, edits decoded once)
+        else if (n == "q_multimodal_phash_pairs")
+          graft.multimodal.Multimodal.phashPairsPlanOf(spark, sfDir)
         else if (n == "q_multimodal_phash_inc")
           graft.multimodal.Multimodal.phashScreenPlanOf(spark, sfDir)
         else if (n == "q_multimodal_audio_inc")

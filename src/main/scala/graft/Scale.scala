@@ -86,7 +86,7 @@ object Scale {
       "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
-      "kcprune")
+      "kcprune", "kcweights", "phashgrain")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -1233,6 +1233,68 @@ object Scale {
         "pruned time | cells skipped | rows skipped | quantizer build (untimed axis) |")
       println("|---|---|---|---|---|---|---|---|---|")
       rowsKcPruneCl.foreach(println)
+    }
+
+    // CORESET WEIGHTS: the corpus grows k×, the selected center set is
+    // the fixed production K (selected once from the base corpus,
+    // untimed — the selection has its own kcprune table). Claim: the
+    // weights pass is ONE narrow broadcast scan, O(N·K) flops, K-row
+    // output — time ~linear in N, output constant, Σ weight ≡ N.
+    val rowsKcw = factors.filter(_ => sections("kcweights")).map { k =>
+      System.err.println(s"[scale] factor $k (kcenter weights) ...")
+      import graft.operators.SimSearch
+      val centers = SimSearch.kcenterSelectPruned(spark, baseDir)
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nv = e.count()
+      val t0 = System.nanoTime()
+      val w = SimSearch.kcenterWeightsOf(e, centers).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val sumW = w.map(_.getLong(1)).sum
+      s"| ${k}x | $nv | ${w.length} | $sumW | ${sumW == nv} | ${f"$t%.1f"}s |"
+    }
+    if (sections("kcweights")) {
+      println()
+      println("| factor | vectors | weight rows (K) | sum(weight) | sum==N | " +
+        "weights pass time |")
+      println("|---|---|---|---|---|---|")
+      rowsKcw.foreach(println)
+    }
+
+    // PHASH PAIRS GRAIN: the catalog hash frame grows k× with the SAME
+    // saturated 64-bit hash space (fresh media_ids, dhash values
+    // unchanged — exactly the degeneracy sf1 measured: a procedural
+    // catalog collapses to a few hundred distinct hashes at any scale).
+    // Decode is untimed (charged to build:media_index). Claim: the
+    // hash-GROUP output is scale-stable while the id-grain equivalent
+    // (Σ n_pairs, reported from the same run) grows ~quadratically —
+    // the r10 re-grain moved the quadratic blowup out of the output.
+    val rowsPhashGrain = factors.filter(_ => sections("phashgrain")).map { k =>
+      System.err.println(s"[scale] factor $k (phash grain) ...")
+      import graft.multimodal.Multimodal
+      val base = Multimodal.dHash(
+        Multimodal.plantedMediaRecords(spark, baseDir)).toDF()
+        .select("media_id", "ok", "dhash")
+      val grown = (0 until k).map { i =>
+        if (i == 0) base
+        else base.select((col("media_id") + lit(i * ReplicaStride)).as("media_id"),
+          col("ok"), col("dhash"))
+      }.reduce(_ unionByName _)
+      val (hashes, hashesRdd) = Dedup.materializeOwned(grown, reliable = false)
+      val nImgs = hashes.count()
+      val t0 = System.nanoTime()
+      val rows = Multimodal.phashGroupPairsOf(hashes)
+        .agg(count(lit(1)).as("rows"), sum(col("n_pairs")).as("id_pairs"))
+        .collect()(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      Dedup.retire(spark, hashesRdd)
+      s"| ${k}x | $nImgs | ${rows.getLong(0)} | ${rows.getLong(1)} | ${f"$t%.1f"}s |"
+    }
+    if (sections("phashgrain")) {
+      println()
+      println("| factor | catalog images | group rows out | id-grain pairs " +
+        "(Σ n_pairs) | pairing time |")
+      println("|---|---|---|---|---|")
+      rowsPhashGrain.foreach(println)
     }
 
     // round-7 sketch/retrieval ops. Replicated docs carry per-replica

@@ -251,6 +251,7 @@ object SparkEntry {
     "q_sample_domain_cap" -> (TextAnalysis.domainCapSample _),
     "q_sample_kcenter" -> (SimSearch.kcenterSelectPruned _),
     "q_sample_kcenter_batch" -> (SimSearch.kcenterSelectBatch _),
+    "q_sample_kcenter_weights" -> (SimSearch.kcenterWeights _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -516,7 +517,9 @@ object SparkEntry {
     * row (`s{i}`), and the incremental min-distance update (`dd{i}`) —
     * the same least(prev, d2-to-new-center) the Spark loop
     * materializes. */
-  private def duckKcenterOracle(k: Int): String = {
+  /** The WITH-body of the farthest-first chain (no final SELECT) —
+    * shared by the selection oracle and the coreset-weights oracle. */
+  private def duckKcenterCtes(k: Int): String = {
     val head =
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
@@ -535,10 +538,13 @@ object SparkEntry {
          |             AS min_d2
          |         FROM dd${i - 1} d, c$i)""".stripMargin
     }
-    head + steps.mkString + "\nSELECT round, vec_id, radius FROM (" +
+    head + steps.mkString
+  }
+
+  private def duckKcenterOracle(k: Int): String =
+    duckKcenterCtes(k) + "\nSELECT round, vec_id, radius FROM (" +
       (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") +
       ") ORDER BY round"
-  }
 
   /** Generated CTE chain mirroring `SimSearch.kcenterSelectBatchOf`:
     * per pass, the T farthest candidates pivot into one row and the
@@ -2481,20 +2487,34 @@ object SparkEntry {
          |       planted_found, n_pairs, planted_max_hamming
          |FROM imgs CROSS JOIN ps""".stripMargin,
 
+    // r10: DISTINCT-HASH grain (the id-grain output was quadratic on
+    // the saturated hash space — 25.2M rows at sf1). Same fixture,
+    // same banding/hamming kernel over distinct hashes, multiplicities
+    // carried so sum(n_pairs) equals the id-grain count exactly.
     "q_multimodal_phash_pairs" ->
       s"""WITH h AS (SELECT media_id, dhash
          |           FROM '${graft.multimodal.Multimodal.PhashFixturePath}'
          |           WHERE ok),
-         |banded AS (SELECT media_id, dhash, band,
+         |g AS (SELECT dhash, count(*)::BIGINT AS n FROM h GROUP BY dhash),
+         |banded AS (SELECT dhash, band,
          |             (dhash >> (band::INT * 16)) & 65535 AS band_sig
-         |           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-         |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
-         |            bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
-         |          FROM banded a JOIN banded b USING (band, band_sig)
-         |          WHERE a.media_id < b.media_id)
-         |SELECT DISTINCT id_a, id_b, hamming FROM pairs
-         |WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}
-         |ORDER BY id_a, id_b""".stripMargin,
+         |           FROM g CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |off AS (SELECT DISTINCT a.dhash AS h_a, b.dhash AS h_b,
+         |          bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         |        FROM banded a JOIN banded b USING (band, band_sig)
+         |        WHERE a.dhash < b.dhash),
+         |offn AS (SELECT h_a, h_b, hamming, ga.n AS n_a, gb.n AS n_b,
+         |           ga.n * gb.n AS n_pairs
+         |         FROM off JOIN g ga ON ga.dhash = off.h_a
+         |         JOIN g gb ON gb.dhash = off.h_b
+         |         WHERE hamming <= ${graft.multimodal.Multimodal.DHashMaxHamming}),
+         |diag AS (SELECT dhash AS h_a, dhash AS h_b, 0::BIGINT AS hamming,
+         |           n AS n_a, n AS n_b, (n * (n - 1)) // 2 AS n_pairs
+         |         FROM g WHERE n >= 2)
+         |SELECT h_a, h_b, hamming, n_a, n_b, n_pairs FROM offn
+         |UNION ALL
+         |SELECT h_a, h_b, hamming, n_a, n_b, n_pairs FROM diag
+         |ORDER BY h_a, h_b""".stripMargin,
 
     // audio modality, same fixture discipline: the Spark side runs the
     // real WAV decode -> envelope fingerprint; the oracle replays the
@@ -5199,6 +5219,27 @@ object SparkEntry {
     // k-center greedy: the generated farthest-first chain — both
     // engines must select the identical center sequence and radii
     "q_sample_kcenter" -> duckKcenterOracle(SimSearch.KCenterK),
+
+    // coreset weights: the selected centers' Voronoi masses — the
+    // k-center chain replayed, then one argmin assignment pass with
+    // (rounded d2, center) tie-break; weights must sum to N
+    "q_sample_kcenter_weights" -> {
+      val k = SimSearch.KCenterK
+      duckKcenterCtes(k) +
+        s""",
+           |cents AS (${(1 to k).map(i =>
+              s"SELECT vec_id AS center, embedding AS c_emb FROM c$i")
+              .mkString("\n          UNION ALL ")}),
+           |asg AS (SELECT vec_id, center, d2 FROM (
+           |  SELECT e.vec_id, cents.center,
+           |    round(${duckL2("e.embedding", "cents.c_emb")}, 6) AS d2,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(${duckL2("e.embedding", "cents.c_emb")}, 6),
+           |        cents.center) AS rnk
+           |  FROM e CROSS JOIN cents) WHERE rnk = 1)
+           |SELECT center, count(*)::BIGINT AS weight, max(d2) AS max_d2
+           |FROM asg GROUP BY center ORDER BY center""".stripMargin
+    },
 
     // batch farthest-first: the over-sampled variant — T candidates per
     // pass, driver-greedy β=1/4 admission replayed as an unrolled

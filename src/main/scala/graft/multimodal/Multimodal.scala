@@ -491,13 +491,44 @@ object Multimodal {
             emitEdits = true)).toDF()),
         ckDir.isDefined)
       val (out, outRdd) = Dedup.materializeOwned(
-        imageNearDup(hashes)
-          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-          .orderBy("id_a", "id_b"),
-        ckDir.isDefined)
+        phashGroupPairsOf(hashes), ckDir.isDefined)
       Dedup.retire(spark, hashesRdd)
       Dedup.retainResult(spark, "phashPairs", outRdd, out)
     }
+  }
+
+  /** The pairs computation at DISTINCT-HASH grain — the r10 fix for
+    * the sf1 finding that the ID-grain pair output is QUADRATIC on
+    * this catalog: a 64-bit dHash space over procedurally-similar
+    * images saturates at a few hundred distinct values whatever the
+    * catalog size, so id-grain pairs grew 248.7k → 25.2M (101×) at
+    * 10× data — the OUTPUT was the bottleneck, not the plan. At
+    * hash-group grain the per-image work is one linear map-side-
+    * combinable groupBy, the banded join runs over DISTINCT hashes
+    * (bounded by the saturated hash space, ~constant here), and the
+    * output row count is scale-stable. Nothing is lost: each row
+    * carries the group sizes and `n_pairs` (n_a·n_b off-diagonal,
+    * C(n,2) on the exact-dup diagonal), so Σ n_pairs equals the old
+    * id-grain pair count EXACTLY (suite-pinned) and id-level pairs
+    * are recoverable as group cross-products. */
+  private[graft] def phashGroupPairsOf(hashes: DataFrame): DataFrame = {
+    val groups = hashes.filter(col("ok"))
+      .groupBy("dhash").agg(count(lit(1)).as("n"))
+    val asIds = groups.select(col("dhash").as("media_id"),
+      lit(true).as("ok"), col("dhash"))
+    val na = groups.select(col("dhash").as("h_a"), col("n").as("n_a"))
+    val nb = groups.select(col("dhash").as("h_b"), col("n").as("n_b"))
+    val off = imageNearDup(asIds)
+      .select(col("id_a").as("h_a"), col("id_b").as("h_b"),
+        col("hamming").cast("long").as("hamming"))
+      .join(na, "h_a").join(nb, "h_b")
+      .select(col("h_a"), col("h_b"), col("hamming"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+    val diag = groups.filter(col("n") >= 2)
+      .select(col("dhash").as("h_a"), col("dhash").as("h_b"),
+        lit(0L).as("hamming"), col("n").as("n_a"), col("n").as("n_b"),
+        expr("(n * (n - 1)) div 2").as("n_pairs"))
+    off.unionByName(diag).orderBy("h_a", "h_b")
   }
 
   /** The PERSISTED banded dHash index of an image catalog — one row per
@@ -606,6 +637,21 @@ object Multimodal {
         ckDir.isDefined)
       Dedup.retainResult(spark, "phashScreenInc", outRdd, out)
     }
+  }
+
+  /** Plan-audit hook: the live hash-group pairing dataflow over the
+    * MATERIALIZED hash frame, exactly as the registered query consumes
+    * it (a dump of the registered query shows only the final retained
+    * ExistingRDD; skipping the materialization instead would dump the
+    * edits-decode subtree once per join leg — a shape the production
+    * query never runs). */
+  private[graft] def phashPairsPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val (hashes, _) = graft.operators.Dedup.materializeOwned(
+      baseHashesFromIndex(phashCatalogIndexCached(spark, dir)).unionByName(
+        dHash(plantedMediaSlice(spark, dir, emitBase = false,
+          emitEdits = true)).toDF()),
+      reliable = false)
+    phashGroupPairsOf(hashes)
   }
 
   /** Plan-audit hook: the live screen dataflow — the batch-only decode

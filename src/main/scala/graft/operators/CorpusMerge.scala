@@ -191,7 +191,12 @@ object CorpusMerge {
     * the version count, so the window never sees more than
     * |versions| rows per key — the 100 TB shape is a co-partitioned
     * sort within key groups, exactly how a warehouse MERGEs SCD2. */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(scd2Log(spark, dir)).orderBy("doc_id", "valid_from")
+
+  /** The three-version deterministic change log behind [[scd2History]]
+    * — exposed so the streaming twin can replay it batch by batch. */
+  def scd2Log(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val snap = Tables.documents(spark, dir)
     val v1 = snap.select(col("doc_id"), lit(1L).as("version"),
@@ -203,8 +208,7 @@ object CorpusMerge {
         concat(col("text"), lit(" [rev3]")).as("text"))
       .unionByName(ThirdBatchTweaks.toDF("doc_id", "text", "op")
         .select(col("doc_id"), lit(3L).as("version"), col("op"), col("text")))
-    scd2Of(v1.unionByName(v2).unionByName(v3))
-      .orderBy("doc_id", "valid_from")
+    v1.unionByName(v2).unionByName(v3)
   }
 
   /** TIME-TRAVEL census — the read side of [[scd2History]]: for each

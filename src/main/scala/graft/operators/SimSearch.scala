@@ -2298,4 +2298,35 @@ object SimSearch {
       semAssignment(spark, dir, e).withColumnRenamed("cent_id", "cell"),
       kcenterGeoCached(spark, dir, e))
   }
+
+  /** CORESET WEIGHTS — the second half of the Sener–Savarese recipe
+    * the selection alone leaves unfinished: training on a k-center
+    * coreset weights each selected point by its VORONOI MASS (the
+    * number of corpus points it represents), so the coreset's loss
+    * estimates the corpus loss. One broadcast of the K selected
+    * centers, one narrow corpus pass, argmin by (6dp-rounded d², then
+    * center id) so both engines assign identically; per center the
+    * output carries the weight and the achieved cell radius (max d² of
+    * anything it represents — the empirical coverage the 2-approx
+    * guarantee bounds). Weights sum to N by construction
+    * (suite-pinned). */
+  def kcenterWeights(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kcenterWeightsOf(e, kcenterSelectPruned(spark, dir))
+  }
+
+  private[graft] def kcenterWeightsOf(e: DataFrame, centers: DataFrame): DataFrame = {
+    val c = centers.select("vec_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("center"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("center"))
+    e.select("vec_id", "embedding").crossJoin(broadcast(c))
+      .select(col("vec_id"), col("center"),
+        round(l2sq(col("embedding"), col("c_emb")), 6).as("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy("center")
+      .agg(count(lit(1)).as("weight"), max(col("d2")).as("max_d2"))
+      .orderBy("center")
+  }
 }

@@ -247,6 +247,55 @@ object DocsStream {
   def bm25ServeScreen(newQueries: DataFrame, index: DataFrame): DataFrame =
     graft.operators.TextAnalysis.bm25ScoreOf(newQueries, index)
 
+  /** Interval row emitted by [[scd2Screen]]: a CLOSED validity interval
+    * is final the moment it closes; the OPEN (current) interval is
+    * re-emitted whenever its key is touched — downstream upserts on
+    * (doc_id, valid_from), the standard SCD2 sink contract. */
+  case class Scd2Emit(doc_id: Long, valid_from: Long,
+    valid_to: Option[Long], is_current: Boolean, text_md5: String)
+
+  /** STREAMING SCD TYPE-2 maintenance — the ingest-time twin of
+    * [[graft.operators.CorpusMerge.scd2History]]: arriving change rows
+    * (doc_id, version, op, text) fold into one open-interval state per
+    * key (`flatMapGroupsWithState`, no timeout). Each newer version
+    * CLOSES the key's open interval (emitted once, final — exactly the
+    * batch kernel's lead() semantics), a delete leaves the key closed,
+    * an insert after a delete REOPENS it, and the current interval is
+    * re-emitted per touching batch for the sink to upsert. State is
+    * one (version, md5) pair per key — O(|dimension keys|), the SCD2
+    * contract (the dimension is the small side by definition); the
+    * suite pins closed ∪ latest-open ≡ the batch history across a
+    * batch-split replay AND the state bound via
+    * `StreamingQueryProgress`. */
+  def scd2Screen(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes.select(col("doc_id"), col("version"), col("op"),
+        md5(col("text")).as("text_md5"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), Scd2Emit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, String)]) =>
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Emit]()
+          var open: Option[(Long, String)] = state.getOption
+          rows.toArray.sortBy(_._2).foreach { case (_, v, op, m) =>
+            open.foreach { case (from, om) =>
+              out += Scd2Emit(key, from, Some(v), is_current = false, om) }
+            open = if (op == graft.operators.CorpusMerge.OpDelete) None
+                   else Some((v, m))
+          }
+          open match {
+            case Some((from, m)) =>
+              state.update((from, m))
+              out += Scd2Emit(key, from, None, is_current = true, m)
+            case None => state.remove()
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming heavy-hitter candidate emitted by [[heavyHitterMonitor]]:
     * `est_count` is the Misra-Gries LOWER-BOUND estimate (within
     * N_source/m of truth), not an exact count. */

@@ -81,6 +81,34 @@ class ImageHashSpec extends AnyFunSuite {
     assert(all.length == all.distinct.length)
   }
 
+  test("hash-group pairs are a lossless compression of the id-grain pairs") {
+    import org.apache.spark.sql.functions.col
+    // constructed groups: h1 ×3 ids, h2 ×2 (hamming 1 from h1, shares
+    // bands), h3 far — id-grain pairs = C(3,2) + C(2,2...) = 3 + 1
+    // within-group plus 3·2 = 6 cross-group = 10 total
+    val h1 = 0x1111222233334444L
+    val h2 = h1 ^ 1L   // hamming 1, three bands identical
+    val h3 = -h1       // far
+    val hs = Seq(
+      (10L, true, h1), (11L, true, h1), (12L, true, h1),
+      (20L, true, h2), (21L, true, h2),
+      (30L, true, h3), (31L, false, h1))
+      .toDF("media_id", "ok", "dhash")
+    val grouped = Multimodal.phashGroupPairsOf(hs).collect()
+    assert(grouped.map(_.getAs[Long]("n_pairs")).sum == 10L)
+    assert(grouped.length == 3) // (h1,h2) off-diag + h1/h2 diagonals
+    val idGrain = Multimodal.imageNearDup(hs).count()
+    assert(idGrain == 10L)
+    // the same identity on the corpus-scale planted catalog: summed
+    // multiplicities reproduce the id-grain banded pair count EXACTLY
+    val catalog = Multimodal.dHash(
+      Multimodal.plantedMediaRecords(spark, "/root/testdata/sf0.001")).toDF()
+    val sumPairs = Multimodal.phashGroupPairsOf(catalog)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).collect()(0).getLong(0)
+    assert(sumPairs == Multimodal.imageNearDup(catalog.filter(col("ok"))).count())
+    assert(sumPairs > 0L)
+  }
+
   test("binaryFile source ingests on-disk PNGs into the hash pipeline") {
     // the production ingest path for raw media: spark.read.format
     // ("binaryFile") over a directory → (path, content) rows → the same

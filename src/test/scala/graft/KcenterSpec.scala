@@ -173,6 +173,26 @@ class KcenterSpec extends AnyFunSuite {
     }
   }
 
+  test("coreset weights are the Voronoi masses: 50:5:1 clusters weigh 50/5/1") {
+    val centers = SimSearch.kcenterSelectOf(clustered, 3)
+    val w = SimSearch.kcenterWeightsOf(clustered, centers).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // one center per cluster (pinned above); its weight is the cluster size
+    val byCluster = w.map { case (id, wt) =>
+      (if (id < 100) "big" else if (id < 200) "mid" else "tiny") -> wt }
+    assert(byCluster == Map("big" -> 50L, "mid" -> 5L, "tiny" -> 1L), w.toString)
+    assert(w.values.sum == clustered.count())
+    assert(w.keySet == centers.collect().map(_.getLong(1)).toSet)
+  }
+
+  test("registered weights sum to the corpus size") {
+    val dir = "/root/testdata/sf0.001"
+    val w = SimSearch.kcenterWeights(spark, dir).collect()
+    assert(w.map(_.getLong(1)).sum ==
+      graft.sources.Tables.embeddings(spark, dir).count())
+    assert(w.length == SimSearch.KCenterK)
+  }
+
   test("registered pruned query equals the exact form on testdata") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.fanOut(
