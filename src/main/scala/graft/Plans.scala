@@ -39,7 +39,8 @@ object Plans {
     "q_layout_compaction", "q_dedup_cdc_chunks", "q_zorder_ingest",
     "q_dedup_cdc_inc", "q_ann_bq_routed",
     "q_text_retrieval_ndcg", "q_dedup_span_maximal",
-    "q_ann_mrl_recall", "q_merge_scd2", "q_sample_kcenter_weights")
+    "q_ann_mrl_recall", "q_merge_scd2", "q_sample_kcenter_weights",
+    "q_sample_coreset_lw", "q_text_rm3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -79,6 +80,14 @@ object Plans {
           graft.operators.TextAnalysis.bm25PlanOf(spark, sfDir)
         else if (n == "q_text_rrf_fusion")
           graft.operators.TextAnalysis.rrfPlanOf(spark, sfDir)
+        // retained-result: audit the live two-pass expansion dataflow
+        // over the materialized postings frame
+        else if (n == "q_text_rm3")
+          graft.operators.TextAnalysis.rm3PlanOf(spark, sfDir)
+        // retained-result: audit the live draw tail over the
+        // materialized (vec_id, d2fx, u) scoring frame
+        else if (n == "q_sample_coreset_lw")
+          graft.operators.SimSearch.coresetPlanOf(spark, sfDir)
         else if (n == "q_sketch_bottomk_union")
           graft.operators.TextAnalysis.bottomKUnionPlanOf(spark, sfDir)
         else if (n == "q_dedup_lsh_sweep")

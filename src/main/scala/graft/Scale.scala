@@ -86,7 +86,7 @@ object Scale {
       "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
-      "kcprune", "kcweights", "phashgrain")
+      "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -1295,6 +1295,102 @@ object Scale {
         "(Σ n_pairs) | pairing time |")
       println("|---|---|---|---|---|")
       rowsPhashGrain.foreach(println)
+    }
+
+    // LIGHTWEIGHT CORESET: the corpus grows k×, the draw stays m=32.
+    // Claim: two narrow corpus passes (fixed-point mean, scoring) and
+    // a TakeOrdered top-m — output constant, time ~linear, no driver
+    // loop at any scale (the contrast axis to §kcprune's K passes).
+    val rowsCoreset = factors.filter(_ => sections("coreset")).map { k =>
+      System.err.println(s"[scale] factor $k (lightweight coreset) ...")
+      import graft.operators.SimSearch
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nv = e.count()
+      val t0 = System.nanoTime()
+      val out = SimSearch.coresetTailOf(
+        SimSearch.coresetScoredOf(e)).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      s"| ${k}x | $nv | ${out.length} | ${f"$t%.1f"}s |"
+    }
+    if (sections("coreset")) {
+      println()
+      println("| factor | vectors | coreset rows out | mean+score+draw time |")
+      println("|---|---|---|---|")
+      rowsCoreset.foreach(println)
+    }
+
+    // RM3 expansion serve: replicas carry per-replica token tags, so
+    // the base-replica probe queries match only base-replica postings —
+    // the claim is the bm25 serving posture held through BOTH passes:
+    // feedback, relevance model and interpolation are queries×terms-
+    // bounded, the corpus enters only via the two word-keyed postings
+    // joins, so output stays constant while the postings build grows.
+    val rowsRm3 = factors.filter(_ => sections("rm3")).map { k =>
+      System.err.println(s"[scale] factor $k (rm3 expansion) ...")
+      val docs = replicatedDocs(spark, baseDir, k).select("doc_id", "text")
+      val nd = docs.count()
+      // rm3RetrieveOf materializes EAGERLY — start the clock before the
+      // call, not before the count of the retained result
+      val t0 = System.nanoTime()
+      val n = TextAnalysis.rm3RetrieveOf(docs).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      s"| ${k}x | $nd | $n | ${f"$t%.1f"}s |"
+    }
+    if (sections("rm3")) {
+      println()
+      println("| factor | docs | rm3 rows out | build+expand+serve time |")
+      println("|---|---|---|---|")
+      rowsRm3.foreach(println)
+    }
+
+    // RIGHT-TO-BE-FORGOTTEN retraction: corpus AND erasure list grow k×
+    // (erasure requests scale with users — id % ForgetMod). Claim: the
+    // bm25 retraction is one anti-join + keyed decrements riding the
+    // index components' existing shuffles (≈ the §bm25merge serve), and
+    // the ANN retraction is an anti-join on the (pinned-artifact)
+    // inverted lists before the same routed serve (≈ the §annmerge
+    // merge arm) — retraction never costs more than the add path.
+    val rowsForget = factors.filter(_ => sections("forget")).map { k =>
+      System.err.println(s"[scale] factor $k (forget retraction) ...")
+      import graft.operators.{CorpusMerge, SimSearch}
+      val docs = replicatedDocs(spark, baseDir, k).select("doc_id", "text")
+      val nd = docs.count()
+      val forgetD = docs.select("doc_id")
+        .filter(col("doc_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem)
+      val queries = graft.sources.Tables.documents(spark, baseDir)
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val t0 = System.nanoTime()
+      val nB = TextAnalysis.bm25ScoreOf(queries,
+        TextAnalysis.bm25ForgetIndexOf(TextAnalysis.bm25Postings(docs),
+          forgetD)).count()
+      val tB = (System.nanoTime() - t0) / 1e9
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val snap = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      val forgetV = e.filter(
+          col("vec_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem)
+        .select("vec_id")
+      // snapshot artifacts pinned untimed (the persisted index stand-in,
+      // exactly the §annmerge discipline)
+      val (cents, book, snapAssign, snapCodes) =
+        SimSearch.annMergeScaleFrames(snap)
+      val (ca, caRdd) = Dedup.materializeOwned(snapAssign, reliable = false)
+      val (cc, ccRdd) = Dedup.materializeOwned(snapCodes, reliable = false)
+      val t1 = System.nanoTime()
+      val nA = SimSearch.annForgetServeWith(
+        e, cents, book, ca, cc, batch, forgetV).count()
+      val tA = (System.nanoTime() - t1) / 1e9
+      Dedup.retire(spark, caRdd); Dedup.retire(spark, ccRdd)
+      s"| ${k}x | $nd | ${forgetD.count()} | $nB | ${f"$tB%.1f"}s | " +
+        s"$nA | ${f"$tA%.1f"}s |"
+    }
+    if (sections("forget")) {
+      println()
+      println("| factor | docs | erased ids | bm25 serve rows | bm25 retract+serve | " +
+        "ann serve rows | ann retract+serve |")
+      println("|---|---|---|---|---|---|---|")
+      rowsForget.foreach(println)
     }
 
     // round-7 sketch/retrieval ops. Replicated docs carry per-replica

@@ -178,6 +178,7 @@ object SparkEntry {
     "q_train_hard_negatives_routed" -> (SimSearch.hardNegativesRouted _),
     "q_ann_ivfadc_refine" -> (SimSearch.ivfAdcRefineTopK _),
     "q_ann_index_merge"  -> (SimSearch.annIndexMergeServe _),
+    "q_ann_index_forget" -> (SimSearch.annIndexForgetServe _),
     "q_decontaminate_semantic" -> (SimSearch.semanticDecontaminate _),
     "q_profile_embedding_drift" -> (SimSearch.embeddingDrift _),
 
@@ -192,10 +193,12 @@ object SparkEntry {
     "q_sketch_heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "q_sample_bottomk"   -> (TextAnalysis.bottomKSample _),
     "q_text_rrf_fusion"  -> (TextAnalysis.rrfFuse _),
+    "q_text_rm3"         -> (TextAnalysis.rm3Retrieve _),
     "q_pipeline_retrieval" -> (TextAnalysis.hybridRetrieve _),
     "q_pipeline_retrieval_capped" -> (TextAnalysis.hybridRetrieveCapped _),
     "q_text_bm25_serve"  -> (TextAnalysis.bm25ServeInc _),
     "q_text_bm25_index_merge" -> (TextAnalysis.bm25IndexMergeServe _),
+    "q_text_bm25_forget" -> (TextAnalysis.bm25IndexForgetServe _),
     "q_text_bm25_capped" -> (TextAnalysis.bm25CappedServe _),
     "q_text_bm25_cap_sweep" -> (TextAnalysis.bm25CapSweepAudit _),
     "q_text_retrieval_ndcg" -> (TextAnalysis.retrievalRankQuality _),
@@ -252,6 +255,7 @@ object SparkEntry {
     "q_sample_kcenter" -> (SimSearch.kcenterSelectPruned _),
     "q_sample_kcenter_batch" -> (SimSearch.kcenterSelectBatch _),
     "q_sample_kcenter_weights" -> (SimSearch.kcenterWeights _),
+    "q_sample_coreset_lw" -> (SimSearch.coresetLightweight _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -506,6 +510,68 @@ object SparkEntry {
 
   /** DuckDB fragment: fold-exact squared L2 between two list columns
     * (mirror of `VectorFunctions.l2sq`'s sequential double fold). */
+  /** The IVF-PQ merged-index serve chain at frozen even-half artifacts
+    * — shared by the add-path oracle (`q_ann_index_merge`,
+    * indexPred = TRUE) and the retraction oracle
+    * (`q_ann_index_forget`, indexPred excludes the erasure list from
+    * the inverted-list rows; artifacts and probes untouched). */
+  private def duckAnnMergeServe(indexPred: String): String =
+    s"""WITH mv0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+       |       FROM embeddings),
+       |mv AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM mv0),
+       |msv AS (SELECT * FROM mv WHERE vec_id % 2 = 0),
+       |mseeds AS (SELECT vec_id,
+       |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
+       |           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+       |                 ORDER BY vec_id LIMIT ${SimSearch.PqK})),
+       |mc0 AS (SELECT sub, code_id, d, val AS c FROM msv JOIN mseeds USING (vec_id)),
+       |md1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |        FROM msv JOIN mc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |ma1 AS (SELECT vec_id, sub, code_id FROM (
+       |          SELECT vec_id, sub, code_id,
+       |            row_number() OVER (PARTITION BY vec_id, sub
+       |              ORDER BY d2, code_id) AS rnk
+       |          FROM md1) WHERE rnk = 1),
+       |mbook AS (SELECT sub, code_id, d, avg(val) AS c
+       |          FROM msv JOIN ma1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |menc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
+       |         FROM mv JOIN mbook USING (sub, d) GROUP BY 1, 2, 3),
+       |mcodes AS (SELECT vec_id, sub, code_id FROM (
+       |             SELECT vec_id, sub, code_id,
+       |               row_number() OVER (PARTITION BY vec_id, sub
+       |                 ORDER BY d2, code_id) AS rnk
+       |             FROM menc) WHERE rnk = 1),
+       |me AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
+       |mcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+       |           FROM me WHERE vec_id % 2 = 0 AND vec_id >= ${SimSearch.IvfSeedBase}
+       |           ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
+       |mrank AS (SELECT me.vec_id, mcents.cent_id,
+       |            row_number() OVER (PARTITION BY me.vec_id
+       |              ORDER BY round(${duckDot("me.embedding", "mcents.cent_emb")} / (me.nrm * mcents.cent_nrm), 6) DESC,
+       |                       mcents.cent_id) AS rnk
+       |          FROM me CROSS JOIN mcents),
+       |massign AS (SELECT vec_id, cent_id FROM mrank WHERE rnk = 1),
+       |mprobe AS (SELECT vec_id AS q_id, cent_id FROM mrank
+       |           WHERE vec_id < ${SimSearch.NQueries}
+       |             AND rnk <= ${SimSearch.IvfNProbe}),
+       |mlut AS (SELECT mv.vec_id AS q_id, sub, code_id,
+       |           sum((val - c) * (val - c)) AS sub_d2
+       |         FROM mv JOIN mbook USING (sub, d)
+       |         WHERE mv.vec_id < ${SimSearch.NQueries} GROUP BY 1, 2, 3),
+       |mrouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
+       |            FROM mcodes c JOIN massign a USING (vec_id)
+       |            JOIN mprobe p USING (cent_id)
+       |            WHERE c.vec_id <> p.q_id AND ($indexPred)),
+       |madc AS (SELECT q_id, vec_id AS neighbor, round(sum(sub_d2), 6) AS adc_d2
+       |         FROM mrouted JOIN mlut USING (q_id, sub, code_id) GROUP BY 1, 2),
+       |mranked AS (SELECT q_id, neighbor, adc_d2,
+       |              row_number() OVER (PARTITION BY q_id
+       |                ORDER BY adc_d2, neighbor) AS "rank"
+       |            FROM madc)
+       |SELECT q_id, "rank", neighbor, adc_d2 FROM mranked
+       |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin
+
   private def duckL2(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)), " +
@@ -3168,62 +3234,13 @@ object SparkEntry {
     // snapshot-trained artifacts (codebook + coarse cells from the
     // even-id half only), so the hash match IS merged ≡ rebuilt for
     // the add path — assignment, encoding and list maintenance
-    "q_ann_index_merge" ->
-      s"""WITH mv0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-         |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
-         |       FROM embeddings),
-         |mv AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM mv0),
-         |msv AS (SELECT * FROM mv WHERE vec_id % 2 = 0),
-         |mseeds AS (SELECT vec_id,
-         |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
-         |           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
-         |                 ORDER BY vec_id LIMIT ${SimSearch.PqK})),
-         |mc0 AS (SELECT sub, code_id, d, val AS c FROM msv JOIN mseeds USING (vec_id)),
-         |md1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-         |        FROM msv JOIN mc0 USING (sub, d) GROUP BY 1, 2, 3),
-         |ma1 AS (SELECT vec_id, sub, code_id FROM (
-         |          SELECT vec_id, sub, code_id,
-         |            row_number() OVER (PARTITION BY vec_id, sub
-         |              ORDER BY d2, code_id) AS rnk
-         |          FROM md1) WHERE rnk = 1),
-         |mbook AS (SELECT sub, code_id, d, avg(val) AS c
-         |          FROM msv JOIN ma1 USING (vec_id, sub) GROUP BY 1, 2, 3),
-         |menc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-         |         FROM mv JOIN mbook USING (sub, d) GROUP BY 1, 2, 3),
-         |mcodes AS (SELECT vec_id, sub, code_id FROM (
-         |             SELECT vec_id, sub, code_id,
-         |               row_number() OVER (PARTITION BY vec_id, sub
-         |                 ORDER BY d2, code_id) AS rnk
-         |             FROM menc) WHERE rnk = 1),
-         |me AS (SELECT vec_id, embedding, $DuckNorm AS nrm FROM embeddings),
-         |mcents AS (SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-         |           FROM me WHERE vec_id % 2 = 0 AND vec_id >= ${SimSearch.IvfSeedBase}
-         |           ORDER BY vec_id LIMIT ${SimSearch.IvfK}),
-         |mrank AS (SELECT me.vec_id, mcents.cent_id,
-         |            row_number() OVER (PARTITION BY me.vec_id
-         |              ORDER BY round(${duckDot("me.embedding", "mcents.cent_emb")} / (me.nrm * mcents.cent_nrm), 6) DESC,
-         |                       mcents.cent_id) AS rnk
-         |          FROM me CROSS JOIN mcents),
-         |massign AS (SELECT vec_id, cent_id FROM mrank WHERE rnk = 1),
-         |mprobe AS (SELECT vec_id AS q_id, cent_id FROM mrank
-         |           WHERE vec_id < ${SimSearch.NQueries}
-         |             AND rnk <= ${SimSearch.IvfNProbe}),
-         |mlut AS (SELECT mv.vec_id AS q_id, sub, code_id,
-         |           sum((val - c) * (val - c)) AS sub_d2
-         |         FROM mv JOIN mbook USING (sub, d)
-         |         WHERE mv.vec_id < ${SimSearch.NQueries} GROUP BY 1, 2, 3),
-         |mrouted AS (SELECT p.q_id, c.vec_id, c.sub, c.code_id
-         |            FROM mcodes c JOIN massign a USING (vec_id)
-         |            JOIN mprobe p USING (cent_id)
-         |            WHERE c.vec_id <> p.q_id),
-         |madc AS (SELECT q_id, vec_id AS neighbor, round(sum(sub_d2), 6) AS adc_d2
-         |         FROM mrouted JOIN mlut USING (q_id, sub, code_id) GROUP BY 1, 2),
-         |mranked AS (SELECT q_id, neighbor, adc_d2,
-         |              row_number() OVER (PARTITION BY q_id
-         |                ORDER BY adc_d2, neighbor) AS "rank"
-         |            FROM madc)
-         |SELECT q_id, "rank", neighbor, adc_d2 FROM mranked
-         |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin,
+    "q_ann_index_merge" -> duckAnnMergeServe("TRUE"),
+
+    // index retraction: the SAME frozen-artifact chain with the
+    // erasure list excluded from the inverted lists — retracted ≡
+    // rebuilt-on-kept as one hash match
+    "q_ann_index_forget" -> duckAnnMergeServe(
+      s"c.vec_id % ${CorpusMerge.ForgetMod} <> ${CorpusMerge.ForgetRem}"),
 
     // The PQ recall audit: both compressed-domain serving chains (flat
     // ADC `ranked`, IVF-routed `iranked` — each verbatim its serving
@@ -3530,6 +3547,99 @@ object SparkEntry {
          |WHERE "rank" <= ${TextAnalysis.Bm25TopK}
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // RM3: the bm25 chain extended — feedback docs carry their scores
+    // as exact 4dp fixed-point integers, each relevance-model
+    // contribution is one rounded division of exact BIGINTs, and the
+    // interpolated weights re-enter the same Okapi sum
+    "q_text_rm3" ->
+      s"""WITH tok AS (SELECT doc_id, $DuckTok AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |n1 AS (SELECT count(*) AS n FROM documents),
+         |qscored AS (SELECT doc_id AS query_id, word,
+         |              round(tf * ln(n1.n::DOUBLE / df.df), 4) AS tscore
+         |            FROM tf JOIN df USING (word) CROSS JOIN n1
+         |            WHERE doc_id < ${TextAnalysis.Bm25NQueries}),
+         |qterms AS (SELECT query_id, word FROM (
+         |             SELECT query_id, word,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY tscore DESC, word) AS trank
+         |             FROM qscored) WHERE trank <= 3),
+         |scored1 AS (SELECT q.query_id, tf.doc_id,
+         |              round(sum(
+         |                ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |                * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |                / (tf.tf + ${TextAnalysis.Bm25K1}
+         |                   * (1.0 - ${TextAnalysis.Bm25B}
+         |                      + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |              ), 4) AS score
+         |            FROM tf
+         |            JOIN qterms q USING (word)
+         |            JOIN dl ON dl.doc_id = tf.doc_id
+         |            JOIN df ON df.word = tf.word
+         |            CROSS JOIN stats s
+         |            GROUP BY 1, 2),
+         |fb AS (SELECT query_id, doc_id,
+         |         round(score * 10000, 0)::BIGINT AS s4
+         |       FROM (SELECT query_id, doc_id, score,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY score DESC, doc_id) AS frank
+         |             FROM scored1)
+         |       WHERE frank <= ${TextAnalysis.Rm3FbDocs}),
+         |rm1 AS (SELECT fb.query_id, tf.word,
+         |          sum(round((tf.tf * fb.s4)::DOUBLE * 1000000.0::DOUBLE
+         |                / dl.dl::DOUBLE, 0)::BIGINT)::BIGINT AS wfx
+         |        FROM tf JOIN fb ON fb.doc_id = tf.doc_id
+         |        JOIN dl ON dl.doc_id = tf.doc_id
+         |        GROUP BY 1, 2),
+         |expt AS (SELECT query_id, word, wfx FROM (
+         |           SELECT query_id, word, wfx,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY wfx DESC, word) AS erank
+         |           FROM rm1) WHERE erank <= ${TextAnalysis.Rm3FbTerms}),
+         |expn AS (SELECT e.query_id, e.word,
+         |           e.wfx::DOUBLE / s.sumwfx::DOUBLE AS pw
+         |         FROM expt e JOIN (SELECT query_id,
+         |             sum(wfx)::BIGINT AS sumwfx FROM expt GROUP BY 1) s
+         |           USING (query_id)),
+         |nq AS (SELECT query_id, count(*)::BIGINT AS n_q
+         |       FROM qterms GROUP BY 1),
+         |orig AS (SELECT q.query_id, q.word,
+         |           1.0::DOUBLE / nq.n_q::DOUBLE AS ow
+         |         FROM qterms q JOIN nq USING (query_id)),
+         |terms AS (SELECT coalesce(o.query_id, x.query_id) AS query_id,
+         |            coalesce(o.word, x.word) AS word,
+         |            ${TextAnalysis.Rm3Lambda}::DOUBLE
+         |              * coalesce(o.ow, 0.0::DOUBLE)
+         |            + ${1.0 - TextAnalysis.Rm3Lambda}::DOUBLE
+         |              * coalesce(x.pw, 0.0::DOUBLE) AS qweight
+         |          FROM orig o FULL OUTER JOIN expn x
+         |            ON o.query_id = x.query_id AND o.word = x.word),
+         |scored2 AS (SELECT q.query_id, tf.doc_id,
+         |              round(sum(q.qweight *
+         |                (ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |                 * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |                 / (tf.tf + ${TextAnalysis.Bm25K1}
+         |                    * (1.0 - ${TextAnalysis.Bm25B}
+         |                       + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl)))
+         |              ), 4) AS score
+         |            FROM tf
+         |            JOIN terms q USING (word)
+         |            JOIN dl ON dl.doc_id = tf.doc_id
+         |            JOIN df ON df.word = tf.word
+         |            CROSS JOIN stats s
+         |            GROUP BY 1, 2),
+         |ranked2 AS (SELECT query_id, doc_id, score,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, doc_id) AS "rank"
+         |            FROM scored2)
+         |SELECT query_id, "rank"::BIGINT AS "rank", doc_id, score FROM ranked2
+         |WHERE "rank" <= ${TextAnalysis.Bm25TopK}
+         |ORDER BY query_id, "rank"""".stripMargin,
+
     // the oracle is the EXACT group-by over the same planted stream —
     // the sketch phase may only shape the candidate set, never the
     // answer. Plant rates are ::DOUBLE so the ceil() boundary arithmetic
@@ -3629,6 +3739,38 @@ object SparkEntry {
     "q_text_bm25_serve" ->
       s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
          |              WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         |qtok AS (SELECT doc_id AS query_id, $DuckTok AS toks
+         |         FROM documents WHERE doc_id % 2 = 1 AND doc_id < 10),
+         |q AS (SELECT DISTINCT query_id, unnest(toks) AS word FROM qtok)
+         |SELECT q.query_id, tf.doc_id,
+         |       round(sum(
+         |         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |         * tf.tf * (${TextAnalysis.Bm25K1} + 1.0)
+         |         / (tf.tf + ${TextAnalysis.Bm25K1}
+         |            * (1.0 - ${TextAnalysis.Bm25B}
+         |               + ${TextAnalysis.Bm25B} * dl.dl / s.avgdl))
+         |       ), 4) AS score
+         |FROM q
+         |JOIN tf ON tf.word = q.word
+         |JOIN df ON df.word = q.word
+         |JOIN dl ON dl.doc_id = tf.doc_id
+         |CROSS JOIN stats s
+         |GROUP BY 1, 2
+         |ORDER BY q.query_id, tf.doc_id""".stripMargin,
+
+    // index retraction: the oracle serves against the FULL REBUILD
+    // over corpus ∖ forget, so the hash match IS retracted ≡ rebuilt —
+    // probes stay the standard odd docs (doc 3 queries with its own
+    // erased text and must no longer find itself)
+    "q_text_bm25_forget" ->
+      s"""WITH etok AS (SELECT doc_id, $DuckTok AS toks FROM documents
+         |              WHERE doc_id % ${CorpusMerge.ForgetMod}
+         |                    <> ${CorpusMerge.ForgetRem}),
          |t AS (SELECT doc_id, unnest(toks) AS word FROM etok),
          |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
          |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
@@ -5246,6 +5388,49 @@ object SparkEntry {
     // column cascade; both engines must admit the identical centers
     "q_sample_kcenter_batch" ->
       duckKcenterBatchOracle(SimSearch.KCenterBatchT, SimSearch.KCenterBatchPasses),
+
+    // lightweight coreset: the mean from exact per-dim fixed-point
+    // sums, fixed-point d², q from exact totals, A-Res ln(u)/q draw
+    // over the md5 uniforms — every double derives from exact BIGINTs
+    // by the identical expression in both engines
+    "q_sample_coreset_lw" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |fx AS (SELECT unnest(range(0, len(embedding))) AS pos,
+         |         unnest(list_transform(embedding,
+         |           x -> round(x::DOUBLE * 1000000.0, 0)::BIGINT)) AS fxv
+         |       FROM e),
+         |dims AS (SELECT pos, sum(fxv)::BIGINT AS sfx, count(*)::BIGINT AS cnt
+         |         FROM fx GROUP BY pos),
+         |mu AS (SELECT list(sfx::DOUBLE / (cnt::DOUBLE * 1000000.0)
+         |         ORDER BY pos) AS mu FROM dims),
+         |sc AS (SELECT vec_id,
+         |         round(list_reduce(list_transform(list_zip(embedding, mu.mu),
+         |           p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+         |                * (p[1]::DOUBLE - p[2]::DOUBLE)),
+         |           (x, y) -> x + y) * 1000000.0, 0)::BIGINT AS d2fx,
+         |         (CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 8) AS BIGINT)
+         |           + 0.5) / 4294967296.0 AS u
+         |       FROM e CROSS JOIN mu),
+         |tot AS (SELECT sum(d2fx)::BIGINT AS sumfx, count(*)::BIGINT AS n
+         |        FROM sc),
+         |qq AS (SELECT vec_id, d2fx,
+         |         CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
+         |              ELSE 0.5::DOUBLE / n::DOUBLE
+         |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
+         |         END AS q,
+         |         ln(u) / CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
+         |              ELSE 0.5::DOUBLE / n::DOUBLE
+         |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
+         |         END AS key
+         |       FROM sc CROSS JOIN tot),
+         |top AS (SELECT vec_id, d2fx, q,
+         |          row_number() OVER (ORDER BY key DESC, vec_id) AS rnk
+         |        FROM qq)
+         |SELECT rnk::BIGINT AS rnk, vec_id,
+         |       round(1.0::DOUBLE / (${SimSearch.CoresetM}.0::DOUBLE * q), 6)
+         |         AS weight,
+         |       round(d2fx::DOUBLE / 1000000.0, 6) AS d2
+         |FROM top WHERE rnk <= ${SimSearch.CoresetM} ORDER BY rnk""".stripMargin,
 
     // NFC census: DuckDB's nfc_normalize implements the same Unicode
     // canonical composition as the native graft_nfc kernel; chr(769) is

@@ -23,6 +23,13 @@ object CorpusMerge {
   /** Change-op column values. */
   val OpInsert = "I"; val OpUpdate = "U"; val OpDelete = "D"
 
+  /** Deterministic right-to-be-forgotten set shared by the forget
+    * (retraction) queries: ids with `id % ForgetMod == ForgetRem` are
+    * the erasure-request list — hits both parity halves, so retraction
+    * exercises snapshot AND delta rows. */
+  val ForgetMod = 7L
+  val ForgetRem = 3L
+
   /** Generic keyed MERGE: full-outer join snapshot × changes, then
     * resolve per row — delete drops, update/insert take the change
     * row's payload, unmatched snapshot rows carry. `payload` columns

@@ -1273,6 +1273,63 @@ object SimSearch {
   private[graft] def mergedListCounts(assign: DataFrame): DataFrame =
     assign.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
 
+  /** INDEX RETRACTION — FAISS `remove_ids` semantics, closing the
+    * maintenance algebra [[mergedIndexOf]]'s add path opened: an
+    * erasure-request id list anti-joins BOTH inverted-list frames
+    * (assignment rows and PQ codes) as the broadcast small side —
+    * O(index scan) with the ids pruning in the scan stage (a real
+    * store flips per-list deletion bitmaps; the algebra is the same),
+    * artifacts (quantizer, codebooks) untouched, list counts
+    * decrement. A forgotten vector can never be RETURNED again —
+    * `AnnForgetSpec` pins retracted-serve ≡ rebuilt-at-frozen-
+    * artifacts-on-kept-corpus row-for-row, which is the compliance
+    * guarantee as a hash match. */
+  private[graft] def annIndexForgetOf(assign: DataFrame, codes: DataFrame,
+      forgetIds: DataFrame): (DataFrame, DataFrame) =
+    (assign.join(broadcast(forgetIds), Seq("vec_id"), "left_anti"),
+      codes.join(broadcast(forgetIds), Seq("vec_id"), "left_anti"))
+
+  /** Registered form: the full-corpus index (snapshot + delta at the
+    * frozen even-half artifacts — exactly `q_ann_index_merge`'s merged
+    * index) retracts the deterministic erasure list (vec_id ≡
+    * ForgetRem mod ForgetMod, hitting both halves) and the standard
+    * query set serves from the retracted lists. The oracle re-derives
+    * the serve from a full re-encode at the SAME frozen artifacts with
+    * the forgotten rows excluded from the lists, so the hash match IS
+    * retracted ≡ rebuilt. Query vector 3 is itself forgotten —
+    * querying WITH an erased vector stays legal, it just cannot be
+    * found (`AnnForgetSpec` pins no forgotten id ever surfaces as a
+    * neighbor). */
+  def annIndexForgetServe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    val cents = mergeCentsCached(spark, dir, e)
+    val book = mergeBookCached(spark, dir, e)
+    val (assign, codes) = mergedIndexOf(
+      mergeSnapAssignCached(spark, dir, e),
+      mergeSnapCodesCached(spark, dir, e),
+      e.filter(col("vec_id") % 2 === 1), cents, book)
+    val forget = e.filter(col("vec_id") % graft.operators.CorpusMerge.ForgetMod
+        === graft.operators.CorpusMerge.ForgetRem)
+      .select("vec_id")
+    val (fa, fc) = annIndexForgetOf(assign, codes, forget)
+    mergedServe(e, fa, fc, cents, book)
+  }
+
+  /** Self-contained forget arm over explicit frames — the suite hook
+    * mirroring [[annIndexMergeServeOf]]. */
+  private[graft] def annIndexForgetServeOf(full: DataFrame, snap: DataFrame,
+      batch: DataFrame, forgetIds: DataFrame): DataFrame = {
+    val cents = mergeCoarseCentsOf(snap)
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val snapAssign = rankedAgainst(snap, cents)
+      .filter(col("rnk") === 1).select("vec_id", "cent_id")
+    val snapCodes = pqAssign(pqLongForm(snap), book)
+      .select("vec_id", "sub", "code_id")
+    val (assign, codes) = mergedIndexOf(snapAssign, snapCodes, batch, cents, book)
+    val (fa, fc) = annIndexForgetOf(assign, codes, forgetIds)
+    mergedServe(full, fa, fc, cents, book)
+  }
+
   /** Scale-harness hooks: the snapshot's frozen artifacts and index
     * frames as EXPLICIT values so the harness can pin them (the
     * persisted-index stand-in) and time the merge arm without charging
@@ -1293,6 +1350,17 @@ object SimSearch {
       batch: DataFrame): DataFrame = {
     val (assign, codes) = mergedIndexOf(snapAssign, snapCodes, batch, cents, book)
     mergedServe(full, assign, codes, cents, book)
+  }
+
+  /** The scale harness's forget arm over pinned artifacts: merge the
+    * batch, retract the erasure list, serve — what the registered
+    * query pays once the snapshot index is a persisted artifact. */
+  private[graft] def annForgetServeWith(full: DataFrame, cents: DataFrame,
+      book: DataFrame, snapAssign: DataFrame, snapCodes: DataFrame,
+      batch: DataFrame, forgetIds: DataFrame): DataFrame = {
+    val (assign, codes) = mergedIndexOf(snapAssign, snapCodes, batch, cents, book)
+    val (fa, fc) = annIndexForgetOf(assign, codes, forgetIds)
+    mergedServe(full, fa, fc, cents, book)
   }
 
   /** The frozen merge-index artifacts COLLECTED to driver-held dense
@@ -2313,6 +2381,107 @@ object SimSearch {
   def kcenterWeights(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     kcenterWeightsOf(e, kcenterSelectPruned(spark, dir))
+  }
+
+  /** Sample size for [[coresetLightweight]]. */
+  val CoresetM = 32
+
+  /** LIGHTWEIGHT CORESET sampling (Bachem, Lucic & Krause, KDD 2018):
+    * the select-free coreset — where k-center pays K passes to place
+    * centers, the lightweight construction needs ONE statistic (the
+    * corpus mean) and ONE scoring pass: q(x) = ½·1/N + ½·d²(x,μ)/Σd²,
+    * sample m points ∝ q, weight each 1/(m·q). The mixture term keeps
+    * dense regions represented while the distance term keeps outliers —
+    * the paper's guarantee is an (ε, k)-lightweight coreset for k-means
+    * at m = O(dk log k/ε²). At 100 TB this is the default coreset: two
+    * narrow corpus passes (mean, score), no driver loop, no quantizer.
+    *
+    * Cross-engine determinism: the mean is assembled from EXACT per-dim
+    * fixed-point sums (round(v·1e6) longs — the PCA scatter-matrix
+    * discipline), d² is the shared sequential-fold [[l2sq]] kernel
+    * fixed-pointed the same way, so q is a double computed from exact
+    * integers by one identical expression in both engines; the ∝q draw
+    * is realized as A-Res keys ln(u)/q over content-hash uniforms (the
+    * `q_sample_weighted` discipline — reproducible across runs, engines
+    * and partitionings) with a vec_id tie-break, served by
+    * `TakeOrderedAndProject`, never a corpus sort. */
+  def coresetLightweight(spark: SparkSession, dir: String): DataFrame =
+    coresetLightweightOf(Tables.fanOut(Tables.embeddings(spark, dir)))
+
+  private[graft] def coresetLightweightOf(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      // the scoring frame is materialized because both the Σd² total
+      // and the final draw read it (lazy sharing would re-run the
+      // corpus scan, mean subtree included)
+      val (scored, scoredRdd) = Dedup.materializeOwned(
+        coresetScoredOf(e0), ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(
+        coresetTailOf(scored), ckDir.isDefined)
+      Dedup.retire(spark, scoredRdd)
+      Dedup.retainResult(spark, "coresetLightweight", outRdd, out)
+    }
+  }
+
+  /** Plan-audit hook: the live draw tail over the materialized scoring
+    * frame (the registered query returns the retained ExistingRDD). */
+  private[graft] def coresetPlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val (scored, _) = Dedup.materializeOwned(
+      coresetScoredOf(Tables.fanOut(Tables.embeddings(spark, dir))),
+      reliable = false)
+    coresetTailOf(scored)
+  }
+
+  /** The one-pass scoring frame behind [[coresetLightweight]]:
+    * (vec_id, d2fx, u) — exact fixed-point d² to the broadcast corpus
+    * mean plus the content-hash uniform. */
+  private[graft] def coresetScoredOf(e0: DataFrame): DataFrame = {
+    val e = e0.select("vec_id", "embedding")
+    // exact fixed-point per-dim sums -> the mean as one broadcast row;
+    // sfx/(cnt*1e6) is a single division of exact integers, so both
+    // engines compute the identical double per dimension
+    val mu = e.select(posexplode(col("embedding")))
+      .select(col("pos"), round(col("col").cast("double") * 1000000.0, 0)
+        .cast("long").as("fx"))
+      .groupBy("pos").agg(sum("fx").as("sfx"), count(lit(1)).as("cnt"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("sfx"), col("cnt"))))
+        .as("a"))
+      .select(transform(col("a"), s => s.getField("sfx").cast("double") /
+        (s.getField("cnt").cast("double") * lit(1000000.0))).as("mu"))
+    val u = (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    e.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        round(l2sq(col("embedding"), col("mu")) * lit(1000000.0), 0)
+          .cast("long").as("d2fx"),
+        u.as("u"))
+  }
+
+  /** The draw over a (vec_id, d2fx, u) scoring frame: q from the exact
+    * totals, A-Res top-[[CoresetM]], 1/(m·q) weights. */
+  private[graft] def coresetTailOf(scored: DataFrame): DataFrame = {
+    val tot = scored.agg(sum("d2fx").as("sumfx"), count(lit(1)).as("n"))
+    // all-identical corpus => Σd² = 0 => pure uniform draw (the
+    // mixture's first term alone), never a 0/0
+    val q = when(col("sumfx") === 0L, lit(1.0) / col("n").cast("double"))
+      .otherwise(lit(0.5) / col("n").cast("double") +
+        lit(0.5) * col("d2fx").cast("double") / col("sumfx").cast("double"))
+    // A-Res key ln(u)/q: orders as u^(1/q), kept internal (only
+    // exact-integer-derived columns cross the oracle hash); the top-m
+    // cut is TakeOrderedAndProject, the rank window sees m rows
+    scored.crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("d2fx"), q.as("q"),
+        (log(col("u")) / q).as("key"))
+      .orderBy(desc("key"), asc("vec_id"))
+      .limit(CoresetM)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("key"), asc("vec_id")))
+          .cast("long"))
+      .select(col("rnk"), col("vec_id"),
+        round(lit(1.0) / (lit(CoresetM.toDouble) * col("q")), 6).as("weight"),
+        round(col("d2fx").cast("double") / lit(1000000.0), 6).as("d2"))
+      .orderBy("rnk")
   }
 
   private[graft] def kcenterWeightsOf(e: DataFrame, centers: DataFrame): DataFrame = {

@@ -2466,6 +2466,69 @@ object TextAnalysis {
     bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")
   }
 
+  /** INDEX RETRACTION — the right-to-be-forgotten path that closes the
+    * maintenance algebra the add path ([[bm25MergedIndexOf]]) opened:
+    * an erasure-request id list retracts from the persisted index
+    * components WITHOUT a rebuild, each at its delta cost:
+    *
+    *  - postings: broadcast anti-join on the forget ids — the small
+    *    side prunes in the scan stage (a production store flips a
+    *    deletion bitmap instead of rewriting; the algebra is the same);
+    *  - df: word-keyed DECREMENT by the forgotten docs' per-word
+    *    posting counts, words whose last posting leaves DROP (df > 0);
+    *  - dl: anti-join;
+    *  - n/avgdl: subtract the forgotten count/sum from the stored
+    *    totals — exact integer arithmetic, so `(s_c−s_f)/(n_c−n_f)` is
+    *    bit-identical to the rebuild's `avg(dl)` over the kept docs.
+    *
+    * The retracted index is row-for-row IDENTICAL to
+    * `bm25IndexOf(corpus ∖ forget)` (`Bm25ForgetSpec`), so every
+    * serving consumer reads it unchanged and a forgotten document can
+    * never influence a score again — the compliance guarantee is the
+    * hash match, not a best-effort filter. */
+  private[graft] def bm25ForgetIndexOf(corpusPostings: DataFrame,
+      forgetIds: DataFrame): DataFrame = {
+    val tfF = corpusPostings.join(broadcast(forgetIds), "doc_id")
+    val dfC = corpusPostings.groupBy("word").agg(count(lit(1)).as("df_c"))
+    val dfF = tfF.groupBy("word").agg(count(lit(1)).as("df_f"))
+    val dfM = dfC.join(dfF, Seq("word"), "left_outer")
+      .select(col("word"),
+        (col("df_c") - coalesce(col("df_f"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val dlC = corpusPostings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dlM = dlC.join(broadcast(forgetIds), Seq("doc_id"), "left_anti")
+    val statsM = dlC.agg(count(lit(1)).as("n_c"), sum("dl").as("s_c"))
+      .crossJoin(dlC.join(broadcast(forgetIds), "doc_id")
+        .agg(count(lit(1)).as("n_f"),
+          coalesce(sum("dl"), lit(0L)).as("s_f")))
+      .select((col("n_c") - col("n_f")).cast("double").as("n"),
+        ((col("s_c") - col("s_f")).cast("double") /
+          (col("n_c") - col("n_f"))).as("avgdl"))
+    corpusPostings.join(broadcast(forgetIds), Seq("doc_id"), "left_anti")
+      .join(dfM, "word").join(dlM, "doc_id")
+      .crossJoin(broadcast(statsM))
+      .select("doc_id", "word", "tf", "df", "dl", "n", "avgdl")
+  }
+
+  /** Registered form: the deterministic erasure list (doc_id ≡
+    * [[graft.operators.CorpusMerge.ForgetRem]] mod
+    * [[graft.operators.CorpusMerge.ForgetMod]]) retracts from the
+    * full-corpus index and the standard probes serve from the
+    * retracted index — the oracle serves against a FULL REBUILD over
+    * corpus ∖ forget, so the hash match IS retracted ≡ rebuilt.
+    * Probe doc 3 is itself forgotten: querying WITH an erased
+    * document's text remains legal, it just can no longer be found. */
+  def bm25IndexForgetServe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val forget = d.filter(
+        col("doc_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem)
+      .select("doc_id")
+    val idx = bm25ForgetIndexOf(bm25Postings(d), forget)
+    val queries = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    bm25ScoreOf(queries, idx).orderBy("query_id", "doc_id")
+  }
+
   /** Per-term posting cap for the impact-ordered serving index
     * ([[bm25CappedIndexOf]]) — the recall/cost dial, like LSH banding:
     * larger keeps more of each term's tail. CALIBRATED, not guessed:
@@ -2956,7 +3019,13 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
-  private def bm25From(tf: DataFrame, docs: DataFrame): DataFrame = {
+  /** The shared index/query substrate of [[bm25From]] and [[rm3From]]:
+    * per-term df, per-doc dl, the 1-row corpus stats and the derived
+    * probe query terms (the q_text_tfidf top-3 arithmetic). */
+  private final case class Bm25Parts(df: DataFrame, dl: DataFrame,
+    stats: DataFrame, queryTerms: DataFrame)
+
+  private def bm25PartsOf(tf: DataFrame, docs: DataFrame): Bm25Parts = {
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
@@ -2972,21 +3041,131 @@ object TextAnalysis {
     val queryTerms = qscored
       .withColumn("trank", row_number().over(qw))
       .filter(col("trank") <= 3).select("query_id", "word")
+    Bm25Parts(df, dl, stats, queryTerms)
+  }
+
+  /** Okapi scores for WEIGHTED query terms — (query_id, word, qweight)
+    * against the postings frame, score = Σ qweight·idf·norm rounded
+    * 4dp. [[bm25From]] is the qweight ≡ 1 case; [[rm3From]]'s re-serve
+    * is the interpolated-expansion case. */
+  private def bm25ScoredOf(tf: DataFrame, p: Bm25Parts,
+      terms: DataFrame): DataFrame = {
     // df pruned to query-term words (the same slice the postings join
     // keeps) so the per-term df lookup is broadcast-certain
     val dfPruned =
-      df.join(broadcast(queryTerms.select("word").distinct()), "word")
-    val scored = tf.join(broadcast(queryTerms), "word")
-      .join(dl, "doc_id").join(broadcast(dfPruned), "word")
-      .crossJoin(broadcast(stats))
+      p.df.join(broadcast(terms.select("word").distinct()), "word")
+    tf.join(broadcast(terms), "word")
+      .join(p.dl, "doc_id").join(broadcast(dfPruned), "word")
+      .crossJoin(broadcast(p.stats))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(bm25Idf * bm25Norm), 4).as("score"))
+      .agg(round(sum(col("qweight") * bm25Idf * bm25Norm), 4).as("score"))
+  }
+
+  private def bm25RankedOf(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= Bm25TopK)
       .select("query_id", "rank", "doc_id", "score")
       .orderBy("query_id", "rank")
+  }
+
+  private def bm25From(tf: DataFrame, docs: DataFrame): DataFrame = {
+    val p = bm25PartsOf(tf, docs)
+    bm25RankedOf(bm25ScoredOf(tf, p,
+      p.queryTerms.withColumn("qweight", lit(1.0))))
+  }
+
+  /** RM3 feedback depth (docs per query), expansion width (terms per
+    * query) and the original-query interpolation weight λ. */
+  val Rm3FbDocs = 3
+  val Rm3FbTerms = 5
+  val Rm3Lambda = 0.5
+
+  /** RM3 PSEUDO-RELEVANCE-FEEDBACK query expansion (Lavrenko & Croft's
+    * relevance model, interpolated as in Abdul-Jaleel et al., TREC
+    * 2004 — the classic recall lever a retrieval stack reaches for
+    * before a neural reranker): serve each query once, treat its top
+    * [[Rm3FbDocs]] documents as pseudo-relevant, estimate the relevance
+    * model p(w|R) ∝ Σ_d p(w|d)·s(d) over their postings, keep the top
+    * [[Rm3FbTerms]] expansion terms, interpolate with the uniform
+    * original-query model at λ = [[Rm3Lambda]], and re-serve the
+    * WEIGHTED expanded query through the same Okapi kernel. Every stage
+    * between the two index joins is bounded by queries×FbDocs or
+    * queries×terms — at 100 TB the corpus appears exactly twice, both
+    * times through the word-keyed postings join that prunes to query
+    * terms in the scan stage.
+    *
+    * Cross-engine determinism: first-pass scores enter the relevance
+    * model as their 4dp fixed-point integers (s4 = round(score·10⁴)),
+    * each p(w|d)·s(d) contribution is micro-fixed-pointed in one
+    * rounded division of exact integers (round(tf·s4·10⁶/dl)), model
+    * weights are exact BIGINT sums ranked with a word tie-break, and
+    * the interpolated qweights are doubles computed from exact integers
+    * by one identical expression per engine. */
+  def rm3Retrieve(spark: SparkSession, dir: String): DataFrame =
+    rm3RetrieveOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  def rm3RetrieveOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (tf, tfRdd) = Dedup.materializeOwned(bm25Postings(docs),
+        ckDir.isDefined)
+      val (out, outRdd) = Dedup.materializeOwned(rm3From(tf, docs),
+        ckDir.isDefined)
+      Dedup.retire(spark, tfRdd)
+      Dedup.retainResult(spark, "rm3Retrieve", outRdd, out)
+    }
+  }
+
+  /** The live RM3 dataflow over a materialized postings frame — the
+    * PLANS.md audit hook. */
+  private[graft] def rm3PlanOf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val (tf, _) = Dedup.materializeOwned(bm25Postings(docs), reliable = false)
+    rm3From(tf, docs)
+  }
+
+  private[graft] def rm3From(tf: DataFrame, docs: DataFrame,
+      lambda: Double = Rm3Lambda): DataFrame = {
+    val p = bm25PartsOf(tf, docs)
+    // first pass: the plain BM25 serve, feedback = its top FbDocs with
+    // scores carried as exact 4dp fixed-point integers
+    val w1 = Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    val fb = bm25ScoredOf(tf, p,
+        p.queryTerms.withColumn("qweight", lit(1.0)))
+      .withColumn("frank", row_number().over(w1))
+      .filter(col("frank") <= Rm3FbDocs)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score") * 10000).cast("long").as("s4"))
+    // relevance model over the feedback docs' postings: p(w|d)·s(d)
+    // micro-fixed-pointed per (q, w, d), summed exactly per (q, w)
+    val rm1 = tf.join(broadcast(fb), "doc_id").join(p.dl, "doc_id")
+      .select(col("query_id"), col("word"),
+        round((col("tf") * col("s4")).cast("double") * lit(1000000.0) /
+          col("dl").cast("double")).cast("long").as("tfx"))
+      .groupBy("query_id", "word").agg(sum("tfx").as("wfx"))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("wfx"), asc("word"))
+    val exp = rm1.withColumn("erank", row_number().over(w2))
+      .filter(col("erank") <= Rm3FbTerms)
+      .select("query_id", "word", "wfx")
+    val expNorm = exp
+      .join(exp.groupBy("query_id").agg(sum("wfx").as("sumwfx")), "query_id")
+      .select(col("query_id"), col("word"),
+        (col("wfx").cast("double") / col("sumwfx").cast("double")).as("pw"))
+    // uniform original-query model, interpolated at λ; both frames are
+    // queries×terms-bounded so the merge is a driver-free full outer
+    val nq = p.queryTerms.groupBy("query_id").agg(count(lit(1)).as("n_q"))
+    val orig = p.queryTerms.join(nq, "query_id")
+      .select(col("query_id"), col("word"),
+        (lit(1.0) / col("n_q").cast("double")).as("ow"))
+    val terms = orig.join(expNorm, Seq("query_id", "word"), "full_outer")
+      .select(col("query_id"), col("word"),
+        (lit(lambda) * coalesce(col("ow"), lit(0.0)) +
+          lit(1.0 - lambda) * coalesce(col("pw"), lit(0.0))).as("qweight"))
+    // second pass: the same Okapi kernel, now with interpolated weights
+    bm25RankedOf(bm25ScoredOf(tf, p, terms))
   }
 
   /** Misra-Gries capacity for [[heavyHitters]]' candidate phase. Must

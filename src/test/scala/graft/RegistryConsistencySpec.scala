@@ -158,6 +158,10 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_ann_quantize_int8" -> "q_ann_pq",
     "q_train_triplets" -> "q_ann_brute_force",
     "q_ann_bq_recall" -> "q_ann_bq_hamming",
+    // retraction = the merge chain ± one broadcast anti-join of the
+    // erasure list; artifacts, routing and serve identical
+    "q_ann_index_forget" -> "q_ann_index_merge",
+    "q_text_bm25_forget" -> "q_text_bm25_index_merge",
     "q_sample_kcenter_batch" -> "q_sample_kcenter",
     // samples: content-hash-ordered draw family
     "q_sample_stratified" -> "q_sample_domain_cap",
