@@ -40,7 +40,7 @@ object Plans {
     "q_dedup_cdc_inc", "q_ann_bq_routed",
     "q_text_retrieval_ndcg", "q_dedup_span_maximal",
     "q_ann_mrl_recall", "q_merge_scd2", "q_sample_kcenter_weights",
-    "q_sample_coreset_lw", "q_text_rm3")
+    "q_sample_coreset_lw", "q_text_rm3", "q_sample_coreset_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1307,15 +1307,23 @@ object Scale {
       val e = replicatedEmbeddings(spark, baseDir, k)
       val nv = e.count()
       val t0 = System.nanoTime()
-      val out = SimSearch.coresetTailOf(
-        SimSearch.coresetScoredOf(e)).collect()
+      val (cs, csRdd) = Dedup.materializeOwned(
+        SimSearch.coresetTailOf(SimSearch.coresetScoredOf(e)),
+        reliable = false)
+      val nCs = cs.count()
       val t = (System.nanoTime() - t0) / 1e9
-      s"| ${k}x | $nv | ${out.length} | ${f"$t%.1f"}s |"
+      // the training audit: 32-row Lloyd + ONE corpus assignment pass
+      val t1 = System.nanoTime()
+      val nTr = SimSearch.coresetTrainOf(e, cs).count()
+      val tTr = (System.nanoTime() - t1) / 1e9
+      Dedup.retire(spark, csRdd)
+      s"| ${k}x | $nv | $nCs | ${f"$t%.1f"}s | $nTr | ${f"$tTr%.1f"}s |"
     }
     if (sections("coreset")) {
       println()
-      println("| factor | vectors | coreset rows out | mean+score+draw time |")
-      println("|---|---|---|---|")
+      println("| factor | vectors | coreset rows out | mean+score+draw time | " +
+        "clusters | train+corpus-assign time |")
+      println("|---|---|---|---|---|---|")
       rowsCoreset.foreach(println)
     }
 

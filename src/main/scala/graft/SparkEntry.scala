@@ -110,6 +110,7 @@ object SparkEntry {
 
     // ---- events / time-series surface ----
     "q_events_hourly"   -> (EventsOps.hourlyTypeCounts _),
+    "q_events_ohlc"     -> (EventsOps.ohlcResample _),
     "q_events_sliding"  -> (EventsOps.slidingTypeCounts _),
     "q_events_retention" -> (EventsOps.retentionCohorts _),
     "q_events_sessions" -> (EventsOps.userSessions _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "q_sample_kcenter_batch" -> (SimSearch.kcenterSelectBatch _),
     "q_sample_kcenter_weights" -> (SimSearch.kcenterWeights _),
     "q_sample_coreset_lw" -> (SimSearch.coresetLightweight _),
+    "q_sample_coreset_train" -> (SimSearch.coresetTrain _),
     "q_window_ntile"  -> (TextAnalysis.curriculumStages _),
 
     // ---- profiling / governance surface ----
@@ -571,6 +573,43 @@ object SparkEntry {
        |            FROM madc)
        |SELECT q_id, "rank", neighbor, adc_d2 FROM mranked
        |WHERE "rank" <= 3 ORDER BY q_id, "rank"""".stripMargin
+
+  /** The lightweight-coreset scoring chain (WITH-body ending at `top`)
+    * — shared by the draw oracle (`q_sample_coreset_lw`) and the
+    * training-audit oracle (`q_sample_coreset_train`). */
+  private def duckCoresetCtes: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |fx AS (SELECT unnest(range(0, len(embedding))) AS pos,
+      |         unnest(list_transform(embedding,
+      |           x -> round(x::DOUBLE * 1000000.0, 0)::BIGINT)) AS fxv
+      |       FROM e),
+      |dims AS (SELECT pos, sum(fxv)::BIGINT AS sfx, count(*)::BIGINT AS cnt
+      |         FROM fx GROUP BY pos),
+      |mu AS (SELECT list(sfx::DOUBLE / (cnt::DOUBLE * 1000000.0)
+      |         ORDER BY pos) AS mu FROM dims),
+      |sc AS (SELECT vec_id,
+      |         round(list_reduce(list_transform(list_zip(embedding, mu.mu),
+      |           p -> (p[1]::DOUBLE - p[2]::DOUBLE)
+      |                * (p[1]::DOUBLE - p[2]::DOUBLE)),
+      |           (x, y) -> x + y) * 1000000.0, 0)::BIGINT AS d2fx,
+      |         (CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 8) AS BIGINT)
+      |           + 0.5) / 4294967296.0 AS u
+      |       FROM e CROSS JOIN mu),
+      |tot AS (SELECT sum(d2fx)::BIGINT AS sumfx, count(*)::BIGINT AS n
+      |        FROM sc),
+      |qq AS (SELECT vec_id, d2fx,
+      |         CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
+      |              ELSE 0.5::DOUBLE / n::DOUBLE
+      |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
+      |         END AS q,
+      |         ln(u) / CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
+      |              ELSE 0.5::DOUBLE / n::DOUBLE
+      |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
+      |         END AS key
+      |       FROM sc CROSS JOIN tot),
+      |top AS (SELECT vec_id, d2fx, q,
+      |          row_number() OVER (ORDER BY key DESC, vec_id) AS rnk
+      |        FROM qq)""".stripMargin
 
   private def duckL2(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
@@ -1600,6 +1639,20 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |       event_type, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // OHLC: open/close are struct-min/max SELECTIONS on the unique
+    // (ts, event_id) key — exact stored doubles, no rounding needed;
+    // only the summed total rounds (the hourly precedent)
+    "q_events_ohlc" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |       event_type,
+        |       (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       (max({'t': ts, 'i': event_id, 'v': value})).v AS close,
+        |       count(*)::BIGINT AS volume,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_sessions" ->
@@ -5394,43 +5447,62 @@ object SparkEntry {
     // over the md5 uniforms — every double derives from exact BIGINTs
     // by the identical expression in both engines
     "q_sample_coreset_lw" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |fx AS (SELECT unnest(range(0, len(embedding))) AS pos,
-         |         unnest(list_transform(embedding,
-         |           x -> round(x::DOUBLE * 1000000.0, 0)::BIGINT)) AS fxv
-         |       FROM e),
-         |dims AS (SELECT pos, sum(fxv)::BIGINT AS sfx, count(*)::BIGINT AS cnt
-         |         FROM fx GROUP BY pos),
-         |mu AS (SELECT list(sfx::DOUBLE / (cnt::DOUBLE * 1000000.0)
-         |         ORDER BY pos) AS mu FROM dims),
-         |sc AS (SELECT vec_id,
-         |         round(list_reduce(list_transform(list_zip(embedding, mu.mu),
-         |           p -> (p[1]::DOUBLE - p[2]::DOUBLE)
-         |                * (p[1]::DOUBLE - p[2]::DOUBLE)),
-         |           (x, y) -> x + y) * 1000000.0, 0)::BIGINT AS d2fx,
-         |         (CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 8) AS BIGINT)
-         |           + 0.5) / 4294967296.0 AS u
-         |       FROM e CROSS JOIN mu),
-         |tot AS (SELECT sum(d2fx)::BIGINT AS sumfx, count(*)::BIGINT AS n
-         |        FROM sc),
-         |qq AS (SELECT vec_id, d2fx,
-         |         CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
-         |              ELSE 0.5::DOUBLE / n::DOUBLE
-         |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
-         |         END AS q,
-         |         ln(u) / CASE WHEN sumfx = 0 THEN 1.0::DOUBLE / n::DOUBLE
-         |              ELSE 0.5::DOUBLE / n::DOUBLE
-         |                   + 0.5::DOUBLE * d2fx::DOUBLE / sumfx::DOUBLE
-         |         END AS key
-         |       FROM sc CROSS JOIN tot),
-         |top AS (SELECT vec_id, d2fx, q,
-         |          row_number() OVER (ORDER BY key DESC, vec_id) AS rnk
-         |        FROM qq)
+      s"""$duckCoresetCtes
          |SELECT rnk::BIGINT AS rnk, vec_id,
          |       round(1.0::DOUBLE / (${SimSearch.CoresetM}.0::DOUBLE * q), 6)
          |         AS weight,
          |       round(d2fx::DOUBLE / 1000000.0, 6) AS d2
          |FROM top WHERE rnk <= ${SimSearch.CoresetM} ORDER BY rnk""".stripMargin,
+
+    // coreset TRAINING audit: the drawn coreset's weighted Lloyd step
+    // (exact fixed-point weighted recenters) then the full corpus
+    // scored against the coreset-trained centroids
+    "q_sample_coreset_train" ->
+      s"""$duckCoresetCtes,
+         |cse AS (SELECT t.rnk, t.vec_id, e.embedding,
+         |          round(round(1.0::DOUBLE
+         |              / (${SimSearch.CoresetM}.0::DOUBLE * t.q), 6)
+         |            * 1000000.0, 0)::BIGINT AS wfx
+         |        FROM top t JOIN e USING (vec_id)
+         |        WHERE t.rnk <= ${SimSearch.CoresetM}),
+         |seeds AS (SELECT rnk AS cid, embedding AS c_emb FROM cse
+         |          WHERE rnk <= ${SimSearch.CoresetTrainK}),
+         |a1 AS (SELECT vec_id, wfx, embedding, cid FROM (
+         |         SELECT c.vec_id, c.wfx, c.embedding, s.cid,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY round(${duckL2("c.embedding", "s.c_emb")}, 6),
+         |               s.cid) AS r
+         |         FROM cse c CROSS JOIN seeds s) WHERE r = 1),
+         |lf AS (SELECT cid, wfx,
+         |         unnest(range(0, len(embedding))) AS pos,
+         |         unnest(list_transform(embedding,
+         |           x -> round(x::DOUBLE * 1000000.0, 0)::BIGINT)) AS xfx
+         |       FROM a1),
+         |cl AS (SELECT cid, pos, sum(wfx * xfx)::BIGINT AS swx,
+         |         sum(wfx)::BIGINT AS sw
+         |       FROM lf GROUP BY 1, 2),
+         |cents AS (SELECT cid,
+         |            list(swx::DOUBLE / (sw::DOUBLE * 1000000.0)
+         |              ORDER BY pos) AS c_emb
+         |          FROM cl GROUP BY cid),
+         |asg AS (SELECT vec_id, cid, d2 FROM (
+         |          SELECT e.vec_id, c.cid,
+         |            round(${duckL2("e.embedding", "c.c_emb")}, 6) AS d2,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY round(${duckL2("e.embedding", "c.c_emb")}, 6),
+         |                c.cid) AS r
+         |          FROM e CROSS JOIN cents c) WHERE r = 1),
+         |agg AS (SELECT cid, count(*)::BIGINT AS n_corpus,
+         |          sum(round(d2 * 1000000.0, 0)::BIGINT)::BIGINT AS sse_fx
+         |        FROM asg GROUP BY cid),
+         |cm AS (SELECT cid, count(*)::BIGINT AS n_coreset,
+         |         sum(wfx)::BIGINT AS mass_fx
+         |       FROM a1 GROUP BY cid)
+         |SELECT a.cid, cm.n_coreset,
+         |       round(cm.mass_fx::DOUBLE / 1000000.0, 4) AS coreset_mass,
+         |       a.n_corpus,
+         |       round(a.sse_fx::DOUBLE / 1000000.0, 4) AS corpus_sse
+         |FROM agg a JOIN cm USING (cid) ORDER BY a.cid""".stripMargin,
 
     // NFC census: DuckDB's nfc_normalize implements the same Unicode
     // canonical composition as the native graft_nfc kernel; chr(769) is

@@ -24,6 +24,34 @@ object EventsOps {
         round(sum("value"), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** OHLC DOWNSAMPLING — the candlestick/telemetry-rollup resample
+    * (open/high/low/close/volume per hour×type): the standard lossy
+    * time-series compaction a feature store or monitoring pipeline
+    * keeps once raw events age out. NOT a window query: open/close are
+    * `min(struct(ts, event_id, value))` / `max(...)` selections —
+    * map-side-combinable aggregates, so the whole resample is ONE
+    * partial→final aggregation with no per-bucket sort anywhere
+    * ((ts, event_id) is unique per event, so the struct comparison
+    * never reaches the value field and both engines select the
+    * identical row). high/low/open/close are exact stored doubles;
+    * only the volume-weighted total needs the 2dp rounding the hourly
+    * census already uses. */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("volume"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
   /** SLIDING-window aggregation (1-hour windows every 15 minutes): each
     * event lands in exactly window/slide = 4 windows. Spark's `window()`
     * plans this as a 4-way Expand (generate the window starts) feeding

@@ -2484,6 +2484,79 @@ object SimSearch {
       .orderBy("rnk")
   }
 
+  /** Cluster count for [[coresetTrain]]. */
+  val CoresetTrainK = 4
+
+  /** CORESET TRAINING AUDIT — the claim behind every coreset is that
+    * training on it approximates training on the corpus, so this query
+    * RUNS that training and scores it on the corpus (the dial-audit
+    * discipline — recall@k for ANN, cap sweeps for postings — applied
+    * to the coreset family): one weighted Lloyd refinement of
+    * [[CoresetTrainK]] k-means centroids over the 32 weighted coreset
+    * points (seeds = the draw's first K, weights = the 1/(m·q)
+    * importance weights — the exact estimator the Bachem guarantee is
+    * stated for), then the FULL corpus assigns to the coreset-trained
+    * centroids and reports per-cluster population and SSE. Cost shape:
+    * everything between the two broadcast joins is 32-row arithmetic;
+    * the corpus appears once in the scoring pass the coreset was drawn
+    * from and once in the final assignment — two narrow scans total.
+    *
+    * Cross-engine: weights and coordinates enter as fixed-point longs
+    * (products bounded: |x| ≤ ~1 ⇒ xfx ≤ 1e6, wfx ≤ 2N·1e6/m ⇒ the
+    * 32-term Σ wfx·xfx stays ≪ 2^63 up to N ~ 10⁹), centroids are one
+    * exact-integer division per dimension, assignment argmins on
+    * (6dp-rounded d², cid), SSE sums 6dp fixed-point longs exactly. */
+  def coresetTrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    coresetTrainOf(e, coresetLightweight(spark, dir))
+  }
+
+  private[graft] def coresetTrainOf(e: DataFrame, coreset: DataFrame): DataFrame = {
+    val pts = coreset.join(e.select("vec_id", "embedding"), "vec_id")
+      .select(col("rnk"), col("vec_id"), col("embedding"),
+        round(col("weight") * lit(1000000.0), 0).cast("long").as("wfx"))
+    val seeds = pts.filter(col("rnk") <= CoresetTrainK)
+      .select(col("rnk").as("cid"), col("embedding").as("c_emb"))
+    // weighted Lloyd step 1: assign the 32 points to the K seed points
+    val w1 = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    val a1 = pts.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("wfx"), col("cid"),
+        round(l2sq(col("embedding"), col("c_emb")), 6).as("d2"))
+      .withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+    // weighted recenter: per-dim Σ wfx·xfx / (Σ wfx · 1e6), exact ints
+    val centsLong = a1
+      .select(col("cid"), col("wfx"), posexplode(col("embedding")))
+      .select(col("cid"), col("wfx"), col("pos"),
+        round(col("col").cast("double") * lit(1000000.0), 0)
+          .cast("long").as("xfx"))
+      .groupBy("cid", "pos")
+      .agg(sum(col("wfx") * col("xfx")).as("swx"), sum("wfx").as("sw"))
+      .select(col("cid"), col("pos"),
+        (col("swx").cast("double") /
+          (col("sw").cast("double") * lit(1000000.0))).as("c"))
+    val cents = centsLong.groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("c_emb"))
+    // the audit: the FULL corpus scored against what the coreset taught
+    val w2 = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("cid"))
+    val corpusAsg = e.select("vec_id", "embedding").crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(l2sq(col("embedding"), col("c_emb")), 6).as("d2"))
+      .withColumn("r", row_number().over(w2)).filter(col("r") === 1)
+    corpusAsg.groupBy("cid")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(round(col("d2") * lit(1000000.0), 0).cast("long")).as("sse_fx"))
+      .join(a1.groupBy("cid")
+        .agg(count(lit(1)).as("n_coreset"), sum("wfx").as("mass_fx")), "cid")
+      .select(col("cid"), col("n_coreset"),
+        round(col("mass_fx").cast("double") / lit(1000000.0), 4)
+          .as("coreset_mass"),
+        col("n_corpus"),
+        round(col("sse_fx").cast("double") / lit(1000000.0), 4)
+          .as("corpus_sse"))
+      .orderBy("cid")
+  }
+
   private[graft] def kcenterWeightsOf(e: DataFrame, centers: DataFrame): DataFrame = {
     val c = centers.select("vec_id")
       .join(e.select(col("vec_id"), col("embedding")), "vec_id")

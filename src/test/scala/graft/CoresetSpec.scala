@@ -63,6 +63,56 @@ class CoresetSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("train kernel matches a driver-side weighted-Lloyd replay exactly") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def roundL(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def l2(a: Seq[Float], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i).toDouble - b(i)) * (a(i).toDouble - b(i)))
+    val emb = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val coreset = SimSearch.coresetTailOf(SimSearch.coresetScoredOf(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replay: wfx, seeds = first K by rnk, one assign + recenter pass
+    val pts = coreset.map { case (rnk, id, w) =>
+      (rnk, id, roundL(w * 1e6), emb(id)) }
+    val seeds = pts.filter(_._1 <= SimSearch.CoresetTrainK)
+      .map(p => p._1 -> p._4.map(_.toDouble)).toMap
+    def assign(v: Seq[Float], cents: Map[Long, Seq[Double]]): Long =
+      cents.toSeq.map { case (cid, c) => (round6(l2(v, c)), cid) }.min._2
+    val a1 = pts.map(p => (assign(p._4, seeds), p._3, p._4))
+    val cents = a1.groupBy(_._1).map { case (cid, rows) =>
+      val sw = rows.map(_._2).sum
+      cid -> rows.head._3.indices.map { d =>
+        rows.map(r => r._2 * roundL(r._3(d).toDouble * 1e6)).sum.toDouble /
+          (sw.toDouble * 1e6)
+      }
+    }
+    val corpusAsg = emb.toSeq.map { case (id, v) =>
+      val cid = assign(v, cents)
+      (cid, round6(l2(v, cents(cid))))
+    }
+    val expected = corpusAsg.groupBy(_._1).map { case (cid, rows) =>
+      cid -> ((a1.count(_._1 == cid).toLong, 0.0,
+        rows.length.toLong, rows.map(r => roundL(r._2 * 1e6)).sum))
+    }
+    val out = SimSearch.coresetTrainOf(planted,
+      SimSearch.coresetTailOf(SimSearch.coresetScoredOf(planted))).collect()
+    assert(out.map(_.getLong(3)).sum == 64L) // every corpus point assigned
+    out.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert(r.getLong(1) == e._1, s"n_coreset for cid ${r.getLong(0)}")
+      assert(r.getLong(3) == e._3, s"n_corpus for cid ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(4) - e._4.toDouble / 1e6) < 1e-4,
+        s"sse for cid ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) -
+        a1.filter(_._1 == r.getLong(0)).map(_._2).sum.toDouble / 1e6) < 1e-4,
+        s"mass for cid ${r.getLong(0)}")
+    }
+  }
+
   test("registered query: m rows, positive weights, rnk is a permutation prefix") {
     val out = SimSearch.coresetLightweight(spark, "/root/testdata/sf0.001")
       .collect()

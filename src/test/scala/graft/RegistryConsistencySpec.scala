@@ -129,6 +129,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_events_transitions" -> "q_events_sessions",
     "q_events_scd2" -> "q_events_sessions",
     "q_events_rolling" -> "q_events_sessions",
+    "q_events_ohlc" -> "q_events_sessions",
     "q_events_decay" -> "q_events_sessions",
     "q_events_anomaly" -> "q_events_sessions",
     "q_range_join" -> "q_range_join_binned",
