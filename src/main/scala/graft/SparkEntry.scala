@@ -146,6 +146,7 @@ object SparkEntry {
     "q_dedup_embedding"     -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_dedup_keep_set"      -> (Dedup.dedupedCorpus _),
     "q_dedup_incremental"   -> (Dedup.incrementalMinhash _),
+    "q_dedup_forget"        -> (Dedup.bandIndexForgetScreen _),
     "q_dedup_editdist"      -> (Dedup.editDistanceVerify _),
     "q_dedup_clusters"      -> (Dedup.nearDupComponents _),
     "q_dedup_cc_inc"        -> (Dedup.ccIncremental _),
@@ -1979,6 +1980,25 @@ object SparkEntry {
          |         FROM cand2 JOIN sig sa ON sa.doc_id = dup_of
          |                    JOIN sig sb ON sb.doc_id = new_doc)
          |SELECT new_doc, dup_of, est_jaccard FROM est2
+         |WHERE est_jaccard >= 0.5 ORDER BY new_doc, dup_of""".stripMargin,
+
+    // erasure propagation through the band index: the incremental
+    // screen with the forgotten ids excluded from the index side —
+    // retracted ≡ rebuilt is one predicate on the doc-keyed rows
+    "q_dedup_forget" ->
+      s"""WITH $DuckMinhashCtes,
+         |cand3 AS (SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS dup_of
+         |          FROM band x JOIN band y
+         |            ON x.band = y.band AND x.band_sig = y.band_sig
+         |           AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+         |           AND y.doc_id % ${CorpusMerge.ForgetMod}
+         |               <> ${CorpusMerge.ForgetRem}),
+         |est3 AS (SELECT new_doc, dup_of,
+         |           round(list_sum(list_transform(range(1, 33),
+         |             i -> CASE WHEN sa.sigs[i] = sb.sigs[i] THEN 1 ELSE 0 END)) / 32.0, 4) AS est_jaccard
+         |         FROM cand3 JOIN sig sa ON sa.doc_id = dup_of
+         |                    JOIN sig sb ON sb.doc_id = new_doc)
+         |SELECT new_doc, dup_of, est_jaccard FROM est3
          |WHERE est_jaccard >= 0.5 ORDER BY new_doc, dup_of""".stripMargin,
 
     "q_dedup_keep_set" ->

@@ -129,6 +129,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** ERASURE PROPAGATION through the persisted near-dup artifact — the
+    * third family the right-to-be-forgotten retraction covers (after
+    * the BM25 index and the IVF-PQ lists): minhash signatures are
+    * DOC-LOCAL (min over the doc's own shingles — no corpus-derived
+    * stats to refold), so retracting the erasure list from the band
+    * index is exactly one broadcast anti-join and retracted ≡ rebuilt
+    * is structural (`DedupForgetSpec` pins it anyway). The registered
+    * query screens the standard odd-doc batch against the RETRACTED
+    * even-snapshot index: a forgotten document can never surface as a
+    * `dup_of` again — which matters operationally, because a dedup
+    * screen that keeps matching against erased content quietly keeps
+    * acting on it. */
+  def bandIndexForgetScreen(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+    val forget = d.filter(col("doc_id") % CorpusMerge.ForgetMod
+        === CorpusMerge.ForgetRem)
+      .select("doc_id")
+    val retracted = bandIndexOf(d.filter(col("doc_id") % 2 === 0))
+      .join(broadcast(forget), Seq("doc_id"), "left_anti")
+    probeBandIndex(d.filter(col("doc_id") % 2 === 1), retracted)
+      .orderBy("new_doc", "dup_of")
+  }
+
   /** Exact dedup bookkeeping per (lang, source) shard: how many rows
     * survive `dropDuplicates(text)`. The grouped form scales where a
     * global distinct would: the heavy key is md5(text), not text. */

@@ -139,6 +139,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_dedup_exact_groups" -> "q_dedup_keep_set",
     "q_dedup_exact_planted" -> "q_dedup_keep_set",
     "q_dedup_incremental" -> "q_dedup_minhash_lsh",
+    "q_dedup_forget" -> "q_dedup_minhash_lsh",
     "q_dedup_recall" -> "q_dedup_minhash_lsh",
     "q_dedup_simhash_wide" -> "q_dedup_simhash",
     "q_dedup_containment" -> "q_dedup_ngram_jaccard",
