@@ -40,7 +40,10 @@ object Plans {
     "q_dedup_cdc_inc", "q_ann_bq_routed",
     "q_text_retrieval_ndcg", "q_dedup_span_maximal",
     "q_ann_mrl_recall", "q_merge_scd2", "q_sample_kcenter_weights",
-    "q_sample_coreset_lw", "q_text_rm3", "q_sample_coreset_train")
+    "q_sample_coreset_lw", "q_text_rm3", "q_sample_coreset_train",
+    "q_profile_constraints", "q_stats_bootstrap", "q_mix_epochs",
+    "q_layout_bloom_files", "q_stats_bootstrap_diff", "q_mix_epochs_sweep",
+    "q_layout_bloom_ingest", "q_hilbert_pruning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

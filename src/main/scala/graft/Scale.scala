@@ -66,6 +66,18 @@ object Scale {
     }.reduce(_ unionByName _)
   }
 
+  /** Base orders plus k-1 key-shifted replicas: custkeys, statuses,
+    * prices and dates replicate in place, so the dimension side and the
+    * per-replica violation geometry stay comparable while the fact
+    * grows k×. */
+  private[graft] def replicatedOrders(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val o = graft.sources.Tables.fanOut(graft.sources.Tables.orders(spark, dir))
+    (0 until k).map { i =>
+      if (i == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(i * ReplicaStride))
+    }.reduce(_ unionByName _)
+  }
+
   private[graft] def replicatedEmbeddings(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = graft.sources.Tables.fanOut(graft.sources.Tables.embeddings(spark, dir))
     (0 until k).map { i =>
@@ -86,7 +98,8 @@ object Scale {
       "kcenter", "sketch", "curationinc", "bm25merge", "ccinc", "media",
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
-      "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget")
+      "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget",
+      "govern", "bloomfiles")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -1399,6 +1412,71 @@ object Scale {
         "ann serve rows | ann retract+serve |")
       println("|---|---|---|---|---|---|---|")
       rowsForget.foreach(println)
+    }
+
+    // Round-10 governance ops: the constraint suite is ONE fact scan +
+    // one broadcast dim probe + a 1-row aggregate (the only keyed
+    // exchange is the uniqueness NDV); the bootstrap is a B=40
+    // row-local hash fanout into one (lang, b)-keyed map-side-combined
+    // pass. Both outputs are census-sized at every factor — the claim
+    // is ~linear wall growth with constant output.
+    val rowsGovern = factors.filter(_ => sections("govern")).map { k =>
+      System.err.println(s"[scale] factor $k (governance) ...")
+      import graft.operators.Profiling
+      val orders = replicatedOrders(spark, baseDir, k)
+      val nOrd = orders.count()
+      val cust = graft.sources.Tables.customer(spark, baseDir)
+        .select(col("c_custkey"))
+      val t0 = System.nanoTime()
+      val viol = Profiling
+        .constraintReportOf(Profiling.plantedOrders(orders), cust)
+        .agg(sum("n_violations")).collect().head.getLong(0)
+      val tCon = (System.nanoTime() - t0) / 1e9
+      val docs = replicatedDocs(spark, baseDir, k)
+      val nd = docs.count()
+      val t1 = System.nanoTime()
+      val nCi = Profiling.bootstrapCiOf(docs).count()
+      val tCi = (System.nanoTime() - t1) / 1e9
+      s"| ${k}x | $nOrd | $viol | ${f"$tCon%.1f"}s | $nd | $nCi | ${f"$tCi%.1f"}s |"
+    }
+    if (sections("govern")) {
+      println()
+      println("| factor | orders | violations | constraint-suite time | " +
+        "docs | ci rows | bootstrap time |")
+      println("|---|---|---|---|---|---|---|")
+      rowsGovern.foreach(println)
+    }
+
+    // Round-10 file-level Bloom index: per-file filters SIZED to the
+    // file's key count (8 bits/key), so the measured false-positive
+    // rate must stay FLAT while files grow 10× denser — the invariance
+    // a fixed-m filter cannot deliver (vacuous small, saturated large).
+    // Probes grow with the corpus (replica ids also hit the mod), the
+    // per-probe pruning fraction is the flat claim.
+    val rowsBloomF = factors.filter(_ => sections("bloomfiles")).map { k =>
+      System.err.println(s"[scale] factor $k (bloom file index) ...")
+      import graft.operators.Layout
+      val docs = replicatedDocs(spark, baseDir, k)
+      val nd = docs.count()
+      val root = new java.io.File(
+        java.nio.file.Files.createTempDirectory("graft_bloomscale").toFile,
+        "docs").getAbsolutePath
+      Layout.writeFragmented(docs, root)
+      val t0 = System.nanoTime()
+      val out = Layout.bloomRunOf(spark, root).collect()
+      val t = (System.nanoTime() - t0) / 1e9
+      val probes = out.length
+      val cand = out.map(_.getLong(3)).sum
+      val fp = out.map(_.getLong(5)).sum
+      val fpPpm = fp * 1000000L / (probes.toLong * out.head.getLong(2))
+      s"| ${k}x | $nd | $probes | $cand | $fp | $fpPpm | ${f"$t%.1f"}s |"
+    }
+    if (sections("bloomfiles")) {
+      println()
+      println("| factor | docs | probes | candidate files | fp files | " +
+        "fp ppm (of probe×file checks) | build+serve time |")
+      println("|---|---|---|---|---|---|---|")
+      rowsBloomF.foreach(println)
     }
 
     // round-7 sketch/retrieval ops. Replicated docs carry per-replica

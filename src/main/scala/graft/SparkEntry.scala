@@ -211,6 +211,8 @@ object SparkEntry {
     "q_sample_token_budget" -> (TextAnalysis.tokenBudgetSample _),
     "q_mix_temperature"  -> (TextAnalysis.temperatureMix _),
     "q_mix_unimax"       -> (TextAnalysis.unimaxMix _),
+    "q_mix_epochs"       -> (TextAnalysis.epochMix _),
+    "q_mix_epochs_sweep" -> (TextAnalysis.epochSweep _),
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
     "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
@@ -229,6 +231,9 @@ object SparkEntry {
     "q_zorder_values"    -> (Layout.zorderValues _),
     "q_zorder_pruning"   -> (Layout.zonemapPruning _),
     "q_zorder_pruning_files" -> (Layout.zonemapPruningFiles _),
+    "q_layout_bloom_files" -> (Layout.bloomPruningFiles _),
+    "q_layout_bloom_ingest" -> (Layout.bloomIngest _),
+    "q_hilbert_pruning"  -> (Layout.hilbertPruning _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
@@ -268,6 +273,9 @@ object SparkEntry {
     "q_profile_skew"     -> (Profiling.keySkewProfile _),
     "q_profile_drift"    -> (Profiling.driftReport _),
     "q_profile_ks"       -> (Profiling.ksDrift _),
+    "q_profile_constraints" -> (Profiling.constraintSuite _),
+    "q_stats_bootstrap"  -> (Profiling.bootstrapCi _),
+    "q_stats_bootstrap_diff" -> (Profiling.bootstrapDiffCi _),
     "q_dedup_keep_best"  -> (Dedup.dedupedCorpusBest _),
 
     // ---- graph surface (beside the CC loop in Dedup) ----
@@ -4384,6 +4392,80 @@ object SparkEntry {
          |        ELSE CAST(budget - s_sat AS DOUBLE) / (d_cnt - n_sat) END
          |    / n_tokens, 6) AS epochs
          |FROM flags, satagg ORDER BY source""".stripMargin,
+
+    // data-constrained epoching: identical literal decay table, slot
+    // values in integer //, greedy rank ordered (value DESC, source,
+    // epoch) with a running token cost against the 5/2 budget
+    "q_mix_epochs" -> {
+      val decays = TextAnalysis.EpochDecayPpm.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+      s"""WITH census AS (
+         |  SELECT source,
+         |    sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS t_tokens FROM census),
+         |dec(epoch, dec_ppm) AS (VALUES $decays),
+         |cand AS (
+         |  SELECT c.source, c.n_tokens, d.epoch::BIGINT AS epoch,
+         |    ((c.n_tokens * d.dec_ppm) // 1000000)::BIGINT AS slot_value
+         |  FROM census c, dec d),
+         |ranked AS (
+         |  SELECT *,
+         |    (sum(n_tokens) OVER (ORDER BY slot_value DESC, source, epoch
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+         |    (${TextAnalysis.EpochBudgetNum} * (SELECT t_tokens FROM tot))
+         |      // ${TextAnalysis.EpochBudgetDen} AS budget
+         |  FROM cand),
+         |kept AS (
+         |  SELECT source, count(*)::BIGINT AS epochs_alloc,
+         |    sum(n_tokens)::BIGINT AS tokens_alloc,
+         |    sum(slot_value)::BIGINT AS effective_tokens
+         |  FROM ranked WHERE cum <= budget GROUP BY source)
+         |SELECT c.source, c.n_tokens AS unique_tokens,
+         |  coalesce(k.epochs_alloc, 0)::BIGINT AS epochs_alloc,
+         |  coalesce(k.tokens_alloc, 0)::BIGINT AS tokens_alloc,
+         |  coalesce(k.effective_tokens, 0)::BIGINT AS effective_tokens
+         |FROM census c LEFT JOIN kept k USING (source)
+         |ORDER BY c.source""".stripMargin
+    },
+
+    // the budget-dial sweep: one ranked candidate frame, |budgets|
+    // prefix filters — allocations monotone in the dial
+    "q_mix_epochs_sweep" -> {
+      val decays = TextAnalysis.EpochDecayPpm.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+      val budgets = TextAnalysis.EpochSweepPct.map(p => s"($p)").mkString(", ")
+      s"""WITH census AS (
+         |  SELECT source,
+         |    sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS t_tokens FROM census),
+         |dec(epoch, dec_ppm) AS (VALUES $decays),
+         |bud(budget_pct) AS (VALUES $budgets),
+         |cand AS (
+         |  SELECT c.source, c.n_tokens, d.epoch::BIGINT AS epoch,
+         |    ((c.n_tokens * d.dec_ppm) // 1000000)::BIGINT AS slot_value
+         |  FROM census c, dec d),
+         |ranked AS (
+         |  SELECT *,
+         |    (sum(n_tokens) OVER (ORDER BY slot_value DESC, source, epoch
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         |  FROM cand),
+         |kept AS (
+         |  SELECT b.budget_pct::BIGINT AS budget_pct, r.source,
+         |    count(*)::BIGINT AS epochs_alloc,
+         |    sum(r.n_tokens)::BIGINT AS tokens_alloc
+         |  FROM ranked r CROSS JOIN bud b
+         |  WHERE r.cum <= (b.budget_pct * (SELECT t_tokens FROM tot)) // 100
+         |  GROUP BY 1, 2)
+         |SELECT b.budget_pct::BIGINT AS budget_pct, c.source,
+         |  c.n_tokens AS unique_tokens,
+         |  coalesce(k.epochs_alloc, 0)::BIGINT AS epochs_alloc,
+         |  coalesce(k.tokens_alloc, 0)::BIGINT AS tokens_alloc
+         |FROM census c CROSS JOIN bud b
+         |LEFT JOIN kept k ON k.budget_pct = b.budget_pct AND k.source = c.source
+         |ORDER BY 1, 2""".stripMargin
+    },
     // temperature mix: rates rounded to 6dp in BOTH engines before the
     // keep comparison, so no libm-pow ulp can flip a draw verdict
     "q_mix_temperature" ->
@@ -5007,6 +5089,188 @@ object SparkEntry {
          |  sum(n_rows)::BIGINT AS n_rows
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
+    // file-level Bloom index: shard assignment, all 4096 signature
+    // words, candidacy (all k bits set) and hits re-derived
+    // relationally — the hash match pins the filter arithmetic and
+    // that the pruned physical read lost nothing
+    "q_layout_bloom_files" ->
+      s"""WITH frag AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |      % ${Layout.CompactFragments} AS shard
+         |  FROM documents),
+         |sizes AS (
+         |  SELECT shard,
+         |    1::BIGINT << length(bin(${Layout.BloomBitsPerKey} * count(*) - 1))::INT
+         |      AS mbits
+         |  FROM frag GROUP BY shard),
+         |idx AS (
+         |  SELECT shard, pos // ${Layout.BloomWordBits} AS word,
+         |    bit_or(1::BIGINT << (pos % ${Layout.BloomWordBits})::INT) AS bits
+         |  FROM (SELECT f.shard,
+         |          CAST('0x' || substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM frag f JOIN sizes s USING (shard),
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))
+         |  GROUP BY shard, word),
+         |probes AS (
+         |  SELECT doc_id AS probe_id, true AS expected FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${Layout.BloomAbsentShift}, false FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0),
+         |ppos AS (
+         |  SELECT probe_id, expected, shard,
+         |    pos // ${Layout.BloomWordBits} AS word,
+         |    1::BIGINT << (pos % ${Layout.BloomWordBits})::INT AS bit
+         |  FROM (SELECT probe_id, expected, s.shard,
+         |          CAST('0x' || substr(md5(probe_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM probes CROSS JOIN sizes s,
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))),
+         |cand AS (
+         |  SELECT probe_id, expected, shard
+         |  FROM ppos p JOIN idx i USING (shard, word)
+         |  WHERE (i.bits & p.bit) <> 0
+         |  GROUP BY probe_id, expected, shard
+         |  HAVING count(*) = ${Layout.BloomHashes}),
+         |candc AS (SELECT probe_id, count(*)::BIGINT AS files_candidate
+         |          FROM cand GROUP BY probe_id),
+         |hits AS (
+         |  SELECT p.probe_id, count(DISTINCT f.shard)::BIGINT AS files_hit,
+         |         count(*)::BIGINT AS rows_found
+         |  FROM probes p JOIN frag f ON f.doc_id = p.probe_id
+         |  GROUP BY p.probe_id)
+         |SELECT p.probe_id, p.expected,
+         |  ${Layout.CompactFragments}::BIGINT AS files_total,
+         |  coalesce(c.files_candidate, 0)::BIGINT AS files_candidate,
+         |  coalesce(h.files_hit, 0)::BIGINT AS files_hit,
+         |  (coalesce(c.files_candidate, 0) - coalesce(h.files_hit, 0))::BIGINT
+         |    AS fp_files,
+         |  coalesce(h.rows_found, 0)::BIGINT AS rows_found
+         |FROM probes p
+         |LEFT JOIN candc c USING (probe_id)
+         |LEFT JOIN hits h USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin,
+
+    // bloom-index ADD path: base shards 0..63 plus the delta batch in
+    // fresh shards 64..71 (same content-hash routing, shifted ids) —
+    // the union manifest re-derived relationally end-to-end
+    "q_layout_bloom_ingest" ->
+      s"""WITH frag AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |      % ${Layout.CompactFragments} AS shard
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Layout.BloomIngestShift},
+         |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |      % ${Layout.BloomDeltaFiles} + ${Layout.CompactFragments}
+         |  FROM documents
+         |  WHERE doc_id % ${Layout.BloomIngestMod} = ${Layout.BloomIngestRem}),
+         |sizes AS (
+         |  SELECT shard,
+         |    1::BIGINT << length(bin(${Layout.BloomBitsPerKey} * count(*) - 1))::INT
+         |      AS mbits
+         |  FROM frag GROUP BY shard),
+         |idx AS (
+         |  SELECT shard, pos // ${Layout.BloomWordBits} AS word,
+         |    bit_or(1::BIGINT << (pos % ${Layout.BloomWordBits})::INT) AS bits
+         |  FROM (SELECT f.shard,
+         |          CAST('0x' || substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM frag f JOIN sizes s USING (shard),
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))
+         |  GROUP BY shard, word),
+         |probes AS (
+         |  SELECT doc_id AS probe_id, true AS expected FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${Layout.BloomAbsentShift}, false FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0),
+         |ppos AS (
+         |  SELECT probe_id, expected, shard,
+         |    pos // ${Layout.BloomWordBits} AS word,
+         |    1::BIGINT << (pos % ${Layout.BloomWordBits})::INT AS bit
+         |  FROM (SELECT probe_id, expected, s.shard,
+         |          CAST('0x' || substr(md5(probe_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM probes CROSS JOIN sizes s,
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))),
+         |cand AS (
+         |  SELECT probe_id, expected, shard
+         |  FROM ppos p JOIN idx i USING (shard, word)
+         |  WHERE (i.bits & p.bit) <> 0
+         |  GROUP BY probe_id, expected, shard
+         |  HAVING count(*) = ${Layout.BloomHashes}),
+         |candc AS (SELECT probe_id, count(*)::BIGINT AS files_candidate
+         |          FROM cand GROUP BY probe_id),
+         |hits AS (
+         |  SELECT p.probe_id, count(DISTINCT f.shard)::BIGINT AS files_hit,
+         |         count(*)::BIGINT AS rows_found
+         |  FROM probes p JOIN frag f ON f.doc_id = p.probe_id
+         |  GROUP BY p.probe_id)
+         |SELECT
+         |  CASE WHEN p.probe_id >=
+         |         ${Layout.BloomIngestShift + Layout.BloomAbsentShift}
+         |       THEN 'absent_delta'
+         |       WHEN p.probe_id >= ${Layout.BloomIngestShift} THEN 'delta'
+         |       WHEN p.probe_id >= ${Layout.BloomAbsentShift} THEN 'absent_base'
+         |       ELSE 'base' END AS probe_kind,
+         |  p.probe_id, p.expected,
+         |  (SELECT count(*) FROM sizes)::BIGINT AS files_total,
+         |  coalesce(c.files_candidate, 0)::BIGINT AS files_candidate,
+         |  coalesce(h.files_hit, 0)::BIGINT AS files_hit,
+         |  (coalesce(c.files_candidate, 0) - coalesce(h.files_hit, 0))::BIGINT
+         |    AS fp_files,
+         |  coalesce(h.rows_found, 0)::BIGINT AS rows_found
+         |FROM probes p
+         |LEFT JOIN candc c USING (probe_id)
+         |LEFT JOIN hits h USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin,
+
+    // Hilbert vs Z bake-off: the 16 shared-text curve stages as a CTE
+    // chain (LITERALLY the strings the Spark kernel selectExpr's), then
+    // the same ntile block model and skip test as q_zorder_pruning
+    "q_hilbert_pruning" -> {
+      val inbox = s"user_id >= ${Layout.ZoneBoxULo} AND user_id <= ${Layout.ZoneBoxUHi} " +
+        s"AND value >= ${Layout.ZoneBoxVLo} AND value <= ${Layout.ZoneBoxVHi}"
+      s"""WITH d0 AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |src AS (
+         |  SELECT event_id, user_id, value,
+         |    (${Layout.zValueSqlTerms("a", "b")}) AS zval,
+         |    a AS cx, b AS cy, 0::BIGINT AS hd
+         |  FROM d0),
+         |${Layout.hilbertCteSql("src", Seq("event_id", "user_id", "value", "zval"))},
+         |arms AS (
+         |  SELECT 'hilbert' AS layout,
+         |    ntile(${Layout.ZoneBlocks}) OVER (ORDER BY hd, event_id) AS blk,
+         |    user_id, value FROM ${Layout.HilbertLastCte}
+         |  UNION ALL
+         |  SELECT 'zorder',
+         |    ntile(${Layout.ZoneBlocks}) OVER (ORDER BY zval, event_id),
+         |    user_id, value FROM ${Layout.HilbertLastCte}),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    sum(CASE WHEN $inbox THEN 1 ELSE 0 END)::BIGINT AS matched
+         |  FROM arms GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(matched)::BIGINT AS rows_matched,
+         |  round(sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin
+    },
+
     "q_zorder_values" ->
       s"""WITH d AS (
          |  SELECT event_id,
@@ -5368,6 +5632,131 @@ object SparkEntry {
         |SELECT at_value, t_ref, t_cur, ks_stat, crit_05,
         |       ks_stat > crit_05 AS reject_05
         |FROM g ORDER BY ks_stat DESC, at_value LIMIT 1""".stripMargin,
+
+    // Deequ-style constraint suite: the same planted defects (disjoint
+    // CASE order matters — null wins over dangling-ref), the same one
+    // LEFT join against the distinct customer keys, ppm in integer //
+    "q_profile_constraints" ->
+      s"""WITH planted AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % ${Profiling.PlantNullMod} = 0 THEN NULL
+         |         WHEN o_orderkey % ${Profiling.PlantRefMod} = 0
+         |           THEN o_custkey + 1000000000
+         |         ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % ${Profiling.PlantStatMod} = 0 THEN 'X'
+         |         ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey % ${Profiling.PlantNegMod} = 0
+         |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+         |    CASE WHEN o_orderkey % ${Profiling.PlantDateMod} = 0
+         |         THEN TIMESTAMP '1970-01-06 00:00:00'
+         |         ELSE o_orderdate END AS o_orderdate
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+         |  FROM orders WHERE o_orderkey % ${Profiling.PlantDupMod} = 0),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_rows,
+         |    count(DISTINCT o_orderkey)::BIGINT AS key_ndv,
+         |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null,
+         |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+         |      ::BIGINT AS v_status,
+         |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_neg,
+         |    sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+         |          OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+         |        THEN 1 ELSE 0 END)::BIGINT AS v_date,
+         |    sum(CASE WHEN p.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+         |        THEN 1 ELSE 0 END)::BIGINT AS v_ref
+         |  FROM planted p LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+         |    ON p.o_custkey = c.c_custkey),
+         |checks(check_name, target, n_checked, n_violations) AS (
+         |  SELECT 'completeness',   'o_custkey',     n_rows, v_null FROM agg
+         |  UNION ALL SELECT 'uniqueness', 'o_orderkey', n_rows, n_rows - key_ndv FROM agg
+         |  UNION ALL SELECT 'set_membership', 'o_orderstatus', n_rows, v_status FROM agg
+         |  UNION ALL SELECT 'non_negative', 'o_totalprice', n_rows, v_neg FROM agg
+         |  UNION ALL SELECT 'freshness', 'o_orderdate', n_rows, v_date FROM agg
+         |  UNION ALL SELECT 'ref_integrity', 'o_custkey', n_rows, v_ref FROM agg)
+         |SELECT check_name, target, n_checked::BIGINT AS n_checked,
+         |       n_violations::BIGINT AS n_violations,
+         |       ((n_checked - n_violations) * 1000000 // n_checked)::BIGINT
+         |         AS satisfied_ppm,
+         |       n_violations = 0 AS passed
+         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // Poisson bootstrap: identical md5 ppm uniform, identical literal
+    // cumulative thresholds, replicate means in integer ppm — the CI is
+    // the (min, max) = (1st, Bth) order statistics of the B means
+    "q_stats_bootstrap" -> {
+      val thr = Profiling.PoissonCumPpm
+        .map(t => s"(CASE WHEN u_ppm >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH reps AS (
+         |  SELECT lang, b,
+         |    (sum(w * n_chars) * 1000000 // sum(w))::BIGINT AS mean_ppm
+         |  FROM (
+         |    SELECT lang, n_chars, b, ($thr)::BIGINT AS w
+         |    FROM (
+         |      SELECT lang, n_chars, b,
+         |        CAST('0x' || substr(md5(text || '#' || b::VARCHAR), 1, 8)
+         |          AS BIGINT) % 1000000 AS u_ppm
+         |      FROM documents, generate_series(0, ${Profiling.BootstrapB - 1}) t(b)))
+         |  GROUP BY lang, b),
+         |ci AS (SELECT lang, min(mean_ppm)::BIGINT AS ci_lo_ppm,
+         |              max(mean_ppm)::BIGINT AS ci_hi_ppm
+         |       FROM reps GROUP BY lang),
+         |point AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |            (sum(n_chars) * 1000000 // count(*))::BIGINT AS mean_ppm
+         |          FROM documents GROUP BY lang)
+         |SELECT p.lang, p.n_docs, p.mean_ppm, c.ci_lo_ppm, c.ci_hi_ppm,
+         |       (c.ci_hi_ppm - c.ci_lo_ppm)::BIGINT AS ci_width_ppm
+         |FROM point p JOIN ci c USING (lang) ORDER BY lang""".stripMargin
+    },
+
+    // snapshot mean-difference bootstrap: same split as the drift
+    // monitors, same planted regression, independent draws per
+    // snapshot, CI = (1,B) order stats of the replicate differences
+    "q_stats_bootstrap_diff" -> {
+      val thr = Profiling.PoissonCumPpm
+        .map(t => s"(CASE WHEN u_ppm >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val langs = Profiling.DiffPlantLangs.map(l => s"'$l'").mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+         |    lang, text,
+         |    n_chars + CASE WHEN doc_id % 2 <> 0 AND lang IN ($langs)
+         |      THEN ${Profiling.DiffPlantShift} ELSE 0 END AS m
+         |  FROM documents),
+         |reps AS (
+         |  SELECT snap, lang, b,
+         |    (sum(w * m) * 1000000 // sum(w))::BIGINT AS mean_ppm
+         |  FROM (
+         |    SELECT snap, lang, b, m, ($thr)::BIGINT AS w
+         |    FROM (
+         |      SELECT snap, lang, m, b,
+         |        CAST('0x' || substr(md5(text || '#' || b::VARCHAR), 1, 8)
+         |          AS BIGINT) % 1000000 AS u_ppm
+         |      FROM docs, generate_series(0, ${Profiling.BootstrapB - 1}) t(b)))
+         |  GROUP BY snap, lang, b),
+         |diffs AS (
+         |  SELECT r.lang, min(r.mean_ppm - c.mean_ppm)::BIGINT AS ci_lo_ppm,
+         |         max(r.mean_ppm - c.mean_ppm)::BIGINT AS ci_hi_ppm
+         |  FROM reps r JOIN reps c ON r.lang = c.lang AND r.b = c.b
+         |    AND r.snap = 'ref' AND c.snap = 'cur'
+         |  GROUP BY r.lang),
+         |point AS (
+         |  SELECT lang,
+         |    sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         |    sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)::BIGINT AS n_cur,
+         |    ((sum(CASE WHEN snap = 'ref' THEN m ELSE 0 END) * 1000000)
+         |       // sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)
+         |     - (sum(CASE WHEN snap = 'cur' THEN m ELSE 0 END) * 1000000)
+         |       // sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END))::BIGINT
+         |      AS diff_ppm
+         |  FROM docs GROUP BY lang)
+         |SELECT p.lang, p.n_ref, p.n_cur, p.diff_ppm,
+         |       d.ci_lo_ppm, d.ci_hi_ppm,
+         |       NOT (d.ci_lo_ppm <= 0 AND d.ci_hi_ppm >= 0) AS significant
+         |FROM point p JOIN diffs d USING (lang) ORDER BY p.lang""".stripMargin
+    },
 
     // exact interpolated quartile boundaries (quantile_cont ≡ Spark
     // `percentile`); value==boundary only when the boundary IS a data

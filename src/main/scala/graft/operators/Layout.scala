@@ -183,6 +183,96 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** HILBERT xy→d stages as SHARED SQL TEXT — the classic iterative
+    * quadrant-rotation walk (Hilbert 1891; the xy2d form popularized by
+    * Warren's Hacker's Delight), unrolled over the [[ZBits]] levels as
+    * alternating (rx, ry) / (d, x, y) SELECT lists. Pure CASE +
+    * integer arithmetic on longs, dialect-common, so the Spark kernel
+    * (`selectExpr` fold) and the DuckDB oracle (CTE chain) evaluate
+    * LITERALLY the same strings — the xor of the classic code is
+    * replaced by its 4-row CASE table so no operator spelling differs
+    * between engines. Coordinates ride as (cx, cy), the distance as
+    * hd; `pass` columns are carried through untouched. NOTE (cx, cy)
+    * are the walk's WORKING REGISTERS — rotated in place level by
+    * level — so after the fold only hd and the pass columns are
+    * meaningful; re-derive original coordinates from a passed id if
+    * needed (HilbertSpec does). */
+  private[graft] def hilbertStages(pass: Seq[String]): Seq[Seq[String]] = {
+    val n = 1 << ZBits
+    (0 until ZBits).reverse.map(i => 1L << i).flatMap { s =>
+      Seq(
+        pass ++ Seq("cx", "cy", "hd",
+          s"CASE WHEN (cx & $s) > 0 THEN 1 ELSE 0 END AS rx",
+          s"CASE WHEN (cy & $s) > 0 THEN 1 ELSE 0 END AS ry"),
+        pass ++ Seq(
+          s"hd + ($s * $s) * (CASE WHEN rx = 0 AND ry = 0 THEN 0 " +
+            "WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END) AS hd",
+          s"CASE WHEN ry = 1 THEN cx ELSE CASE WHEN rx = 1 " +
+            s"THEN ${n - 1} - cy ELSE cy END END AS cx",
+          s"CASE WHEN ry = 1 THEN cy ELSE CASE WHEN rx = 1 " +
+            s"THEN ${n - 1} - cx ELSE cx END END AS cy"))
+    }
+  }
+
+  /** Fold the shared stages over a frame carrying (cx, cy, hd=0). */
+  private[graft] def withHilbert(df: DataFrame, pass: Seq[String]): DataFrame =
+    hilbertStages(pass).foldLeft(df)((d, ex) => d.selectExpr(ex: _*))
+
+  /** The oracle's half of the SAME stages: a CTE chain from `src`. */
+  private[graft] def hilbertCteSql(src: String, pass: Seq[String]): String =
+    hilbertStages(pass).zipWithIndex.map { case (ex, i) =>
+      val from = if (i == 0) src else s"h${i - 1}"
+      s"h$i AS (SELECT ${ex.mkString(", ")} FROM $from)"
+    }.mkString(", ")
+
+  /** Last stage name of [[hilbertCteSql]]'s chain. */
+  private[graft] val HilbertLastCte: String = s"h${2 * ZBits - 1}"
+
+  /** HILBERT vs Z-ORDER pruning audit — the space-filling-curve
+    * BAKE-OFF on the standard box, same relational block model as
+    * [[zonemapPruning]]: both curves linearize the same normalized
+    * (user, value) grid, blocks are equal-count ntile cuts of each
+    * curve's total order, and the zone-map skip test scores both.
+    * Hilbert's selling point over Z is LOCALITY — every curve step is
+    * distance 1 (no Z-shaped jumps across the grid), so a contiguous
+    * curve segment covers a tighter bounding box and a box predicate
+    * reads fewer blocks; this query MEASURES that claim instead of
+    * citing it (Hilbert ≤ Z on blocks_read, suite-pinned, with the
+    * exact counts in the oracle-checked output). Same audit-only
+    * caveat as [[zonemapPruning]]: the global ntile is the write-time
+    * range partition, never a production read path; the production
+    * form would swap the block id to a curve-prefix shift exactly as
+    * [[ensureZorderBlocks]] does for Z. */
+  def hilbertPruning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
+    val base = ev.select(col("event_id"), col("user_id"), col("value"),
+      zValue(a, b).as("zval"), a.as("cx"), b.as("cy"), lit(0L).as("hd"))
+    val hil = withHilbert(base, Seq("event_id", "user_id", "value", "zval"))
+    val inBox = col("user_id") >= ZoneBoxULo && col("user_id") <= ZoneBoxUHi &&
+      col("value") >= ZoneBoxVLo && col("value") <= ZoneBoxVHi
+    def audit(layout: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      hil.withColumn("blk", ntile(ZoneBlocks).over(w))
+        .groupBy("blk")
+        .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+          min("value").as("min_v"), max("value").as("max_v"),
+          sum(when(inBox, 1L).otherwise(0L)).as("matched"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("matched").as("rows_matched"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"), col("rows_matched"),
+          round(col("blocks_read").cast("double") / col("n_blocks"), 4)
+            .as("read_fraction"))
+    import org.apache.spark.sql.expressions.Window
+    audit("hilbert", Window.orderBy("hd", "event_id"))
+      .unionByName(audit("zorder", Window.orderBy("zval", "event_id")))
+      .orderBy("layout")
+  }
+
   /** Bits of z-value prefix that name a block in the FILE-level audit:
     * top 6 of the 2·[[ZBits]]-bit curve → up to [[ZoneBlocks]] = 64
     * blocks. A PREFIX bucket needs no sort at all — block id is a
@@ -373,6 +463,223 @@ object Layout {
       java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
       ()
     }
+
+  /** Bloom filter geometry for [[bloomPruningFiles]]: each file's
+    * filter is SIZED TO ITS KEY COUNT — m = smallest power of two ≥
+    * [[BloomBitsPerKey]]·n (the rule every production file-skipping
+    * bloom uses; a fixed m would be vacuously exact at small files and
+    * saturate into uselessness as files grow — this way the measured
+    * false-positive rate is the same ~2–3% at EVERY corpus scale), with
+    * k = 4 hash probes. The pow2 runs in integer `1 << len(bin(8n−1))`
+    * so no log2 float can disagree across engines. Words hold 32 USED
+    * bits each (DuckDB's `<<` faults on a shift into the BIGINT sign
+    * bit, so the cross-engine word is capped at 32 bits). */
+  val BloomBitsPerKey = 8L
+  val BloomWordBits = 32L
+  val BloomHashes = 4
+
+  /** Probe id modulus and the absent-probe shift: present probes are the
+    * corpus ids ≡ 0 (mod [[BloomProbeMod]]); each also probes shifted by
+    * [[BloomAbsentShift]] — ids guaranteed OUT of corpus, the half of
+    * the workload Bloom pruning exists for. */
+  val BloomProbeMod = 37L
+  val BloomAbsentShift = 1000000000L
+
+  /** The j-th Bloom bit position of an id — the house md5 content-hash
+    * uniform, reduced mod the file's own filter size. Literal-identical
+    * in the DuckDB oracle. */
+  private def bloomPos(id: Column, j: Int): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit("#" + j))), 1, 8),
+      16, 10).cast("long"), col("mbits"))
+
+  /** Fan an id out to its [[BloomHashes]] (word, bit) coordinates in a
+    * file whose filter is `mbits` wide (an `mbits` column must ride the
+    * input frame). */
+  private def bloomCoords(df: DataFrame, id: String): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(array((0 until BloomHashes).map(j => bloomPos(col(id), j)): _*))
+        .as(Seq("j", "pos")): _*)
+      .select(df.columns.map(col) :+
+        expr(s"pos div $BloomWordBits").as("word") :+
+        expr(s"shiftleft(cast(1 as bigint), cast(pos % $BloomWordBits as int))")
+          .as("bit"): _*)
+
+  /** FILE-LEVEL BLOOM INDEX pruning — the EQUALITY-predicate complement
+    * to [[zonemapPruningFiles]]: zone maps prune range predicates on
+    * CLUSTERED columns, but a point lookup on a column the layout was
+    * never sorted by (here `doc_id` over a content-hash-sharded layout,
+    * the "find this document by id in an ingest-ordered lake" shape)
+    * passes every min/max extent and reads the whole table. A per-file
+    * Bloom filter (Bloom 1970; the file-skipping index Parquet, Delta
+    * and Impala ship for exactly this) bounds that lookup: k=4 hashed
+    * bits per key OR-folded into a signature sized to the file's key
+    * count ([[BloomBitsPerKey]] bits/key → a stable ~2–3% false-positive
+    * rate at EVERY file size) — the whole index is 8 bits per key ≈
+    * 0.1% of corpus bytes, a manifest-scale frame that BROADCASTS.
+    *
+    * Shape: the index build is one scan — posexplode to k coordinate
+    * rows per key, then a map-side-combined `bit_or` groupBy on
+    * (file, word); file count, not row count, bounds the index. Serving
+    * joins the probes' k coordinates against the index (broadcast — the
+    * index is manifest-sized) and a probe survives for a file iff all k
+    * bits are set (`count == k` over matched coordinates — Bloom's
+    * no-false-negative guarantee means the TRUE file always survives);
+    * only surviving files are then READ (the physical prune: the
+    * pruned-read path lists candidate `shard=` partitions explicitly,
+    * a driver-side manifest decision bounded by |files|, exactly like a
+    * lakehouse data-skipping planner). Per probe the report carries
+    * files_candidate (Bloom-passing), files_hit (actually containing),
+    * their difference = measured FALSE POSITIVES at the 4-bits/key
+    * setting, and rows_found from the pruned read. The DuckDB oracle
+    * re-derives shard assignment, all 4096 signature words, candidacy
+    * and hits relationally — the hash match pins the filter arithmetic
+    * AND that the pruned physical read lost nothing. */
+  def bloomPruningFiles(spark: SparkSession, dir: String): DataFrame =
+    bloomRunOf(spark, s"${ensureFragmentedDocs(spark, dir)}/docs")
+
+  /** The index-build + pruned-serve kernel over any fragmented layout
+    * root (the Scale harness runs it on replicated corpora at scratch
+    * paths). */
+  private[graft] def bloomRunOf(spark: SparkSession, root: String): DataFrame =
+    bloomRunOf(spark, Seq(root))
+
+  /** Multi-root form: the layout is a MANIFEST of roots (base snapshot
+    * + delta directories from [[bloomIngest]]); shard ids are globally
+    * distinct across roots, so the per-file filters simply union into
+    * one index frame — the additive-manifest maintenance discipline. */
+  private[graft] def bloomRunOf(spark: SparkSession,
+      roots: Seq[String]): DataFrame = {
+    // partition-dir inference types `shard=` as INT; normalize to the
+    // writer's LONG so both the index key and the oracle agree
+    val frag = roots.map { r =>
+      spark.read.option("basePath", r).parquet(r)
+        .withColumn("shard", col("shard").cast("long"))
+        .select("doc_id", "text", "hx", "shard")
+    }.reduce(_ unionByName _)
+    // shard → root, for the pruned read (manifest-sized, driver-side)
+    val shardRoot: Map[Long, String] = roots.flatMap { r =>
+      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(f => f.getName.stripPrefix("shard=").toLong -> r)
+    }.toMap
+    // per-file filter size from the file's key count: the |files|-row
+    // sizing manifest every coordinate computation joins (broadcast)
+    val sizes = frag.groupBy("shard").agg(count(lit(1)).as("n_keys"))
+      .withColumn("mbits", expr(
+        s"shiftleft(cast(1 as bigint), " +
+          s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
+      .select("shard", "mbits")
+    val idx = bloomCoords(
+      frag.select(col("shard"), col("doc_id"))
+        .join(broadcast(sizes), Seq("shard")), "doc_id")
+      .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+    val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
+    val probes = present.unionByName(
+      present.select((col("probe_id") + BloomAbsentShift).as("probe_id"),
+        lit(false).as("expected")))
+    // a probe's coordinates are PER CANDIDATE FILE (each file's filter
+    // has its own width): probes × the sizing manifest, still
+    // manifest-bounded rows
+    val surv = bloomCoords(probes.crossJoin(broadcast(sizes)), "probe_id")
+      .join(broadcast(idx), Seq("shard", "word"))
+      .filter(expr("(bits & bit) <> 0"))
+      .groupBy("probe_id", "expected", "shard")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === BloomHashes)
+    // the physical prune: only Bloom-surviving shard partitions are
+    // opened (bounded driver-side manifest decision, ≤ |files| rows —
+    // the same class of collect as the footer reads in
+    // [[zonemapPruningFiles]]'s layout build)
+    val shards = surv.select("shard").distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted
+    val byRoot = shards.groupBy(shardRoot)
+    val hits = byRoot.toSeq.sortBy(_._1).map { case (r, ss) =>
+      spark.read.option("basePath", r)
+        .parquet(ss.map(s => s"$r/shard=$s"): _*)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(probes), col("doc_id") === col("probe_id"))
+      .groupBy("probe_id")
+      .agg(countDistinct("shard").as("files_hit"), count(lit(1)).as("rows_found"))
+    probes
+      .join(surv.groupBy("probe_id").agg(count(lit(1)).as("files_candidate")),
+        Seq("probe_id"), "left")
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("expected"),
+        lit(shardRoot.size.toLong).as("files_total"),
+        coalesce(col("files_candidate"), lit(0L)).as("files_candidate"),
+        coalesce(col("files_hit"), lit(0L)).as("files_hit"),
+        (coalesce(col("files_candidate"), lit(0L)) -
+          coalesce(col("files_hit"), lit(0L))).as("fp_files"),
+        coalesce(col("rows_found"), lit(0L)).as("rows_found"))
+      .orderBy("probe_id")
+  }
+
+  /** Delta-batch geometry for [[bloomIngest]]: arriving docs are the
+    * base corpus slice ≡ [[BloomIngestRem]] (mod [[BloomIngestMod]]),
+    * id-shifted by [[BloomIngestShift]] (new ids, same text
+    * distribution), landing in [[BloomDeltaFiles]] NEW files whose
+    * shard ids start at [[CompactFragments]] — globally distinct from
+    * the base layout's, which is what makes the filter manifest a
+    * plain union. */
+  val BloomIngestMod = 41L
+  val BloomIngestRem = 3L
+  val BloomIngestShift = 2000000000L
+  val BloomDeltaFiles = 8
+
+  /** The arriving batch: deterministic slice, fresh ids. */
+  private def bloomIngestBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % BloomIngestMod === BloomIngestRem)
+      .select((col("doc_id") + BloomIngestShift).as("doc_id"), col("text"))
+
+  /** FILE-LEVEL BLOOM INDEX INGEST — the ADD path of
+    * [[bloomPruningFiles]] (the `q_ann_index_merge` /
+    * `q_text_bm25_index_merge` maintenance discipline applied to the
+    * file-skipping index): arriving docs land as NEW delta files beside
+    * the base snapshot, each delta file computes its OWN sized filter
+    * from its own key count, and the index "merge" is a plain union of
+    * per-file signatures — per-file filters are independent by
+    * construction, so maintenance never touches a base file or a base
+    * signature, and the add cost is O(batch). Serving then runs against
+    * the two-root manifest exactly as before.
+    *
+    * The audit claims, all oracle-checked: every base-present probe is
+    * STILL found after ingest (the merge loses nothing), every delta
+    * probe is found in a delta file (the add path serves), absent
+    * probes stay empty with the same sized-filter false-positive
+    * accounting across BOTH file generations. Probes derive uniformly
+    * from the unioned corpus (the mod rule picks up base and shifted
+    * delta ids alike), so one report covers all three probe
+    * populations; `probe_kind` labels them for the eye and the oracle
+    * re-derives it from the id ranges. */
+  def bloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    val baseRoot = s"${ensureFragmentedDocs(spark, dir)}/docs"
+    val deltaRoot = new java.io.File(
+      ScaleTechniques.layoutPath(dir, "documents.parquet", "bloomdelta"),
+      "docs").getAbsolutePath
+    // the delta write: content-hash sharded like the base layout, but
+    // into fresh shard ids ≥ CompactFragments (idempotent overwrite —
+    // the write IS part of the measured add path)
+    val batch = bloomIngestBatch(spark, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("hx", conv(substring(col("h"), 1, 8), 16, 10).cast("long"))
+      .withColumn("shard", col("hx") % BloomDeltaFiles + CompactFragments)
+      .select("doc_id", "text", "hx", "shard")
+    batch.repartition(BloomDeltaFiles, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(deltaRoot)
+    bloomRunOf(spark, Seq(baseRoot, deltaRoot))
+      .withColumn("probe_kind",
+        when(col("probe_id") >= BloomIngestShift + BloomAbsentShift, "absent_delta")
+          .when(col("probe_id") >= BloomIngestShift, "delta")
+          .when(col("probe_id") >= BloomAbsentShift, "absent_base")
+          .otherwise(lit("base")))
+      .select(col("probe_kind"), col("probe_id"), col("expected"),
+        col("files_total"), col("files_candidate"), col("files_hit"),
+        col("fp_files"), col("rows_found"))
+      .orderBy("probe_id")
+  }
 
   /** Recursive count of real parquet data files under a layout root —
     * the metric compaction exists to shrink. */

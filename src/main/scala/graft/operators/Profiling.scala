@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -246,5 +246,269 @@ object Profiling {
       .withColumn("reject_05", col("ks_stat") > col("crit_05"))
       .orderBy(desc("ks_stat"), asc("at_value"))
       .limit(1)
+  }
+
+  /** Deterministic violation plants for [[constraintSuite]] — the
+    * synthetic tables are clean by construction, so a suite run over
+    * them raw would prove only that six zeros print. Each modulus
+    * corrupts a disjoint slice of `orders` with exactly the defect its
+    * constraint exists to catch, expressed identically in both engines,
+    * so every constraint row carries a measured NONZERO violation count
+    * and the pass/fail logic is exercised on both branches. */
+  val PlantNullMod = 1009L // o_custkey nulled        → completeness
+  val PlantDupMod  = 997L  // row re-inserted          → uniqueness
+  val PlantStatMod = 991L  // o_orderstatus = 'X'      → set membership
+  val PlantNegMod  = 983L  // o_totalprice negated     → non-negativity
+  val PlantDateMod = 977L  // o_orderdate year → 1970  → freshness range
+  val PlantRefMod  = 971L  // o_custkey + 10^9         → referential integrity
+
+  /** Data-quality CONSTRAINT SUITE (Deequ-style; Schelter et al.,
+    * VLDB'18 "Automating Large-Scale Data Quality Verification") over
+    * `orders` — the declarative checks a production ingest gate runs
+    * before data is allowed downstream: completeness, key uniqueness,
+    * set membership, non-negativity, freshness range, and referential
+    * integrity against the `customer` dimension. One row per
+    * constraint: rows checked, violations, satisfied fraction in
+    * fixed-point ppm (integer division — both engines agree
+    * bit-for-bit), and the pass verdict.
+    *
+    * Shape: ONE scan of the fact computes every check. The RI probe is
+    * a broadcast LEFT join against the distinct customer-key dimension
+    * (a `c_present` marker column, never a row-dropping anti-join, so
+    * the same joined frame serves all six constraints); the six
+    * violation counters fold in a single 1-row hash aggregate
+    * (map-side-combined — the shuffle carries one partial row per
+    * task), and `stack` unpivots that row into the constraint report.
+    * The only non-distributive term is the uniqueness NDV
+    * (`countDistinct(o_orderkey)`, one extra keyed exchange); at 100 TB
+    * the one-line swap is `approx_count_distinct` exactly as in
+    * [[columnProfile]] — the exact form is registered because the
+    * oracle replays it bit-for-bit. Violations are PLANTED
+    * deterministically (see [[PlantNullMod]]..[[PlantRefMod]]) so both
+    * verdict branches are live. */
+  def constraintSuite(spark: SparkSession, dir: String): DataFrame =
+    constraintReportOf(
+      plantedOrders(Tables.fanOut(Tables.orders(spark, dir))),
+      Tables.customer(spark, dir).select(col("c_custkey")))
+
+  /** The deterministic defect plant over any orders-shaped frame
+    * (row-local in both engines; CASE order matters — the null plant
+    * wins over the dangling-ref plant on a shared key). */
+  private[graft] def plantedOrders(o0: DataFrame): DataFrame =
+    o0.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % PlantNullMod === 0, lit(null).cast("long"))
+        .when(col("o_orderkey") % PlantRefMod === 0,
+          col("o_custkey") + 1000000000L)
+        .otherwise(col("o_custkey")).as("o_custkey"),
+      when(col("o_orderkey") % PlantStatMod === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % PlantNegMod === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")).as("o_totalprice"),
+      when(col("o_orderkey") % PlantDateMod === 0,
+        to_timestamp(lit("1970-01-06 00:00:00")))
+        .otherwise(col("o_orderdate")).as("o_orderdate"))
+      .unionByName( // the duplicate plant: a second copy of the mod slice
+        o0.filter(col("o_orderkey") % PlantDupMod === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")))
+
+  /** The five ROW-LOCAL checks as (check_name, target, violation
+    * predicate) — the SHARED kernel of the batch report and the
+    * streaming ingest gate ([[graft.streaming.GovernStream]]): the
+    * predicates are the same Column objects in both, so the parity pin
+    * is structural, not coincidental. Row-local means decidable per
+    * row GIVEN the broadcast `c_present` dimension marker; the
+    * uniqueness NDV check is the one corpus-scoped constraint and
+    * stays batch-only (a streaming uniqueness check is watermarked
+    * dropDuplicates, a different state contract). */
+  private[graft] val RowChecks: Seq[(String, String, Column)] = Seq(
+    ("completeness", "o_custkey", col("o_custkey").isNull),
+    ("set_membership", "o_orderstatus",
+      !col("o_orderstatus").isin("O", "F", "P")),
+    ("non_negative", "o_totalprice", col("o_totalprice") <= 0),
+    ("freshness", "o_orderdate",
+      col("o_orderdate") < to_timestamp(lit("1992-01-01 00:00:00")) ||
+        col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00"))),
+    ("ref_integrity", "o_custkey",
+      col("o_custkey").isNotNull && col("c_present").isNull))
+
+  /** The broadcast dimension marker both consumers of [[RowChecks]]
+    * join before evaluating the RI predicate. */
+  private[graft] def withCustPresent(orders: DataFrame,
+      custCol: DataFrame): DataFrame = {
+    val custKeys = custCol.select(col("c_custkey")).distinct()
+      .withColumn("c_present", lit(1))
+    orders.join(broadcast(custKeys),
+      col("o_custkey") === col("c_custkey"), "left")
+  }
+
+  /** The six-constraint report over any orders-shaped frame and
+    * customer-key dimension — the kernel [[constraintSuite]] registers
+    * (on the planted fact) and the suite pins on both verdict branches
+    * (clean input → all pass; planted → exact violation counts). */
+  private[graft] def constraintReportOf(orders: DataFrame,
+      custCol: DataFrame): DataFrame = {
+    val sums = Seq(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("key_ndv")) ++
+      RowChecks.zipWithIndex.map { case ((_, _, pred), i) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"v$i")
+      }
+    val one = withCustPresent(orders, custCol)
+      .agg(sums.head, sums.tail: _*)
+      .withColumnRenamed("v0", "v_null")
+      .withColumnRenamed("v1", "v_status")
+      .withColumnRenamed("v2", "v_neg")
+      .withColumnRenamed("v3", "v_date")
+      .withColumnRenamed("v4", "v_ref")
+    one.select(expr(
+      """stack(6,
+        |  'completeness',    'o_custkey',     n_rows, v_null,
+        |  'uniqueness',      'o_orderkey',    n_rows, n_rows - key_ndv,
+        |  'set_membership',  'o_orderstatus', n_rows, v_status,
+        |  'non_negative',    'o_totalprice',  n_rows, v_neg,
+        |  'freshness',       'o_orderdate',   n_rows, v_date,
+        |  'ref_integrity',   'o_custkey',     n_rows, v_ref)
+        |  as (check_name, target, n_checked, n_violations)""".stripMargin))
+      .select(col("check_name"), col("target"), col("n_checked"),
+        col("n_violations"),
+        expr("((n_checked - n_violations) * 1000000) div n_checked")
+          .as("satisfied_ppm"),
+        (col("n_violations") === 0).as("passed"))
+      .orderBy("check_name")
+  }
+
+  /** Bootstrap replicate count for [[bootstrapCi]]. The interval is the
+    * (1st, Bth) order-statistic pair of the replicate means — plotting
+    * position 1/(B+1) puts ≈2.4% tail mass outside each end at B=40,
+    * the percentile-bootstrap 95% interval. */
+  val BootstrapB = 40
+
+  /** Cumulative Poisson(1) thresholds in ppm — P(X≤k)·10^6 truncated,
+    * k=0..4; a uniform draw above the last threshold means weight 5.
+    * Literal constants so both engines compare against identical
+    * integers (no libm divergence can enter the weights). */
+  val PoissonCumPpm: Seq[Long] = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+
+  /** Deterministic POISSON BOOTSTRAP confidence interval (Efron 1979;
+    * the Poisson-resampling form is the standard distributed variant —
+    * Chamandy et al., Google 2012, "Estimating Uncertainty for Massive
+    * Data Streams") for the mean document length per language — the
+    * error bars a data-governance dashboard needs before declaring two
+    * corpus snapshots different. Exact multinomial resampling needs a
+    * global draw of N indices (undistributable); Poisson(1) weights per
+    * (row, replicate) are iid and ROW-LOCAL, which is what makes the
+    * bootstrap a single scan at any scale.
+    *
+    * Determinism: the uniform for (doc, replicate b) is the md5 prefix
+    * of `text#b` reduced mod 10^6 — the house content-hash uniform —
+    * and the weight is how many [[PoissonCumPpm]] thresholds it clears,
+    * so Spark and DuckDB draw bit-identical weights. Replicate means
+    * run in fixed-point ppm (integer division); the CI is the
+    * (min, max) of the B replicate means — the (1, B) order statistics.
+    *
+    * Shape: `explode(sequence(0, B-1))` fans each row out B× (row-local
+    * CPU, embarrassingly parallel — the 100 TB cost model of bootstrap
+    * IS the B× hash work), then ONE map-side-combined groupBy on
+    * (lang, b) carries |langs|·B partial rows per task through the
+    * shuffle; the order statistics fold the B-row-per-lang frame in a
+    * second tiny aggregate. Nothing driver-side, no window over data. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Tables.fanOut(Tables.documents(spark, dir)))
+
+  /** [[bootstrapCi]]'s kernel over any (lang, text, n_chars) frame. */
+  private[graft] def bootstrapCiOf(docs: DataFrame): DataFrame = {
+    val b = explode(sequence(lit(0), lit(BootstrapB - 1))).as("b")
+    val uPpm = conv(substring(md5(concat(col("text"), lit("#"),
+      col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val w = PoissonCumPpm.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("u_ppm") >= t, 1L).otherwise(0L)
+    }
+    val reps = docs
+      .select(col("lang"), col("n_chars"), col("text"), b)
+      .withColumn("u_ppm", uPpm)
+      .select(col("lang"), col("b"), col("n_chars"), w.as("w"))
+      .groupBy("lang", "b")
+      .agg(expr("(sum(w * n_chars) * 1000000) div sum(w)").as("mean_ppm"))
+    val point = docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(sum(n_chars) * 1000000) div count(1)").as("mean_ppm"))
+    reps.groupBy("lang")
+      .agg(min("mean_ppm").as("ci_lo_ppm"), max("mean_ppm").as("ci_hi_ppm"))
+      .join(point, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("mean_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"),
+        (col("ci_hi_ppm") - col("ci_lo_ppm")).as("ci_width_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Planted regression for [[bootstrapDiffCi]]: documents in these
+    * languages gain this many chars on the CURRENT snapshot's metric —
+    * the two-language crawl regression the significance test must flag
+    * while the unshifted languages must NOT flag (both verdict branches
+    * live, and the no-effect branch is the one a naive mean-diff
+    * monitor gets wrong by alerting on noise). */
+  val DiffPlantLangs: Seq[String] = Seq("de", "fr")
+  val DiffPlantShift = 80L
+
+  /** Bootstrap SIGNIFICANCE TEST for the mean-length difference between
+    * two corpus snapshots — the inferential lens beside [[ksDrift]]:
+    * KS answers "did the distribution move?" distribution-free;
+    * this answers "how BIG is the move, with what uncertainty?" — the
+    * effect-size-with-error-bars a drift dashboard needs before paging
+    * anyone. Same ref/cur split as the drift monitors (doc parity), a
+    * [[DiffPlantShift]]-char regression planted on [[DiffPlantLangs]]'
+    * current snapshot; per replicate b the two snapshots draw
+    * INDEPENDENT Poisson weights (disjoint doc sets, same
+    * content-hash uniform) and the replicate statistic is
+    * mean_ref − mean_cur in integer ppm; the CI is the (1,B) order
+    * statistics and `significant` = the CI excludes zero. Same shape as
+    * [[bootstrapCi]]: B× row-local fanout, ONE (snap, lang, b)-keyed
+    * map-side-combined pass, then B-row-per-lang folds. */
+  def bootstrapDiffCi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(
+        when(col("doc_id") % 2 === 0, lit("ref")).otherwise(lit("cur"))
+          .as("snap"),
+        col("lang"), col("text"),
+        (col("n_chars") + when(col("doc_id") % 2 =!= 0 &&
+          col("lang").isin(DiffPlantLangs.map(x => x: Any): _*),
+          lit(DiffPlantShift)).otherwise(lit(0L))).as("m"))
+    val b = explode(sequence(lit(0), lit(BootstrapB - 1))).as("b")
+    val uPpm = conv(substring(md5(concat(col("text"), lit("#"),
+      col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val w = PoissonCumPpm.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("u_ppm") >= t, 1L).otherwise(0L)
+    }
+    val reps = docs
+      .select(col("snap"), col("lang"), col("m"), col("text"), b)
+      .withColumn("u_ppm", uPpm)
+      .select(col("snap"), col("lang"), col("b"), col("m"), w.as("w"))
+      .groupBy("snap", "lang", "b")
+      .agg(expr("(sum(w * m) * 1000000) div sum(w)").as("mean_ppm"))
+    val diffs = reps.filter(col("snap") === "ref")
+      .select(col("lang"), col("b"), col("mean_ppm").as("ref_ppm"))
+      .join(reps.filter(col("snap") === "cur")
+        .select(col("lang"), col("b"), col("mean_ppm").as("cur_ppm")),
+        Seq("lang", "b"))
+      .select(col("lang"), (col("ref_ppm") - col("cur_ppm")).as("d_ppm"))
+      .groupBy("lang")
+      .agg(min("d_ppm").as("ci_lo_ppm"), max("d_ppm").as("ci_hi_ppm"))
+    val point = docs.groupBy("lang")
+      .agg(
+        sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("n_cur"),
+        (expr("(sum(CASE WHEN snap = 'ref' THEN m ELSE 0 END) * 1000000) " +
+          "div sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END)") -
+          expr("(sum(CASE WHEN snap = 'cur' THEN m ELSE 0 END) * 1000000) " +
+            "div sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)"))
+          .as("diff_ppm"))
+    point.join(diffs, Seq("lang"))
+      .select(col("lang"), col("n_ref"), col("n_cur"), col("diff_ppm"),
+        col("ci_lo_ppm"), col("ci_hi_ppm"),
+        (!(col("ci_lo_ppm") <= 0L && col("ci_hi_ppm") >= 0L)).as("significant"))
+      .orderBy("lang")
   }
 }

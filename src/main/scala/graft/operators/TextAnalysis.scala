@@ -1488,6 +1488,133 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-epoch utility decay for [[epochMix]], in ppm: the value of a
+    * domain's e-th epoch is `n_tokens · EpochDecayPpm(e-1) / 10^6`.
+    * Halving decay (the shape Muennighoff et al. 2023 fit for repeated
+    * data: roughly constant value out to ~4 epochs, then rapidly
+    * diminishing — compressed here to a literal geometric table so
+    * both engines multiply identical integers), capped at 8 epochs
+    * beyond which the paper measures repeats as worthless. */
+  val EpochDecayPpm: Seq[Long] =
+    Seq(1000000L, 500000L, 250000L, 125000L, 62500L, 31250L, 15625L, 7812L)
+
+  /** Token budget for [[epochMix]] as a fraction of the one-epoch
+    * corpus: 5/2 — data-constrained by construction (the corpus must
+    * repeat to fill it), but not so large that every domain saturates
+    * [[EpochDecayPpm]]'s cap and the allocation degenerates. */
+  val EpochBudgetNum = 5L
+  val EpochBudgetDen = 2L
+
+  /** DATA-CONSTRAINED SCALING allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): when the compute
+    * budget wants more tokens than the corpus holds, each domain is
+    * repeated for extra EPOCHS, and repeated tokens are worth less than
+    * fresh ones. The allocator runs the exact greedy on marginal
+    * utility: candidate (domain, epoch) slots valued at
+    * `n_tokens · decay^(epoch-1)` fill the budget in value order —
+    * optimal because each domain's slot values are strictly decreasing,
+    * so the greedy order never picks epoch e before e−1. Complements
+    * the mixture family's other dials ([[temperatureMix]] reshapes by a
+    * power law, [[doremiMixOf]] by excess loss, [[unimaxMix]] by a hard
+    * epoch ceiling): this is the dial that decides HOW MANY TIMES to
+    * repeat, not just how to share one pass.
+    *
+    * Determinism: decay factors are literal ppm integers
+    * ([[EpochDecayPpm]]), slot values integer-divide, and the greedy
+    * rank breaks ties on (source, epoch) — no float ever orders a slot.
+    * Scale: one map-side-combined token census (|domains| rows), then
+    * the candidate frame is |domains|·8 rows — every window runs on
+    * that census-sized frame, never the corpus (the bounded-frame
+    * exception to the no-global-sort rule). Output reports per domain
+    * the epochs granted, tokens allocated, and the EFFECTIVE fresh-token
+    * equivalent (Σ slot values — the paper's D'). */
+  def epochMix(spark: SparkSession, dir: String): DataFrame =
+    epochAllocOf(Tables.documents(spark, dir)
+      .select(col("source"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens")))
+
+  /** The shared greedy spine of [[epochAllocOf]] and [[epochSweepOf]]:
+    * every (source, epoch) candidate slot with its integer value, the
+    * value-ordered running token cost, and the corpus total — computed
+    * ONCE on the |domains|·8-row census frame. */
+  private def epochRankedOf(census: DataFrame): DataFrame = {
+    val tot = census.agg(sum("n_tokens").as("t_tokens"))
+    val cand = census
+      .select(col("source"), col("n_tokens"),
+        posexplode(array(EpochDecayPpm.map(lit): _*)).as(Seq("pos", "dec_ppm")))
+      .select(col("source"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("epoch"),
+        expr("(n_tokens * dec_ppm) div 1000000").as("slot_value"))
+    val w = Window.orderBy(desc("slot_value"), asc("source"), asc("epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("n_tokens").over(w))
+  }
+
+  /** [[epochMix]]'s greedy over any (source, n_tokens) census. */
+  private[graft] def epochAllocOf(census: DataFrame): DataFrame = {
+    val kept = epochRankedOf(census)
+      .withColumn("budget",
+        expr(s"($EpochBudgetNum * t_tokens) div $EpochBudgetDen"))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("epochs_alloc"),
+        sum("n_tokens").as("tokens_alloc"),
+        sum("slot_value").as("effective_tokens"))
+    census.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_tokens").as("unique_tokens"),
+        coalesce(col("epochs_alloc"), lit(0L)).as("epochs_alloc"),
+        coalesce(col("tokens_alloc"), lit(0L)).as("tokens_alloc"),
+        coalesce(col("effective_tokens"), lit(0L)).as("effective_tokens"))
+      .orderBy("source")
+  }
+
+  /** Budget dial candidates for [[epochSweep]], in percent of the
+    * one-epoch corpus: from "can't even finish one pass" (75%) through
+    * the registered 250% to "repeat until the decay table caps" (600%).
+    * The 75% arm pins the prefix rule's starvation edge — some domains
+    * get ZERO epochs — which is the behavior a data-mixing rollout must
+    * see measured before trusting the dial. */
+  val EpochSweepPct: Seq[Long] = Seq(75L, 150L, 250L, 400L, 600L)
+
+  /** The BUDGET-DIAL CALIBRATION sweep over [[epochMix]]'s allocator —
+    * the q_dedup_lsh_sweep / q_text_bm25_cap_sweep discipline applied
+    * to the epoching dial: per candidate budget, the full greedy
+    * allocation (epochs + tokens per domain), every arm filtered from
+    * the ONE ranked candidate frame (the greedy spine is budget-
+    * independent — only the prefix cutoff moves, so the sweep costs
+    * one census pass + |budgets| filters over a 48-row frame).
+    * Allocations are monotone in the budget by construction (a larger
+    * budget keeps a superset of the prefix) — suite-pinned, because
+    * that is the property that makes the dial safe to tune upward. */
+  def epochSweep(spark: SparkSession, dir: String): DataFrame =
+    epochSweepOf(Tables.documents(spark, dir)
+      .select(col("source"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens")))
+
+  /** [[epochSweep]]'s arms over any (source, n_tokens) census. */
+  private[graft] def epochSweepOf(census: DataFrame): DataFrame = {
+    val ranked = epochRankedOf(census)
+      .select(col("source"), col("n_tokens"), col("epoch"),
+        col("slot_value"), col("cum"), col("t_tokens"),
+        explode(array(EpochSweepPct.map(lit): _*)).as("budget_pct"))
+    val kept = ranked
+      .filter(col("cum") <= expr("(budget_pct * t_tokens) div 100"))
+      .groupBy("budget_pct", "source")
+      .agg(count(lit(1)).as("epochs_alloc"),
+        sum("n_tokens").as("tokens_alloc"))
+    census
+      .select(col("source"), col("n_tokens").as("unique_tokens"),
+        explode(array(EpochSweepPct.map(lit): _*)).as("budget_pct"))
+      .join(kept, Seq("budget_pct", "source"), "left")
+      .select(col("budget_pct"), col("source"), col("unique_tokens"),
+        coalesce(col("epochs_alloc"), lit(0L)).as("epochs_alloc"),
+        coalesce(col("tokens_alloc"), lit(0L)).as("tokens_alloc"))
+      .orderBy("budget_pct", "source")
+  }
+
   /** Hashed-feature buckets for [[dsirResample]] — DSIR's fixed-size
     * n-gram feature space. The paper uses 10k; the dial matters for
     * SELECTIVITY, not just memory: too few buckets mix target and
