@@ -65,7 +65,8 @@ object Bench {
     // q_dedup_* numbers were unusable for regression tracking.)
     def buildEntries(dir: String, minhash: Boolean,
         ann: Boolean, bpe: Boolean, lr: Boolean,
-        dpp: Boolean, media: Boolean, zblocks: Boolean): Seq[(String, Double)] = {
+        dpp: Boolean, media: Boolean, zblocks: Boolean,
+        frag: Boolean, hblocks: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -106,6 +107,17 @@ object Bench {
         // is then the manifest-read cost alone
         timed("build:zorder_blocks") {
           graft.operators.Layout.buildZorderBlocks(spark, dir) })
+       else Seq.empty) ++
+      (if (frag) Seq(
+        // the fragmented-docs fixture feeds the compaction audit and
+        // both Bloom-index arms; charged here so their own numbers are
+        // serving/rewrite cost alone
+        timed("build:frag_layout") {
+          graft.operators.Layout.buildFragLayout(spark, dir) })
+       else Seq.empty) ++
+      (if (hblocks) Seq(
+        timed("build:hilbert_blocks") {
+          graft.operators.Layout.buildHilbertBlocks(spark, dir) })
        else Seq.empty) ++
       (if (media) Seq(
         // the catalog fingerprint indexes the incremental media screens
@@ -159,7 +171,14 @@ object Bench {
     // consumers of the on-disk partitioned DPP fact layout
     val dppConsumers = Set("q_join_dpp")
     // consumers of the on-disk z-prefix block layout
-    val zblockConsumers = Set("q_zorder_pruning_files", "q_zorder_ingest")
+    val zblockConsumers = Set("q_zorder_pruning_files", "q_zorder_ingest",
+      // the file bake-off reads the published z layout as its contrast arm
+      "q_hilbert_pruning_files")
+    // consumers of the fragmented-docs fixture layout
+    val fragConsumers = Set("q_layout_compaction", "q_layout_bloom_files",
+      "q_layout_bloom_ingest")
+    // consumers of the hilbert block layout
+    val hblockConsumers = Set("q_hilbert_pruning_files")
     // consumers of the memoized media catalog fingerprint indexes
     // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached/
     // videoCatalogIndexCached — since r10 the full-pairs arms recover
@@ -174,11 +193,15 @@ object Bench {
     val needDppBuild = names.exists(dppConsumers)
     val needMediaBuild = names.exists(mediaConsumers)
     val needZblockBuild = names.exists(zblockConsumers)
+    val needFragBuild = names.exists(fragConsumers)
+    val needHblockBuild = names.exists(hblockConsumers)
     def builds(dir: String): Seq[(String, Double)] =
       if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild ||
-          needDppBuild || needMediaBuild || needZblockBuild)
+          needDppBuild || needMediaBuild || needZblockBuild ||
+          needFragBuild || needHblockBuild)
         buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild,
-          needDppBuild, needMediaBuild, needZblockBuild)
+          needDppBuild, needMediaBuild, needZblockBuild,
+          needFragBuild, needHblockBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -198,6 +221,8 @@ object Bench {
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
       (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
       (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++
+      (if (needFragBuild) Seq("build:frag_layout") else Seq.empty) ++
+      (if (needHblockBuild) Seq("build:hilbert_blocks") else Seq.empty) ++
       (if (needZblockBuild) Seq("build:zorder_blocks") else Seq.empty) ++
       (if (needMediaBuild) Seq("build:media_index") else Seq.empty) ++ names
     val results = allNames.map { n =>

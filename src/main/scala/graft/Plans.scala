@@ -43,7 +43,8 @@ object Plans {
     "q_sample_coreset_lw", "q_text_rm3", "q_sample_coreset_train",
     "q_profile_constraints", "q_stats_bootstrap", "q_mix_epochs",
     "q_layout_bloom_files", "q_stats_bootstrap_diff", "q_mix_epochs_sweep",
-    "q_layout_bloom_ingest", "q_hilbert_pruning")
+    "q_layout_bloom_ingest", "q_hilbert_pruning", "q_text_pack_sweep",
+    "q_hilbert_pruning_files")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -213,6 +213,7 @@ object SparkEntry {
     "q_mix_unimax"       -> (TextAnalysis.unimaxMix _),
     "q_mix_epochs"       -> (TextAnalysis.epochMix _),
     "q_mix_epochs_sweep" -> (TextAnalysis.epochSweep _),
+    "q_text_pack_sweep"  -> (TextAnalysis.packSweep _),
     "q_dsir_resample"    -> (TextAnalysis.dsirResample _),
     "q_dsir_screen_inc"  -> (TextAnalysis.dsirScreenInc _),
     "q_pipeline_curation" -> (TextAnalysis.curationFunnel _),
@@ -234,6 +235,7 @@ object SparkEntry {
     "q_layout_bloom_files" -> (Layout.bloomPruningFiles _),
     "q_layout_bloom_ingest" -> (Layout.bloomIngest _),
     "q_hilbert_pruning"  -> (Layout.hilbertPruning _),
+    "q_hilbert_pruning_files" -> (Layout.hilbertPruningFiles _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
@@ -4466,6 +4468,34 @@ object SparkEntry {
          |LEFT JOIN kept k ON k.budget_pct = b.budget_pct AND k.source = c.source
          |ORDER BY 1, 2""".stripMargin
     },
+
+    // context-length sweep: same sharded running-sum window as
+    // q_text_pack, |capacities| row-local integer-division arms
+    "q_text_pack_sweep" -> {
+      val caps = TextAnalysis.PackSweepCaps.map(c => s"($c)").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, doc_id % ${TextAnalysis.PackShards} AS shard,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM d),
+         |arms AS (
+         |  SELECT lang, shard, n_tokens, cum, cap.capacity::BIGINT AS capacity
+         |  FROM c, (VALUES $caps) cap(capacity)
+         |  WHERE n_tokens > 0)
+         |SELECT capacity, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS tokens,
+         |  count(DISTINCT (lang, shard, (cum - n_tokens) // capacity))::BIGINT
+         |    AS n_packs,
+         |  sum(CASE WHEN ((cum - 1) // capacity) <> ((cum - n_tokens) // capacity)
+         |      THEN 1 ELSE 0 END)::BIGINT AS straddled_docs,
+         |  (sum(CASE WHEN ((cum - 1) // capacity) <> ((cum - n_tokens) // capacity)
+         |       THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT AS straddle_ppm
+         |FROM arms GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // temperature mix: rates rounded to 6dp in BOTH engines before the
     // keep comparison, so no libm-pow ulp can flip a draw verdict
     "q_mix_temperature" ->
@@ -5270,6 +5300,44 @@ object SparkEntry {
          |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin
     },
+
+    // the file-level bake-off: both curve layouts re-derived
+    // relationally — prefix blocks over the shared-text hilbert walk
+    // and the interleave terms, same extents arithmetic as the footers
+    "q_hilbert_pruning_files" ->
+      s"""WITH d0 AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |src AS (
+         |  SELECT event_id, user_id, value,
+         |    (${Layout.zValueSqlTerms("a", "b")}) AS zval,
+         |    a AS cx, b AS cy, 0::BIGINT AS hd
+         |  FROM d0),
+         |${Layout.hilbertCteSql("src", Seq("event_id", "user_id", "value", "zval"))},
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM (
+         |    SELECT 'hilbert_files' AS layout,
+         |      hd >> ${Layout.ZPrefixShift} AS blk, user_id, value
+         |    FROM ${Layout.HilbertLastCte}
+         |    UNION ALL
+         |    SELECT 'zorder_files', zval >> ${Layout.ZPrefixShift}, user_id, value
+         |    FROM ${Layout.HilbertLastCte})
+         |  GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  round(sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |            AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS read_fraction,
+         |  sum(n_rows)::BIGINT AS n_rows
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
     "q_zorder_values" ->
       s"""WITH d AS (

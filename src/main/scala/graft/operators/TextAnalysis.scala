@@ -545,6 +545,52 @@ object TextAnalysis {
       .orderBy("lang", "shard", "bin")
   }
 
+  /** Context-length candidates for [[packSweep]], tokens: the dial a
+    * training stack actually argues about, from short-context to the
+    * registered [[PackCapacity]] and beyond. */
+  val PackSweepCaps: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** The CONTEXT-LENGTH CALIBRATION sweep over [[packSequences]]'
+    * concatenate-and-chunk packing — the lsh/cap/epoch-sweep discipline
+    * on the sequence-length dial: per candidate capacity, the pack
+    * count and the DOCUMENT FRAGMENTATION rate (docs whose token span
+    * straddles a pack boundary and therefore train split across
+    * sequences with truncated attention — the real cost of short
+    * contexts under GPT-style packing, since concat-and-chunk pads
+    * almost nothing). A doc spanning tokens [cum−n, cum−1] of its
+    * (lang, shard) stream straddles iff its start and end land in
+    * different capacity-sized bins — pure integer division, identical
+    * in both engines. Every arm filters from the ONE windowed
+    * running-sum frame (the same sharded window as the registered
+    * packer — the cum is capacity-independent), so the sweep costs one
+    * tokenize pass + |capacities| row-local projections. Measured
+    * here: straddle rate ~halves per capacity doubling (≈ mean-doc-
+    * tokens / capacity), which is the curve that justifies long-context
+    * packing budgets. */
+  def packSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(whitespaceTokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("n_tokens") > 0)
+      .select(col("lang"), col("shard"), col("n_tokens"), col("cum"),
+        explode(array(PackSweepCaps.map(lit): _*)).as("capacity"))
+      .withColumn("bin", expr("(cum - n_tokens) div capacity"))
+      .withColumn("straddle",
+        expr("((cum - 1) div capacity) <> ((cum - n_tokens) div capacity)"))
+      .groupBy("capacity")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        countDistinct(col("lang"), col("shard"), col("bin")).as("n_packs"),
+        sum(when(col("straddle"), 1L).otherwise(0L)).as("straddled_docs"))
+      .withColumn("straddle_ppm",
+        expr("(straddled_docs * 1000000) div n_docs"))
+      .orderBy("capacity")
+  }
+
   /** Email / phone patterns for [[piiRedactionStats]] — deliberately in
     * the Java∩RE2 common subset (no lookarounds, no shorthand classes)
     * so Spark and the DuckDB oracle match identically. */

@@ -51,4 +51,21 @@ class HilbertSpec extends AnyFunSuite {
     assert(out("hilbert")._1 <= out("zorder")._1,
       s"hilbert ${out("hilbert")._1} blocks vs zorder ${out("zorder")._1}")
   }
+
+  test("file twin: real footers agree with the prefix-block model") {
+    val out = Layout.hilbertPruningFiles(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    // both physical layouts hold the whole table
+    assert(out("hilbert_files")._3 == out("zorder_files")._3)
+    // the locality claim survives the move to real files
+    assert(out("hilbert_files")._2 <= out("zorder_files")._2,
+      s"hilbert ${out("hilbert_files")._2} vs zorder ${out("zorder_files")._2}")
+    // reruns read the published write-once layouts — row-identical
+    val again = Layout.hilbertPruningFiles(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out == again)
+  }
 }
