@@ -68,4 +68,32 @@ class HilbertSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
     assert(out == again)
   }
+
+  test("hilbert layout footers equal scanned per-block extents exactly") {
+    import org.apache.spark.sql.functions._
+    val path = Layout.ensureHilbertBlocks(spark, "/root/testdata/sf0.001") +
+      "/hilbert"
+    val footer = Layout.parquetFooterExtents(spark, path)
+      .groupBy("blk")
+      .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"),
+        sum("n_rows").as("n_rows"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))))
+      .toMap
+    val scanned = spark.read.parquet(path)
+      .groupBy("blk")
+      .agg(min("user_id").as("min_u"), max("user_id").as("max_u"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => r.getAs[Int]("blk").toLong ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))))
+      .toMap
+    assert(footer.nonEmpty)
+    assert(footer == scanned)
+  }
 }
