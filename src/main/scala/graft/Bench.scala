@@ -250,8 +250,30 @@ object Bench {
     // rows are accounting, and including them made the count jump when
     // needBuilds flips (e.g. under SPARK_GRAFT_ONLY subsets)
     val nQueries = results.count(!_._1.startsWith("build:"))
+    // Ambient-contention stamp (VERDICT r10 directive #7): the r10
+    // driver tail ran 1.13× over r9 across common queries while the
+    // committed same-vintage pair improved — with the box's load
+    // average and concurrent-JVM count in the artifact, the next
+    // reader separates ambient load from plan regression without git
+    // archaeology. load1 is the 1-minute average AT THE END of the
+    // run (the tail queries are the ones contention inflates);
+    // n_jvms counts live java processes incl. this one (sbt + bench
+    // = 2 is the quiet-box signature).
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val nJvms =
+      try Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+        .count { f =>
+          f.getName.forall(_.isDigit) && {
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")))
+              .split('\u0000').headOption.exists(_.endsWith("java"))
+            catch { case _: Throwable => false }
+          }
+        }
+      catch { case _: Throwable => -1 }
     val fullJson = lines.mkString(
-      s"""{\n  "_meta": {"metric": "total", "value": $total, "unit": "sec", "sf": "$sfDir", "n_queries": $nQueries},\n""",
+      s"""{\n  "_meta": {"metric": "total", "value": $total, "unit": "sec", "sf": "$sfDir", "n_queries": $nQueries, "load": {"load1": $load1, "n_jvms": $nJvms}},\n""",
       ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

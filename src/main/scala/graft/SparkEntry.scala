@@ -5172,7 +5172,7 @@ object SparkEntry {
          |  FROM probes p JOIN frag f ON f.doc_id = p.probe_id
          |  GROUP BY p.probe_id)
          |SELECT p.probe_id, p.expected,
-         |  ${Layout.CompactFragments}::BIGINT AS files_total,
+         |  (SELECT count(*) FROM sizes)::BIGINT AS files_total,
          |  coalesce(c.files_candidate, 0)::BIGINT AS files_candidate,
          |  coalesce(h.files_hit, 0)::BIGINT AS files_hit,
          |  (coalesce(c.files_candidate, 0) - coalesce(h.files_hit, 0))::BIGINT
@@ -5764,7 +5764,7 @@ object SparkEntry {
          |    SELECT lang, n_chars, b, ($thr)::BIGINT AS w
          |    FROM (
          |      SELECT lang, n_chars, b,
-         |        CAST('0x' || substr(md5(text || '#' || b::VARCHAR), 1, 8)
+         |        CAST('0x' || substr(md5(doc_id::VARCHAR || '#' || b::VARCHAR), 1, 8)
          |          AS BIGINT) % 1000000 AS u_ppm
          |      FROM documents, generate_series(0, ${Profiling.BootstrapB - 1}) t(b)))
          |  GROUP BY lang, b),
@@ -5789,7 +5789,7 @@ object SparkEntry {
       val langs = Profiling.DiffPlantLangs.map(l => s"'$l'").mkString(", ")
       s"""WITH docs AS (
          |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
-         |    lang, text,
+         |    lang, doc_id,
          |    n_chars + CASE WHEN doc_id % 2 <> 0 AND lang IN ($langs)
          |      THEN ${Profiling.DiffPlantShift} ELSE 0 END AS m
          |  FROM documents),
@@ -5800,7 +5800,7 @@ object SparkEntry {
          |    SELECT snap, lang, b, m, ($thr)::BIGINT AS w
          |    FROM (
          |      SELECT snap, lang, m, b,
-         |        CAST('0x' || substr(md5(text || '#' || b::VARCHAR), 1, 8)
+         |        CAST('0x' || substr(md5(doc_id::VARCHAR || '#' || b::VARCHAR), 1, 8)
          |          AS BIGINT) % 1000000 AS u_ppm
          |      FROM docs, generate_series(0, ${Profiling.BootstrapB - 1}) t(b)))
          |  GROUP BY snap, lang, b),

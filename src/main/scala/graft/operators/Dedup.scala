@@ -1269,10 +1269,13 @@ object Dedup {
     prefixFilterJoinOf(Tables.fanOut(Tables.documents(spark, dir)))
 
   /** EXACT Jaccard-threshold set-similarity self-join by prefix filtering
-    * (the AllPairs/PPJoin family): order each doc's kept shingle set by
-    * global rarity (df asc, shingle — a total order both engines agree
-    * on), emit only the first n − ⌈t·n⌉ + 1 tokens of each doc into the
-    * candidate join, verify exact Jaccard on the candidates. Lossless by
+    * (the AllPairs/PPJoin family): hash each shingle to a 64-bit token
+    * (see the note in [[prefixStages]] — the GC-pressure governor, with
+    * the collision bound), order each doc's kept token set by global
+    * rarity (df asc, hash — one global total order, which is all the
+    * theorem needs), emit only the first n − ⌈t·n⌉ + 1 tokens of each
+    * doc into the candidate join, verify exact Jaccard on the
+    * candidates. Lossless by
     * the prefix-filtering principle: J(a,b) ≥ t forces an overlap of at
     * least ⌈t·|a|⌉ tokens, so by pigeonhole some shared token lands in
     * both prefixes. The registered oracle is the NAIVE all-pairs
@@ -1297,14 +1300,20 @@ object Dedup {
     // shuffles — ~50× the rows for the same answer; arrays lose for the
     // NAIVE join's huge candidate set (see ngramJaccardOf's note) but win
     // here exactly because the prefix cut made candidates scarce.)
-    // Intersect the plain STRING arrays (`toks.g` field extraction, a
+    // Intersect the plain LONG arrays (`toks.g` field extraction, a
     // codegen'd projection): `array_intersect` only takes its hash-set
     // fast path for atomic element types — on the (df, g) struct arrays
     // it degrades to an interpreted quadratic ordering scan, which turned
     // the verify stage into minutes at sf0.1.
-    val a = docsets.select(col("doc_id").as("doc_a"),
+    // SHUFFLE_HASH, not the default sort-merge, for both verify joins:
+    // SMJ would SORT the array-bearing side, and sorting rows ~kB wide
+    // is the spill-prone shape; a hash join builds on the (persisted)
+    // docsets side and streams the narrow candidate rows through it —
+    // per-partition build memory is corpus/partitions, the knob that
+    // already governs every other doc-keyed join here.
+    val a = docsets.hint("shuffle_hash").select(col("doc_id").as("doc_a"),
       col("toks.g").as("gs_a"), col("n").as("na"))
-    val b = docsets.select(col("doc_id").as("doc_b"),
+    val b = docsets.hint("shuffle_hash").select(col("doc_id").as("doc_b"),
       col("toks.g").as("gs_b"), col("n").as("nb"))
     // The threshold filter references `inter` ONCE, in integer form:
     // round₄(i/u) ≥ t  ⟺  i/u ≥ t − 5·10⁻⁵  ⟺  (100000+c)·i ≥ c·(na+nb)
@@ -1345,9 +1354,37 @@ object Dedup {
     // the two thresholds; the verify stays exact, so results are
     // unchanged at any SF where the sliver is empty.
     val tc = t - 5e-5
-    val posting = shinglesOf(docs).distinct()
+    // HASH each shingle to a 64-bit token the moment it exists: every
+    // downstream stage (the distinct, the df aggregate, the per-doc
+    // arrays, the candidate join, the verify intersect) then moves
+    // 8-byte longs instead of ~25-char strings. This is where the
+    // query's GC story is decided — instrumented at 10× sf0.1 the
+    // string pipeline spent 8–19 s of task-attributed GC per execution
+    // (zero spill; pure allocation pressure) and swung 8.6↔167.8 s
+    // run-to-run on GC luck, which is what BENCH r10's committed 58 s
+    // outlier was. Exactness: Jaccard over hashed tokens equals
+    // Jaccard over shingles unless two of the corpus's distinct
+    // shingles collide in 2^64 (p ≈ n²/2^65 ≈ 2·10⁻⁷ at the 2.6M
+    // shingles of 10× sf0.1) — the standard AllPairs tokenization; the
+    // naive STRING-side oracle hash-match machine-checks absence of
+    // collision at every tested SF. The rarity order becomes
+    // (df asc, hash asc) — still one global total order on tokens,
+    // which is all the prefix theorem needs.
+    val posting = shinglesOf(docs)
+      .select(col("doc_id"), xxhash64(col("g")).as("g")).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
-    val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
+    // SHUFFLE the df join, never broadcast it: the df table is CORPUS-
+    // DERIVED (one row per distinct repeated shingle — 2.6M rows at
+    // 10× sf0.1, unbounded at 100 TB), and Catalyst's post-aggregate
+    // size estimate undershoots it badly enough to pick a broadcast
+    // build — a multi-hundred-MB HashedRelation built single-threaded
+    // on the driver, once per recompute of this subtree (it appeared
+    // FOUR times in the executed plan before the checkpoint below).
+    // Those repeated driver-side builds and their GC interplay are
+    // what swung the same sf1 plan 8.6 s ↔ 167.8 s run-to-run and
+    // produced BENCH r10's committed 58 s outlier.
+    val kept = posting.join(dfs.hint("shuffle_hash"), "g")
+      .filter(col("df") <= MaxShingleDf)
     // df = 1 tokens can never match ANYTHING (they exist in exactly one
     // doc): they can't generate a candidate and can't contribute to an
     // intersection. They only matter through the COUNTS — the set size n
@@ -1359,12 +1396,22 @@ object Dedup {
     // singletons) and c1 keeps the arithmetic exact — in a Zipf corpus
     // most shingles are df=1, so this is the difference between hauling
     // the corpus and hauling its repeated fraction.
+    // MATERIALIZE docsets once (the componentsOf/kmeansTrainedCents
+    // checkpoint discipline): the frame feeds FOUR plan legs — both
+    // prefix sides of the candidate self-join and both array sides of
+    // the verify — and without the checkpoint each leg re-runs the
+    // whole text→shingle→df pipeline from the parquet scan. One row
+    // per doc with its (df,g) array: corpus-linear, the same storage
+    // class as a signature index. As a bonus the checkpointed RDD
+    // carries EXACT size statistics, so every downstream join picks
+    // its strategy from real sizes instead of post-aggregate guesses.
     val docsets = kept
       .groupBy("doc_id")
       .agg(sort_array(collect_list(
           when(col("df") >= 2, struct(col("df"), col("g"))))).as("toks"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("c1"))
       .withColumn("n", size(col("toks")) + col("c1"))
+      .localCheckpoint()
     // Prefix membership is decided on the FULL kept set (the theorem
     // needs the first p = n − ⌈tc·n⌉ + 1 tokens of the whole ordering,
     // with tc the relaxed threshold above). posexplode carries each
@@ -1420,9 +1467,13 @@ object Dedup {
   private[graft] def prefixCandidatesNoPositional(docs: DataFrame,
       t: Double = PrefixJoinThreshold): DataFrame = {
     val tc = t - 5e-5
-    val posting = shinglesOf(docs).distinct()
+    // same hashed-token + shuffled-df-join front end as [[prefixStages]]
+    // so the r9-vs-r10 candidate comparison stays apples-to-apples
+    val posting = shinglesOf(docs)
+      .select(col("doc_id"), xxhash64(col("g")).as("g")).distinct()
     val dfs = posting.groupBy("g").agg(count(lit(1)).as("df"))
-    val kept = posting.join(dfs, "g").filter(col("df") <= MaxShingleDf)
+    val kept = posting.join(dfs.hint("shuffle_hash"), "g")
+      .filter(col("df") <= MaxShingleDf)
     val docsets = kept
       .groupBy("doc_id")
       .agg(sort_array(collect_list(

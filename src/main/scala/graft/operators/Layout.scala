@@ -669,15 +669,29 @@ object Layout {
     // [[zonemapPruningFiles]]'s layout build)
     val shards = surv.select("shard").distinct().collect()
       .map(_.getAs[Number](0).longValue).sorted
+    // a surviving shard id without a shard= directory would mean the
+    // index frame and the physical layout disagree (the index is BUILT
+    // from the directories, so this is corruption, not a prune miss) —
+    // fail with the id rather than a bare NoSuchElementException
+    val unknown = shards.filterNot(shardRoot.contains)
+    require(unknown.isEmpty, "bloom index names shard ids with no " +
+      s"shard= directory under any manifest root: ${unknown.mkString(",")}")
     val byRoot = shards.groupBy(shardRoot)
-    val hits = byRoot.toSeq.sortBy(_._1).map { case (r, ss) =>
-      spark.read.option("basePath", r)
-        .parquet(ss.map(s => s"$r/shard=$s"): _*)
-        .select(col("doc_id"), col("shard").cast("long").as("shard"))
-    }.reduce(_ unionByName _)
-      .join(broadcast(probes), col("doc_id") === col("probe_id"))
-      .groupBy("probe_id")
-      .agg(countDistinct("shard").as("files_hit"), count(lit(1)).as("rows_found"))
+    // zero survivors (a corpus slice with no present-probe ids leaves
+    // `probes` empty, or every probe misses every filter): nothing to
+    // read — the left joins below zero-fill the report
+    val hits =
+      if (byRoot.isEmpty)
+        spark.range(0).select(col("id").as("probe_id"),
+          col("id").as("files_hit"), col("id").as("rows_found"))
+      else byRoot.toSeq.sortBy(_._1).map { case (r, ss) =>
+        spark.read.option("basePath", r)
+          .parquet(ss.map(s => s"$r/shard=$s"): _*)
+          .select(col("doc_id"), col("shard").cast("long").as("shard"))
+      }.reduce(_ unionByName _)
+        .join(broadcast(probes), col("doc_id") === col("probe_id"))
+        .groupBy("probe_id")
+        .agg(countDistinct("shard").as("files_hit"), count(lit(1)).as("rows_found"))
     probes
       .join(surv.groupBy("probe_id").agg(count(lit(1)).as("files_candidate")),
         Seq("probe_id"), "left")

@@ -402,8 +402,13 @@ object Profiling {
     * bootstrap a single scan at any scale.
     *
     * Determinism: the uniform for (doc, replicate b) is the md5 prefix
-    * of `text#b` reduced mod 10^6 — the house content-hash uniform —
-    * and the weight is how many [[PoissonCumPpm]] thresholds it clears,
+    * of `doc_id#b` reduced mod 10^6 — the house content-hash-uniform
+    * discipline keyed on the UNIQUE row id, not the text: this corpus
+    * intentionally contains exact duplicates (the dedup suite's
+    * fixtures), and text-keyed draws would hand every copy the same
+    * weight in every replicate, correlating the draws and narrowing
+    * the CI below its nominal coverage. The weight is how many
+    * [[PoissonCumPpm]] thresholds the uniform clears,
     * so Spark and DuckDB draw bit-identical weights. Replicate means
     * run in fixed-point ppm (integer division); the CI is the
     * (min, max) of the B replicate means — the (1, B) order statistics.
@@ -417,16 +422,17 @@ object Profiling {
   def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
     bootstrapCiOf(Tables.fanOut(Tables.documents(spark, dir)))
 
-  /** [[bootstrapCi]]'s kernel over any (lang, text, n_chars) frame. */
+  /** [[bootstrapCi]]'s kernel over any (doc_id, lang, n_chars) frame. */
   private[graft] def bootstrapCiOf(docs: DataFrame): DataFrame = {
     val b = explode(sequence(lit(0), lit(BootstrapB - 1))).as("b")
-    val uPpm = conv(substring(md5(concat(col("text"), lit("#"),
-      col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val uPpm = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#"), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
     val w = PoissonCumPpm.foldLeft(lit(0L)) { (acc, t) =>
       acc + when(col("u_ppm") >= t, 1L).otherwise(0L)
     }
     val reps = docs
-      .select(col("lang"), col("n_chars"), col("text"), b)
+      .select(col("lang"), col("n_chars"), col("doc_id"), b)
       .withColumn("u_ppm", uPpm)
       .select(col("lang"), col("b"), col("n_chars"), w.as("w"))
       .groupBy("lang", "b")
@@ -461,8 +467,10 @@ object Profiling {
     * anyone. Same ref/cur split as the drift monitors (doc parity), a
     * [[DiffPlantShift]]-char regression planted on [[DiffPlantLangs]]'
     * current snapshot; per replicate b the two snapshots draw
-    * INDEPENDENT Poisson weights (disjoint doc sets, same
-    * content-hash uniform) and the replicate statistic is
+    * INDEPENDENT Poisson weights (the doc_id-keyed uniform — the two
+    * snapshots' id sets are disjoint by the parity split, so no id ever
+    * draws for both sides, and duplicate TEXTS never share a draw
+    * within or across snapshots) and the replicate statistic is
     * mean_ref − mean_cur in integer ppm; the CI is the (1,B) order
     * statistics and `significant` = the CI excludes zero. Same shape as
     * [[bootstrapCi]]: B× row-local fanout, ONE (snap, lang, b)-keyed
@@ -472,18 +480,19 @@ object Profiling {
       .select(
         when(col("doc_id") % 2 === 0, lit("ref")).otherwise(lit("cur"))
           .as("snap"),
-        col("lang"), col("text"),
+        col("lang"), col("doc_id"),
         (col("n_chars") + when(col("doc_id") % 2 =!= 0 &&
           col("lang").isin(DiffPlantLangs.map(x => x: Any): _*),
           lit(DiffPlantShift)).otherwise(lit(0L))).as("m"))
     val b = explode(sequence(lit(0), lit(BootstrapB - 1))).as("b")
-    val uPpm = conv(substring(md5(concat(col("text"), lit("#"),
-      col("b").cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+    val uPpm = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#"), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
     val w = PoissonCumPpm.foldLeft(lit(0L)) { (acc, t) =>
       acc + when(col("u_ppm") >= t, 1L).otherwise(0L)
     }
     val reps = docs
-      .select(col("snap"), col("lang"), col("m"), col("text"), b)
+      .select(col("snap"), col("lang"), col("m"), col("doc_id"), b)
       .withColumn("u_ppm", uPpm)
       .select(col("snap"), col("lang"), col("b"), col("m"), w.as("w"))
       .groupBy("snap", "lang", "b")

@@ -36,13 +36,17 @@ object GovernStream {
     StructField("o_totalprice", DoubleType),
     StructField("o_orderdate", TimestampType)))
 
-  /** Bounded file-source stream over an orders parquet directory. */
+  /** Bounded file-source stream over the orders table at a testdata
+    * root: points at the `orders.parquet` PATH itself so both shapes
+    * stream — a single file (the driver's fixtures) and a Spark-written
+    * directory of part files (a glob filter on the parent would match
+    * only the single-file shape and silently yield an empty stream for
+    * the directory shape). */
   def readOrders(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(orderSchema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
+      .parquet(dir + "/orders.parquet")
 
   /** Cumulative per-constraint violation counters over an arriving
     * orders stream: the broadcast dimension join, then one explode of
