@@ -538,16 +538,21 @@ object SparkEntry {
        |             (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
        |           FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
        |                 ORDER BY vec_id LIMIT ${SimSearch.PqK})),
+       |mts AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+       |        ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR || '#kmtrain'), 1, 8) AS BIGINT),
+       |                 vec_id
+       |        LIMIT ${SimSearch.KmTrainPerCent * SimSearch.PqK}),
+       |mtv AS (SELECT msv.* FROM msv JOIN mts USING (vec_id)),
        |mc0 AS (SELECT sub, code_id, d, val AS c FROM msv JOIN mseeds USING (vec_id)),
        |md1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-       |        FROM msv JOIN mc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |        FROM mtv JOIN mc0 USING (sub, d) GROUP BY 1, 2, 3),
        |ma1 AS (SELECT vec_id, sub, code_id FROM (
        |          SELECT vec_id, sub, code_id,
        |            row_number() OVER (PARTITION BY vec_id, sub
        |              ORDER BY d2, code_id) AS rnk
        |          FROM md1) WHERE rnk = 1),
        |mbook AS (SELECT sub, code_id, d, avg(val) AS c
-       |          FROM msv JOIN ma1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |          FROM mtv JOIN ma1 USING (vec_id, sub) GROUP BY 1, 2, 3),
        |menc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
        |         FROM mv JOIN mbook USING (sub, d) GROUP BY 1, 2, 3),
        |mcodes AS (SELECT vec_id, sub, code_id FROM (
@@ -739,27 +744,44 @@ object SparkEntry {
            |            (count(*) + ${SimSearch.SemCellTarget - 1}) // ${SimSearch.SemCellTarget})
            |            FROM $src)""".stripMargin
       else s"(SELECT vec_id FROM $src ORDER BY vec_id LIMIT ${SimSearch.KmK})"
-    s"""${p}v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+    // SimSearch.trainIds: Lloyd runs on the KmTrainPerCent·K lowest
+    // vec_ids by the content-hash uniform (the cap is a LIMIT, so when
+    // N ≤ cap the "sample" is the population and the chain is the old
+    // full-corpus train). Derived-K mirrors the cap arithmetic from
+    // count(*); the seed pick and every downstream serve/report pass
+    // stay over the full ${p}v.
+    val trainCap =
+      if (derivedK)
+        s"""(SELECT ${SimSearch.KmTrainPerCent} * greatest(${SimSearch.KmK},
+           |            (count(*) + ${SimSearch.SemCellTarget - 1}) // ${SimSearch.SemCellTarget})
+           |            FROM $src)""".stripMargin
+      else s"${SimSearch.KmTrainPerCent * SimSearch.KmK}"
+    s"""${p}ts AS (SELECT vec_id FROM $src
+      |        ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR || '#kmtrain'), 1, 8) AS BIGINT),
+      |                 vec_id
+      |        LIMIT $trainCap),
+      |${p}v AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
       |        unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
       |      FROM $src),
+      |${p}tv AS (SELECT ${p}v.* FROM ${p}v JOIN ${p}ts USING (vec_id)),
       |${p}seed AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
       |         FROM $seedPick),
       |${p}c0 AS (SELECT cent_id, d, val AS c FROM ${p}v JOIN ${p}seed USING (vec_id)),
       |${p}d1 AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-      |       FROM ${p}v JOIN ${p}c0 USING (d) GROUP BY vec_id, cent_id),
+      |       FROM ${p}tv JOIN ${p}c0 USING (d) GROUP BY vec_id, cent_id),
       |${p}a1 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
       |         FROM ${p}d1) WHERE rnk = 1),
-      |${p}c1 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}v JOIN ${p}a1 USING (vec_id)
+      |${p}c1 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}tv JOIN ${p}a1 USING (vec_id)
       |       GROUP BY cent_id, d),
       |${p}d2t AS (SELECT vec_id, cent_id, sum((val - c) * (val - c)) AS d2
-      |        FROM ${p}v JOIN ${p}c1 USING (d) GROUP BY vec_id, cent_id),
+      |        FROM ${p}tv JOIN ${p}c1 USING (d) GROUP BY vec_id, cent_id),
       |${p}a2 AS (SELECT vec_id, cent_id FROM (
       |         SELECT vec_id, cent_id,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rnk
       |         FROM ${p}d2t) WHERE rnk = 1),
-      |${p}c2 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}v JOIN ${p}a2 USING (vec_id)
+      |${p}c2 AS (SELECT cent_id, d, avg(val) AS c FROM ${p}tv JOIN ${p}a2 USING (vec_id)
       |       GROUP BY cent_id, d)""".stripMargin
   }
 
@@ -819,18 +841,23 @@ object SparkEntry {
       |         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
       |  FROM embeddings),
       |v AS (SELECT vec_id, d, d // ${64 / SimSearch.PqM} AS sub, val FROM v0),
+      |pqts AS (SELECT vec_id FROM embeddings
+      |         ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR || '#kmtrain'), 1, 8) AS BIGINT),
+      |                  vec_id
+      |         LIMIT ${SimSearch.KmTrainPerCent * SimSearch.PqK}),
+      |pqtv AS (SELECT v.* FROM v JOIN pqts USING (vec_id)),
       |seeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
       |          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${SimSearch.PqK})),
       |c0 AS (SELECT sub, code_id, d, val AS c FROM v JOIN seeds USING (vec_id)),
       |d1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-      |       FROM v JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
+      |       FROM pqtv JOIN c0 USING (sub, d) GROUP BY 1, 2, 3),
       |a1 AS (SELECT vec_id, sub, code_id FROM (
       |         SELECT vec_id, sub, code_id,
       |           row_number() OVER (PARTITION BY vec_id, sub
       |             ORDER BY d2, code_id) AS rnk
       |         FROM d1) WHERE rnk = 1),
       |c1 AS (SELECT sub, code_id, d, avg(val) AS c
-      |       FROM v JOIN a1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+      |       FROM pqtv JOIN a1 USING (vec_id, sub) GROUP BY 1, 2, 3),
       |enc2 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
       |         FROM v JOIN c1 USING (sub, d) GROUP BY 1, 2, 3),
       |codes AS (SELECT vec_id, sub, code_id FROM (
@@ -893,8 +920,9 @@ object SparkEntry {
     * residual-coding IVFADC (FAISS's default): PQ trains on and encodes
     * v − c(cell), the LUT is per (query, probed cell). Ends at
     * `rranked`; MUST be appended after [[DuckPqCtes]] (whose corpus
-    * long form `v0` and seed pick `seeds` it references — one
-    * definition, so a cast fix cannot silently diverge) and
+    * long form `v0`, seed pick `seeds`, and training sample `pqts` it
+    * references — one definition, so a cast fix cannot silently
+    * diverge) and
     * [[DuckIvfAdcCtes]] (whose routing CTEs `iassign`/`iprobe` it
     * reuses). */
   private val DuckIvfAdcResCtes =
@@ -905,16 +933,17 @@ object SparkEntry {
        |         (v0.val - cl.c) AS val
        |       FROM v0 JOIN iassign a USING (vec_id)
        |       JOIN cl ON cl.cent_id = a.cent_id AND cl.d = v0.d),
+       |rtv AS (SELECT rv.* FROM rv JOIN pqts USING (vec_id)),
        |rc0 AS (SELECT sub, code_id, d, val AS c FROM rv JOIN seeds USING (vec_id)),
        |rd1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-       |        FROM rv JOIN rc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |        FROM rtv JOIN rc0 USING (sub, d) GROUP BY 1, 2, 3),
        |ra1 AS (SELECT vec_id, sub, code_id FROM (
        |          SELECT vec_id, sub, code_id,
        |            row_number() OVER (PARTITION BY vec_id, sub
        |              ORDER BY d2, code_id) AS rnk
        |          FROM rd1) WHERE rnk = 1),
        |rc1 AS (SELECT sub, code_id, d, avg(val) AS c
-       |        FROM rv JOIN ra1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |        FROM rtv JOIN ra1 USING (vec_id, sub) GROUP BY 1, 2, 3),
        |renc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
        |         FROM rv JOIN rc1 USING (sub, d) GROUP BY 1, 2, 3),
        |rcodes AS (SELECT vec_id, sub, code_id FROM (
@@ -998,16 +1027,21 @@ object SparkEntry {
        |          FROM orot)),
        |oseeds AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS code_id
        |           FROM (SELECT vec_id FROM orot ORDER BY vec_id LIMIT ${SimSearch.PqK})),
+       |ots AS (SELECT vec_id FROM orot
+       |        ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR || '#kmtrain'), 1, 8) AS BIGINT),
+       |                 vec_id
+       |        LIMIT ${SimSearch.KmTrainPerCent * SimSearch.PqK}),
+       |otv AS (SELECT ovs.* FROM ovs JOIN ots USING (vec_id)),
        |oc0 AS (SELECT sub, code_id, d, val AS c FROM ovs JOIN oseeds USING (vec_id)),
        |od1 AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
-       |        FROM ovs JOIN oc0 USING (sub, d) GROUP BY 1, 2, 3),
+       |        FROM otv JOIN oc0 USING (sub, d) GROUP BY 1, 2, 3),
        |oa1 AS (SELECT vec_id, sub, code_id FROM (
        |          SELECT vec_id, sub, code_id,
        |            row_number() OVER (PARTITION BY vec_id, sub
        |              ORDER BY d2, code_id) AS rnk
        |          FROM od1) WHERE rnk = 1),
        |oc1 AS (SELECT sub, code_id, d, avg(val) AS c
-       |        FROM ovs JOIN oa1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+       |        FROM otv JOIN oa1 USING (vec_id, sub) GROUP BY 1, 2, 3),
        |oenc AS (SELECT vec_id, sub, code_id, sum((val - c) * (val - c)) AS d2
        |         FROM ovs JOIN oc1 USING (sub, d) GROUP BY 1, 2, 3),
        |ocodes AS (SELECT vec_id, sub, code_id FROM (

@@ -498,6 +498,36 @@ object SimSearch {
     kmeansReport(kmRankedCached(spark, dir, e).filter(col("rnk") === 1))
   }
 
+  /** FAISS-style cap on k-means training points: a quantizer trains on
+    * at most [[KmTrainPerCent]]·K vectors (FAISS's
+    * `cp.max_points_per_centroid = 256` default). Lloyd's cost is
+    * iterations × O(trainset·K·dims); with the cap it stops growing
+    * with the corpus — the r10 VERDICT directive on `build:ann_index`,
+    * whose coarse-quantizer and PQ training legs were the only
+    * corpus-sized TRAIN loops left (encode/serve passes are
+    * corpus-sized by nature). Statistical footing: k-means centroids
+    * are cluster means, and means estimated from 256 points per
+    * centroid are within noise of the full-corpus means for serving
+    * purposes (`AnnTrainSampleSpec` pins recall parity on planted
+    * geometries). */
+  val KmTrainPerCent = 256
+
+  /** The deterministic training sample: the `cap` lowest vec_ids by
+    * the house content-hash uniform (md5 of `vec_id#kmtrain`, ties by
+    * vec_id) — the `q_sample_weighted` draw discipline, so the sample
+    * is reproducible, engine-independent, and mirrored verbatim in
+    * every oracle's `ts` CTE. When the population is at or under the
+    * cap the sample IS the population and training is bit-identical to
+    * the uncapped loop — which is what keeps every small-SF oracle
+    * result unchanged. (On the derived-K paths the cap provably never
+    * binds: K ≥ N/[[SemCellTarget]] makes the cap ≥ 4N.) */
+  private[graft] def trainIds(ids: DataFrame, cap: Int): DataFrame =
+    ids.orderBy(
+      conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit("#kmtrain"))), 1, 8), 16, 10).cast("long"),
+      col("vec_id"))
+    .limit(cap)
+
   /** Embeddings in long (vec_id, d, v) form, double math. */
   private def kmeansLongForm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(col("embedding")))
@@ -530,18 +560,38 @@ object SimSearch {
     * the index. (Deriving centroids from the final assignment instead
     * would silently add a half-iteration — caught by the sf0.001 oracle
     * where training had not yet converged.) */
-  private def kmeansTrainedCents(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def kmeansTrainedCents(e: DataFrame, k: Int, iters: Int): DataFrame =
+    // Lloyd runs on the capped deterministic sample ([[trainIds]] —
+    // no-op whenever N ≤ 256·k)
+    kmeansTrainedCentsOn(e,
+      trainIds(e.select("vec_id"), KmTrainPerCent * k), k, iters)
+
+  /** The training loop with an EXPLICIT train-id set:
+    * [[kmeansTrainedCents]] passes the capped sample;
+    * `AnnTrainSampleSpec` passes the full id set to pin sample-vs-full
+    * parity on planted geometries. The SEED pick stays the k lowest
+    * vec_ids of the FULL population, so the seed artifact is
+    * sample-independent and the init join reads full `vecs`. */
+  private[graft] def kmeansTrainedCentsOn(e: DataFrame, train: DataFrame,
+      k: Int, iters: Int): DataFrame = {
     val vecs = kmeansLongForm(e)
+    val tvecs = vecs.join(broadcast(train.select("vec_id")), "vec_id")
     val seeds = e.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cent_id"))
     def recenter(assigned: DataFrame): DataFrame =
-      vecs.join(assigned.select("vec_id", "cent_id"), "vec_id")
+      tvecs.join(assigned.select("vec_id", "cent_id"), "vec_id")
         .groupBy("cent_id", "d").agg(avg("v").as("c"))
     val init = vecs.join(broadcast(seeds), "vec_id")
       .select(col("cent_id"), col("d"), col("v").as("c"))
-    (1 to iters).foldLeft(init)((cents, _) => recenter(kmeansAssign(vecs, cents)))
+    (1 to iters).foldLeft(init)((cents, _) => recenter(kmeansAssign(tvecs, cents)))
   }
+
+  /** Full-corpus assignment against a quantizer trained on an explicit
+    * id set — the spec-side contrast arm for the sampling parity pin. */
+  private[graft] def kmeansAssignmentOn(e: DataFrame, train: DataFrame,
+      k: Int, iters: Int): DataFrame =
+    kmeansAssign(kmeansLongForm(e), kmeansTrainedCentsOn(e, train, k, iters))
 
   /** Final per-vector assignment (vec_id, cent_id, d2) after `iters`
     * Lloyd iterations — the train loop shared by [[kmeansTrainOf]]'s
@@ -602,6 +652,7 @@ object SimSearch {
     mergeSnapAssignCached(spark, dir, e)
     ()
   }
+
 
   /** The trained quantizer collected to a driver-held dense form
     * (cent_id → 0-based-dimension centroid vector): the broadcastable
@@ -894,7 +945,7 @@ object SimSearch {
     * subspace), then [[PqIters]] Lloyd refines. Empty codewords drop
     * out, mirroring [[kmeansTrainedCents]]. */
   private def pqCodebook(e: DataFrame): DataFrame =
-    pqCodebookOf(pqLongForm(e), pqSeeds(e))
+    pqCodebookOf(pqLongForm(e), pqSeeds(e), e.select("vec_id"))
 
   private def pqSeeds(e: DataFrame): DataFrame =
     e.select("vec_id").orderBy("vec_id").limit(PqK)
@@ -905,11 +956,21 @@ object SimSearch {
     * shared by the plain-vector chain ([[pqCodebook]]) and the residual
     * chain ([[ivfAdcResidualTopKOf]]), so a training fix can never
     * silently apply to one coding and not the other. */
-  private def pqCodebookOf(vecs: DataFrame, seeds: DataFrame): DataFrame = {
+  private def pqCodebookOf(vecs: DataFrame, seeds: DataFrame,
+      ids: DataFrame): DataFrame = {
+    // Lloyd refines run on the capped deterministic sample (shared by
+    // all M subspaces, FAISS-style — see [[KmTrainPerCent]]); the seed
+    // init and the downstream ENCODE pass stay corpus-wide. `ids` is
+    // the population's NARROW one-row-per-vector id frame — sampling
+    // from the exploded long form would pay a corpus×dims distinct
+    // just to recover it.
+    val tvecs = vecs.join(
+      broadcast(trainIds(ids.select("vec_id"), KmTrainPerCent * PqK)),
+      "vec_id")
     val init = vecs.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("code_id"), col("d"), col("v").as("c"))
     (1 to PqIters).foldLeft(init) { (cents, _) =>
-      vecs.join(pqAssign(vecs, cents).select("vec_id", "sub", "code_id"),
+      tvecs.join(pqAssign(tvecs, cents).select("vec_id", "sub", "code_id"),
           Seq("vec_id", "sub"))
         .groupBy("sub", "code_id", "d").agg(avg("v").as("c"))
     }
@@ -1099,7 +1160,7 @@ object SimSearch {
       .join(broadcast(centsLong), Seq("cent_id", "d"))
       .select(col("vec_id"), (col("d") / width).cast("int").as("sub"),
         col("d"), (col("v") - col("c")).as("v"))
-    val book = pqCodebookOf(rvecs, pqSeeds(e))
+    val book = pqCodebookOf(rvecs, pqSeeds(e), e.select("vec_id"))
     val codes = pqAssign(rvecs, book).select("vec_id", "sub", "code_id")
       .join(assign, "vec_id")
     val probes = ranked
@@ -1166,7 +1227,7 @@ object SimSearch {
       e: DataFrame): DataFrame =
     Dedup.memoizedFrame(spark, s"ann_merge_book#$dir") {
       val snap = mergeSnap(e)
-      pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+      pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id"))
     }
 
   private def mergeSnapCodesCached(spark: SparkSession, dir: String,
@@ -1243,7 +1304,7 @@ object SimSearch {
   private[graft] def annIndexMergeServeOf(full: DataFrame, snap: DataFrame,
       batch: DataFrame): DataFrame = {
     val cents = mergeCoarseCentsOf(snap)
-    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id"))
     val snapAssign = rankedAgainst(snap, cents)
       .filter(col("rnk") === 1).select("vec_id", "cent_id")
     val snapCodes = pqAssign(pqLongForm(snap), book)
@@ -1259,7 +1320,7 @@ object SimSearch {
   private[graft] def annIndexRebuildServeOf(full: DataFrame, snap: DataFrame,
       union: DataFrame): DataFrame = {
     val cents = mergeCoarseCentsOf(snap)
-    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id"))
     val assign = rankedAgainst(union, cents)
       .filter(col("rnk") === 1).select("vec_id", "cent_id")
     val codes = pqAssign(pqLongForm(union), book)
@@ -1320,7 +1381,7 @@ object SimSearch {
   private[graft] def annIndexForgetServeOf(full: DataFrame, snap: DataFrame,
       batch: DataFrame, forgetIds: DataFrame): DataFrame = {
     val cents = mergeCoarseCentsOf(snap)
-    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id"))
     val snapAssign = rankedAgainst(snap, cents)
       .filter(col("rnk") === 1).select("vec_id", "cent_id")
     val snapCodes = pqAssign(pqLongForm(snap), book)
@@ -1337,7 +1398,7 @@ object SimSearch {
   private[graft] def annMergeScaleFrames(snap: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = mergeCoarseCentsOf(snap)
-    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap))
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id"))
     val snapAssign = rankedAgainst(snap, cents)
       .filter(col("rnk") === 1).select("vec_id", "cent_id")
     val snapCodes = pqAssign(pqLongForm(snap), book)
@@ -1377,7 +1438,7 @@ object SimSearch {
     val cents = mergeCoarseCentsOf(snap).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq)
       .toSeq.sortBy(_._1)
-    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap)).collect()
+    val book = pqCodebookOf(pqLongForm(snap), pqSeeds(snap), snap.select("vec_id")).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .groupBy(r => (r._1, r._2))
       .map { case ((sub, code), rs) =>
