@@ -99,7 +99,7 @@ object Scale {
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
       "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget",
-      "govern", "bloomfiles", "prefixshared")
+      "govern", "bloomfiles", "prefixshared", "pagerank")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -712,6 +712,84 @@ object Scale {
         "cand/pair | cand time | exact join time | lsh screen pairs | lsh time |")
       println("|---|---|---|---|---|---|---|---|---|")
       rowsPrefixShared.foreach(println)
+    }
+
+    // PageRank edge growth (r10 VERDICT directive #4), two axes:
+    //
+    // DISJOINT (the sf1 bench axis — order AND part keys shift, the
+    // graph becomes k independent copies): nodes and edges grow k×,
+    // degree stays flat — PageRank cost is Θ(edges)·iters and should
+    // scale ~linearly; the kNN arm pays the extra weight-window +
+    // transpose join once per edge build.
+    //
+    // VERBATIM (same baskets k× — "more corpus, same catalog, more
+    // evidence"): the distinct pair set is INVARIANT but every pair's
+    // support scales k×, so any FIXED support floor degrades (at k ≥
+    // floor every one-off pair passes and the floor stops pruning) —
+    // measured in the raw-floor column — while the mutual top-m cut is
+    // support-scale-invariant: the kNN graph is IDENTICAL at every
+    // factor (the suite pins rank equality; here we pin the edge
+    // count).
+    import graft.operators.Graph
+    def liDisjoint(k: Int): DataFrame = {
+      val li = graft.sources.Tables.lineitem(spark, baseDir)
+        .select("l_orderkey", "l_partkey")
+      (0 until k).map { i =>
+        if (i == 0) li
+        else li.select((col("l_orderkey") + lit(i * ReplicaStride)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * ReplicaStride)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+    }
+    def liVerbatim(k: Int): DataFrame = {
+      val li = graft.sources.Tables.lineitem(spark, baseDir)
+        .select("l_orderkey", "l_partkey")
+      (0 until k).map { i =>
+        if (i == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * ReplicaStride))
+      }.reduce(_ unionByName _)
+    }
+    val rowsPr = factors.filter(_ => sections("pagerank")).map { k =>
+      System.err.println(s"[scale] factor $k (pagerank) ...")
+      val liD = liDisjoint(k)
+      val (rawEdges, _) = timedCount(Graph.copurchaseEdges(liD))
+      val rawNodes = Graph.copurchaseEdges(liD).select("src").distinct().count()
+      val t0 = System.nanoTime()
+      val rawRows = Graph.pagerankRanks(Graph.copurchaseEdges(liD)).count()
+      val tRaw = (System.nanoTime() - t0) / 1e9
+      val (knnE, tKnnBuild) = timedCount(Graph.knnEdges(liD))
+      val t1 = System.nanoTime()
+      Graph.pagerankRanks(Graph.knnEdges(liD), "scaleKnn").count()
+      val tKnn = (System.nanoTime() - t1) / 1e9
+      s"| ${k}x | $rawNodes | $rawEdges | ${rawEdges / math.max(rawNodes, 1)} | " +
+        s"$rawRows | ${f"$tRaw%.1f"}s | $knnE | ${f"$tKnnBuild%.1f"}s | ${f"$tKnn%.1f"}s |"
+    }
+    if (sections("pagerank")) {
+      println()
+      println("| factor | nodes | raw edges | mean deg | rank rows | " +
+        "raw pagerank time | knn edges | knn build time | knn pagerank time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rowsPr.foreach(println)
+    }
+    val rowsPrV = factors.filter(_ => sections("pagerank")).map { k =>
+      System.err.println(s"[scale] factor $k (pagerank verbatim) ...")
+      val liV = liVerbatim(k)
+      val items = liV.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("p")).distinct()
+      val w = items.select(col("ok"), col("p").as("src"))
+        .join(items.select(col("ok"), col("p").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val r = w.agg(count(lit(1)),
+        sum(when(col("w") >= 2, 1L).otherwise(0L))).head()
+      val (distinctPairs, floor2) = (r.getLong(0), r.getLong(1))
+      val knnE = Graph.knnEdges(liV).count()
+      s"| ${k}x | $distinctPairs | $floor2 | $knnE |"
+    }
+    if (sections("pagerank")) {
+      println()
+      println("| factor | distinct pairs (verbatim axis) | pairs >= fixed floor 2 | mutual-knn edges |")
+      println("|---|---|---|---|")
+      rowsPrV.foreach(println)
     }
 
     // GAP-FILL/RESAMPLE: the log grows k× with timestamps and types

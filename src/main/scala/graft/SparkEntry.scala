@@ -282,6 +282,7 @@ object SparkEntry {
 
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
+    "q_graph_pagerank_knn" -> (Graph.pagerankKnnTop _),
     "q_graph_triangles" -> (Graph.triangleStats _),
 
     // ---- multimodal surface (binary payload columns) ----
@@ -6063,6 +6064,41 @@ object SparkEntry {
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
          |           WHERE a.l_partkey <> b.l_partkey),
+         |d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         |r0 AS (SELECT d.src AS node, d.deg, 1.0 / n.n AS r FROM d CROSS JOIN n),
+         |$steps
+         |SELECT node, deg, round(r${Graph.PrIters}.r * n.n, 4) AS norm_rank
+         |FROM r${Graph.PrIters} CROSS JOIN n
+         |ORDER BY norm_rank DESC, node LIMIT ${Graph.PrTopK}""".stripMargin
+    },
+
+    // mutual-kNN PageRank: the weighted pair build, the per-src top-m
+    // rank cut, the transpose intersection, then the SAME unrolled
+    // power iteration as q_graph_pagerank over the sparsified edges
+    "q_graph_pagerank_knn" -> {
+      val d = Graph.Damping
+      val steps = (1 to Graph.PrIters).map { k =>
+        val (prev, inf, cur) = (s"r${k - 1}", s"i$k", s"r$k")
+        s"""$inf AS (SELECT e.dst, sum($prev.r / $prev.deg) AS inflow
+           |      FROM e JOIN $prev ON e.src = $prev.node GROUP BY 1),
+           |$cur AS (SELECT $prev.node, $prev.deg,
+           |           (1.0::DOUBLE - $d) / n.n + $d * coalesce($inf.inflow, 0.0) AS r
+           |         FROM $prev CROSS JOIN n
+           |         LEFT JOIN $inf ON $prev.node = $inf.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+         |               FROM lineitem),
+         |w AS (SELECT a.p AS src, b.p AS dst, count(*)::BIGINT AS w
+         |      FROM items a JOIN items b USING (ok)
+         |      WHERE a.p <> b.p GROUP BY 1, 2),
+         |topm AS (SELECT src, dst FROM (
+         |           SELECT src, dst,
+         |             row_number() OVER (PARTITION BY src
+         |               ORDER BY w DESC, dst) AS rnk
+         |           FROM w) WHERE rnk <= ${Graph.KnnM}),
+         |e AS (SELECT t.src, t.dst FROM topm t
+         |      JOIN topm r ON r.src = t.dst AND r.dst = t.src),
          |d AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
          |n AS (SELECT count(*)::DOUBLE AS n FROM d),
          |r0 AS (SELECT d.src AS node, d.deg, 1.0 / n.n AS r FROM d CROSS JOIN n),

@@ -96,6 +96,58 @@ object Graph {
       .orderBy(desc("norm_rank"), asc("node"))
       .limit(PrTopK)
 
+  /** Per-node neighbor cap for [[knnEdges]] — the mutual-kNN
+    * sparsification dial. 16 keeps every co-purchase hub meaningful at
+    * the tested SFs (raw mean degree is ~120 at sf0.01 AND sf0.1) while
+    * bounding degree by a CONSTANT at any corpus size. */
+  val KnnM = 16
+
+  /** MUTUAL top-m sparsification of the weighted co-purchase graph —
+    * the production form of [[copurchaseEdges]] for PageRank (r10
+    * VERDICT directive #4). A fixed SUPPORT floor does not bound
+    * degree: as a fixed catalog accumulates baskets, every part's
+    * neighbor list keeps growing (each neighbor's support grows with
+    * the corpus and clears any fixed floor), so the scatter join's
+    * cost per node is corpus-dependent. The standard fix from kNN-graph
+    * construction: keep edge (u,v) only when v is in u's top-m
+    * neighbors by association weight AND u is in v's (mutual kNN —
+    * intersection, not union, because a hub can sit in arbitrarily
+    * many nodes' top-m and union-kNN leaves ITS degree unbounded).
+    * Degree ≤ m by construction at any corpus size, the graph stays
+    * symmetric (PageRank's dangling-mass-free invariant), and the
+    * weight rank is (w DESC, dst) — totally tie-broken, so both
+    * engines cut identical edge sets. Rank stability under corpus
+    * growth is suite-pinned: verbatim replication scales every weight
+    * uniformly, leaving the top-m sets — and therefore the ranks —
+    * exactly unchanged (`PagerankKnnSpec`). */
+  private[graft] def knnEdges(li: DataFrame, m: Int = KnnM): DataFrame = {
+    val items = li.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    val w = items.select(col("ok"), col("p").as("src"))
+      .join(items.select(col("ok"), col("p").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("w"), asc("dst"))
+    val top = w.withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= m).select("src", "dst")
+    // mutual = the top-m relation intersected with its own transpose;
+    // the equi-join IS the intersection (top is distinct by keys)
+    top.join(top.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .select("src", "dst")
+  }
+
+  /** PageRank over the mutual-kNN graph ([[knnEdges]]), top [[PrTopK]]
+    * — same emission shape as [[pagerankTop]], which remains the
+    * raw-graph audit arm. */
+  def pagerankKnnTop(spark: SparkSession, dir: String): DataFrame =
+    pagerankRanks(knnEdges(Tables.lineitem(spark, dir)), "pagerankRanksKnn")
+      .select(col("node"), col("deg"),
+        round(col("r") * col("n"), 4).as("norm_rank"))
+      .orderBy(desc("norm_rank"), asc("node"))
+      .limit(PrTopK)
+
   /** Support floor for the triangle graph ([[recurringEdges]]). */
   val TriMinSupport = 2
 
@@ -173,7 +225,13 @@ object Graph {
     * and each superseded round's storage is retired as soon as its
     * successor is materialized, so the loop holds ONE round of state
     * plus the edges at any moment. */
-  private[graft] def pagerankRanks(edges0: DataFrame): DataFrame = {
+  /** `retainKey` distinguishes the retained-result slot per REGISTERED
+    * caller: the raw and kNN arms run CONCURRENTLY under Verify's query
+    * pool, and a shared slot would let the second construction free the
+    * first's still-being-written blocks (latest-wins eviction —
+    * surfaced as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). */
+  private[graft] def pagerankRanks(edges0: DataFrame,
+      retainKey: String = "pagerankRanks"): DataFrame = {
     val spark = edges0.sparkSession
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
@@ -208,7 +266,7 @@ object Graph {
       // call retires the previous result's blocks — same bound as the
       // other eagerly-materialized queries).
       Dedup.retire(spark, edgesRdd)
-      Dedup.retainResult(spark, "pagerankRanks", resultRdd, result)
+      Dedup.retainResult(spark, retainKey, resultRdd, result)
     }
   }
 }

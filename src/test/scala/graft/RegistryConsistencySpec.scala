@@ -146,6 +146,9 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_dedup_embedding" -> "q_ann_brute_force",
     "q_dedup_clusters" -> "q_graph_pagerank",
     "q_dedup_cc_inc" -> "q_graph_pagerank",
+    // same materialized power-iteration skeleton; the edge build adds
+    // a weight window + transpose self-join in front
+    "q_graph_pagerank_knn" -> "q_graph_pagerank",
     "q_dedup_keep_best" -> "q_dedup_keep_set",
     "q_dedup_keep_clustered" -> "q_dedup_keep_set",
     "q_split_leakage_safe" -> "q_dedup_keep_set",
