@@ -176,7 +176,7 @@ object Bench {
       "q_hilbert_pruning_files")
     // consumers of the fragmented-docs fixture layout
     val fragConsumers = Set("q_layout_compaction", "q_layout_bloom_files",
-      "q_layout_bloom_ingest")
+      "q_layout_bloom_ingest", "q_layout_bloom_forget")
     // consumers of the hilbert block layout
     val hblockConsumers = Set("q_hilbert_pruning_files")
     // consumers of the memoized media catalog fingerprint indexes

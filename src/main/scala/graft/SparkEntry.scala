@@ -234,6 +234,7 @@ object SparkEntry {
     "q_zorder_pruning_files" -> (Layout.zonemapPruningFiles _),
     "q_layout_bloom_files" -> (Layout.bloomPruningFiles _),
     "q_layout_bloom_ingest" -> (Layout.bloomIngest _),
+    "q_layout_bloom_forget" -> (Layout.bloomForget _),
     "q_hilbert_pruning"  -> (Layout.hilbertPruning _),
     "q_hilbert_pruning_files" -> (Layout.hilbertPruningFiles _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
@@ -5282,6 +5283,85 @@ object SparkEntry {
          |       WHEN p.probe_id >= ${Layout.BloomIngestShift} THEN 'delta'
          |       WHEN p.probe_id >= ${Layout.BloomAbsentShift} THEN 'absent_base'
          |       ELSE 'base' END AS probe_kind,
+         |  p.probe_id, p.expected,
+         |  (SELECT count(*) FROM sizes)::BIGINT AS files_total,
+         |  coalesce(c.files_candidate, 0)::BIGINT AS files_candidate,
+         |  coalesce(h.files_hit, 0)::BIGINT AS files_hit,
+         |  (coalesce(c.files_candidate, 0) - coalesce(h.files_hit, 0))::BIGINT
+         |    AS fp_files,
+         |  coalesce(h.rows_found, 0)::BIGINT AS rows_found
+         |FROM probes p
+         |LEFT JOIN candc c USING (probe_id)
+         |LEFT JOIN hits h USING (probe_id)
+         |ORDER BY p.probe_id""".stripMargin,
+
+    // bloom-index FORGET path: the oracle is REBUILD-ON-KEPT — shard
+    // assignment, sizing, signatures, candidacy and hits re-derived
+    // over `documents` minus the erasure list; the hash match proves
+    // the incremental touched-files-only rewrite equals the rebuild
+    // and that no forgotten id ever surfaces as a true hit
+    "q_layout_bloom_forget" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % ${graft.operators.CorpusMerge.ForgetMod}
+         |    <> ${graft.operators.CorpusMerge.ForgetRem}),
+         |frag AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+         |      % ${Layout.CompactFragments} AS shard
+         |  FROM kept),
+         |sizes AS (
+         |  SELECT shard,
+         |    1::BIGINT << length(bin(${Layout.BloomBitsPerKey} * count(*) - 1))::INT
+         |      AS mbits
+         |  FROM frag GROUP BY shard),
+         |idx AS (
+         |  SELECT shard, pos // ${Layout.BloomWordBits} AS word,
+         |    bit_or(1::BIGINT << (pos % ${Layout.BloomWordBits})::INT) AS bits
+         |  FROM (SELECT f.shard,
+         |          CAST('0x' || substr(md5(doc_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM frag f JOIN sizes s USING (shard),
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))
+         |  GROUP BY shard, word),
+         |probes AS (
+         |  SELECT doc_id AS probe_id, true AS expected FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${Layout.BloomAbsentShift}, false FROM frag
+         |  WHERE doc_id % ${Layout.BloomProbeMod} = 0
+         |  UNION ALL
+         |  SELECT doc_id, false FROM documents
+         |  WHERE doc_id % ${graft.operators.CorpusMerge.ForgetMod}
+         |    = ${graft.operators.CorpusMerge.ForgetRem}),
+         |ppos AS (
+         |  SELECT probe_id, expected, shard,
+         |    pos // ${Layout.BloomWordBits} AS word,
+         |    1::BIGINT << (pos % ${Layout.BloomWordBits})::INT AS bit
+         |  FROM (SELECT probe_id, expected, s.shard,
+         |          CAST('0x' || substr(md5(probe_id::VARCHAR || '#' || j::VARCHAR),
+         |            1, 8) AS BIGINT) % s.mbits AS pos
+         |        FROM probes CROSS JOIN sizes s,
+         |             generate_series(0, ${Layout.BloomHashes - 1}) t(j))),
+         |cand AS (
+         |  SELECT probe_id, expected, shard
+         |  FROM ppos p JOIN idx i USING (shard, word)
+         |  WHERE (i.bits & p.bit) <> 0
+         |  GROUP BY probe_id, expected, shard
+         |  HAVING count(*) = ${Layout.BloomHashes}),
+         |candc AS (SELECT probe_id, count(*)::BIGINT AS files_candidate
+         |          FROM cand GROUP BY probe_id),
+         |hits AS (
+         |  SELECT p.probe_id, count(DISTINCT f.shard)::BIGINT AS files_hit,
+         |         count(*)::BIGINT AS rows_found
+         |  FROM probes p JOIN frag f ON f.doc_id = p.probe_id
+         |  GROUP BY p.probe_id)
+         |SELECT
+         |  CASE WHEN p.probe_id % ${graft.operators.CorpusMerge.ForgetMod}
+         |           = ${graft.operators.CorpusMerge.ForgetRem}
+         |         AND p.probe_id < ${Layout.BloomAbsentShift} THEN 'erased'
+         |       WHEN p.probe_id >= ${Layout.BloomAbsentShift} THEN 'absent'
+         |       ELSE 'kept' END AS probe_kind,
          |  p.probe_id, p.expected,
          |  (SELECT count(*) FROM sizes)::BIGINT AS files_total,
          |  coalesce(c.files_candidate, 0)::BIGINT AS files_candidate,

@@ -625,19 +625,42 @@ object Layout {
     * one index frame — the additive-manifest maintenance discipline. */
   private[graft] def bloomRunOf(spark: SparkSession,
       roots: Seq[String]): DataFrame = {
-    // partition-dir inference types `shard=` as INT; normalize to the
-    // writer's LONG so both the index key and the oracle agree
-    val frag = roots.map { r =>
+    val frag = bloomFragOf(spark, roots)
+    val shardRoot = bloomShardRoots(roots)
+    val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
+    val probes = present.unionByName(
+      present.select((col("probe_id") + BloomAbsentShift).as("probe_id"),
+        lit(false).as("expected")))
+    bloomReportOf(spark, frag, shardRoot, probes)
+  }
+
+  /** The layout's data frame across a root manifest — partition-dir
+    * inference types `shard=` as INT; normalize to the writer's LONG so
+    * both the index key and the oracle agree. */
+  private def bloomFragOf(spark: SparkSession, roots: Seq[String]): DataFrame =
+    roots.map { r =>
       spark.read.option("basePath", r).parquet(r)
         .withColumn("shard", col("shard").cast("long"))
         .select("doc_id", "text", "hx", "shard")
     }.reduce(_ unionByName _)
-    // shard → root, for the pruned read (manifest-sized, driver-side)
-    val shardRoot: Map[Long, String] = roots.flatMap { r =>
+
+  /** shard → root, for the pruned read (manifest-sized, driver-side).
+    * Later roots win a shard-id collision — the PATCH semantics the
+    * forget path relies on (a rewritten shard shadows its base file). */
+  private def bloomShardRoots(roots: Seq[String]): Map[Long, String] =
+    roots.flatMap { r =>
       Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("shard="))
         .map(f => f.getName.stripPrefix("shard=").toLong -> r)
     }.toMap
+
+  /** The index-build + pruned-serve report over explicit (frag,
+    * shardRoot, probes) — the shared tail of [[bloomRunOf]] (which
+    * derives all three from a root manifest) and [[bloomForget]]
+    * (which patches them). */
+  private def bloomReportOf(spark: SparkSession, frag: DataFrame,
+      shardRoot: Map[Long, String], probes: DataFrame): DataFrame = {
     // per-file filter size from the file's key count: the |files|-row
     // sizing manifest every coordinate computation joins (broadcast)
     val sizes = frag.groupBy("shard").agg(count(lit(1)).as("n_keys"))
@@ -649,11 +672,6 @@ object Layout {
       frag.select(col("shard"), col("doc_id"))
         .join(broadcast(sizes), Seq("shard")), "doc_id")
       .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
-    val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
-      .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
-    val probes = present.unionByName(
-      present.select((col("probe_id") + BloomAbsentShift).as("probe_id"),
-        lit(false).as("expected")))
     // a probe's coordinates are PER CANDIDATE FILE (each file's filter
     // has its own width): probes × the sizing manifest, still
     // manifest-bounded rows
@@ -765,6 +783,120 @@ object Layout {
           .when(col("probe_id") >= BloomIngestShift, "delta")
           .when(col("probe_id") >= BloomAbsentShift, "absent_base")
           .otherwise(lit("base")))
+      .select(col("probe_kind"), col("probe_id"), col("expected"),
+        col("files_total"), col("files_candidate"), col("files_hit"),
+        col("fp_files"), col("rows_found"))
+      .orderBy("probe_id")
+  }
+
+  /** FILE-LEVEL BLOOM INDEX FORGET — the RETRACTION path of
+    * [[bloomPruningFiles]] (the `q_ann_index_forget` maintenance
+    * discipline applied to the file-skipping index, closing the add/
+    * remove algebra the r10 VERDICT flagged): docs on the standard
+    * erasure list (id ≡ [[CorpusMerge.ForgetRem]] mod
+    * [[CorpusMerge.ForgetMod]] — the same right-to-be-forgotten rule
+    * every other `*_forget` query uses) are located THROUGH the index
+    * (a Bloom probe of the erased ids bounds the touched-file set —
+    * the pruned-read serving shape reused as the maintenance locator),
+    * ONLY those files are rewritten without the erased rows, and each
+    * rewritten file recomputes its OWN signature from its own new key
+    * count. Untouched files and their signatures are never read again:
+    * maintenance cost is O(candidate files of the erasure list), not
+    * O(corpus).
+    *
+    * The rewritten-file signatures are BY CONSTRUCTION the signatures
+    * a full rebuild on the kept corpus would produce (same keys, same
+    * count-derived width), so the registered oracle is exactly
+    * rebuild-on-kept — the hash match is the machine proof that the
+    * incremental path loses nothing and, critically, that a FORGOTTEN
+    * id never surfaces as a true hit: erased ids ride along as
+    * `probe_kind = 'erased'` probes whose `files_hit`/`rows_found`
+    * must be zero (they may still Bloom-match — a stale candidate is
+    * only a false positive, and the census now says so). A touched
+    * file whose keys are ALL erased disappears from the manifest
+    * (files_total shrinks — the "drop the file" degenerate case). */
+  def bloomForget(spark: SparkSession, dir: String): DataFrame = {
+    val baseRoot = s"${ensureFragmentedDocs(spark, dir)}/docs"
+    val erased = Tables.documents(spark, dir)
+      .filter(col("doc_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem)
+      .select("doc_id")
+    val forgetRoot = ScaleTechniques.ensureLayout(
+      ScaleTechniques.layoutPath(dir, "documents.parquet", "bloomforget")) { tmp =>
+      val base = bloomFragOf(spark, Seq(baseRoot))
+      // locate: the erased ids' Bloom candidates = the touched-file
+      // superset (no false negatives, so no erased row can hide in an
+      // unrewritten file)
+      val sizes = base.groupBy("shard").agg(count(lit(1)).as("n_keys"))
+        .withColumn("mbits", expr(
+          s"shiftleft(cast(1 as bigint), " +
+            s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
+        .select("shard", "mbits")
+      val idx = bloomCoords(
+        base.select(col("shard"), col("doc_id"))
+          .join(broadcast(sizes), Seq("shard")), "doc_id")
+        .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+      val touched = bloomCoords(
+        erased.select(col("doc_id").as("probe_id"))
+          .crossJoin(broadcast(sizes)), "probe_id")
+        .join(broadcast(idx), Seq("shard", "word"))
+        .filter(expr("(bits & bit) <> 0"))
+        .groupBy("probe_id", "shard").agg(count(lit(1)).as("n_matched"))
+        .filter(col("n_matched") === BloomHashes)
+        .select("shard").distinct().collect()
+        .map(_.getLong(0)).sorted
+      // rewrite ONLY the touched files, dropping erased rows; the
+      // partitioned write recomputes exactly those files' contents
+      // (an all-erased file writes zero rows and exits the manifest)
+      val kept = spark.read.option("basePath", baseRoot)
+        .parquet(touched.map(s => s"$baseRoot/shard=$s"): _*)
+        .withColumn("shard", col("shard").cast("long"))
+        .select("doc_id", "text", "hx", "shard")
+        .join(broadcast(erased), Seq("doc_id"), "left_anti")
+      kept.repartition(math.max(touched.length, 1), col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$tmp/docs")
+      // record the touched set so serving knows which base shards the
+      // patch SHADOWS even when a rewritten file came out empty
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "touched.txt"),
+        touched.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+    val patchRoot = s"$forgetRoot/docs"
+    val touched = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(forgetRoot, "touched.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSet
+    // the patched manifest: base shards minus the touched set, plus the
+    // rewritten (possibly fewer) shard dirs under the patch root
+    val shardRoot = (bloomShardRoots(Seq(baseRoot)) -- touched) ++
+      bloomShardRoots(Seq(patchRoot))
+    val untouchedDirs = bloomShardRoots(Seq(baseRoot)).keySet.diff(touched)
+      .toSeq.sorted.map(s => s"$baseRoot/shard=$s")
+    val legs =
+      (if (untouchedDirs.isEmpty) Seq.empty[DataFrame]
+       else Seq(spark.read.option("basePath", baseRoot)
+         .parquet(untouchedDirs: _*)
+         .withColumn("shard", col("shard").cast("long"))
+         .select("doc_id", "text", "hx", "shard"))) ++
+      (if (bloomShardRoots(Seq(patchRoot)).isEmpty) Seq.empty[DataFrame]
+       else Seq(bloomFragOf(spark, Seq(patchRoot))))
+    require(legs.nonEmpty, "bloom forget erased the entire layout — " +
+      "no kept shard under either manifest root")
+    val frag = legs.reduce(_ unionByName _)
+    val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
+      .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
+    val probes = present
+      .unionByName(present.select(
+        (col("probe_id") + BloomAbsentShift).as("probe_id"),
+        lit(false).as("expected")))
+      .unionByName(erased.select(col("doc_id").as("probe_id"),
+        lit(false).as("expected")))
+    bloomReportOf(spark, frag, shardRoot, probes)
+      .withColumn("probe_kind",
+        when(col("probe_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem
+            && col("probe_id") < BloomAbsentShift, "erased")
+          .when(col("probe_id") >= BloomAbsentShift, "absent")
+          .otherwise(lit("kept")))
       .select(col("probe_kind"), col("probe_id"), col("expected"),
         col("files_total"), col("files_candidate"), col("files_hit"),
         col("fp_files"), col("rows_found"))
