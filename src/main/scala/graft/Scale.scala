@@ -99,7 +99,7 @@ object Scale {
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
       "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget",
-      "govern", "bloomfiles", "prefixshared", "pagerank")
+      "govern", "bloomfiles", "prefixshared", "pagerank", "auditprobe")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -790,6 +790,35 @@ object Scale {
       println("| factor | distinct pairs (verbatim axis) | pairs >= fixed floor 2 | mutual-knn edges |")
       println("|---|---|---|---|")
       rowsPrV.foreach(println)
+    }
+
+    // Ground-truth AUDIT arms under the fixed-probe cost model (r10
+    // VERDICT directive #6): both recall audits grade exactness against
+    // a CONSTANT-size probe set (256 probe docs for the LSH screen,
+    // the 10 designated query vectors for the ADC chains), so the
+    // exact arm is O(probes × corpus) and the audits should track the
+    // corpus ~linearly instead of compounding.
+    val rowsAudit = factors.filter(_ => sections("auditprobe")).map { k =>
+      System.err.println(s"[scale] factor $k (audit probes) ...")
+      val docs = replicatedDocs(spark, baseDir, k)
+      val nd = docs.count()
+      val t0 = System.nanoTime()
+      val nDecile = Dedup.lshRecallAuditOf(docs).count()
+      val tLsh = (System.nanoTime() - t0) / 1e9
+      val e = replicatedEmbeddings(spark, baseDir, k)
+      val nv = e.count()
+      val t1 = System.nanoTime()
+      val nPq = SimSearch.pqRecallOf(e).count()
+      val tPq = (System.nanoTime() - t1) / 1e9
+      s"| ${k}x | $nd | ${Dedup.RecallProbeDocs} | $nDecile | ${f"$tLsh%.1f"}s | " +
+        s"$nv | ${SimSearch.NQueries} | $nPq | ${f"$tPq%.1f"}s |"
+    }
+    if (sections("auditprobe")) {
+      println()
+      println("| factor | docs | lsh probes | decile rows | lsh recall time | " +
+        "vectors | pq queries | pq rows | pq recall time |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      rowsAudit.foreach(println)
     }
 
     // GAP-FILL/RESAMPLE: the log grows k× with timestamps and types

@@ -1998,9 +1998,15 @@ object SparkEntry {
       s"""WITH $DuckMinhashCtes,
          |posting AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams),
          |sizes AS (SELECT doc_id, count(*) AS n FROM posting GROUP BY doc_id),
-         |inter2 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-         |           FROM posting x JOIN posting y
-         |             ON x.g = y.g AND x.doc_id < y.doc_id
+         |probes AS (SELECT doc_id FROM documents
+         |           ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR || '#probe'), 1, 8) AS BIGINT),
+         |                    doc_id
+         |           LIMIT ${Dedup.RecallProbeDocs}),
+         |inter2 AS (SELECT doc_a, doc_b, count(*) AS inter FROM (
+         |             SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         |               greatest(x.doc_id, y.doc_id) AS doc_b, x.g
+         |             FROM (SELECT p.* FROM posting p JOIN probes USING (doc_id)) x
+         |             JOIN posting y ON x.g = y.g AND x.doc_id <> y.doc_id)
          |           GROUP BY 1, 2),
          |truth AS (SELECT doc_a, doc_b,
          |            least((10 * inter) // (na.n + nb.n - inter), 9) AS decile
