@@ -800,9 +800,16 @@ object Layout {
     * the pruned-read serving shape reused as the maintenance locator),
     * ONLY those files are rewritten without the erased rows, and each
     * rewritten file recomputes its OWN signature from its own new key
-    * count. Untouched files and their signatures are never read again:
-    * maintenance cost is O(candidate files of the erasure list), not
-    * O(corpus).
+    * count. The REWRITE step never reads an untouched file: maintenance
+    * cost is O(candidate files of the erasure list), not O(corpus).
+    * (The claim is scoped to the rewrite: the serving REPORT below goes
+    * through [[bloomReportOf]], which re-derives the full signature
+    * index from the patched corpus so the oracle can check every word —
+    * the measurement harness's choice, not the maintenance path's. A
+    * deployment persists per-file signatures beside the manifest — the
+    * per-file independence that makes the union/patch algebra work is
+    * exactly what makes them persistable — and serving then touches
+    * only the probes' candidate files.)
     *
     * The rewritten-file signatures are BY CONSTRUCTION the signatures
     * a full rebuild on the kept corpus would produce (same keys, same
@@ -835,6 +842,16 @@ object Layout {
         base.select(col("shard"), col("doc_id"))
           .join(broadcast(sizes), Seq("shard")), "doc_id")
         .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+      // probe_kind classification (below, mirrored in the oracle) labels
+      // any probe_id ≥ BloomAbsentShift "absent" BEFORE the erasure rule
+      // — machine-check that precondition here instead of letting a
+      // corpus whose ids cross the shift silently mislabel its erased
+      // probes (both engines would agree, so the hash match would hide
+      // it). The max rides the builder's existing sizes scan input.
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < BloomAbsentShift,
+        s"bloomForget probe classification needs max(doc_id)=$maxId < " +
+          s"BloomAbsentShift=$BloomAbsentShift — raise the shift")
       val touched = bloomCoords(
         erased.select(col("doc_id").as("probe_id"))
           .crossJoin(broadcast(sizes)), "probe_id")
@@ -846,14 +863,21 @@ object Layout {
         .map(_.getLong(0)).sorted
       // rewrite ONLY the touched files, dropping erased rows; the
       // partitioned write recomputes exactly those files' contents
-      // (an all-erased file writes zero rows and exits the manifest)
-      val kept = spark.read.option("basePath", baseRoot)
-        .parquet(touched.map(s => s"$baseRoot/shard=$s"): _*)
-        .withColumn("shard", col("shard").cast("long"))
-        .select("doc_id", "text", "hx", "shard")
-        .join(broadcast(erased), Seq("doc_id"), "left_anti")
-      kept.repartition(math.max(touched.length, 1), col("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$tmp/docs")
+      // (an all-erased file writes zero rows and exits the manifest).
+      // An EMPTY touched set (no erased id Bloom-matches any file — e.g.
+      // the erasure rule selects nothing at this corpus) short-circuits:
+      // zero paths would throw in the reader, and there is nothing to
+      // rewrite — the empty touched.txt below makes serving read the
+      // base layout unchanged.
+      if (touched.nonEmpty) {
+        val kept = spark.read.option("basePath", baseRoot)
+          .parquet(touched.map(s => s"$baseRoot/shard=$s"): _*)
+          .withColumn("shard", col("shard").cast("long"))
+          .select("doc_id", "text", "hx", "shard")
+          .join(broadcast(erased), Seq("doc_id"), "left_anti")
+        kept.repartition(touched.length, col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$tmp/docs")
+      }
       // record the touched set so serving knows which base shards the
       // patch SHADOWS even when a rewritten file came out empty
       java.nio.file.Files.write(

@@ -520,7 +520,11 @@ object SimSearch {
     * cap the sample IS the population and training is bit-identical to
     * the uncapped loop — which is what keeps every small-SF oracle
     * result unchanged. (On the derived-K paths the cap provably never
-    * binds: K ≥ N/[[SemCellTarget]] makes the cap ≥ 4N.) */
+    * binds — K ≥ N/[[SemCellTarget]] makes the cap ≥ 4N — so those
+    * callers pass `capped = false` and skip this frame entirely: the
+    * materialized "sample" would be a full global md5 sort plus an
+    * N-row broadcast of the entire id set, identical in result and
+    * strictly worse in cost.) */
   private[graft] def trainIds(ids: DataFrame, cap: Int): DataFrame =
     ids.orderBy(
       conv(substring(md5(concat(col("vec_id").cast("string"),
@@ -560,22 +564,33 @@ object SimSearch {
     * the index. (Deriving centroids from the final assignment instead
     * would silently add a half-iteration — caught by the sf0.001 oracle
     * where training had not yet converged.) */
-  private def kmeansTrainedCents(e: DataFrame, k: Int, iters: Int): DataFrame =
+  private def kmeansTrainedCents(e: DataFrame, k: Int, iters: Int,
+      capped: Boolean = true): DataFrame =
     // Lloyd runs on the capped deterministic sample ([[trainIds]] —
-    // no-op whenever N ≤ 256·k)
+    // no-op whenever N ≤ 256·k). `capped = false` is for callers that
+    // KNOW the cap cannot bind (the derived-K paths: K ≥ N/SemCellTarget
+    // makes cap ≥ 4N): there the sample is provably the population, and
+    // materializing it anyway would be a full global md5 sort plus an
+    // N-row broadcast of every vec_id — pure overhead at tested SFs and
+    // a driver-memory/broadcast-limit failure at the 100 TB posture.
+    // Results are identical either way (sample ≡ population), which is
+    // why no oracle changes when a caller flips the flag.
     kmeansTrainedCentsOn(e,
-      trainIds(e.select("vec_id"), KmTrainPerCent * k), k, iters)
+      if (capped) Some(trainIds(e.select("vec_id"), KmTrainPerCent * k))
+      else None, k, iters)
 
   /** The training loop with an EXPLICIT train-id set:
-    * [[kmeansTrainedCents]] passes the capped sample;
+    * [[kmeansTrainedCents]] passes the capped sample (or `None` = train
+    * on the full population, the derived-K fast path);
     * `AnnTrainSampleSpec` passes the full id set to pin sample-vs-full
     * parity on planted geometries. The SEED pick stays the k lowest
     * vec_ids of the FULL population, so the seed artifact is
     * sample-independent and the init join reads full `vecs`. */
-  private[graft] def kmeansTrainedCentsOn(e: DataFrame, train: DataFrame,
+  private[graft] def kmeansTrainedCentsOn(e: DataFrame, train: Option[DataFrame],
       k: Int, iters: Int): DataFrame = {
     val vecs = kmeansLongForm(e)
-    val tvecs = vecs.join(broadcast(train.select("vec_id")), "vec_id")
+    val tvecs = train.fold(vecs)(t =>
+      vecs.join(broadcast(t.select("vec_id")), "vec_id"))
     val seeds = e.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cent_id"))
@@ -591,13 +606,16 @@ object SimSearch {
     * id set — the spec-side contrast arm for the sampling parity pin. */
   private[graft] def kmeansAssignmentOn(e: DataFrame, train: DataFrame,
       k: Int, iters: Int): DataFrame =
-    kmeansAssign(kmeansLongForm(e), kmeansTrainedCentsOn(e, train, k, iters))
+    kmeansAssign(kmeansLongForm(e), kmeansTrainedCentsOn(e, Some(train), k, iters))
 
   /** Final per-vector assignment (vec_id, cent_id, d2) after `iters`
     * Lloyd iterations — the train loop shared by [[kmeansTrainOf]]'s
-    * report and the suite's SSE-monotonicity check. */
-  private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters))
+    * report and the suite's SSE-monotonicity check. `capped = false`
+    * for derived-K callers where the train cap provably never binds
+    * (see [[kmeansTrainedCents]]). */
+  private[graft] def kmeansAssignment(e: DataFrame, k: Int, iters: Int,
+      capped: Boolean = true): DataFrame =
+    kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters, capped))
 
   // ---- THE PERSISTED ANN INDEX (memoized per session × corpus dir) ----
   //
@@ -1682,7 +1700,10 @@ object SimSearch {
       kmRankedCached(spark, dir, e).filter(col("rnk") === 1)
         .select("vec_id", "cent_id")
     else Dedup.memoizedFrame(spark, s"ann_semassign#$dir")(
-      kmeansAssignment(e, k, KmIters).select("vec_id", "cent_id"))
+      // capped = false: K = ⌈N/SemCellTarget⌉ here, so the 256·K train
+      // cap is ≥ 4N and the sample would be the whole population — skip
+      // the global-sort + N-row-broadcast sampling join entirely
+      kmeansAssignment(e, k, KmIters, capped = false).select("vec_id", "cent_id"))
   }
 
   /** [[semanticDedup]] over any (vec_id, embedding) frame, with the
