@@ -83,8 +83,14 @@ object Bench {
         timed("build:components") { Dedup.componentsCached(spark, dir); () })
        else Seq.empty) ++
       (if (ann) Seq(
-        timed("build:ann_index") {
-          graft.operators.SimSearch.buildAnnIndex(spark, dir) })
+        // split per r11 directive #5: train is corpus-FLAT (sampled
+        // quantizer/codebook), encode is corpus-LINEAR by nature — one
+        // row each so the pair attributes the 17 consumers' build cost
+        // honestly (train must run first: encode reads its artifacts)
+        timed("build:ann_train") {
+          graft.operators.SimSearch.buildAnnTrain(spark, dir) },
+        timed("build:ann_encode") {
+          graft.operators.SimSearch.buildAnnEncode(spark, dir) })
        else Seq.empty) ++
       (if (bpe) Seq(
         timed("build:bpe_merges") {
@@ -172,6 +178,7 @@ object Bench {
     val dppConsumers = Set("q_join_dpp")
     // consumers of the on-disk z-prefix block layout
     val zblockConsumers = Set("q_zorder_pruning_files", "q_zorder_ingest",
+      "q_zorder_forget",
       // the file bake-off reads the published z layout as its contrast arm
       "q_hilbert_pruning_files")
     // consumers of the fragmented-docs fixture layout
@@ -217,7 +224,7 @@ object Bench {
     val allNames =
       (if (needBuilds) Seq("build:minhash_pairs", "build:components")
        else Seq.empty) ++
-      (if (needAnnBuild) Seq("build:ann_index") else Seq.empty) ++
+      (if (needAnnBuild) Seq("build:ann_train", "build:ann_encode") else Seq.empty) ++
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
       (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
       (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++

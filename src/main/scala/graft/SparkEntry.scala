@@ -238,6 +238,7 @@ object SparkEntry {
     "q_hilbert_pruning"  -> (Layout.hilbertPruning _),
     "q_hilbert_pruning_files" -> (Layout.hilbertPruningFiles _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
+    "q_zorder_forget"    -> (Layout.zorderForget _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
@@ -284,6 +285,7 @@ object SparkEntry {
     // ---- graph surface (beside the CC loop in Dedup) ----
     "q_graph_pagerank" -> (Graph.pagerankTop _),
     "q_graph_pagerank_knn" -> (Graph.pagerankKnnTop _),
+    "q_graph_pagerank_conv" -> (Graph.pagerankConvTop _),
     "q_graph_triangles" -> (Graph.triangleStats _),
 
     // ---- multimodal surface (binary payload columns) ----
@@ -5501,6 +5503,43 @@ object SparkEntry {
          |  sum(n_rows)::BIGINT AS n_rows
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
+    // layout forget: REBUILD-ON-KEPT — the post arm re-derives the
+    // whole layout relationally from the kept rows only, so the hash
+    // match proves the incremental touched-blocks-only rewrite equals a
+    // full relayout of the kept corpus (and that pruning survives)
+    "q_zorder_forget" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |z AS (SELECT event_id, user_id, value,
+         |        (${Layout.zValueSqlTerms("a", "b")}) >> ${Layout.ZPrefixShift}
+         |          AS blk FROM d),
+         |states AS (
+         |  SELECT 'zorder_pre' AS layout, blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'zorder_post', blk, user_id, value FROM z
+         |  WHERE NOT (event_id % ${CorpusMerge.ForgetMod} = ${CorpusMerge.ForgetRem})),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM states GROUP BY 1, 2),
+         |t AS (SELECT count(DISTINCT blk)::BIGINT AS bt, count(*)::BIGINT AS re
+         |      FROM z WHERE event_id % ${CorpusMerge.ForgetMod} = ${CorpusMerge.ForgetRem})
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(n_rows)::BIGINT AS n_rows,
+         |  CASE WHEN layout = 'zorder_post' THEN (SELECT bt FROM t)
+         |       ELSE 0 END AS blocks_touched,
+         |  CASE WHEN layout = 'zorder_post' THEN (SELECT re FROM t)
+         |       ELSE 0 END AS rows_erased
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
+
     // the IVM oracle is the FULL RECOMPUTE over the merged corpus —
     // equality proves the delta retract/apply algebra
     "q_merge_ivm" -> {
@@ -6192,6 +6231,53 @@ object SparkEntry {
          |SELECT node, deg, round(r${Graph.PrIters}.r * n.n, 4) AS norm_rank
          |FROM r${Graph.PrIters} CROSS JOIN n
          |ORDER BY norm_rank DESC, node LIMIT ${Graph.PrTopK}""".stripMargin
+    },
+
+    // DELTA-STOPPED PageRank: the recursion stops ITSELF — the recursive
+    // term's gate tests the working table's L1 delta against the same
+    // integer tolerance the Spark loop tests, so the stop round (emitted
+    // as a column) is part of the hash match. All arithmetic is BIGINT
+    // fixed-point (floor divisions mirrored exactly: // here, div in
+    // Spark — identical on positives), so no float ulp can desync the
+    // round count. Every support CTE is MATERIALIZED: DuckDB re-inlines
+    // plain CTEs per reference, and the recursive term references the
+    // edge frame every round (the q_sample_kcenter_batch lesson).
+    "q_graph_pagerank_conv" -> {
+      val (prec, tol, cap) = (Graph.PrPrec, Graph.PrTol, Graph.PrMaxRounds)
+      s"""WITH RECURSIVE items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |w AS MATERIALIZED (
+         |  SELECT a.p AS src, b.p AS dst, count(*)::BIGINT AS w
+         |  FROM items a JOIN items b USING (ok)
+         |  WHERE a.p <> b.p GROUP BY 1, 2),
+         |topm AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst) AS rnk
+         |    FROM w) WHERE rnk <= ${Graph.KnnM}),
+         |e AS MATERIALIZED (SELECT t.src, t.dst FROM topm t
+         |  JOIN topm r ON r.src = t.dst AND r.dst = t.src),
+         |d AS MATERIALIZED (
+         |  SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM d),
+         |pr(iter, node, r, dl) AS (
+         |  SELECT 0, d.node, (SELECT $prec // n FROM nn), $prec::BIGINT FROM d
+         |  UNION ALL
+         |  SELECT c.iter + 1, c.node,
+         |         (SELECT $prec // n FROM nn) * 3 // 20
+         |           + 17 * coalesce(i.inflow, 0) // 20,
+         |         abs(((SELECT $prec // n FROM nn) * 3 // 20
+         |           + 17 * coalesce(i.inflow, 0) // 20) - c.r)
+         |  FROM pr c
+         |  LEFT JOIN (SELECT e.dst AS nd, sum(p2.r // g.deg)::BIGINT AS inflow
+         |             FROM pr p2 JOIN e ON p2.node = e.src
+         |             JOIN d g ON g.node = p2.node
+         |             GROUP BY e.dst) i ON i.nd = c.node
+         |  WHERE (SELECT sum(dl) FROM pr) >= $tol AND c.iter < $cap
+         |)
+         |SELECT p.node, d.deg, p.r AS fp_rank, p.iter AS rounds
+         |FROM pr p JOIN d ON d.node = p.node
+         |WHERE p.iter = (SELECT max(iter) FROM pr)
+         |ORDER BY fp_rank DESC, p.node LIMIT ${Graph.PrTopK}""".stripMargin
     },
 
     // 2-itemset association rules: the support floor applies BEFORE the

@@ -22,8 +22,9 @@ object Graph {
 
   /** Power iterations for [[pagerankTop]]. Three exercises the full
     * scatter→gather→damp loop twice past initialization while keeping
-    * the DuckDB oracle a readable unrolled chain; production loops the
-    * same step to an L1-delta stop. */
+    * the DuckDB oracle a readable unrolled chain; the production
+    * delta-stopped loop is REGISTERED as [[pagerankConvTop]] (r11
+    * VERDICT directive #4). */
   val PrIters = 3
 
   /** Standard damping factor. */
@@ -148,6 +149,109 @@ object Graph {
       .orderBy(desc("norm_rank"), asc("node"))
       .limit(PrTopK)
 
+  /** Fixed-point scale for [[pagerankConvTop]]: rank mass in units of
+    * 10⁻¹² of the total. INTEGER state is what makes a data-dependent
+    * stop registrable: the fixed-iteration arms tolerate float ulps
+    * because the round count is a constant, but a CONVERGENCE test on
+    * drifting doubles could stop Spark at round k and DuckDB at k+1 —
+    * with BIGINT arithmetic (floor divisions mirrored exactly) the
+    * delta sequence is bit-identical cross-engine, so the stop round
+    * itself is part of the hash match. */
+  val PrPrec = 1000000000000L
+
+  /** L1 stop for [[pagerankConvTop]]: Σ|r_next − r_cur| < [[PrPrec]]/1000
+    * (0.1% of total mass). Reachable by construction: damping contracts
+    * the exact-arithmetic delta by ≥ 0.85/round, and the integer-floor
+    * noise floor is O(nodes) units — ~10⁵ at the tested graphs, five
+    * orders under the threshold. */
+  val PrTol = PrPrec / 1000
+
+  /** Oscillation cap for the delta-stopped loop — mirrored in the
+    * oracle's recursion gate so a pathological graph stops BOTH engines
+    * at the same round instead of hanging one. Never binds on the
+    * tested corpora (15 rounds at sf0.01). */
+  val PrMaxRounds = 60
+
+  /** DELTA-STOPPED PageRank over the mutual-kNN graph — the production
+    * loop [[PrIters]]'s doc promises, registered (`q_graph_pagerank_conv`).
+    * Fixed-point integer state ([[PrPrec]]): per round, each node
+    * scatters `r div deg` along its edges, gathers by exact BIGINT sum,
+    * and damps by the integer form of 0.85 — next = (base·3) div 20 +
+    * (17·inflow) div 20 with base = [[PrPrec]] div N — then the loop
+    * stops at the first round whose L1 delta drops under [[PrTol]].
+    * The emitted `rounds` column pins the stop round cross-engine; the
+    * oracle replays the identical integer recursion as a DuckDB
+    * recursive CTE whose gate tests the SAME delta (no unrolling —
+    * the recursion stops itself, which is the point: fixed-iteration
+    * oracles can't grade a data-dependent stop).
+    *
+    * Scale: the kNN graph bounds degree by [[KnnM]] at any corpus size,
+    * so the per-round cost is Θ(nodes·m) and the ROUND COUNT is the
+    * only data-dependent factor — damping contracts the delta
+    * geometrically, making rounds ~log(1/tol)/log(1/0.85), corpus-
+    * independent (measured: identical round counts at every verbatim
+    * and disjoint replication factor, SCALE §pagerankconv). Driver
+    * state is one 8-byte delta per round — the 1-row aggregate a
+    * convergence test needs anywhere. */
+  def pagerankConvTop(spark: SparkSession, dir: String): DataFrame =
+    pagerankConvergedRanks(knnEdges(Tables.lineitem(spark, dir)), "pagerankConv")
+      .orderBy(desc("fp_rank"), asc("node"))
+      .limit(PrTopK)
+
+  /** The converged (node, deg, fp_rank, rounds) frame of
+    * [[pagerankConvTop]] — separate from the top-k cut so the suite can
+    * pin whole-vector invariants (mass ≈ [[PrPrec]], stop-round delta,
+    * fixed-iters ≡ converged ranking on a planted graph). Same
+    * materialization discipline as [[pagerankRanks]]: the edge frame is
+    * pre-shuffled by `src` once with its layout preserved, each round's
+    * |V|-row state is owned and retired when superseded, and the final
+    * round is retained one-slot under `retainKey`. */
+  private[graft] def pagerankConvergedRanks(edges0: DataFrame,
+      retainKey: String): DataFrame = {
+    val spark = edges0.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val (edges, edgesRdd) = Dedup.materializeOwnedKeyed(
+        edges0.repartition(col("src")).sortWithinPartitions("src"),
+        ckDir.isDefined)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // N is a 1-row census the init division needs on both engines;
+      // base mirrors the oracle's (PrPrec // n) * 3 // 20 exactly
+      // (Long division truncates toward zero ≡ floor on positives)
+      val n = deg.count()
+      val base = PrPrec / n
+      val floorTerm = base * 3 / 20
+      val (init, initRdd) = Dedup.materializeOwned(
+        deg.select(col("src").as("node"), col("deg"), lit(base).as("r")),
+        ckDir.isDefined)
+      var cur = init
+      var curRdd = initRdd
+      var rounds = 0
+      var delta = Long.MaxValue
+      while (delta >= PrTol && rounds < PrMaxRounds) {
+        val inflow = edges
+          .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
+          .groupBy(col("dst")).agg(sum(expr("r div deg")).as("inflow"))
+        val nextR = lit(floorTerm) + expr("(17 * coalesce(inflow, 0L)) div 20")
+        val (next, nextRdd) = Dedup.materializeOwned(
+          cur.select(col("node"), col("deg"), col("r").as("r_prev"))
+            .join(inflow, col("node") === col("dst"), "left")
+            .select(col("node"), col("deg"), nextR.as("r"),
+              abs(nextR - col("r_prev")).as("dl")),
+          ckDir.isDefined)
+        delta = next.agg(sum("dl")).head().getLong(0)
+        Dedup.retire(spark, curRdd)
+        cur = next
+        curRdd = nextRdd
+        rounds += 1
+      }
+      Dedup.retire(spark, edgesRdd)
+      Dedup.retainResult(spark, retainKey, curRdd,
+        cur.select(col("node"), col("deg"), col("r").as("fp_rank"),
+          lit(rounds).as("rounds")))
+    }
+  }
+
   /** Support floor for the triangle graph ([[recurringEdges]]). */
   val TriMinSupport = 2
 
@@ -236,7 +340,21 @@ object Graph {
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
       def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
-      val (edges, edgesRdd) = materialize(edges0)
+      // The edge frame is the loop's STATIC side: pre-shuffle it by the
+      // join key ONCE and keep that layout across the cut
+      // (materializeOwnedKeyed — the plain owned form erases
+      // partitioning, so every round re-exchanged AND re-sorted the
+      // |E|-row frame; r12 listener evidence: 3× edge exchanges and
+      // ~2.4 GB/round of shuffle at 10× sf0.1 for a frame that never
+      // changes). With hash(src) + in-partition src order preserved,
+      // each round's scatter join exchanges only the |V|-row rank
+      // frame, restoring the documented one-edge-sized-shuffle-per-
+      // iteration cost (the remaining one is the gather's groupBy(dst),
+      // which is the algorithm). The degree aggregate below rides the
+      // same layout for free.
+      val (edges, edgesRdd) = Dedup.materializeOwnedKeyed(
+        edges0.repartition(col("src")).sortWithinPartitions("src"),
+        ckDir.isDefined)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = deg.agg(count(lit(1)).cast("double").as("n"))
       val (init, initRdd) = materialize(deg.crossJoin(broadcast(n))

@@ -1086,6 +1086,112 @@ object Layout {
       .orderBy("layout")
   }
 
+  /** Z-ORDER LAYOUT FORGET — the RETRACTION path of the clustered
+    * layout, closing the add/forget maintenance grid the Bloom file
+    * index already has ([[bloomForget]]; r11 VERDICT directive #3):
+    * rows on the standard erasure list (event_id ≡
+    * [[CorpusMerge.ForgetRem]] mod [[CorpusMerge.ForgetMod]]) leave the
+    * published block layout, and ONLY the blocks that hold them are
+    * rewritten.
+    *
+    * The locator is CHEAPER than Bloom's: an erased row's block id is a
+    * pure row-local function of the row itself (the frozen z-prefix
+    * routing — the same shift [[zorderIngest]] routes arrivals with),
+    * so the touched-block set comes from one narrow scan of the erased
+    * slice with no index probe and no false positives. The REWRITE step
+    * reads only the touched block files, drops the erased rows, and
+    * rewrites those blocks in place of their base files (patch
+    * semantics — an all-erased block exits the manifest); untouched
+    * files are never read by the rewrite, so maintenance is O(touched
+    * blocks), not O(corpus).
+    *
+    * The audit scores the standard box against the PATCHED footer
+    * manifest pre vs post — rewritten blocks' extents can only tighten,
+    * so `blocks_read` post ≤ pre, and pruning survives retraction. The
+    * oracle is REBUILD-ON-KEPT (re-derive both states relationally, the
+    * post arm from kept rows only), so the hash match proves the
+    * incremental rewrite ≡ a full relayout of the kept corpus — the
+    * same compliance guarantee as every other `*_forget` query: an
+    * erased row can never influence a block extent, a pruning decision,
+    * or a read again. */
+  def zorderForget(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureZorderBlocks(spark, dir)
+    val baseRoot = s"$root/zorder"
+    val erasedPred =
+      col("event_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem
+    val forgetRoot = ScaleTechniques.ensureLayout(
+      ScaleTechniques.layoutPath(dir, "events.parquet", "zforget")) { tmp =>
+      val touched = zorderForgetPatch(spark, baseRoot,
+        Tables.events(spark, dir), erasedPred, tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "touched.txt"),
+        touched.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+    val touched = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(forgetRoot, "touched.txt")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+    val patchRoot = s"$forgetRoot/zorder"
+    val pre = parquetFooterExtents(spark, baseRoot)
+    // the patched manifest: base files outside the touched set, plus the
+    // rewritten (possibly fewer) block dirs under the patch root
+    val post = {
+      val keptBase = pre.filter(!col("blk").isin(touched: _*))
+      if (new java.io.File(patchRoot).exists &&
+          parquetFileCount(spark, patchRoot) > 0)
+        keptBase.unionByName(parquetFooterExtents(spark, patchRoot))
+      else keptBase
+    }
+    val nErased = Tables.events(spark, dir).filter(erasedPred).count()
+    def score(layout: String, stats: DataFrame, bt: Long, re: Long): DataFrame = {
+      val blocks = stats.groupBy("blk")
+        .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
+          min("min_v").as("min_v"), max("max_v").as("max_v"),
+          sum("n_rows").as("n_rows"))
+      blocks
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("n_rows").as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"), col("n_rows"),
+          lit(bt).as("blocks_touched"), lit(re).as("rows_erased"))
+    }
+    score("zorder_post", post, touched.length.toLong, nErased)
+      .unionByName(score("zorder_pre", pre, 0L, 0L))
+      .orderBy("layout")
+  }
+
+  /** The forget REWRITE kernel on explicit roots — locate touched
+    * blocks by the frozen row-local routing, rewrite only those files
+    * without the erased rows into `tmp/zorder`, return the touched
+    * block ids. Factored from [[zorderForget]] so the suite can drive
+    * it on a constructed layout (all-erased block exit, untouched-file
+    * isolation). An empty erased slice (or one erasing every row of
+    * every touched block) writes nothing — the patch manifest logic
+    * treats a missing/empty patch root as "serve the base". */
+  private[graft] def zorderForgetPatch(spark: SparkSession, baseRoot: String,
+      ev: DataFrame, erasedPred: Column, tmp: String): Array[Long] = {
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0),
+      lit((1 << ZBits) - 1).cast("double")).cast("long")
+    val touched = ev.filter(erasedPred)
+      .select(shiftright(zValue(a, b), ZPrefixShift).as("blk"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (touched.nonEmpty) {
+      val kept = spark.read.option("basePath", baseRoot)
+        .parquet(touched.map(s => s"$baseRoot/blk=$s"): _*)
+        .withColumn("blk", col("blk").cast("long"))
+        .filter(!erasedPred)
+        .select("event_id", "user_id", "value", "blk")
+      kept.repartition(touched.length, col("blk"))
+        .write.mode("overwrite").partitionBy("blk").parquet(s"$tmp/zorder")
+    }
+    touched
+  }
+
   /** The exact SQL mirror of [[zValue]]'s shift/mask terms, generated
     * from the same constants — single source of truth for the oracle. */
   def zValueSqlTerms(a: String, b: String): String =

@@ -652,10 +652,28 @@ object SimSearch {
       pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
   }
 
-  /** Bench hook: force-build every index frame so the cost lands in
-    * the explicit `build:ann_index` row and every consumer query's
-    * number is an honest serving cost. */
-  private[graft] def buildAnnIndex(spark: SparkSession, dir: String): Unit = {
+  /** Bench hook, TRAIN legs only: the quantizer centroids and the PQ
+    * codebook — the artifacts whose cost is CORPUS-FLAT since the r11
+    * sampled-training cap (256 points/centroid, FAISS discipline). The
+    * r11 VERDICT directive #5 split: `build:ann_index`'s single row
+    * mixed these with the corpus-sized encode passes, so the bench
+    * could not show that training had actually gone flat. */
+  private[graft] def buildAnnTrain(spark: SparkSession, dir: String): Unit = {
+    val e = Tables.fanOut(Tables.embeddings(spark, dir))
+    kmCentsCached(spark, dir, e)
+    pqBookCached(spark, dir, e)
+    ()
+  }
+
+  /** Bench hook, ENCODE legs: every corpus-sized index pass — the full
+    * per-vector centroid ranking, the corpus PQ codes, the OPQ chain
+    * (the rotation IS a corpus projection; its codebook's own sampled
+    * train leg rides here because it trains on the rotated frame), the
+    * derived-K SemDeDup assignment, the k-center cell geometry, and the
+    * delta-merge snapshot index. Corpus-LINEAR by nature — encoding N
+    * vectors costs Θ(N) anywhere; the row exists so that linearity is
+    * attributed honestly instead of hiding the flat train cost. */
+  private[graft] def buildAnnEncode(spark: SparkSession, dir: String): Unit = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     kmRankedCached(spark, dir, e)
     pqCodesCached(spark, dir, e)
@@ -669,6 +687,13 @@ object SimSearch {
     mergeSnapCodesCached(spark, dir, e)
     mergeSnapAssignCached(spark, dir, e)
     ()
+  }
+
+  /** Force-build every index frame (train + encode) — the non-bench
+    * callers' one-stop hook. */
+  private[graft] def buildAnnIndex(spark: SparkSession, dir: String): Unit = {
+    buildAnnTrain(spark, dir)
+    buildAnnEncode(spark, dir)
   }
 
 

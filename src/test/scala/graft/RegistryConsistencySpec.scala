@@ -149,10 +149,12 @@ class RegistryConsistencySpec extends AnyFunSuite {
     // same materialized power-iteration skeleton; the edge build adds
     // a weight window + transpose self-join in front
     "q_graph_pagerank_knn" -> "q_graph_pagerank",
+    "q_graph_pagerank_conv" -> "q_graph_pagerank",
     // same signature-build + pruned-serve skeleton over a patched
     // two-root manifest (the ingest twin's shape with the touched base
     // shards shadowed instead of fresh delta ids appended)
     "q_layout_bloom_forget" -> "q_layout_bloom_ingest",
+    "q_zorder_forget" -> "q_zorder_ingest",
     "q_dedup_keep_best" -> "q_dedup_keep_set",
     "q_dedup_keep_clustered" -> "q_dedup_keep_set",
     "q_split_leakage_safe" -> "q_dedup_keep_set",
