@@ -760,14 +760,24 @@ object Scale {
       val t1 = System.nanoTime()
       Graph.pagerankRanks(Graph.knnEdges(liD), "scaleKnn").count()
       val tKnn = (System.nanoTime() - t1) / 1e9
+      // the delta-stopped production arm: rounds-to-converge is the
+      // claim under test — damping contracts the delta geometrically,
+      // so the round count should be ~flat while per-round cost tracks
+      // the (bounded-degree) edge count
+      val t2 = System.nanoTime()
+      val convRounds = Graph.pagerankConvergedRanks(
+        Graph.knnEdges(liD), "scaleConv").select("rounds").head().getInt(0)
+      val tConv = (System.nanoTime() - t2) / 1e9
       s"| ${k}x | $rawNodes | $rawEdges | ${rawEdges / math.max(rawNodes, 1)} | " +
-        s"$rawRows | ${f"$tRaw%.1f"}s | $knnE | ${f"$tKnnBuild%.1f"}s | ${f"$tKnn%.1f"}s |"
+        s"$rawRows | ${f"$tRaw%.1f"}s | $knnE | ${f"$tKnnBuild%.1f"}s | ${f"$tKnn%.1f"}s | " +
+        s"$convRounds | ${f"$tConv%.1f"}s |"
     }
     if (sections("pagerank")) {
       println()
       println("| factor | nodes | raw edges | mean deg | rank rows | " +
-        "raw pagerank time | knn edges | knn build time | knn pagerank time |")
-      println("|---|---|---|---|---|---|---|---|---|")
+        "raw pagerank time | knn edges | knn build time | knn pagerank time | " +
+        "conv rounds | conv time |")
+      println("|---|---|---|---|---|---|---|---|---|---|---|")
       rowsPr.foreach(println)
     }
     val rowsPrV = factors.filter(_ => sections("pagerank")).map { k =>
