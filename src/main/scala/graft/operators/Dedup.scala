@@ -1631,9 +1631,17 @@ object Dedup {
     // as the next round is materialized.
     def materialize(df: DataFrame): (DataFrame, RDD[Row]) =
       materializeOwned(df, checkpointDir.isDefined)
-    val (edges, edgesRdd) = materialize(pairs
+    // the edge frame is the loop's STATIC side and every round joins it
+    // on `dst`: pre-shuffle + pre-sort it by that key ONCE and keep the
+    // layout across the materialization cut (materializeOwnedKeyed —
+    // the plain owned form erases partitioning, so each round
+    // re-exchanged and re-sorted the whole edge frame; the PageRank
+    // loop's r12 fix, applied to CC)
+    val (edges, edgesRdd) = materializeOwnedKeyed(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")).sortWithinPartitions("dst"),
+      checkpointDir.isDefined)
     var (labels, labelsRdd) = materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))
