@@ -625,14 +625,18 @@ object Layout {
     * one index frame — the additive-manifest maintenance discipline. */
   private[graft] def bloomRunOf(spark: SparkSession,
       roots: Seq[String]): DataFrame = {
+    // the corpus appears ONLY in probe generation (the workload spec:
+    // present probes are corpus ids ≡ 0 mod BloomProbeMod) — the serve
+    // itself runs on the persisted signature artifacts
     val frag = bloomFragOf(spark, roots)
     val shardRoot = bloomShardRoots(roots)
+    val (sizes, idx) = bloomSigsOf(spark, roots, shardRoot)
     val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
       .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
     val probes = present.unionByName(
       present.select((col("probe_id") + BloomAbsentShift).as("probe_id"),
         lit(false).as("expected")))
-    bloomReportOf(spark, frag, shardRoot, probes)
+    bloomReportOf(spark, sizes, idx, shardRoot, probes)
   }
 
   /** The layout's data frame across a root manifest — partition-dir
@@ -655,23 +659,84 @@ object Layout {
         .map(f => f.getName.stripPrefix("shard=").toLong -> r)
     }.toMap
 
-  /** The index-build + pruned-serve report over explicit (frag,
-    * shardRoot, probes) — the shared tail of [[bloomRunOf]] (which
-    * derives all three from a root manifest) and [[bloomForget]]
-    * (which patches them). */
-  private def bloomReportOf(spark: SparkSession, frag: DataFrame,
-      shardRoot: Map[Long, String], probes: DataFrame): DataFrame = {
-    // per-file filter size from the file's key count: the |files|-row
-    // sizing manifest every coordinate computation joins (broadcast)
-    val sizes = frag.groupBy("shard").agg(count(lit(1)).as("n_keys"))
-      .withColumn("mbits", expr(
-        s"shiftleft(cast(1 as bigint), " +
-          s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
-      .select("shard", "mbits")
-    val idx = bloomCoords(
-      frag.select(col("shard"), col("doc_id"))
-        .join(broadcast(sizes), Seq("shard")), "doc_id")
-      .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+  /** Per-root PERSISTED Bloom signature artifact — the manifest-scale
+    * index a deployment stores beside the layout instead of re-deriving
+    * it from the corpus at every serve. Written once per root CONTENT
+    * (fingerprint-keyed over the shard dirs' file listing, so a reused
+    * path with different data can never serve stale signatures) as two
+    * parquet frames: `sizes` (shard, n_keys, mbits, max_id — max_id
+    * machine-checks the probe-classification precondition without a
+    * corpus scan) and `words` (shard, word, bits). This is the r11
+    * ADVICE upgrade from claim-scoping to implementation: the serve
+    * path is now probes × the loaded index + the pruned read, with NO
+    * corpus-wide signature rebuild. Per-root independence (each root's
+    * filters derive only from its own files) is exactly what makes
+    * ingest a plain union of artifacts and forget a per-root patch.
+    * Registered with the write-once layout machinery, so `clearMemos`
+    * releases it and each cold bench pass pays the build honestly. */
+  private[graft] def ensureBloomSigs(spark: SparkSession, root: String): String = {
+    val sigPath = {
+      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .sortBy(_.getName)
+      val fp = dirs.map { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+          .sortBy(_.getName)
+          .map(f => s"${d.getName}/${f.getName}:${f.length}:${f.lastModified}")
+          .mkString(",")
+      }.mkString(root + "#", ";", "")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bloomsig_$key").getAbsolutePath
+    }
+    ScaleTechniques.ensureLayout(sigPath) { tmp =>
+      val frag = bloomFragOf(spark, Seq(root))
+      val sizes = frag.groupBy("shard")
+        .agg(count(lit(1)).as("n_keys"), max("doc_id").as("max_id"))
+        .withColumn("mbits", expr(
+          s"shiftleft(cast(1 as bigint), " +
+            s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
+        .select("shard", "n_keys", "mbits", "max_id")
+      sizes.repartition(1).write.mode("overwrite").parquet(s"$tmp/sizes")
+      bloomCoords(
+        frag.select(col("shard"), col("doc_id"))
+          .join(broadcast(sizes.select("shard", "mbits")), Seq("shard")), "doc_id")
+        .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/words")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+  }
+
+  /** Load the (sizes, words) signature frames for a root MANIFEST,
+    * with patch shadowing: each root contributes only the shards the
+    * `shardRoot` map assigns to it, so a rewritten (forget-patch) shard
+    * serves its NEW signature and the base's stale one never loads. */
+  private def bloomSigsOf(spark: SparkSession, roots: Seq[String],
+      shardRoot: Map[Long, String]): (DataFrame, DataFrame) = {
+    val parts = roots.map { r =>
+      val sig = ensureBloomSigs(spark, r)
+      val owned = shardRoot.filter(_._2 == r).keys.toSeq
+      (spark.read.parquet(s"$sig/sizes").filter(col("shard").isin(owned: _*)),
+        spark.read.parquet(s"$sig/words").filter(col("shard").isin(owned: _*)))
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** The pruned-serve report over explicit (sizes, idx, shardRoot,
+    * probes) — the shared tail of [[bloomRunOf]] (which loads all of
+    * them from a root manifest's persisted artifacts) and
+    * [[bloomForget]] (which patches them). `sizes0` is the persisted
+    * (shard, n_keys, mbits, max_id) frame; only (shard, mbits) is used
+    * here. */
+  private def bloomReportOf(spark: SparkSession, sizes0: DataFrame,
+      idx: DataFrame, shardRoot: Map[Long, String],
+      probes: DataFrame): DataFrame = {
+    // per-file filter size from the persisted manifest: the |files|-row
+    // sizing frame every coordinate computation joins (broadcast)
+    val sizes = sizes0.select("shard", "mbits")
     // a probe's coordinates are PER CANDIDATE FILE (each file's filter
     // has its own width): probes × the sizing manifest, still
     // manifest-bounded rows
@@ -800,16 +865,15 @@ object Layout {
     * the pruned-read serving shape reused as the maintenance locator),
     * ONLY those files are rewritten without the erased rows, and each
     * rewritten file recomputes its OWN signature from its own new key
-    * count. The REWRITE step never reads an untouched file: maintenance
-    * cost is O(candidate files of the erasure list), not O(corpus).
-    * (The claim is scoped to the rewrite: the serving REPORT below goes
-    * through [[bloomReportOf]], which re-derives the full signature
-    * index from the patched corpus so the oracle can check every word —
-    * the measurement harness's choice, not the maintenance path's. A
-    * deployment persists per-file signatures beside the manifest — the
-    * per-file independence that makes the union/patch algebra work is
-    * exactly what makes them persistable — and serving then touches
-    * only the probes' candidate files.)
+    * count. Neither the rewrite NOR the serve reads an untouched file:
+    * the locate step probes the PERSISTED signature artifact
+    * ([[ensureBloomSigs]] — loaded, not rebuilt), the rewrite reads
+    * only candidate files, and the serve loads base signatures for
+    * untouched shards plus the patch root's own recomputed ones
+    * (shadowed by the ownership map). Maintenance is O(candidate files
+    * of the erasure list) end to end; the only corpus-shaped read left
+    * is probe GENERATION (present probes are defined as corpus ids ≡ 0
+    * mod the probe modulus — the workload spec, not the index).
     *
     * The rewritten-file signatures are BY CONSTRUCTION the signatures
     * a full rebuild on the kept corpus would produce (same keys, same
@@ -829,26 +893,22 @@ object Layout {
       .select("doc_id")
     val forgetRoot = ScaleTechniques.ensureLayout(
       ScaleTechniques.layoutPath(dir, "documents.parquet", "bloomforget")) { tmp =>
-      val base = bloomFragOf(spark, Seq(baseRoot))
-      // locate: the erased ids' Bloom candidates = the touched-file
-      // superset (no false negatives, so no erased row can hide in an
-      // unrewritten file)
-      val sizes = base.groupBy("shard").agg(count(lit(1)).as("n_keys"))
-        .withColumn("mbits", expr(
-          s"shiftleft(cast(1 as bigint), " +
-            s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
-        .select("shard", "mbits")
-      val idx = bloomCoords(
-        base.select(col("shard"), col("doc_id"))
-          .join(broadcast(sizes), Seq("shard")), "doc_id")
-        .groupBy("shard", "word").agg(expr("bit_or(bit)").as("bits"))
+      // locate THROUGH THE PERSISTED INDEX: the erased ids' Bloom
+      // candidates = the touched-file superset (no false negatives, so
+      // no erased row can hide in an unrewritten file). Since r12 the
+      // signatures LOAD from the per-root artifact instead of being
+      // rebuilt from the corpus — the locate step is erased-ids × the
+      // manifest-scale index, no base scan at all.
+      val baseShards = bloomShardRoots(Seq(baseRoot))
+      val (sizes0, idx) = bloomSigsOf(spark, Seq(baseRoot), baseShards)
+      val sizes = sizes0.select("shard", "mbits")
       // probe_kind classification (below, mirrored in the oracle) labels
       // any probe_id ≥ BloomAbsentShift "absent" BEFORE the erasure rule
       // — machine-check that precondition here instead of letting a
       // corpus whose ids cross the shift silently mislabel its erased
       // probes (both engines would agree, so the hash match would hide
-      // it). The max rides the builder's existing sizes scan input.
-      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      // it). The max reads from the persisted manifest, not a scan.
+      val maxId = sizes0.agg(max(col("max_id"))).head().getLong(0)
       require(maxId < BloomAbsentShift,
         s"bloomForget probe classification needs max(doc_id)=$maxId < " +
           s"BloomAbsentShift=$BloomAbsentShift — raise the shift")
@@ -915,7 +975,14 @@ object Layout {
         lit(false).as("expected")))
       .unionByName(erased.select(col("doc_id").as("probe_id"),
         lit(false).as("expected")))
-    bloomReportOf(spark, frag, shardRoot, probes)
+    // serve from the PATCHED artifact manifest: base signatures for
+    // untouched shards, the patch root's own (recomputed) signatures
+    // for rewritten ones — shadowing via the shardRoot ownership map
+    val sigRoots = Seq(baseRoot) ++
+      (if (bloomShardRoots(Seq(patchRoot)).isEmpty) Seq.empty
+       else Seq(patchRoot))
+    val (psizes, pidx) = bloomSigsOf(spark, sigRoots, shardRoot)
+    bloomReportOf(spark, psizes, pidx, shardRoot, probes)
       .withColumn("probe_kind",
         when(col("probe_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem
             && col("probe_id") < BloomAbsentShift, "erased")
