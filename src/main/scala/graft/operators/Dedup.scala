@@ -721,10 +721,23 @@ object Dedup {
     * mode (see [[withCheckpointDir]]). */
   private[graft] def materializeOwned(df: DataFrame, reliable: Boolean)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (out, rdd) = materializeOwnedLazy(df, reliable)
+    rdd.count()
+    (out, rdd)
+  }
+
+  /** [[materializeOwned]] WITHOUT the materializing count: the
+    * checkpoint is marked but the caller's own FIRST ACTION on the
+    * returned frame is what computes and pins it. For loops whose next
+    * step is an aggregate over the new round anyway (the delta-stopped
+    * PageRank's convergence test), this folds materialization and the
+    * test into ONE job per round instead of two. The caller must run
+    * an action covering every partition before relying on the blocks. */
+  private[graft] def materializeOwnedLazy(df: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd
     if (reliable) { rdd.persist(); rdd.checkpoint() }
     else rdd.localCheckpoint()
-    rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 

@@ -234,7 +234,12 @@ object Graph {
           .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
           .groupBy(col("dst")).agg(sum(expr("r div deg")).as("inflow"))
         val nextR = lit(floorTerm) + expr("(17 * coalesce(inflow, 0L)) div 20")
-        val (next, nextRdd) = Dedup.materializeOwned(
+        // LAZY owned materialization: the delta aggregate below is the
+        // round's materializing action, so each round costs ONE job
+        // (join + gather + checkpoint + convergence test together)
+        // instead of a count job plus an aggregate job — 26 rounds at
+        // the tested tolerance make the per-round overhead the wall
+        val (next, nextRdd) = Dedup.materializeOwnedLazy(
           cur.select(col("node"), col("deg"), col("r").as("r_prev"))
             .join(inflow, col("node") === col("dst"), "left")
             .select(col("node"), col("deg"), nextR.as("r"),
