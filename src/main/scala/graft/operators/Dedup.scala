@@ -1676,12 +1676,18 @@ object Dedup {
       // k-long chain into k/2, giving O(log) total rounds); the previous
       // label rides along so convergence is a filter-count over the
       // materialized frame — one extra action, no join against old labels
-      val (next, nextRdd) = materialize(
+      // LAZY owned materialization: the convergence count below is the
+      // materializing action, so the pointer-jump round costs one job
+      // instead of a count job plus the convergence count (propagated
+      // stays EAGER — the self-join reads it on two legs, and a lazy
+      // first compute would race its own cache)
+      val (next, nextRdd) = materializeOwnedLazy(
         propagated.alias("u")
           .join(propagated.select(col("id").as("component"), col("component").as("jump"))
             .alias("p"), Seq("component"), "left")
           .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
-            col("old")))
+            col("old")),
+        checkpointDir.isDefined)
       changed = next.filter(col("component") =!= col("old")).count()
       retire(spark, labelsRdd)
       retire(spark, propagatedRdd)
