@@ -559,7 +559,13 @@ object Layout {
     * [[BloomAbsentShift]] — ids guaranteed OUT of corpus, the half of
     * the workload Bloom pruning exists for. */
   val BloomProbeMod = 37L
-  val BloomAbsentShift = 1000000000L
+  /** 10¹⁵ — far above any corpus id at every tested SF. The r12 machine
+    * check (`bloomForget`'s `max_id` require) caught the old 10⁹ value
+    * COLLIDING with real ids on the sf1 replicated corpus (ids reach
+    * 9·10¹², so absent/erased probe bands overlapped the id space and
+    * both engines mislabeled in agreement — the hash match hid it,
+    * exactly as the r11 ADVICE predicted). */
+  val BloomAbsentShift = 1000000000000000L
 
   /** The j-th Bloom bit position of an id — the house md5 content-hash
     * uniform, reduced mod the file's own filter size. Literal-identical
@@ -798,7 +804,9 @@ object Layout {
     * plain union. */
   val BloomIngestMod = 41L
   val BloomIngestRem = 3L
-  val BloomIngestShift = 2000000000L
+  // 2·10¹⁵ — keeps the four probe bands (base < absent_base < delta <
+  // absent_delta) disjoint above the same id ceiling
+  val BloomIngestShift = 2000000000000000L
   val BloomDeltaFiles = 8
 
   /** The arriving batch: deterministic slice, fresh ids. */
