@@ -93,6 +93,10 @@ object Probe {
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.GraftSparkBridge.drainListenerBus(spark.sparkContext)
         val mb = (b: Long) => b / 1e6
+        // stdout JSON must parse under ANY default locale: f"" uses the
+        // JVM locale, and a comma-decimal locale would emit {"wall_s":12,34}
+        def num(v: Double, digits: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
         listener.lock.synchronized {
           System.err.println(
             f"| $p | $wall%.1f | ${listener.stages} | ${listener.tasks} | " +
@@ -101,15 +105,15 @@ object Probe {
               f"${mb(listener.shufWriteB)}%.0f | ${mb(listener.shufReadB)}%.0f | " +
               f"${mb(listener.inputB)}%.0f |")
           println(
-            s"""{"query":"$name","pass":$p,"wall_s":${f"$wall%.2f"},""" +
+            s"""{"query":"$name","pass":$p,"wall_s":${num(wall, 2)},""" +
               s""""stages":${listener.stages},"tasks":${listener.tasks},""" +
-              s""""exec_s":${f"${listener.executorRunMs / 1e3}%.1f"},""" +
-              s""""gc_s":${f"${listener.gcMs / 1e3}%.1f"},""" +
-              s""""mem_spill_mb":${f"${mb(listener.memSpill)}%.0f"},""" +
-              s""""disk_spill_mb":${f"${mb(listener.diskSpill)}%.0f"},""" +
-              s""""shuf_write_mb":${f"${mb(listener.shufWriteB)}%.0f"},""" +
-              s""""shuf_read_mb":${f"${mb(listener.shufReadB)}%.0f"},""" +
-              s""""input_mb":${f"${mb(listener.inputB)}%.0f"}}""")
+              s""""exec_s":${num(listener.executorRunMs / 1e3, 1)},""" +
+              s""""gc_s":${num(listener.gcMs / 1e3, 1)},""" +
+              s""""mem_spill_mb":${num(mb(listener.memSpill), 0)},""" +
+              s""""disk_spill_mb":${num(mb(listener.diskSpill), 0)},""" +
+              s""""shuf_write_mb":${num(mb(listener.shufWriteB), 0)},""" +
+              s""""shuf_read_mb":${num(mb(listener.shufReadB), 0)},""" +
+              s""""input_mb":${num(mb(listener.inputB), 0)}}""")
         }
       }
     }

@@ -637,6 +637,15 @@ object Layout {
     val frag = bloomFragOf(spark, roots)
     val shardRoot = bloomShardRoots(roots)
     val (sizes, idx) = bloomSigsOf(spark, roots, shardRoot)
+    // probe classification precondition, machine-checked BEFORE the
+    // absent band is built (the r12 bloomForget check, hoisted per the
+    // r12 ADVICE): `expected=false` labels id+shift probes, which is
+    // only sound if NO corpus id lives at id+shift. The per-shard
+    // [min_id, max_id] intervals come from the persisted manifest (no
+    // corpus scan); shifting each by BloomAbsentShift must land clear of
+    // every corpus interval — this also holds for the ingest manifest,
+    // whose delta band sits at 2·shift by construction.
+    checkAbsentBandDisjoint(sizes)
     val present = frag.filter(col("doc_id") % BloomProbeMod === 0)
       .select(col("doc_id").as("probe_id"), lit(true).as("expected"))
     val probes = present.unionByName(
@@ -670,16 +679,27 @@ object Layout {
     * it from the corpus at every serve. Written once per root CONTENT
     * (fingerprint-keyed over the shard dirs' file listing, so a reused
     * path with different data can never serve stale signatures) as two
-    * parquet frames: `sizes` (shard, n_keys, mbits, max_id — max_id
-    * machine-checks the probe-classification precondition without a
-    * corpus scan) and `words` (shard, word, bits). This is the r11
+    * parquet frames: `sizes` (shard, n_keys, mbits, max_id, min_id —
+    * the id extents machine-check the probe-classification
+    * precondition without a corpus scan) and `words` (shard, word,
+    * bits). This is the r11
     * ADVICE upgrade from claim-scoping to implementation: the serve
     * path is now probes × the loaded index + the pruned read, with NO
     * corpus-wide signature rebuild. Per-root independence (each root's
     * filters derive only from its own files) is exactly what makes
     * ingest a plain union of artifacts and forget a per-root patch.
     * Registered with the write-once layout machinery, so `clearMemos`
-    * releases it and each cold bench pass pays the build honestly. */
+    * releases it and each cold bench pass pays the build honestly.
+    *
+    * Fingerprint granularity: the key hashes each data file's (name,
+    * length, mtime-ms) — the same contract as
+    * [[ScaleTechniques.layoutPath]]. A same-length rewrite of a shard
+    * file landing in the SAME millisecond would collide; no writer in
+    * this repo can produce that (every layout publish goes through
+    * fresh staged directories), but an external overwrite-in-place
+    * would need a content hash here. Artifacts for superseded
+    * fingerprints are swept only when registered in this JVM
+    * (`clearMemos`); across JVMs they age out with the temp dir. */
   private[graft] def ensureBloomSigs(spark: SparkSession, root: String): String = {
     val sigPath = {
       val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -693,17 +713,22 @@ object Layout {
       }.mkString(root + "#", ";", "")
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      // v2: sizes carries min_id beside max_id (the absent-band
+      // disjointness check in bloomRunOf needs both ends); the tag bump
+      // makes pre-existing v1 artifacts unreachable rather than
+      // schema-mismatched
       new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_bloomsig_$key").getAbsolutePath
+        s"graft_bloomsig2_$key").getAbsolutePath
     }
     ScaleTechniques.ensureLayout(sigPath) { tmp =>
       val frag = bloomFragOf(spark, Seq(root))
       val sizes = frag.groupBy("shard")
-        .agg(count(lit(1)).as("n_keys"), max("doc_id").as("max_id"))
+        .agg(count(lit(1)).as("n_keys"), max("doc_id").as("max_id"),
+          min("doc_id").as("min_id"))
         .withColumn("mbits", expr(
           s"shiftleft(cast(1 as bigint), " +
             s"cast(length(bin($BloomBitsPerKey * n_keys - 1)) as int))"))
-        .select("shard", "n_keys", "mbits", "max_id")
+        .select("shard", "n_keys", "mbits", "max_id", "min_id")
       sizes.repartition(1).write.mode("overwrite").parquet(s"$tmp/sizes")
       bloomCoords(
         frag.select(col("shard"), col("doc_id"))
@@ -712,6 +737,21 @@ object Layout {
         .repartition(1).write.mode("overwrite").parquet(s"$tmp/words")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
       ()
+    }
+  }
+
+  /** Interval form of the absent-probe precondition: every persisted
+    * per-shard [min_id, max_id], shifted by [[BloomAbsentShift]], must
+    * be disjoint from every corpus interval. |shards|² driver-side
+    * pairs over a manifest-sized frame — cheap at any corpus scale. */
+  private def checkAbsentBandDisjoint(sizes: DataFrame): Unit = {
+    val iv = sizes.select("min_id", "max_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for ((lo, hi) <- iv; (clo, chi) <- iv) {
+      require(lo + BloomAbsentShift > chi || hi + BloomAbsentShift < clo,
+        s"bloom absent-probe band [${lo + BloomAbsentShift}, " +
+          s"${hi + BloomAbsentShift}] overlaps corpus ids [$clo, $chi] — " +
+          "raise BloomAbsentShift above the id space")
     }
   }
 

@@ -573,8 +573,11 @@ object SimSearch {
     // materializing it anyway would be a full global md5 sort plus an
     // N-row broadcast of every vec_id — pure overhead at tested SFs and
     // a driver-memory/broadcast-limit failure at the 100 TB posture.
-    // Results are identical either way (sample ≡ population), which is
-    // why no oracle changes when a caller flips the flag.
+    // The equivalence is SET-level (sample ≡ population as id sets);
+    // dropping the sample join changes the physical plan, and recenter's
+    // double avg() is order-sensitive, so bit-identity of the centroids
+    // is not guaranteed by the argument alone — cross-engine agreement
+    // at the flag flip is re-verified by the oracle at every tested SF.
     kmeansTrainedCentsOn(e,
       if (capped) Some(trainIds(e.select("vec_id"), KmTrainPerCent * k))
       else None, k, iters)

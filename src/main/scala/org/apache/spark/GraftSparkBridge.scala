@@ -7,5 +7,17 @@ package org.apache.spark
   * metrics listener without a drain races the last stages of the pass
   * it is trying to attribute. */
 object GraftSparkBridge {
-  def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  /** The no-arg overload throws after a hardwired 10 s — short enough
+    * that a bus lagging behind a heavy sf1 pass would crash the probe
+    * mid-attribution. Wait generously, and degrade to a WARNING rather
+    * than abort: a partially-drained pass mislabels a few stages, an
+    * aborted probe loses every pass after it. */
+  def drainListenerBus(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty(120000L)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          "[graft] listener bus not empty after 120s — this pass's stage " +
+            "metrics may be incomplete")
+    }
 }
