@@ -239,6 +239,7 @@ object SparkEntry {
     "q_hilbert_pruning_files" -> (Layout.hilbertPruningFiles _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
     "q_zorder_forget"    -> (Layout.zorderForget _),
+    "q_hilbert_forget"   -> (Layout.hilbertForget _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
     "q_text_redact"      -> (TextAnalysis.piiRedactionStats _),
@@ -5537,6 +5538,47 @@ object SparkEntry {
          |  CASE WHEN layout = 'zorder_post' THEN (SELECT bt FROM t)
          |       ELSE 0 END AS blocks_touched,
          |  CASE WHEN layout = 'zorder_post' THEN (SELECT re FROM t)
+         |       ELSE 0 END AS rows_erased
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // Hilbert layout forget: the same rebuild-on-kept oracle as
+    // q_zorder_forget with the frozen routing swapped — block id comes
+    // from the shared-text Hilbert CTE chain's distance prefix
+    "q_hilbert_forget" ->
+      s"""WITH d0 AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |src AS (
+         |  SELECT event_id, user_id, value,
+         |    a AS cx, b AS cy, 0::BIGINT AS hd
+         |  FROM d0),
+         |${Layout.hilbertCteSql("src", Seq("event_id", "user_id", "value"))},
+         |z AS (SELECT event_id, user_id, value,
+         |        hd >> ${Layout.ZPrefixShift} AS blk
+         |      FROM ${Layout.HilbertLastCte}),
+         |states AS (
+         |  SELECT 'hilbert_pre' AS layout, blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'hilbert_post', blk, user_id, value FROM z
+         |  WHERE NOT (event_id % ${CorpusMerge.ForgetMod} = ${CorpusMerge.ForgetRem})),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM states GROUP BY 1, 2),
+         |t AS (SELECT count(DISTINCT blk)::BIGINT AS bt, count(*)::BIGINT AS re
+         |      FROM z WHERE event_id % ${CorpusMerge.ForgetMod} = ${CorpusMerge.ForgetRem})
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(n_rows)::BIGINT AS n_rows,
+         |  CASE WHEN layout = 'hilbert_post' THEN (SELECT bt FROM t)
+         |       ELSE 0 END AS blocks_touched,
+         |  CASE WHEN layout = 'hilbert_post' THEN (SELECT re FROM t)
          |       ELSE 0 END AS rows_erased
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
