@@ -94,6 +94,10 @@ object Plans {
           graft.operators.SimSearch.coresetPlanOf(spark, sfDir)
         else if (n == "q_sketch_bottomk_union")
           graft.operators.TextAnalysis.bottomKUnionPlanOf(spark, sfDir)
+        // retained-result: audit the live two-pass MG dataflow over the
+        // once-materialized organic bigram stream
+        else if (n == "q_sketch_heavy_hitters")
+          graft.operators.TextAnalysis.heavyHittersPlanOf(spark, sfDir)
         else if (n == "q_dedup_lsh_sweep")
           graft.operators.Dedup.lshBandSweepPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round

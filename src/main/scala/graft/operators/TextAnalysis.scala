@@ -3378,15 +3378,51 @@ object TextAnalysis {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersOf(Tables.fanOut(Tables.documents(spark, dir)))
 
-  /** [[heavyHitters]] over an explicit `(doc_id, text)` frame. */
+  /** [[heavyHitters]] over an explicit `(doc_id, text)` frame.
+    *
+    * ONE tokenize+explode pass (r12 VERDICT #2's fix): the organic
+    * bigram stream is materialized once through the owned-frame
+    * machinery and read three times — by the plant census (its COUNT is
+    * exactly the old `Σ max(size(toks)−1, 0)` sizing scan), the MG
+    * sketch pass, and the exact recount. r12 re-ran the tokenize+explode
+    * subtree for each; the algorithm's two stream passes are inherent,
+    * the repeated tokenization was not. The 1-row pass-1 aggregate is
+    * also materialized so its two consumers (candidate explode, total
+    * for the φ-filter) cannot re-run the sketch pass. The bounded
+    * report is retained one-slot and the corpus-sized stream blocks are
+    * retired before returning ([[bottomKUnionOf]]'s discipline). */
   def heavyHittersOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    val (organic, organicRdd) = Dedup.materializeOwned(
+      hhOrganicOf(docs), reliable = false)
+    val stream = hhStreamOf(organic)
+    val mgUdf = udaf(new graft.functions.MisraGriesAggregator(HhCapacity))
+    val (pass1, pass1Rdd) = Dedup.materializeOwned(
+      stream.agg(mgUdf(col("item")).as("cands"),
+        count(lit(1)).as("n_total")),
+      reliable = false)
+    val candidates = pass1.select(explode(col("cands")).as("item"))
+    val report = counts(stream, candidates)
+      .crossJoin(broadcast(pass1.select("n_total")))
+      .filter(col("cnt") * HhK > col("n_total"))
+      .orderBy(desc("cnt"), asc("item"))
+      .select("item", "cnt", "n_total")
+    val (res, resRdd) = Dedup.materializeOwned(report, reliable = false)
+    Dedup.retire(spark, organicRdd)
+    Dedup.retire(spark, pass1Rdd)
+    Dedup.retainResult(spark, "heavyHitters", resRdd, res)
+  }
+
+  /** The exploded organic bigram stream. */
+  private def hhOrganicOf(docs: DataFrame): DataFrame =
+    docs.select(explode(wordNgrams(toks(col("text")), 2)).as("item"))
+
+  /** organic ∪ planted: the census COUNT over the (materialized)
+    * organic frame sizes the plant — no separate tokenize scan. */
+  private def hhStreamOf(organic: DataFrame): DataFrame = {
+    val spark = organic.sparkSession
     import spark.implicits._
-    def organic = docs.select(
-      explode(wordNgrams(toks(col("text")), 2)).as("item"))
-    // plant sizing: bigram count without the explode shuffle
-    val nOrg = docs.agg(
-      sum(greatest(size(toks(col("text"))) - 1, lit(0))).as("n_org"))
+    val nOrg = organic.agg(count(lit(1)).as("n_org"))
     // sequence(1, k) is DESCENDING for k < 1 (the wordNgrams gotcha):
     // guard the empty-corpus case so a zero plant stays zero rows
     val plantN = ceil(col("rate") * col("n_org")).cast("long")
@@ -3396,12 +3432,24 @@ object TextAnalysis {
         explode(when(plantN >= 1L, sequence(lit(1L), plantN))
           .otherwise(array().cast("array<bigint>"))).as("i"))
       .select("item")
-    def stream = organic.unionByName(planted)
+    organic.unionByName(planted)
+  }
+
+  /** The live two-pass dataflow over a freshly-materialized organic
+    * frame, WITHOUT the pass-1/result materialization — the PLANS.md
+    * audit hook (the [[bottomKUnionPlanOf]] pattern): one plan showing
+    * MG partials, the single-partition sketch merge, and the broadcast
+    * candidate recount. */
+  private[graft] def heavyHittersPlanOf(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (organic, _) = Dedup.materializeOwned(
+      hhOrganicOf(Tables.fanOut(Tables.documents(spark, dir))),
+      reliable = false)
+    val stream = hhStreamOf(organic)
     val mgUdf = udaf(new graft.functions.MisraGriesAggregator(HhCapacity))
     val pass1 = stream.agg(mgUdf(col("item")).as("cands"),
       count(lit(1)).as("n_total"))
-    val candidates = pass1.select(explode(col("cands")).as("item"))
-    counts(stream, candidates)
+    counts(stream, pass1.select(explode(col("cands")).as("item")))
       .crossJoin(broadcast(pass1.select("n_total")))
       .filter(col("cnt") * HhK > col("n_total"))
       .orderBy(desc("cnt"), asc("item"))

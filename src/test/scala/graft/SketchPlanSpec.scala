@@ -31,6 +31,7 @@ class SketchPlanSpec extends AnyFunSuite {
       TextAnalysis.bm25Retrieve(spark, dir),
       TextAnalysis.rrfFuse(spark, dir),
       TextAnalysis.bottomKUnion(spark, dir),
+      TextAnalysis.heavyHitters(spark, dir),
       Dedup.lshBandSweep(spark, dir)
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
@@ -54,7 +55,9 @@ class SketchPlanSpec extends AnyFunSuite {
 
   test("heavy hitters: partial/final MG through one single-partition " +
       "exchange; candidates broadcast onto the recount") {
-    val df = TextAnalysis.heavyHitters(spark, dir)
+    // the registered query returns the retained materialized result;
+    // the live two-pass dataflow is audited via its PlanOf hook
+    val df = TextAnalysis.heavyHittersPlanOf(spark, dir)
     val plan = executedString(df)
     assert(plan.contains("partial_misragriesaggregator"),
       "map-side MG partials missing")
