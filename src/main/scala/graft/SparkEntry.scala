@@ -167,6 +167,7 @@ object SparkEntry {
     "q_ann_mrl_recall"  -> (SimSearch.mrlRecall _),
     "q_dedup_semantic"  -> (SimSearch.semanticDedup _),
     "q_ann_kmeans"      -> (SimSearch.kmeansTrain _),
+    "q_ann_kmeans_conv" -> (SimSearch.kmeansConvTop _),
     "q_ann_kmeans_routed" -> (SimSearch.kmeansRoutedTopK _),
     "q_ann_quantize_int8" -> (SimSearch.quantizeInt8Report _),
     "q_ann_pca"         -> (SimSearch.pcaPower _),
@@ -3241,6 +3242,67 @@ object SparkEntry {
          |SELECT cent_id, count(*)::BIGINT AS n_vectors,
          |       round(avg(sqrt(d2)), 4) AS mean_dist
          |FROM a3 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+
+    // delta-stopped Lloyd: the identical BIGINT fixed-point recursion —
+    // assign by exact integer squared-L2, recenter by floor division,
+    // stop when the L1 centroid delta drops under the tolerance — so
+    // the stop round itself is part of the hash match (the
+    // q_graph_pagerank_conv discipline). Support CTEs MATERIALIZED:
+    // plain CTEs re-inline per recursion step.
+    "q_ann_kmeans_conv" -> {
+      val (off, sc) = (SimSearch.KmFpOff, SimSearch.KmFpScale)
+      val (tol, cap) = (SimSearch.KmConvTol, SimSearch.KmConvMaxRounds)
+      s"""WITH RECURSIVE ts AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings
+         |  ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR || '#kmtrain'), 1, 8) AS BIGINT),
+         |           vec_id
+         |  LIMIT ${SimSearch.KmTrainPerCent * SimSearch.KmK}),
+         |fv AS MATERIALIZED (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d,
+         |         unnest(list_transform(embedding,
+         |           x -> CAST(floor((x::DOUBLE + $off) * $sc.0) AS BIGINT))) AS vs
+         |  FROM embeddings),
+         |tv AS MATERIALIZED (SELECT fv.* FROM fv JOIN ts USING (vec_id)),
+         |seed AS MATERIALIZED (
+         |  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cent_id
+         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT ${SimSearch.KmK})),
+         |km(iter, cent_id, d, c, dl) AS (
+         |  SELECT 0, cent_id, d, vs, $tol::BIGINT FROM fv JOIN seed USING (vec_id)
+         |  UNION ALL
+         |  SELECT cur.iter + 1, nc.cent_id, nc.d, nc.c, abs(nc.c - cur.c)
+         |  FROM km cur
+         |  JOIN (SELECT a.cent_id, t.d, sum(t.vs) // count(*) AS c
+         |        FROM (SELECT vec_id, cent_id FROM (
+         |                SELECT vec_id, cent_id,
+         |                  row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d2, cent_id) AS rnk
+         |                FROM (SELECT t2.vec_id, k2.cent_id,
+         |                        sum((t2.vs - k2.c) * (t2.vs - k2.c)) AS d2
+         |                      FROM tv t2 JOIN km k2 USING (d)
+         |                      GROUP BY t2.vec_id, k2.cent_id))
+         |              WHERE rnk = 1) a
+         |        JOIN tv t USING (vec_id)
+         |        GROUP BY a.cent_id, t.d) nc
+         |    ON nc.cent_id = cur.cent_id AND nc.d = cur.d
+         |  WHERE (SELECT sum(dl) FROM km) >= $tol AND cur.iter < $cap
+         |),
+         |fin AS (SELECT cent_id, d, c FROM km
+         |        WHERE iter = (SELECT max(iter) FROM km)),
+         |fa AS (SELECT vec_id, cent_id FROM (
+         |         SELECT vec_id, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY d2, cent_id) AS rnk
+         |         FROM (SELECT t.vec_id, k.cent_id,
+         |                 sum((t.vs - k.c) * (t.vs - k.c)) AS d2
+         |               FROM tv t JOIN fin k USING (d)
+         |               GROUP BY t.vec_id, k.cent_id))
+         |       WHERE rnk = 1),
+         |cs AS (SELECT cent_id, sum(c)::BIGINT AS c_sum FROM fin GROUP BY cent_id)
+         |SELECT fa.cent_id, count(*)::BIGINT AS n_members, cs.c_sum,
+         |       (SELECT max(iter) FROM km)::BIGINT AS rounds
+         |FROM fa JOIN cs USING (cent_id)
+         |GROUP BY fa.cent_id, cs.c_sum ORDER BY fa.cent_id""".stripMargin
+    },
 
     "q_ann_kmeans_routed" ->
       s"""WITH $DuckKmeansCtes,

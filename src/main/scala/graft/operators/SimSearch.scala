@@ -620,6 +620,131 @@ object SimSearch {
       capped: Boolean = true): DataFrame =
     kmeansAssign(kmeansLongForm(e), kmeansTrainedCents(e, k, iters, capped))
 
+  /** Fixed-point geometry for the DELTA-STOPPED Lloyd
+    * ([[kmeansConvTop]]): coordinates map to BIGINT units of 10⁻⁶ after
+    * a +[[KmFpOff]] shift that clears every embedding coordinate
+    * positive (|v| < 2 at every SF; machine-checked per run), so sums
+    * stay positive and Spark's truncating `div` ≡ DuckDB's `//` on the
+    * recenter division. INTEGER state is what makes the data-dependent
+    * stop registrable — the same discipline as
+    * [[graft.operators.Graph.PrPrec]]: float centroids could stop the
+    * two engines one round apart; BIGINT distances, assignments,
+    * recenters and deltas are bit-identical, so the stop round itself
+    * rides the hash match. */
+  val KmFpOff = 2.0
+  val KmFpScale = 1000000L
+
+  /** L1 stop: Σ|c_next − c_cur| < [[KmConvTol]] fixed-point units over
+    * the K×dims state — i.e. average per-coordinate movement under
+    * 10⁻⁶. Reachable by construction: Lloyd with deterministic
+    * tie-breaks reaches an exact integer fixed point (assignments
+    * stabilize ⇒ identical members ⇒ identical floor-division
+    * centroids ⇒ delta 0); the tolerance only shortcuts the tail. */
+  val KmConvTol = 512L
+
+  /** Oscillation cap, mirrored in the oracle's recursion gate so a
+    * pathological integer 2-cycle stops BOTH engines at the same
+    * round instead of hanging one. */
+  val KmConvMaxRounds = 60
+
+  /** DELTA-STOPPED Lloyd — the converged production form
+    * `q_ann_kmeans`'s doc promises (2 unrolled iterations are the
+    * cross-engine-oracle-friendly audit arm; a real quantizer trains to
+    * convergence), registered as `q_ann_kmeans_conv` on the
+    * [[graft.operators.Graph.pagerankConvTop]] precedent: per round,
+    * assign the capped deterministic train sample ([[trainIds]] —
+    * corpus-FLAT by the 256·K cap) to the current centroids by exact
+    * BIGINT squared-L2 with (d2, cent_id) tie-break, recenter by
+    * integer floor division, and stop at the first round whose L1
+    * centroid delta drops under [[KmConvTol]]. The emitted `rounds`
+    * column pins the stop round cross-engine; the oracle replays the
+    * identical integer recursion as a DuckDB recursive CTE gated on the
+    * same delta. Output per surviving cluster: train-set population,
+    * the centroid coordinate sum (pinning every coordinate into the
+    * hash), and the round count.
+    *
+    * Scale: the train cap bounds the per-round join at 256·K vectors
+    * regardless of corpus size — training is corpus-flat, exactly the
+    * property `build:ann_train` measures on the unrolled form — and
+    * driver state is one 8-byte delta per round. */
+  def kmeansConvTop(spark: SparkSession, dir: String): DataFrame =
+    kmeansConvReportOf(Tables.fanOut(Tables.embeddings(spark, dir)), "kmeansConv")
+
+  /** The loop over an explicit embedding frame — suite/scale hook.
+    * Same materialization discipline as the PageRank loops: the train
+    * long-form is the owned static side, each round's K×dims state is
+    * lazily materialized with the delta aggregate as the materializing
+    * action (one job per round), superseded rounds retired, the bounded
+    * report retained one-slot. */
+  private[graft] def kmeansConvReportOf(e: DataFrame,
+      retainKey: String): DataFrame = {
+    val spark = e.sparkSession
+    val ckDir = Dedup.confCheckpointDir(spark)
+    Dedup.withCheckpointDir(spark, ckDir) {
+      val longForm = e.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("d"),
+          floor((col("col").cast("double") + lit(KmFpOff)) *
+            lit(KmFpScale.toDouble)).cast("long").as("vs"))
+      val train = trainIds(e.select("vec_id"), KmTrainPerCent * KmK)
+      val (tvecs, tvecsRdd) = Dedup.materializeOwned(
+        longForm.join(broadcast(train), "vec_id"), ckDir.isDefined)
+      // fixed-point precondition, machine-checked (the BloomAbsentShift
+      // lesson): the offset must clear every coordinate positive
+      val minVs = tvecs.agg(min("vs")).head().getLong(0)
+      require(minVs >= 0L,
+        s"KmFpOff=$KmFpOff does not clear the embedding domain " +
+          s"(min fixed-point coordinate $minVs) — raise the offset")
+      val seeds = e.select("vec_id").orderBy("vec_id").limit(KmK)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
+            .as("cent_id"))
+      val (init, initRdd) = Dedup.materializeOwned(
+        longForm.join(broadcast(seeds), "vec_id")
+          .select(col("cent_id"), col("d"), col("vs").as("c")),
+        ckDir.isDefined)
+      def assignTo(cents: DataFrame) = {
+        val d2 = tvecs.join(broadcast(cents.select("cent_id", "d", "c")), "d")
+          .groupBy("vec_id", "cent_id")
+          .agg(sum((col("vs") - col("c")) * (col("vs") - col("c"))).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
+        d2.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1).select("vec_id", "cent_id")
+      }
+      var cur = init
+      var curRdd = initRdd
+      var rounds = 0
+      var delta = Long.MaxValue
+      while (delta >= KmConvTol && rounds < KmConvMaxRounds) {
+        val nc = tvecs.join(assignTo(cur), "vec_id")
+          .groupBy("cent_id", "d")
+          .agg(expr("sum(vs) div count(1)").as("c"))
+        // inner join on (cent_id, d): an emptied cluster exits the
+        // state, mirroring the oracle's recursion join
+        val (next, nextRdd) = Dedup.materializeOwnedLazy(
+          nc.join(cur.select(col("cent_id"), col("d"), col("c").as("c_prev")),
+              Seq("cent_id", "d"))
+            .select(col("cent_id"), col("d"), col("c"),
+              abs(col("c") - col("c_prev")).as("dl")),
+          ckDir.isDefined)
+        delta = next.agg(sum("dl")).head().getLong(0)
+        Dedup.retire(spark, curRdd)
+        cur = next
+        curRdd = nextRdd
+        rounds += 1
+      }
+      val report = assignTo(cur)
+        .groupBy("cent_id").agg(count(lit(1)).as("n_members"))
+        .join(cur.groupBy("cent_id").agg(sum("c").as("c_sum")), Seq("cent_id"))
+        .select(col("cent_id"), col("n_members"), col("c_sum"),
+          lit(rounds.toLong).as("rounds"))
+        .orderBy("cent_id")
+      val (res, resRdd) = Dedup.materializeOwned(report, ckDir.isDefined)
+      Dedup.retire(spark, tvecsRdd)
+      Dedup.retire(spark, curRdd)
+      Dedup.retainResult(spark, retainKey, resRdd, res)
+    }
+  }
+
   // ---- THE PERSISTED ANN INDEX (memoized per session × corpus dir) ----
   //
   // A production vector deployment trains its quantizers ONCE per corpus

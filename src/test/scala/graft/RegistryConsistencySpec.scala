@@ -166,6 +166,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     "q_ann_topk_agg" -> "q_ann_brute_force",
     "q_ann_recall" -> "q_ann_brute_force",
     "q_ann_ivf_routed" -> "q_ann_ivf_assign",
+    "q_ann_kmeans_conv" -> "q_ann_kmeans",
     "q_ann_opq" -> "q_ann_pq",
     "q_ann_quantize_int8" -> "q_ann_pq",
     "q_train_triplets" -> "q_ann_brute_force",
