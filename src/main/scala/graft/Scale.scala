@@ -99,7 +99,8 @@ object Scale {
       "kcenterprod", "annmerge", "bm25cap", "videomedia",
       "resample", "snapdiff", "bq", "compaction", "cdc", "cdcinc",
       "kcprune", "kcweights", "phashgrain", "coreset", "rm3", "forget",
-      "govern", "bloomfiles", "prefixshared", "pagerank", "auditprobe")
+      "govern", "bloomfiles", "prefixshared", "pagerank", "auditprobe",
+      "annencinc", "forgetsparse")
     val sections = args.collectFirst { case a if a.startsWith("--sections=") =>
       a.stripPrefix("--sections=").split(",").map(_.trim).toSet }
       .getOrElse(knownSections)
@@ -1630,6 +1631,124 @@ object Scale {
         "fp ppm (of probe×file checks) | build+serve time |")
       println("|---|---|---|---|---|---|---|")
       rowsBloomF.foreach(println)
+    }
+
+    // r13 directive #1: the grown-by-batch encode axis. For each corpus
+    // size k: train frozen artifacts on the base (capped — flat), ENCODE
+    // the base into its per-root store (corpus-linear, the contrast
+    // arm), then add a FIXED-size batch as a second root and time the
+    // incremental call — the base root fingerprint-hits and loads, so
+    // the add must cost O(batch) regardless of k.
+    val rowsAnnEnc = factors.filter(_ => sections("annencinc")).map { k =>
+      System.err.println(s"[scale] factor $k (incremental ann encode) ...")
+      import graft.operators.SimSearch
+      val base = replicatedEmbeddings(spark, baseDir, k)
+      val nBase = base.count()
+      val batch = graft.sources.Tables.fanOut(
+        graft.sources.Tables.embeddings(spark, baseDir))
+        .select((col("vec_id") + lit(500L * ReplicaStride)).as("vec_id"),
+          col("embedding"), col("label"))
+      val nBatch = batch.count()
+      val (centsRaw, bookRaw) = SimSearch.encodeScaleArtifacts(base)
+      // pin the frozen artifacts so neither timed call re-trains them
+      val (cents, centsRdd) = Dedup.materializeOwned(centsRaw, reliable = false)
+      val (book, bookRdd) = Dedup.materializeOwned(bookRaw, reliable = false)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_annenc_scale").toString
+      val t0 = System.nanoTime()
+      SimSearch.ensureEncodedRoots(spark,
+        Seq(s"$scratch/base" -> base), cents, book)
+      val tBase = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      SimSearch.ensureEncodedRoots(spark,
+        Seq(s"$scratch/base" -> base, s"$scratch/batch" -> batch),
+        cents, book)
+      val tInc = (System.nanoTime() - t1) / 1e9
+      val encodedBatch = spark.read.parquet(s"$scratch/batch/ranked").count()
+      Dedup.retire(spark, centsRdd)
+      Dedup.retire(spark, bookRdd)
+      s"| ${k}x | $nBase | ${f"$tBase%.1f"}s | $nBatch | $encodedBatch | " +
+        s"${f"$tInc%.1f"}s |"
+    }
+    if (sections("annencinc")) {
+      println()
+      println("| factor | base vectors | base encode time | batch vectors | " +
+        "batch ranked rows | incremental add time |")
+      println("|---|---|---|---|---|---|")
+      rowsAnnEnc.foreach(println)
+    }
+
+    // r13 directive #4: the forget family's SPARSE-erasure payoff. The
+    // registered rules (id ≡ 3 mod 7) touch EVERY block/file, so the
+    // committed bench numbers measure the worst-case full-relayout
+    // regime; this axis erases a CLUSTERED slice (the standard zone box
+    // — z-adjacent, a few blocks) and a ~0.01% id list (a few Bloom
+    // candidate files) beside the dense rule on the same replicated
+    // layouts, reporting blocks/files touched and wall for both arms.
+    val rowsForgetSparse = factors.filter(_ => sections("forgetsparse")).map { k =>
+      System.err.println(s"[scale] factor $k (sparse forget) ...")
+      import graft.operators.Layout
+      val ev = replicatedEvents(spark, baseDir, k)
+        .select("event_id", "user_id", "value")
+      val nEv = ev.count()
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_fsparse").toString
+      val a = pmod(col("user_id"), lit(1L << Layout.ZBits)).cast("long")
+      val b = least(floor(col("value") / 2.0),
+        lit((1 << Layout.ZBits) - 1).cast("double")).cast("long")
+      val baseRoot = s"$scratch/zorder"
+      ev.withColumn("blk",
+          shiftright(Layout.zValue(a, b), Layout.ZPrefixShift))
+        .repartition(Layout.ZoneBlocks, col("blk"))
+        .write.mode("overwrite").partitionBy("blk").parquet(baseRoot)
+      val sparsePred = col("user_id").between(Layout.ZoneBoxULo, Layout.ZoneBoxUHi) &&
+        col("value").between(Layout.ZoneBoxVLo, Layout.ZoneBoxVHi)
+      val densePred = col("event_id") % graft.operators.CorpusMerge.ForgetMod ===
+        graft.operators.CorpusMerge.ForgetRem
+      val nSparse = ev.filter(sparsePred).count()
+      val t0 = System.nanoTime()
+      val touchedS = Layout.zorderForgetPatch(spark, baseRoot, ev, sparsePred,
+        s"$scratch/patch_sparse")
+      val tS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val touchedD = Layout.zorderForgetPatch(spark, baseRoot, ev, densePred,
+        s"$scratch/patch_dense")
+      val tD = (System.nanoTime() - t1) / 1e9
+
+      // Bloom file index: a ~0.01% erasure list against the registered
+      // mod-7 rule over the same fragmented layout. Kernel wall includes
+      // the patched SERVE (probe generation is the workload definition);
+      // the sparse-vs-dense gap is the maintenance component.
+      val docs = replicatedDocs(spark, baseDir, k)
+      val docsRoot = s"$scratch/docs"
+      Layout.writeFragmented(docs, docsRoot)
+      val sparseIds = docs.filter(col("doc_id") % 9973 === 1).select("doc_id")
+      val nSparseIds = sparseIds.count()
+      val t2 = System.nanoTime()
+      Layout.bloomForgetRun(spark, docsRoot, sparseIds,
+        s"$scratch/bloom_sparse").collect()
+      val tBs = (System.nanoTime() - t2) / 1e9
+      val denseIds = docs.filter(col("doc_id") % graft.operators.CorpusMerge.ForgetMod ===
+        graft.operators.CorpusMerge.ForgetRem).select("doc_id")
+      val t3 = System.nanoTime()
+      Layout.bloomForgetRun(spark, docsRoot, denseIds,
+        s"$scratch/bloom_dense").collect()
+      val tBd = (System.nanoTime() - t3) / 1e9
+      def touchedFiles(p: String) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p, "touched.txt")), "UTF-8")
+        .split("\n").count(_.nonEmpty)
+      s"| ${k}x | $nEv | $nSparse | ${touchedS.length}/${Layout.ZoneBlocks} | " +
+        s"${f"$tS%.1f"}s | ${touchedD.length}/${Layout.ZoneBlocks} | ${f"$tD%.1f"}s | " +
+        s"$nSparseIds | ${touchedFiles(s"$scratch/bloom_sparse")} | ${f"$tBs%.1f"}s | " +
+        s"${touchedFiles(s"$scratch/bloom_dense")} | ${f"$tBd%.1f"}s |"
+    }
+    if (sections("forgetsparse")) {
+      println()
+      println("| factor | events | sparse rows | z blocks touched | z sparse wall | " +
+        "z dense blocks | z dense wall | bloom sparse ids | bloom files touched | " +
+        "bloom sparse wall | bloom dense files | bloom dense wall |")
+      println("|---|---|---|---|---|---|---|---|---|---|---|---|")
+      rowsForgetSparse.foreach(println)
     }
 
     // round-7 sketch/retrieval ops. Replicated docs carry per-replica

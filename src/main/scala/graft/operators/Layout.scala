@@ -939,8 +939,28 @@ object Layout {
     val erased = Tables.documents(spark, dir)
       .filter(col("doc_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem)
       .select("doc_id")
-    val forgetRoot = ScaleTechniques.ensureLayout(
-      ScaleTechniques.layoutPath(dir, "documents.parquet", "bloomforget")) { tmp =>
+    bloomForgetRun(spark, baseRoot, erased,
+      ScaleTechniques.layoutPath(dir, "documents.parquet", "bloomforget"))
+      .withColumn("probe_kind",
+        when(col("probe_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem
+            && col("probe_id") < BloomAbsentShift, "erased")
+          .when(col("probe_id") >= BloomAbsentShift, "absent")
+          .otherwise(lit("kept")))
+      .select(col("probe_kind"), col("probe_id"), col("expected"),
+        col("files_total"), col("files_candidate"), col("files_hit"),
+        col("fp_files"), col("rows_found"))
+      .orderBy("probe_id")
+  }
+
+  /** The locate→rewrite→patched-serve kernel over an EXPLICIT base root
+    * and erasure list — factored from [[bloomForget]] so the Scale
+    * harness can measure sparse erasures (a handful of ids → a handful
+    * of candidate files) beside the registered mod-rule erasure that
+    * touches every file. `forgetRootPath` is the write-once patch
+    * artifact location (content-keyed by the caller). */
+  private[graft] def bloomForgetRun(spark: SparkSession, baseRoot: String,
+      erased: DataFrame, forgetRootPath: String): DataFrame = {
+    val forgetRoot = ScaleTechniques.ensureLayout(forgetRootPath) { tmp =>
       // locate THROUGH THE PERSISTED INDEX: the erased ids' Bloom
       // candidates = the touched-file superset (no false negatives, so
       // no erased row can hide in an unrewritten file). Since r12 the
@@ -1031,15 +1051,6 @@ object Layout {
        else Seq(patchRoot))
     val (psizes, pidx) = bloomSigsOf(spark, sigRoots, shardRoot)
     bloomReportOf(spark, psizes, pidx, shardRoot, probes)
-      .withColumn("probe_kind",
-        when(col("probe_id") % CorpusMerge.ForgetMod === CorpusMerge.ForgetRem
-            && col("probe_id") < BloomAbsentShift, "erased")
-          .when(col("probe_id") >= BloomAbsentShift, "absent")
-          .otherwise(lit("kept")))
-      .select(col("probe_kind"), col("probe_id"), col("expected"),
-        col("files_total"), col("files_candidate"), col("files_hit"),
-        col("fp_files"), col("rows_found"))
-      .orderBy("probe_id")
   }
 
   /** Recursive count of real parquet data files under a layout root —

@@ -765,20 +765,77 @@ object SimSearch {
     Dedup.memoizedFrame(spark, s"ann_kmcents#$dir")(
       kmeansTrainedCents(e, KmK, KmIters))
 
-  private def kmRankedCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
-    val cents = kmCentsCached(spark, dir, e)
+  private def kmRankedCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
     Dedup.memoizedFrame(spark, s"ann_kmranked#$dir")(
-      kmeansRankedL2(kmeansLongForm(e), cents))
-  }
+      annEncodeStore(spark, dir, e)._1)
 
   private def pqBookCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
     Dedup.memoizedFrame(spark, s"ann_book#$dir")(pqCodebook(e))
 
-  private def pqCodesCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame = {
-    val book = pqBookCached(spark, dir, e)
+  private def pqCodesCached(spark: SparkSession, dir: String, e: DataFrame): DataFrame =
     Dedup.memoizedFrame(spark, s"ann_codes#$dir")(
-      pqAssign(pqLongForm(e), book).select("vec_id", "sub", "code_id"))
+      annEncodeStore(spark, dir, e)._2)
+
+  /** The PERSISTED encode artifacts of the primary IVF-PQ index for the
+    * registered corpus — the r12 VERDICT #1 upgrade: the full
+    * per-vector centroid ranking and the corpus PQ codes no longer
+    * re-derive from the corpus on every consumer build; they live in a
+    * fingerprint-keyed on-disk store ([[ensureEncodedRoots]], the
+    * `ensureBloomSigs` discipline) written once per corpus CONTENT and
+    * loaded thereafter. The registered corpus is one root; a grown
+    * corpus is a root MANIFEST, and only roots absent from the store
+    * are encoded — the add path is O(batch) against the frozen
+    * artifacts, measured on SCALE's §annencinc grown-by-batch axis. */
+  private def annEncodeStore(spark: SparkSession, dir: String,
+      e: DataFrame): (DataFrame, DataFrame) = {
+    val cents = kmCentsCached(spark, dir, e)
+    val book = pqBookCached(spark, dir, e)
+    ensureEncodedRoots(spark, Seq(
+      ScaleTechniques.layoutPath(dir, "embeddings.parquet", "annenc") -> e),
+      cents, book)
   }
+
+  /** Incremental PER-ROOT encode store against FROZEN (cents, book):
+    * each (path, vectors) root owns a write-once parquet artifact of
+    * its vectors' centroid ranking (`ranked`: vec_id, cent_id, d2, rnk)
+    * and PQ codes (`codes`: vec_id, sub, code_id); a root whose
+    * artifact exists LOADS, a root without one ENCODES — so growing a
+    * corpus by a batch pays encode for the batch root only, never the
+    * base (the `q_ann_index_merge` frozen-artifact add discipline
+    * applied to the build itself). The caller keys each path by content
+    * (the registered root goes through `layoutPath`'s corpus
+    * fingerprint; a changed corpus can never serve stale encodings) and
+    * guarantees the artifacts were trained on the manifest's snapshot.
+    * Build-if-absent runs through the write-once layout machinery
+    * (`_SUCCESS` guard, atomic publish, `clearMemos` sweep — each cold
+    * bench pass still pays its build honestly). */
+  private[graft] def ensureEncodedRoots(spark: SparkSession,
+      roots: Seq[(String, DataFrame)], cents: DataFrame,
+      book: DataFrame): (DataFrame, DataFrame) = {
+    val parts = roots.map { case (path, vecs) =>
+      ScaleTechniques.ensureLayout(path) { tmp =>
+        kmeansRankedL2(kmeansLongForm(vecs), cents)
+          .write.mode("overwrite").parquet(s"$tmp/ranked")
+        pqAssign(pqLongForm(vecs), book)
+          .select("vec_id", "sub", "code_id")
+          .write.mode("overwrite").parquet(s"$tmp/codes")
+        // two subdir writes leave no root _SUCCESS: publish one marker
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"))
+        ()
+      }
+      (spark.read.parquet(s"$path/ranked"),
+        spark.read.parquet(s"$path/codes"))
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Frozen snapshot artifacts for SCALE's grown-by-batch encode axis:
+    * the same (capped-train) quantizer and codebook the registered
+    * store encodes against, over an explicit base frame. */
+  private[graft] def encodeScaleArtifacts(e: DataFrame): (DataFrame, DataFrame) =
+    (kmeansTrainedCents(e, KmK, KmIters), pqCodebook(e))
 
   /** Bench hook, TRAIN legs only: the quantizer centroids and the PQ
     * codebook — the artifacts whose cost is CORPUS-FLAT since the r11
@@ -798,9 +855,12 @@ object SimSearch {
     * (the rotation IS a corpus projection; its codebook's own sampled
     * train leg rides here because it trains on the rotated frame), the
     * derived-K SemDeDup assignment, the k-center cell geometry, and the
-    * delta-merge snapshot index. Corpus-LINEAR by nature — encoding N
-    * vectors costs Θ(N) anywhere; the row exists so that linearity is
-    * attributed honestly instead of hiding the flat train cost. */
+    * delta-merge snapshot index. Encoding N NEW vectors costs Θ(N)
+    * anywhere; since r13 the primary IVF-PQ legs (ranking + codes) go
+    * through the persisted per-root store ([[ensureEncodedRoots]]), so
+    * only rows absent from the fingerprinted artifact are encoded —
+    * a cold pass pays the full encode once, a grown corpus pays its
+    * batch (SCALE §annencinc), and an unchanged corpus loads. */
   private[graft] def buildAnnEncode(spark: SparkSession, dir: String): Unit = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
     kmRankedCached(spark, dir, e)
