@@ -240,6 +240,7 @@ object SparkEntry {
     "q_hilbert_pruning_files" -> (Layout.hilbertPruningFiles _),
     "q_zorder_ingest"    -> (Layout.zorderIngest _),
     "q_zorder_forget"    -> (Layout.zorderForget _),
+    "q_hilbert_ingest"   -> (Layout.hilbertIngest _),
     "q_hilbert_forget"   -> (Layout.hilbertForget _),
     "q_export_shards"    -> (Layout.exportManifest _),
     "q_text_pack"        -> (TextAnalysis.packSequences _),
@@ -5601,6 +5602,42 @@ object SparkEntry {
          |       ELSE 0 END AS blocks_touched,
          |  CASE WHEN layout = 'zorder_post' THEN (SELECT re FROM t)
          |       ELSE 0 END AS rows_erased
+         |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // Hilbert layout ingest: same frozen curve routing, same mod-rule
+    // batch as q_zorder_ingest; pre/post from relational block extents
+    "q_hilbert_ingest" ->
+      s"""WITH d0 AS (
+         |  SELECT event_id, user_id, value,
+         |    user_id % ${1L << Layout.ZBits} AS a,
+         |    CAST(least(floor(value / 2.0), ${(1 << Layout.ZBits) - 1}) AS BIGINT) AS b
+         |  FROM events),
+         |src AS (
+         |  SELECT event_id, user_id, value,
+         |    a AS cx, b AS cy, 0::BIGINT AS hd
+         |  FROM d0),
+         |${Layout.hilbertCteSql("src", Seq("event_id", "user_id", "value"))},
+         |z AS (SELECT event_id, user_id, value,
+         |        hd >> ${Layout.ZPrefixShift} AS blk
+         |      FROM ${Layout.HilbertLastCte}),
+         |states AS (
+         |  SELECT 'hilbert_pre' AS layout, blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'hilbert_post', blk, user_id, value FROM z
+         |  UNION ALL
+         |  SELECT 'hilbert_post', blk, user_id, value FROM z
+         |  WHERE event_id % 97 = 0),
+         |blocks AS (
+         |  SELECT layout, blk,
+         |    min(user_id) AS min_u, max(user_id) AS max_u,
+         |    min(value) AS min_v, max(value) AS max_v,
+         |    count(*)::BIGINT AS n_rows
+         |  FROM states GROUP BY 1, 2)
+         |SELECT layout, count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN min_u <= ${Layout.ZoneBoxUHi} AND max_u >= ${Layout.ZoneBoxULo}
+         |           AND min_v <= ${Layout.ZoneBoxVHi} AND max_v >= ${Layout.ZoneBoxVLo}
+         |           THEN 1 ELSE 0 END)::BIGINT AS blocks_read,
+         |  sum(n_rows)::BIGINT AS n_rows
          |FROM blocks GROUP BY layout ORDER BY layout""".stripMargin,
 
     // Hilbert layout forget: the same rebuild-on-kept oracle as

@@ -1329,6 +1329,56 @@ object Layout {
     touched
   }
 
+  /** HILBERT LAYOUT INGEST — the ADD path of the Hilbert block layout,
+    * completing the curve-layout maintenance grid's final cell
+    * (z-order has ingest+forget; Hilbert gained forget in r13 — this is
+    * its add twin). Identical discipline to [[zorderIngest]] with the
+    * frozen routing swapped: arriving rows (the same deterministic
+    * mod-97 id-shifted batch) compute their block id ROW-LOCALLY via
+    * the unrolled [[hilbertStages]] walk the layout was written with —
+    * no bounds retraining, no relayout, existing files untouched — and
+    * land as delta files beside the snapshot. The audit scores the
+    * standard box against the UNIONED base+delta footer manifest pre vs
+    * post: every delta row's (user, value) is already covered by its
+    * block's extents, so `blocks_read` must be IDENTICAL while `n_rows`
+    * grows by the batch — pruning preserved under maintenance. Oracle
+    * re-derives both states relationally over the shared-text Hilbert
+    * CTE chain. */
+  def hilbertIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureHilbertBlocks(spark, dir)
+    val a = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val b = least(floor(col("value") / 2.0), lit((1 << ZBits) - 1).cast("double")).cast("long")
+    val deltaRoot = new java.io.File(
+      ScaleTechniques.layoutPath(dir, "events.parquet", "hdelta"),
+      "hilbert").getAbsolutePath
+    withHilbert(
+      zorderIngestBatch(spark, dir).select(col("event_id"), col("user_id"),
+        col("value"), a.as("cx"), b.as("cy"), lit(0L).as("hd")),
+      Seq("event_id", "user_id", "value"))
+      .withColumn("blk", shiftright(col("hd"), ZPrefixShift))
+      .select("event_id", "user_id", "value", "blk")
+      .repartition(8, col("blk"))
+      .write.mode("overwrite").partitionBy("blk").parquet(deltaRoot)
+    def score(layout: String, stats: DataFrame): DataFrame = {
+      val blocks = stats.groupBy("blk")
+        .agg(min("min_u").as("min_u"), max("max_u").as("max_u"),
+          min("min_v").as("min_v"), max("max_v").as("max_v"),
+          sum("n_rows").as("n_rows"))
+      blocks
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("min_u") <= ZoneBoxUHi && col("max_u") >= ZoneBoxULo &&
+            col("min_v") <= ZoneBoxVHi && col("max_v") >= ZoneBoxVLo,
+            1L).otherwise(0L)).as("blocks_read"),
+          sum("n_rows").as("n_rows"))
+        .select(lit(layout).as("layout"), col("n_blocks"),
+          col("blocks_read"), col("n_rows"))
+    }
+    val base = parquetFooterExtents(spark, s"$root/hilbert")
+    score("hilbert_post", base.unionByName(parquetFooterExtents(spark, deltaRoot)))
+      .unionByName(score("hilbert_pre", base))
+      .orderBy("layout")
+  }
+
   /** HILBERT LAYOUT FORGET — the RETRACTION path of the Hilbert block
     * layout, completing the maintenance grid's last cell (r12 VERDICT:
     * [[zorderForget]] landed, the Hilbert layout had write+audit but no

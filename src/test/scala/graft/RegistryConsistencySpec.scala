@@ -155,6 +155,7 @@ class RegistryConsistencySpec extends AnyFunSuite {
     // shards shadowed instead of fresh delta ids appended)
     "q_layout_bloom_forget" -> "q_layout_bloom_ingest",
     "q_zorder_forget" -> "q_zorder_ingest",
+    "q_hilbert_ingest" -> "q_zorder_ingest",
     "q_hilbert_forget" -> "q_zorder_ingest",
     "q_dedup_keep_best" -> "q_dedup_keep_set",
     "q_dedup_keep_clustered" -> "q_dedup_keep_set",
