@@ -185,7 +185,8 @@ object Bench {
     val fragConsumers = Set("q_layout_compaction", "q_layout_bloom_files",
       "q_layout_bloom_ingest", "q_layout_bloom_forget")
     // consumers of the hilbert block layout
-    val hblockConsumers = Set("q_hilbert_pruning_files")
+    val hblockConsumers = Set("q_hilbert_pruning_files",
+      "q_hilbert_ingest", "q_hilbert_forget")
     // consumers of the memoized media catalog fingerprint indexes
     // (Multimodal phashCatalogIndexCached/audioCatalogIndexCached/
     // videoCatalogIndexCached — since r10 the full-pairs arms recover
