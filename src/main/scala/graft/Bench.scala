@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // start from a clean slate: a prior invocation's fingerprint-keyed
+    // layout artifacts (same immutable corpus ⇒ same key) would make
+    // this invocation's build:* rows measure a load, not the build
+    graft.operators.ScaleTechniques.sweepStaleLayouts()
 
     // Untimed full GC in the gap before every measured query. On this
     // heap (32g of a 125 GiB box) organic old-gen collections are rare,

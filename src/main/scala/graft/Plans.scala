@@ -126,8 +126,15 @@ object Plans {
           graft.multimodal.Multimodal.videoScreenPlanOf(spark, sfDir)
         else SparkEntry.queries(n)(spark, sfDir)
       println(s"\n## $n\n\n```")
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      // SPARK_GRAFT_PLAN_MODE=formatted switches to explain("formatted")
+      // (per-operator detail incl. PushedFilters/ReadSchema) for the
+      // plans/<round>/ before/after artifacts; default stays SimpleMode,
+      // the PLANS.md house format.
+      val mode =
+        if (sys.env.get("SPARK_GRAFT_PLAN_MODE").contains("formatted"))
+          org.apache.spark.sql.execution.FormattedMode
+        else org.apache.spark.sql.execution.SimpleMode
+      println(df.queryExecution.explainString(mode))
       println("```")
       // EXECUTED plan: run THIS queryExecution (a count() or noop write
       // would plan a fresh one and leave this un-finalized), so the

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same clean-slate rule as Bench: every verify invocation computes
+    // from the parquet inputs, never a prior JVM's persisted artifacts
+    graft.operators.ScaleTechniques.sweepStaleLayouts()
     new java.io.File(outDir).mkdirs()
     // Spark job submission is thread-safe; run queries on a small pool so
     // independent plans overlap (scheduler FIFO-shares the cores) — cuts

@@ -197,6 +197,26 @@ object ScaleTechniques {
     dppFactDirs.clear()
   }
 
+  /** Delete EVERY `graft_<tag>_<12-hex>` layout artifact under the JVM
+    * temp dir, including ones published by PRIOR JVMs. The write-once
+    * store is content-fingerprinted, so within one process it can never
+    * serve stale data — but the fingerprint of an immutable corpus
+    * (`/root/testdata/...`) is stable across processes, and a FRESH
+    * bench/verify invocation would LOAD the previous invocation's
+    * artifacts instead of computing them: its `build:*` rows would
+    * measure a parquet read, not the build. [[graft.Bench]] and
+    * [[graft.Verify]] call this once at startup so every invocation
+    * computes from the parquet inputs alone (and superseded-fingerprint
+    * artifacts stop accumulating in the temp dir). Not safe to call
+    * while another graft JVM is mid-run on the same box. */
+  private[graft] def sweepStaleLayouts(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pat = "^graft_[a-z0-9]+_[0-9a-f]{12}(\\.(w|evict)[0-9]+)?$".r
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && pat.findFirstIn(f.getName).isDefined)
+      .foreach(deleteTree)
+  }
+
   private def deleteTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
     f.delete(); ()
