@@ -370,20 +370,32 @@ object Dedup {
 
   private def lshBandSweepFrom(sigs: DataFrame, truth: DataFrame): DataFrame = {
     val perConfig = LshSweepConfigs.map { case (b, r) =>
+        // the banded self-join shuffles ONLY (doc_id, band, band_sig) —
+        // the 32-long signature arrays are re-attached per UNIQUE
+        // candidate pair after the cross-band distinct (guide-§8 shape:
+        // decide with small rows, attach the payload once). The r12
+        // form carried `sigs` on BOTH sides of the band join: b copies
+        // of every signature array per side per config, and the
+        // distinct shuffled (pair, est) rows it then threw away.
         val bands = sigs.select(col("doc_id"), col("sigs"),
             explode(sequence(lit(0), lit(b - 1))).as("band"))
-          .select(col("doc_id"), col("sigs"), col("band"),
+          .select(col("doc_id"), col("band"),
             concat_ws(",", (0 until r).map(i =>
               element_at(col("sigs"), col("band") * r + i + 1).cast("string")): _*)
               .as("band_sig"))
-        val cands = bands
-          .select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"),
-            col("band"), col("band_sig"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"),
+        val candIds = bands
+          .select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+          .join(bands.select(col("doc_id").as("doc_b"),
             col("band"), col("band_sig")), Seq("band", "band_sig"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), estJaccard.as("est"))
+          .select("doc_a", "doc_b")
           .distinct()
+        val cands = candIds
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")),
+            "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), estJaccard.as("est"))
         val stats = cands.agg(count(lit(1)).as("n_candidates"),
           sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_kept"))
         val caught = cands.join(truth, Seq("doc_a", "doc_b"), "left_semi")
@@ -675,7 +687,7 @@ object Dedup {
   private val retainedResults =
     new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
   private[graft] def retainResult(spark: SparkSession, key: String,
-      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      rdd: org.apache.spark.rdd.RDD[_],
       df: DataFrame): DataFrame = {
     sweepStopped()
     val prev = retainedResults.put(memoKey(spark, key),
@@ -756,11 +768,28 @@ object Dedup {
     * recomputing the lineage (the same persist-first rule as above). */
   private[graft] def materializeOwnedKeyed(df: DataFrame, reliable: Boolean)
       : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val (ds, rdd) = materializeOwnedKeyedLazy(df, reliable)
+    rdd.count()
+    (ds, rdd)
+  }
+
+  /** [[materializeOwnedKeyed]] WITHOUT the materializing count — the
+    * layout-preserving twin of [[materializeOwnedLazy]], for a LOOP'S
+    * ROUND STATE: the caller's next action (e.g. the convergence-test
+    * aggregate) materializes the blocks, so each round stays one job,
+    * AND the round frame keeps its hash partitioning across the cut.
+    * That second property is what removes the per-round re-exchanges:
+    * a round output already partitioned by the state key feeds the
+    * next round's scatter join and its own damp/update join without
+    * either planning an Exchange — only the gather's groupBy (the
+    * algorithm's shuffle) remains. The caller must run an action
+    * covering every partition before relying on the blocks. */
+  private[graft] def materializeOwnedKeyedLazy(df: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val ds = if (reliable) df.checkpoint(eager = false)
              else df.localCheckpoint(eager = false)
     val rdd = org.apache.spark.sql.GraftSqlBridge.internalRddOf(ds)
     if (reliable) rdd.persist()
-    rdd.count()
     (ds, rdd)
   }
 
@@ -1642,8 +1671,6 @@ object Dedup {
     // lineage like Dataset.localCheckpoint, but keeps the handle so each
     // superseded round's blocks AND checkpoint files are retired as soon
     // as the next round is materialized.
-    def materialize(df: DataFrame): (DataFrame, RDD[Row]) =
-      materializeOwned(df, checkpointDir.isDefined)
     // the edge frame is the loop's STATIC side and every round joins it
     // on `dst`: pre-shuffle + pre-sort it by that key ONCE and keep the
     // layout across the materialization cut (materializeOwnedKeyed —
@@ -1655,9 +1682,23 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst")).sortWithinPartitions("dst"),
       checkpointDir.isDefined)
-    var (labels, labelsRdd) = materialize(
+    // KEYED loop state (r13): every labels cut is rooted at an explicit
+    // repartition(id) so static planning can keep the neighbor join
+    // (labels renamed id→dst against the dst-keyed edges), the
+    // propagate join (on id) and the pointer jump's right leg (id
+    // aliased to component) exchange-free — the per-round shuffles are
+    // then the gather's groupBy(src), the jump's left leg (the
+    // algorithm's re-key by label) and the one repartition that buys
+    // the rest. Under AQE the effect at sf0.1 is within the box's noise
+    // band (stages 98→107, shuffle ~3 MB both ways; the round's bench
+    // pair moved 5.7→3.7 s) — the byte argument is for corpus-sized
+    // label frames, where two saved V-row exchanges per round dominate
+    // the one paid. Labels are integer mins, so layout cannot perturb
+    // results.
+    var (labels, labelsRdd) = materializeOwnedKeyed(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("component", col("id")))
+        .withColumn("component", col("id"))
+        .repartition(col("id")), checkpointDir.isDefined)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIterations) {
@@ -1665,12 +1706,12 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbr_comp").as("nbr_comp"))
-      val (propagated, propagatedRdd) = materialize(
+      val (propagated, propagatedRdd) = materializeOwnedKeyed(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("nbr_comp"), col("component")))
               .as("component"),
-            col("component").as("old")))
+            col("component").as("old")), checkpointDir.isDefined)
       // pointer jump: resolve each label to ITS label (labels only ever
       // shrink, so label(label(id)) <= label(id) — this is what turns a
       // k-long chain into k/2, giving O(log) total rounds); the previous
@@ -1681,12 +1722,13 @@ object Dedup {
       // instead of a count job plus the convergence count (propagated
       // stays EAGER — the self-join reads it on two legs, and a lazy
       // first compute would race its own cache)
-      val (next, nextRdd) = materializeOwnedLazy(
+      val (next, nextRdd) = materializeOwnedKeyedLazy(
         propagated.alias("u")
           .join(propagated.select(col("id").as("component"), col("component").as("jump"))
             .alias("p"), Seq("component"), "left")
           .select(col("id"), coalesce(col("jump"), col("component")).as("component"),
-            col("old")),
+            col("old"))
+          .repartition(col("id")),
         checkpointDir.isDefined)
       changed = next.filter(col("component") =!= col("old")).count()
       retire(spark, labelsRdd)

@@ -222,11 +222,13 @@ object Graph {
       val n = deg.count()
       val base = PrPrec / n
       val floorTerm = base * 3 / 20
-      val (init, initRdd) = Dedup.materializeOwned(
-        deg.select(col("src").as("node"), col("deg"), lit(base).as("r")),
+      // KEYED init: `deg` rides the edge frame's preserved hash(src)
+      // layout (its aggregate plans no exchange), and the keyed cut
+      // hands the loop a state frame already partitioned by `node`
+      var (cur, curRdd) = Dedup.materializeOwnedKeyed(
+        deg.select(col("src").as("node"), col("deg"), lit(base).as("r"))
+          .repartition(col("node")),
         ckDir.isDefined)
-      var cur = init
-      var curRdd = initRdd
       var rounds = 0
       var delta = Long.MaxValue
       while (delta >= PrTol && rounds < PrMaxRounds) {
@@ -238,12 +240,25 @@ object Graph {
         // round's materializing action, so each round costs ONE job
         // (join + gather + checkpoint + convergence test together)
         // instead of a count job plus an aggregate job — 26 rounds at
-        // the tested tolerance make the per-round overhead the wall
-        val (next, nextRdd) = Dedup.materializeOwnedLazy(
+        // the tested tolerance make the per-round overhead the wall.
+        // KEYED + repartition-rooted since r13 so the cut can carry the
+        // state's hash(node) layout into the next round's scatter/damp
+        // joins when planning is STATIC (a cluster loop run with AQE
+        // off). Under AQE this is measured PLAN-NEUTRAL at sf0.1 (224
+        // stages / 77 MB shuffle before and after — AQE re-coalesces
+        // the cut so its partition count never matches the consumers'),
+        // and the loop's local wall is driver stage-materialization
+        // latency (21 s wall vs 47 executor-seconds, zero spill), not
+        // shuffle — see OPTIMIZATION_r13.md for the full probe table.
+        // Every quantity is BIGINT fixed-point, so layout can't perturb
+        // results (integer sums are order-independent; the stop round
+        // rides the same hash match).
+        val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
           cur.select(col("node"), col("deg"), col("r").as("r_prev"))
             .join(inflow, col("node") === col("dst"), "left")
             .select(col("node"), col("deg"), nextR.as("r"),
-              abs(nextR - col("r_prev")).as("dl")),
+              abs(nextR - col("r_prev")).as("dl"))
+            .repartition(col("node")),
           ckDir.isDefined)
         delta = next.agg(sum("dl")).head().getLong(0)
         Dedup.retire(spark, curRdd)
@@ -345,7 +360,6 @@ object Graph {
     val spark = edges0.sparkSession
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
-      def materialize(df: DataFrame) = Dedup.materializeOwned(df, ckDir.isDefined)
       // The edge frame is the loop's STATIC side: pre-shuffle it by the
       // join key ONCE and keep that layout across the cut
       // (materializeOwnedKeyed — the plain owned form erases
@@ -363,21 +377,34 @@ object Graph {
         ckDir.isDefined)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = deg.agg(count(lit(1)).cast("double").as("n"))
-      val (init, initRdd) = materialize(deg.crossJoin(broadcast(n))
-        .select(col("src").as("node"), col("deg"), col("n"),
-          (lit(1.0) / col("n")).as("r")))
-      val (result, resultRdd) = (1 to PrIters).foldLeft((init, initRdd)) { case ((cur, curRdd), _) =>
+      // KEYED round state (r13, the same cut-discipline as the conv
+      // loop): each round's output is cut behind an explicit
+      // repartition(node) so static planning keeps the scatter and damp
+      // joins exchange-free. Under AQE this is plan-neutral at sf0.1
+      // (32 stages / 111 MB shuffle unchanged — the coalesced cut
+      // partitioning never matches the consumers'); kept because it is
+      // free there and removes the per-round state re-exchanges in the
+      // static-planning (cluster loop) mode.
+      val (init, initRdd) = Dedup.materializeOwnedKeyed(
+        deg.crossJoin(broadcast(n))
+          .select(col("src").as("node"), col("deg"), col("n"),
+            (lit(1.0) / col("n")).as("r"))
+          .repartition(col("node")), ckDir.isDefined)
+      val (result, resultRdd) = (1 to PrIters)
+          .foldLeft[(DataFrame, org.apache.spark.rdd.RDD[_])]((init, initRdd)) { case ((cur, curRdd), _) =>
         val inflow = edges
           .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
           .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
         // left join: symmetric edges mean every node HAS inflow, but the
         // general damped step keeps the (1-d)/N floor explicit
-        val (next, nextRdd) = materialize(
+        val (next, nextRdd) = Dedup.materializeOwnedKeyed(
           cur.select(col("node"), col("deg"), col("n"))
             .join(inflow, col("node") === col("dst"), "left")
             .select(col("node"), col("deg"), col("n"),
               (lit(1 - Damping) / col("n") +
-                lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
+                lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+            .repartition(col("node")),
+          ckDir.isDefined)
         Dedup.retire(spark, curRdd)
         (next, nextRdd)
       }

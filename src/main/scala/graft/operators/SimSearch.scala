@@ -592,8 +592,12 @@ object SimSearch {
   private[graft] def kmeansTrainedCentsOn(e: DataFrame, train: Option[DataFrame],
       k: Int, iters: Int): DataFrame = {
     val vecs = kmeansLongForm(e)
+    // train filter BEFORE the explode (r13): filtering the long form
+    // paid the corpus×dims explode just to broadcast-drop most of it;
+    // joining the narrow id sample against `e` first explodes only the
+    // sampled vectors — identical row set, dims× fewer rows built
     val tvecs = train.fold(vecs)(t =>
-      vecs.join(broadcast(t.select("vec_id")), "vec_id"))
+      kmeansLongForm(e.join(broadcast(t.select("vec_id")), "vec_id")))
     val seeds = e.select("vec_id").orderBy("vec_id").limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("long").as("cent_id"))
@@ -681,13 +685,24 @@ object SimSearch {
     val spark = e.sparkSession
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
-      val longForm = e.select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").as("d"),
-          floor((col("col").cast("double") + lit(KmFpOff)) *
-            lit(KmFpScale.toDouble)).cast("long").as("vs"))
+      def fpLongForm(df: DataFrame) =
+        df.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").as("d"),
+            floor((col("col").cast("double") + lit(KmFpOff)) *
+              lit(KmFpScale.toDouble)).cast("long").as("vs"))
       val train = trainIds(e.select("vec_id"), KmTrainPerCent * KmK)
-      val (tvecs, tvecsRdd) = Dedup.materializeOwned(
-        longForm.join(broadcast(train), "vec_id"), ckDir.isDefined)
+      // r13: the train filter lands BEFORE the explode (the r12 shape
+      // exploded the full corpus ×dims and then broadcast-filtered it —
+      // dims× more rows into the join for the identical sample), and
+      // the sample is KEYED by vec_id across its materialization cut:
+      // hash(vec_id) satisfies the assign pass's (vec_id, cent_id)
+      // aggregate, its per-vector argmin window AND the recenter join,
+      // so every Lloyd round's only exchange is the (cent_id, d)
+      // gather — the algorithm's shuffle. All state is BIGINT
+      // fixed-point; layout cannot perturb results.
+      val (tvecs, tvecsRdd) = Dedup.materializeOwnedKeyed(
+        fpLongForm(e.join(broadcast(train.select("vec_id")), "vec_id"))
+          .repartition(col("vec_id")), ckDir.isDefined)
       // fixed-point precondition, machine-checked (the BloomAbsentShift
       // lesson): the offset must clear every coordinate positive
       val minVs = tvecs.agg(min("vs")).head().getLong(0)
@@ -699,7 +714,8 @@ object SimSearch {
           (row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
             .as("cent_id"))
       val (init, initRdd) = Dedup.materializeOwned(
-        longForm.join(broadcast(seeds), "vec_id")
+        fpLongForm(e.join(broadcast(seeds.select("vec_id")), "vec_id"))
+          .join(broadcast(seeds), "vec_id")
           .select(col("cent_id"), col("d"), col("vs").as("c")),
         ckDir.isDefined)
       def assignTo(cents: DataFrame) = {
@@ -719,9 +735,13 @@ object SimSearch {
           .groupBy("cent_id", "d")
           .agg(expr("sum(vs) div count(1)").as("c"))
         // inner join on (cent_id, d): an emptied cluster exits the
-        // state, mirroring the oracle's recursion join
+        // state, mirroring the oracle's recursion join. The state side
+        // is K×dims rows — broadcast it so the round's only exchange
+        // stays the recenter gather.
         val (next, nextRdd) = Dedup.materializeOwnedLazy(
-          nc.join(cur.select(col("cent_id"), col("d"), col("c").as("c_prev")),
+          nc.join(
+              broadcast(cur.select(col("cent_id"), col("d"),
+                col("c").as("c_prev"))),
               Seq("cent_id", "d"))
             .select(col("cent_id"), col("d"), col("c"),
               abs(col("c") - col("c_prev")).as("dl")),
@@ -863,18 +883,46 @@ object SimSearch {
     * batch (SCALE §annencinc), and an unchanged corpus loads. */
   private[graft] def buildAnnEncode(spark: SparkSession, dir: String): Unit = {
     val e = Tables.fanOut(Tables.embeddings(spark, dir))
-    kmRankedCached(spark, dir, e)
-    pqCodesCached(spark, dir, e)
-    opqCodesCached(spark, dir, e)
-    semAssignment(spark, dir, e)
-    // the pruned k-center arms' quantizer-cell geometry (centroid,
-    // radius, members) — derived from semAssignment's cells
-    kcenterGeoCached(spark, dir, e)
-    // the delta-merge query's persisted snapshot index (frozen
-    // quantizer/codebook + the snapshot's inverted-list frames)
-    mergeSnapCodesCached(spark, dir, e)
-    mergeSnapAssignCached(spark, dir, e)
-    ()
+    // Four INDEPENDENT encode chains (primary IVF-PQ store; OPQ
+    // rotate→train→encode; derived-K SemDeDup assignment → k-center
+    // cell geometry; merge-snapshot index) submitted from a small pool
+    // so each chain's stage tails back-fill the cores the others leave
+    // idle (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially — a cluster build of independent index
+    // artifacts overlaps them the same way). Each chain's INTERNAL
+    // order is preserved: dependent artifacts stay sequential inside
+    // their thread, and the memo layer is already concurrent-safe
+    // (Verify's 4-thread pool exercises it every run).
+    val chains: Seq[(String, () => Unit)] = Seq(
+      "ivfpq_store" -> (() => {
+        kmRankedCached(spark, dir, e); pqCodesCached(spark, dir, e); () }),
+      "opq" -> (() => { opqCodesCached(spark, dir, e); () }),
+      // the pruned k-center arms' quantizer-cell geometry (centroid,
+      // radius, members) — derived from semAssignment's cells
+      "sem_kcenter" -> (() => {
+        semAssignment(spark, dir, e); kcenterGeoCached(spark, dir, e); () }),
+      // the delta-merge query's persisted snapshot index (frozen
+      // quantizer/codebook + the snapshot's inverted-list frames)
+      "merge_snap" -> (() => {
+        mergeSnapCodesCached(spark, dir, e)
+        mergeSnapAssignCached(spark, dir, e); () }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(chains.size)
+    try {
+      val t0 = System.nanoTime()
+      chains.map { case (label, body) =>
+        label -> pool.submit(new java.util.concurrent.Callable[Double] {
+          override def call(): Double = {
+            val s = System.nanoTime()
+            body()
+            (System.nanoTime() - s) / 1e9
+          }
+        })
+      }.foreach { case (label, fut) =>
+        val secs = fut.get()
+        System.err.println(f"[ann_encode] chain $label%-12s $secs%7.2fs " +
+          f"(wall so far ${(System.nanoTime() - t0) / 1e9}%7.2fs)")
+      }
+    } finally pool.shutdown()
   }
 
   /** Force-build every index frame (train + encode) — the non-bench

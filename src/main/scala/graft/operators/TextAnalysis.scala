@@ -1918,9 +1918,21 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(((sum(col("cnt") * col("lr_fp")) / 1e6) / sum("cnt"))
           .as("weight"))
-      val keepSet = tokd.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("keep_doc"))
       val isEval = col("doc_id") % EvalMod === 0
+      // NARROW per-doc flag frame (r13, guide §2.3 "project before the
+      // exchange"): every downstream decision is a function of
+      // (doc_id, q, n_toks, h) — all row-local — yet the r12 shape ran
+      // the keep/contam/weight joins over the full (text, toks) rows,
+      // shuffling the corpus payload three times to move flags around.
+      // Compute the flags once in the scan projection and join thin.
+      val narrow = tokd.select(col("doc_id"),
+        ((length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
+          length(col("text")) < 0.1) &&
+          (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
+          size(whitespaceTokens(col("text"))).between(10, 500)).as("q"),
+        size(col("toks")).cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+      val keepSet = narrow.groupBy(col("h")).agg(min("doc_id").as("keep_doc"))
       def evalGrams(df: DataFrame) = df
         .select(col("doc_id"),
           explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("g"))
@@ -1929,13 +1941,7 @@ object TextAnalysis {
           "g")
         .select("doc_id").distinct()
         .withColumn("contam", lit(true))
-      val flagged = tokd
-        .withColumn("q",
-          (length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
-            length(col("text")) < 0.1) &&
-            (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
-            size(whitespaceTokens(col("text"))).between(10, 500))
-        .withColumn("h", md5(col("text")))
+      val flagged = narrow
         .join(keepSet, Seq("h"))
         .join(contaminated, Seq("doc_id"), "left")
         .join(weights, Seq("doc_id"), "left")
@@ -1952,8 +1958,7 @@ object TextAnalysis {
         s => s.isNotNull)
       val (out, outRdd) = materialize(
         flagged
-          .select(size(col("toks")).cast("long").as("n_toks"),
-            explode(passed).as("stage"))
+          .select(col("n_toks"), explode(passed).as("stage"))
           .groupBy("stage")
           .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
           .orderBy("stage"))
