@@ -617,20 +617,25 @@ object Layout {
     * and hits relationally — the hash match pins the filter arithmetic
     * AND that the pruned physical read lost nothing. */
   def bloomPruningFiles(spark: SparkSession, dir: String): DataFrame =
-    bloomRunOf(spark, s"${ensureFragmentedDocs(spark, dir)}/docs")
+    bloomRunOf(spark, s"${ensureFragmentedDocs(spark, dir)}/docs",
+      "bloomFiles")
 
   /** The index-build + pruned-serve kernel over any fragmented layout
     * root (the Scale harness runs it on replicated corpora at scratch
     * paths). */
-  private[graft] def bloomRunOf(spark: SparkSession, root: String): DataFrame =
-    bloomRunOf(spark, Seq(root))
+  private[graft] def bloomRunOf(spark: SparkSession, root: String,
+      retainKey: String = "bloomRun"): DataFrame =
+    bloomRunOf(spark, Seq(root), retainKey)
 
   /** Multi-root form: the layout is a MANIFEST of roots (base snapshot
     * + delta directories from [[bloomIngest]]); shard ids are globally
     * distinct across roots, so the per-file filters simply union into
-    * one index frame — the additive-manifest maintenance discipline. */
+    * one index frame — the additive-manifest maintenance discipline.
+    * `retainKey` names the caller's one-slot retention of the probe and
+    * survivor cuts — distinct per REGISTERED query (Verify's pool runs
+    * them concurrently; a shared slot is the documented eviction race). */
   private[graft] def bloomRunOf(spark: SparkSession,
-      roots: Seq[String]): DataFrame = {
+      roots: Seq[String], retainKey: String): DataFrame = {
     // the corpus appears ONLY in probe generation (the workload spec:
     // present probes are corpus ids ≡ 0 mod BloomProbeMod) — the serve
     // itself runs on the persisted signature artifacts
@@ -651,7 +656,7 @@ object Layout {
     val probes = present.unionByName(
       present.select((col("probe_id") + BloomAbsentShift).as("probe_id"),
         lit(false).as("expected")))
-    bloomReportOf(spark, sizes, idx, shardRoot, probes)
+    bloomReportOf(spark, sizes, idx, shardRoot, probes, retainKey)
   }
 
   /** The layout's data frame across a root manifest — partition-dir
@@ -779,19 +784,35 @@ object Layout {
     * here. */
   private def bloomReportOf(spark: SparkSession, sizes0: DataFrame,
       idx: DataFrame, shardRoot: Map[Long, String],
-      probes: DataFrame): DataFrame = {
+      probes0: DataFrame, retainKey: String): DataFrame = {
+    // r13: the probe frame and the survivor frame are each read by 2–3
+    // consumers below (the candidacy collect, the candidate census, the
+    // hit join, the report spine); without a cut every consumer re-ran
+    // the corpus-probe subtree and the coords×index join — measured 697
+    // tasks / 85 executor-seconds for 3 MB of data at sf0.1. Both are
+    // probe-bounded; owned + retained ONE-SLOT under the registered
+    // caller's key (the memo-staleness trade every retained query makes;
+    // keys are per-caller so Verify's pool cannot cross-evict).
+    val (probes, probesRdd) = graft.operators.Dedup.materializeOwned(
+      probes0, reliable = false)
+    graft.operators.Dedup.retainResult(spark, s"$retainKey#probes",
+      probesRdd, probes)
     // per-file filter size from the persisted manifest: the |files|-row
     // sizing frame every coordinate computation joins (broadcast)
     val sizes = sizes0.select("shard", "mbits")
     // a probe's coordinates are PER CANDIDATE FILE (each file's filter
     // has its own width): probes × the sizing manifest, still
     // manifest-bounded rows
-    val surv = bloomCoords(probes.crossJoin(broadcast(sizes)), "probe_id")
+    val surv0 = bloomCoords(probes.crossJoin(broadcast(sizes)), "probe_id")
       .join(broadcast(idx), Seq("shard", "word"))
       .filter(expr("(bits & bit) <> 0"))
       .groupBy("probe_id", "expected", "shard")
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") === BloomHashes)
+    val (surv, survRdd) = graft.operators.Dedup.materializeOwned(
+      surv0, reliable = false)
+    graft.operators.Dedup.retainResult(spark, s"$retainKey#surv",
+      survRdd, surv)
     // the physical prune: only Bloom-surviving shard partitions are
     // opened (bounded driver-side manifest decision, ≤ |files| rows —
     // the same class of collect as the footer reads in
@@ -890,7 +911,7 @@ object Layout {
       .select("doc_id", "text", "hx", "shard")
     batch.repartition(BloomDeltaFiles, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(deltaRoot)
-    bloomRunOf(spark, Seq(baseRoot, deltaRoot))
+    bloomRunOf(spark, Seq(baseRoot, deltaRoot), "bloomIngest")
       .withColumn("probe_kind",
         when(col("probe_id") >= BloomIngestShift + BloomAbsentShift, "absent_delta")
           .when(col("probe_id") >= BloomIngestShift, "delta")
@@ -1050,7 +1071,7 @@ object Layout {
       (if (bloomShardRoots(Seq(patchRoot)).isEmpty) Seq.empty
        else Seq(patchRoot))
     val (psizes, pidx) = bloomSigsOf(spark, sigRoots, shardRoot)
-    bloomReportOf(spark, psizes, pidx, shardRoot, probes)
+    bloomReportOf(spark, psizes, pidx, shardRoot, probes, "bloomForget")
   }
 
   /** Recursive count of real parquet data files under a layout root —
