@@ -229,42 +229,71 @@ object Graph {
         deg.select(col("src").as("node"), col("deg"), lit(base).as("r"))
           .repartition(col("node")),
         ckDir.isDefined)
+      // One damped step from an inbound (node, r-as-src, deg) frame.
+      def inflowOf(state: DataFrame) = edges.join(state, "src")
+        .groupBy(col("dst")).agg(sum(expr("r div deg")).as("inflow"))
+      def damped = lit(floorTerm) + expr("(17 * coalesce(inflow, 0L)) div 20")
       var rounds = 0
       var delta = Long.MaxValue
+      // TWO-ROUND UNROLL (r13): the loop's wall at tested SFs is driver
+      // latency per materialized round (probe: 21 s wall on 47
+      // executor-seconds, 224 stages, zero spill — ~8 query stages ×
+      // 26 rounds of sub-second work), so each job now computes two
+      // damped steps and ONE aggregate returns both L1 deltas. Stop
+      // semantics are replicated exactly: if the first step already
+      // converged the second step's columns are DISCARDED (its compute
+      // is the one wasted half-round) and the state/round count land
+      // exactly where the one-step loop would have — the stop round
+      // still rides the hash match. The cap branch runs single steps so
+      // PrMaxRounds binds at the identical round. All BIGINT
+      // fixed-point; layout and evaluation order cannot perturb values.
       while (delta >= PrTol && rounds < PrMaxRounds) {
-        val inflow = edges
-          .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
-          .groupBy(col("dst")).agg(sum(expr("r div deg")).as("inflow"))
-        val nextR = lit(floorTerm) + expr("(17 * coalesce(inflow, 0L)) div 20")
-        // LAZY owned materialization: the delta aggregate below is the
-        // round's materializing action, so each round costs ONE job
-        // (join + gather + checkpoint + convergence test together)
-        // instead of a count job plus an aggregate job — 26 rounds at
-        // the tested tolerance make the per-round overhead the wall.
-        // KEYED + repartition-rooted since r13 so the cut can carry the
-        // state's hash(node) layout into the next round's scatter/damp
-        // joins when planning is STATIC (a cluster loop run with AQE
-        // off). Under AQE this is measured PLAN-NEUTRAL at sf0.1 (224
-        // stages / 77 MB shuffle before and after — AQE re-coalesces
-        // the cut so its partition count never matches the consumers'),
-        // and the loop's local wall is driver stage-materialization
-        // latency (21 s wall vs 47 executor-seconds, zero spill), not
-        // shuffle — see OPTIMIZATION_r13.md for the full probe table.
-        // Every quantity is BIGINT fixed-point, so layout can't perturb
-        // results (integer sums are order-independent; the stop round
-        // rides the same hash match).
-        val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
-          cur.select(col("node"), col("deg"), col("r").as("r_prev"))
-            .join(inflow, col("node") === col("dst"), "left")
-            .select(col("node"), col("deg"), nextR.as("r"),
-              abs(nextR - col("r_prev")).as("dl"))
-            .repartition(col("node")),
-          ckDir.isDefined)
-        delta = next.agg(sum("dl")).head().getLong(0)
-        Dedup.retire(spark, curRdd)
-        cur = next
-        curRdd = nextRdd
-        rounds += 1
+        if (rounds + 1 >= PrMaxRounds) {
+          // last permitted round: one step, the original body
+          val inflow = inflowOf(
+            cur.select(col("node").as("src"), col("r"), col("deg")))
+          val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
+            cur.select(col("node"), col("deg"), col("r").as("r_prev"))
+              .join(inflow, col("node") === col("dst"), "left")
+              .select(col("node"), col("deg"), damped.as("r"),
+                abs(damped - col("r_prev")).as("dl"))
+              .repartition(col("node")),
+            ckDir.isDefined)
+          delta = next.agg(sum("dl")).head().getLong(0)
+          Dedup.retire(spark, curRdd)
+          cur = next.select("node", "deg", "r")
+          curRdd = nextRdd
+          rounds += 1
+        } else {
+          val inflow1 = inflowOf(
+            cur.select(col("node").as("src"), col("r"), col("deg")))
+          val mid = cur.select(col("node"), col("deg"), col("r").as("r_prev"))
+            .join(inflow1, col("node") === col("dst"), "left")
+            .select(col("node"), col("deg"), damped.as("r1"),
+              abs(damped - col("r_prev")).as("dl1"))
+          val inflow2 = inflowOf(
+            mid.select(col("node").as("src"), col("r1").as("r"), col("deg")))
+          val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
+            mid.join(inflow2, col("node") === col("dst"), "left")
+              .select(col("node"), col("deg"), col("r1"), col("dl1"),
+                damped.as("r2"),
+                abs(damped - col("r1")).as("dl2"))
+              .repartition(col("node")),
+            ckDir.isDefined)
+          val row = next.agg(sum("dl1").as("d1"), sum("dl2").as("d2")).head()
+          val (d1, d2) = (row.getLong(0), row.getLong(1))
+          Dedup.retire(spark, curRdd)
+          if (d1 < PrTol) {
+            cur = next.select(col("node"), col("deg"), col("r1").as("r"))
+            delta = d1
+            rounds += 1
+          } else {
+            cur = next.select(col("node"), col("deg"), col("r2").as("r"))
+            delta = d2
+            rounds += 2
+          }
+          curRdd = nextRdd
+        }
       }
       Dedup.retire(spark, edgesRdd)
       Dedup.retainResult(spark, retainKey, curRdd,

@@ -730,6 +730,11 @@ object SimSearch {
       var curRdd = initRdd
       var rounds = 0
       var delta = Long.MaxValue
+      // NOTE (r13): the pagerank-conv two-round unroll was tried here
+      // and REVERTED — a Lloyd step's assign chain is compute-heavy and
+      // the unrolled mid-state is re-derived per reference (probe: exec
+      // 18→30 s, wall up), so one materialized job per round is the
+      // right shape for this loop.
       while (delta >= KmConvTol && rounds < KmConvMaxRounds) {
         val nc = tvecs.join(assignTo(cur), "vec_id")
           .groupBy("cent_id", "d")
