@@ -100,6 +100,10 @@ object Plans {
           graft.operators.TextAnalysis.heavyHittersPlanOf(spark, sfDir)
         else if (n == "q_dedup_lsh_sweep")
           graft.operators.Dedup.lshBandSweepPlanOf(spark, sfDir)
+        // retained-result: audit the live census dataflow over the
+        // tokenize-once frame
+        else if (n == "q_pipeline_curation")
+          graft.operators.TextAnalysis.curationFunnelPlanOf(spark, sfDir)
         // same driver-assembled-result situation: audit one loop round
         // (since r10: the PRUNED round — guarded update + stats refresh)
         else if (n == "q_sample_kcenter")

@@ -273,13 +273,20 @@ object Graph {
               abs(damped - col("r_prev")).as("dl1"))
           val inflow2 = inflowOf(
             mid.select(col("node").as("src"), col("r1").as("r"), col("deg")))
+          val roundFrame = mid.join(inflow2, col("node") === col("dst"), "left")
+            .select(col("node"), col("deg"), col("r1"), col("dl1"),
+              damped.as("r2"),
+              abs(damped - col("r1")).as("dl2"))
+            .repartition(col("node"))
+          // plans/<round> audit hook: a loop query's registered frame is
+          // the retained result (an ExistingRDD scan), so the auditable
+          // plan is ONE round's dataflow — dumped pre-cut on demand
+          if (rounds == 0 && sys.env.contains("SPARK_GRAFT_DUMP_ROUND"))
+            System.err.println("[round-plan pagerank_conv]\n" +
+              roundFrame.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
           val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
-            mid.join(inflow2, col("node") === col("dst"), "left")
-              .select(col("node"), col("deg"), col("r1"), col("dl1"),
-                damped.as("r2"),
-                abs(damped - col("r1")).as("dl2"))
-              .repartition(col("node")),
-            ckDir.isDefined)
+            roundFrame, ckDir.isDefined)
           val row = next.agg(sum("dl1").as("d1"), sum("dl2").as("d2")).head()
           val (d1, d2) = (row.getLong(0), row.getLong(1))
           Dedup.retire(spark, curRdd)

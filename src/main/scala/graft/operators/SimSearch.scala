@@ -743,14 +743,20 @@ object SimSearch {
         // state, mirroring the oracle's recursion join. The state side
         // is K×dims rows — broadcast it so the round's only exchange
         // stays the recenter gather.
+        val roundFrame = nc.join(
+            broadcast(cur.select(col("cent_id"), col("d"),
+              col("c").as("c_prev"))),
+            Seq("cent_id", "d"))
+          .select(col("cent_id"), col("d"), col("c"),
+            abs(col("c") - col("c_prev")).as("dl"))
+        // plans/<round> audit hook (the pagerank-conv convention): dump
+        // one round's pre-cut dataflow on demand
+        if (rounds == 0 && sys.env.contains("SPARK_GRAFT_DUMP_ROUND"))
+          System.err.println("[round-plan kmeans_conv]\n" +
+            roundFrame.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
         val (next, nextRdd) = Dedup.materializeOwnedLazy(
-          nc.join(
-              broadcast(cur.select(col("cent_id"), col("d"),
-                col("c").as("c_prev"))),
-              Seq("cent_id", "d"))
-            .select(col("cent_id"), col("d"), col("c"),
-              abs(col("c") - col("c_prev")).as("dl")),
-          ckDir.isDefined)
+          roundFrame, ckDir.isDefined)
         delta = next.agg(sum("dl")).head().getLong(0)
         Dedup.retire(spark, curRdd)
         cur = next

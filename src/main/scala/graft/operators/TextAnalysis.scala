@@ -1914,58 +1914,77 @@ object TextAnalysis {
       val (db, dbRdd) = materialize(dsirBucketsFromToks(
         tokd.select(col("doc_id"), (col("lang") === "en").as("is_target"),
           col("toks"))))
-      val weights = db.join(broadcast(dsirModelOf(db)), "bucket")
-        .groupBy("doc_id")
-        .agg(((sum(col("cnt") * col("lr_fp")) / 1e6) / sum("cnt"))
-          .as("weight"))
-      val isEval = col("doc_id") % EvalMod === 0
-      // NARROW per-doc flag frame (r13, guide §2.3 "project before the
-      // exchange"): every downstream decision is a function of
-      // (doc_id, q, n_toks, h) — all row-local — yet the r12 shape ran
-      // the keep/contam/weight joins over the full (text, toks) rows,
-      // shuffling the corpus payload three times to move flags around.
-      // Compute the flags once in the scan projection and join thin.
-      val narrow = tokd.select(col("doc_id"),
-        ((length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
-          length(col("text")) < 0.1) &&
-          (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
-          size(whitespaceTokens(col("text"))).between(10, 500)).as("q"),
-        size(col("toks")).cast("long").as("n_toks"),
-        md5(col("text")).as("h"))
-      val keepSet = narrow.groupBy(col("h")).agg(min("doc_id").as("keep_doc"))
-      def evalGrams(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("g"))
-      val contaminated = evalGrams(tokd.filter(!isEval))
-        .join(broadcast(evalGrams(tokd.filter(isEval)).select("g").distinct()),
-          "g")
-        .select("doc_id").distinct()
-        .withColumn("contam", lit(true))
-      val flagged = narrow
-        .join(keepSet, Seq("h"))
-        .join(contaminated, Seq("doc_id"), "left")
-        .join(weights, Seq("doc_id"), "left")
-        .withColumn("keep", col("doc_id") === col("keep_doc"))
-        .withColumn("clean", !isEval && col("contam").isNull)
-        .withColumn("w", coalesce(col("weight"), lit(-1e9)))
-      val passed = filter(array(
-        lit("1_input"),
-        when(col("q"), "2_quality"),
-        when(col("q") && col("keep"), "3_dedup"),
-        when(col("q") && col("keep") && col("clean"), "4_decontam"),
-        when(col("q") && col("keep") && col("clean") &&
-          col("w") >= CurationMinWeight, "5_selected")),
-        s => s.isNotNull)
-      val (out, outRdd) = materialize(
-        flagged
-          .select(col("n_toks"), explode(passed).as("stage"))
-          .groupBy("stage")
-          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
-          .orderBy("stage"))
+      val (out, outRdd) = materialize(curationCensusFrom(tokd, db))
       Dedup.retire(spark, dbRdd)
       Dedup.retire(spark, tokdRdd)
       Dedup.retainResult(spark, "curationFunnel", outRdd, out)
     }
+  }
+
+  /** The batch funnel's census dataflow over the materialized
+    * (tokenize-once) frame and its DSIR buckets — shared by the
+    * registered query and the PLANS audit hook. */
+  private def curationCensusFrom(tokd: DataFrame, db: DataFrame): DataFrame = {
+    val weights = db.join(broadcast(dsirModelOf(db)), "bucket")
+      .groupBy("doc_id")
+      .agg(((sum(col("cnt") * col("lr_fp")) / 1e6) / sum("cnt"))
+        .as("weight"))
+    val isEval = col("doc_id") % EvalMod === 0
+    // NARROW per-doc flag frame (r13, guide §2.3 "project before the
+    // exchange"): every downstream decision is a function of
+    // (doc_id, q, n_toks, h) — all row-local — yet the r12 shape ran
+    // the keep/contam/weight joins over the full (text, toks) rows,
+    // shuffling the corpus payload three times to move flags around.
+    // Compute the flags once in the scan projection and join thin.
+    val narrow = tokd.select(col("doc_id"),
+      ((length(regexp_replace(col("text"), "[^\\p{Punct}]", "")) /
+        length(col("text")) < 0.1) &&
+        (stopHits(col("toks"), StopEn) / size(col("toks")) >= 0.05) &&
+        size(whitespaceTokens(col("text"))).between(10, 500)).as("q"),
+      size(col("toks")).cast("long").as("n_toks"),
+      md5(col("text")).as("h"))
+    val keepSet = narrow.groupBy(col("h")).agg(min("doc_id").as("keep_doc"))
+    def evalGrams(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("toks"), DecontamN))).as("g"))
+    val contaminated = evalGrams(tokd.filter(!isEval))
+      .join(broadcast(evalGrams(tokd.filter(isEval)).select("g").distinct()),
+        "g")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(true))
+    val flagged = narrow
+      .join(keepSet, Seq("h"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(weights, Seq("doc_id"), "left")
+      .withColumn("keep", col("doc_id") === col("keep_doc"))
+      .withColumn("clean", !isEval && col("contam").isNull)
+      .withColumn("w", coalesce(col("weight"), lit(-1e9)))
+    val passed = filter(array(
+      lit("1_input"),
+      when(col("q"), "2_quality"),
+      when(col("q") && col("keep"), "3_dedup"),
+      when(col("q") && col("keep") && col("clean"), "4_decontam"),
+      when(col("q") && col("keep") && col("clean") &&
+        col("w") >= CurationMinWeight, "5_selected")),
+      s => s.isNotNull)
+    flagged
+      .select(col("n_toks"), explode(passed).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("stage")
+  }
+
+  /** The live batch-funnel dataflow (un-materialized) — the PLANS.md /
+    * plans-artifact audit hook; the registered query returns the
+    * retained result. */
+  private[graft] def curationFunnelPlanOf(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val tokd = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("text"), toks(col("text")).as("toks"))
+    curationCensusFrom(tokd, dsirBucketsFromToks(
+      tokd.select(col("doc_id"), (col("lang") === "en").as("is_target"),
+        col("toks"))))
   }
 
   /** The PERSISTED corpus-hash index the incremental funnel's dedup
