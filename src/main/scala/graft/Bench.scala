@@ -70,7 +70,7 @@ object Bench {
     def buildEntries(dir: String, minhash: Boolean,
         ann: Boolean, bpe: Boolean, lr: Boolean,
         dpp: Boolean, media: Boolean, zblocks: Boolean,
-        frag: Boolean, hblocks: Boolean): Seq[(String, Double)] = {
+        frag: Boolean, hblocks: Boolean, bigram: Boolean): Seq[(String, Double)] = {
       import graft.operators.Dedup
       Dedup.clearMemos()
       def timed(label: String)(body: => Unit): (String, Double) = {
@@ -103,6 +103,13 @@ object Bench {
       (if (lr) Seq(
         timed("build:lr_model") {
           graft.operators.TextAnalysis.lrModelCached(spark, dir); () })
+       else Seq.empty) ++
+      (if (bigram) Seq(
+        // the per-domain bigram-LM census both doremi rows read (r14):
+        // charged here so q_mix_doremi / q_mix_doremi_draw measure the
+        // |domains|-sized tails, and the shared corpus pass is visible
+        timed("build:bigram_ll") {
+          graft.operators.TextAnalysis.bigramDomCached(spark, dir); () })
        else Seq.empty) ++
       (if (dpp) Seq(
         // the partitioned fact layout is a per-snapshot write-time
@@ -178,6 +185,9 @@ object Bench {
     // consumers of the memoized LR weight frame (lrModelCached call sites)
     val lrConsumers = Set("q_train_quality_lr", "q_train_quality_lr_apply",
       "q_train_quality_lr_calibration")
+    // consumers of the memoized per-domain bigram-LM census
+    // (TextAnalysis.bigramDomCached call sites)
+    val bigramConsumers = Set("q_mix_doremi", "q_mix_doremi_draw")
     // consumers of the on-disk partitioned DPP fact layout
     val dppConsumers = Set("q_join_dpp")
     // consumers of the on-disk z-prefix block layout
@@ -207,13 +217,14 @@ object Bench {
     val needZblockBuild = names.exists(zblockConsumers)
     val needFragBuild = names.exists(fragConsumers)
     val needHblockBuild = names.exists(hblockConsumers)
+    val needBigramBuild = names.exists(bigramConsumers)
     def builds(dir: String): Seq[(String, Double)] =
       if (needBuilds || needAnnBuild || needBpeBuild || needLrBuild ||
           needDppBuild || needMediaBuild || needZblockBuild ||
-          needFragBuild || needHblockBuild)
+          needFragBuild || needHblockBuild || needBigramBuild)
         buildEntries(dir, needBuilds, needAnnBuild, needBpeBuild, needLrBuild,
           needDppBuild, needMediaBuild, needZblockBuild,
-          needFragBuild, needHblockBuild)
+          needFragBuild, needHblockBuild, needBigramBuild)
       else Seq.empty
     builds(warmDir)
     names.foreach(run(_, warmDir)) // warmup pass, not measured
@@ -232,6 +243,7 @@ object Bench {
       (if (needAnnBuild) Seq("build:ann_train", "build:ann_encode") else Seq.empty) ++
       (if (needBpeBuild) Seq("build:bpe_merges") else Seq.empty) ++
       (if (needLrBuild) Seq("build:lr_model") else Seq.empty) ++
+      (if (needBigramBuild) Seq("build:bigram_ll") else Seq.empty) ++
       (if (needDppBuild) Seq("build:dpp_layout") else Seq.empty) ++
       (if (needFragBuild) Seq("build:frag_layout") else Seq.empty) ++
       (if (needHblockBuild) Seq("build:hilbert_blocks") else Seq.empty) ++

@@ -1617,7 +1617,9 @@ object Scale {
         "docs").getAbsolutePath
       Layout.writeFragmented(docs, root)
       val t0 = System.nanoTime()
-      val out = Layout.bloomRunOf(spark, root).collect()
+      // retention slot keyed by the replicated root: two factors' runs
+      // must not evict each other's retained cuts (ADVICE r13)
+      val out = Layout.bloomRunOf(spark, root, s"bloomRun#$root").collect()
       val t = (System.nanoTime() - t0) / 1e9
       val probes = out.length
       val cand = out.map(_.getLong(3)).sum

@@ -98,4 +98,16 @@ object TextFunctions {
       transform(sequence(lit(1), size(tokens) - (n - 1)),
         i => array_join(slice(tokens, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** The 16-byte MD5 digests of every word n-gram, fused: one codegen'd
+    * pass via [[graft.functions.expr.NgramMd5]] — digest-for-digest the
+    * `unhex` of `md5(wordNgrams(tokens, n))` element-wise (ScalaCheck-
+    * pinned), with no interpreted lambda, no per-gram joined string and
+    * no per-call digest instance. For gram-IDENTITY consumers only
+    * (groupBy/join keys): callers that emit or re-parse the gram text
+    * keep [[wordNgrams]]. */
+  def wordNgramMd5(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.expr.NgramMd5(
+        org.apache.spark.sql.GraftSqlBridge.expression(tokens), n))
 }

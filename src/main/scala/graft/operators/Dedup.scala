@@ -766,6 +766,19 @@ object Dedup {
     * Reliable mode persists the internal RDD before the materializing
     * count so the reliable checkpoint writes from cache instead of
     * recomputing the lineage (the same persist-first rule as above). */
+  /** r14 HONESTY NOTE: under AQE this Spark records
+    * `UnknownPartitioning` on the checkpoint's `LogicalRDD` whether the
+    * cut is eager or lazy (verified by round-plan dump, plans/r14), so
+    * the layout preservation this function's name promises does NOT
+    * reach the consumers — each loop job re-exchanges the static frame
+    * once (AQE ReuseExchange dedups the per-reference copies, so it is
+    * once per JOB, not once per reference). A declared-layout variant
+    * (explicit HashPartitioning stamped on the LogicalRDD) was built
+    * and measured in r14 and REJECTED: removing the exchange also
+    * removed its intra-job reuse point, and the static side's join
+    * recomputed per consumer (pagerank-conv exec 19.5→269 s). The
+    * keyed shape is kept for the non-AQE static-planning mode, where
+    * the preserved layout does apply. */
   private[graft] def materializeOwnedKeyed(df: DataFrame, reliable: Boolean)
       : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val (ds, rdd) = materializeOwnedKeyedLazy(df, reliable)

@@ -172,6 +172,18 @@ object Graph {
     * tested corpora (15 rounds at sf0.01). */
   val PrMaxRounds = 60
 
+  /** Damped steps per materialized job in [[pagerankConvergedRanks]]
+    * (r14): the loop is driver-latency bound at tested SFs, so each job
+    * batches this many steps and reads every step's delta from one
+    * aggregate. Semantics are depth-independent (the first converged
+    * step wins; overshoot past it wastes at most depth−1 steps of
+    * executor work). MEASURED at 2: a depth-4 probe (plans/r14
+    * probe_after5) ran SLOWER (12.6 vs 8.2 s best-pass, stages 133→138,
+    * exec 19.5→47.9 s) — the deeper nesting re-derives each mid-state's
+    * subtree per reference faster than the saved driver round-trips pay
+    * back, the same re-derivation wall the r13 kmeans unroll hit. */
+  val PrUnrollDepth = 2
+
   /** DELTA-STOPPED PageRank over the mutual-kNN graph — the production
     * loop [[PrIters]]'s doc promises, registered (`q_graph_pagerank_conv`).
     * Fixed-point integer state ([[PrPrec]]): per round, each node
@@ -212,6 +224,16 @@ object Graph {
     val spark = edges0.sparkSession
     val ckDir = Dedup.confCheckpointDir(spark)
     Dedup.withCheckpointDir(spark, ckDir) {
+      // NOTE (r14 audit): under AQE this Spark's localCheckpoint records
+      // UnknownPartitioning whatever the input layout, so this keyed cut
+      // does NOT survive to the round joins — each job re-exchanges the
+      // edge frame once (AQE ReuseExchange dedups the per-step copies).
+      // A declared-layout cut was built and measured (plans/r14,
+      // probe_after4): it removed those exchanges but LOST the
+      // exchange's intra-job reuse point — the scatter SMJ then
+      // recomputed per consumer (edges blocks re-read per step, exec
+      // 19.5→269 s) — so the exchange-per-job shape is kept
+      // deliberately.
       val (edges, edgesRdd) = Dedup.materializeOwnedKeyed(
         edges0.repartition(col("src")).sortWithinPartitions("src"),
         ckDir.isDefined)
@@ -229,78 +251,85 @@ object Graph {
         deg.select(col("src").as("node"), col("deg"), lit(base).as("r"))
           .repartition(col("node")),
         ckDir.isDefined)
-      // One damped step from an inbound (node, r-as-src, deg) frame.
-      def inflowOf(state: DataFrame) = edges.join(state, "src")
-        .groupBy(col("dst")).agg(sum(expr("r div deg")).as("inflow"))
-      def damped = lit(floorTerm) + expr("(17 * coalesce(inflow, 0L)) div 20")
+      // FUSED damped step (r14, VERDICT #3 — the loop was driver-stage
+      // bound: 170 stages for 29 exec-s): the r13 shape ran
+      // join→agg→join(→repartition) per step; now the state's own rows
+      // UNION into the scatter stream (contribution 0, carrying deg and
+      // r_prev) so ONE aggregate both gathers the inflow and carries the
+      // state — no join-back, and the aggregate's hash(node) output IS
+      // the keyed-cut partitioning, so the explicit repartition root is
+      // gone too (2 exchanges per step → 1, the algorithm's gather).
+      // Semantics are exact: inflow = Σ contributions + 0 (never null —
+      // the old coalesce's no-inflow case is the self row), deg/r_prev
+      // come from the single state row per node via max over one
+      // non-null, and all arithmetic stays BIGINT fixed-point.
+      def damped = lit(floorTerm) + expr("(17 * inflow) div 20")
+      // The k-th unrolled fused step: input carries the current rank as
+      // `r` plus every earlier step's (rI, dlI) columns; the self rows
+      // ride them through the aggregate, so the whole unrolled batch
+      // needs NO join anywhere. Each step's agg-exchange subtree is
+      // referenced twice by the next level (scatter + self) — AQE's
+      // ReuseExchange dedups the shuffle, so the edges join per step
+      // still executes once.
+      def stepCarry(state: DataFrame, k: Int): DataFrame = {
+        val carried = (1 until k).flatMap(i => Seq(s"r$i", s"dl$i"))
+        val scatter = edges.join(
+            state.select(col("node").as("src"), col("r"), col("deg")), "src")
+          .select(Seq(col("dst").as("node"), expr("r div deg").as("c"),
+            lit(null).cast("long").as("deg0"),
+            lit(null).cast("long").as("r_prev")) ++
+            carried.map(c0 => lit(null).cast("long").as(c0)): _*)
+        val self = state.select(Seq(col("node"), lit(0L).as("c"),
+            col("deg").as("deg0"), col("r").as("r_prev")) ++
+            carried.map(col): _*)
+        scatter.unionByName(self)
+          .groupBy("node")
+          .agg(sum("c").as("inflow"),
+            Seq(max("deg0").as("deg"), max("r_prev").as("r_prev")) ++
+              carried.map(c0 => max(col(c0)).as(c0)): _*)
+          .select(Seq(col("node"), col("deg")) ++ carried.map(col) ++
+            Seq(damped.as(s"r$k"), damped.as("r"),
+              abs(damped - col("r_prev")).as(s"dl$k")): _*)
+      }
       var rounds = 0
       var delta = Long.MaxValue
-      // TWO-ROUND UNROLL (r13): the loop's wall at tested SFs is driver
-      // latency per materialized round (probe: 21 s wall on 47
-      // executor-seconds, 224 stages, zero spill — ~8 query stages ×
-      // 26 rounds of sub-second work), so each job now computes two
-      // damped steps and ONE aggregate returns both L1 deltas. Stop
-      // semantics are replicated exactly: if the first step already
-      // converged the second step's columns are DISCARDED (its compute
-      // is the one wasted half-round) and the state/round count land
-      // exactly where the one-step loop would have — the stop round
-      // still rides the hash match. The cap branch runs single steps so
-      // PrMaxRounds binds at the identical round. All BIGINT
-      // fixed-point; layout and evaluation order cannot perturb values.
+      // FOUR-ROUND UNROLL (r14, deepened from r13's two — the loop's
+      // wall at tested SFs is driver latency per materialized job, not
+      // executor work): each job computes up to [[PrUnrollDepth]]
+      // damped steps and ONE aggregate returns every step's L1 delta.
+      // Stop semantics are replicated exactly: the state and round
+      // count land at the FIRST step whose delta drops under the
+      // tolerance (later steps' columns are discarded — their compute
+      // is the bounded overshoot), and the batch never extends past
+      // PrMaxRounds, so the cap binds at the identical round. All
+      // BIGINT fixed-point; layout and evaluation order cannot perturb
+      // values.
       while (delta >= PrTol && rounds < PrMaxRounds) {
-        if (rounds + 1 >= PrMaxRounds) {
-          // last permitted round: one step, the original body
-          val inflow = inflowOf(
-            cur.select(col("node").as("src"), col("r"), col("deg")))
-          val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
-            cur.select(col("node"), col("deg"), col("r").as("r_prev"))
-              .join(inflow, col("node") === col("dst"), "left")
-              .select(col("node"), col("deg"), damped.as("r"),
-                abs(damped - col("r_prev")).as("dl"))
-              .repartition(col("node")),
-            ckDir.isDefined)
-          delta = next.agg(sum("dl")).head().getLong(0)
-          Dedup.retire(spark, curRdd)
-          cur = next.select("node", "deg", "r")
-          curRdd = nextRdd
-          rounds += 1
-        } else {
-          val inflow1 = inflowOf(
-            cur.select(col("node").as("src"), col("r"), col("deg")))
-          val mid = cur.select(col("node"), col("deg"), col("r").as("r_prev"))
-            .join(inflow1, col("node") === col("dst"), "left")
-            .select(col("node"), col("deg"), damped.as("r1"),
-              abs(damped - col("r_prev")).as("dl1"))
-          val inflow2 = inflowOf(
-            mid.select(col("node").as("src"), col("r1").as("r"), col("deg")))
-          val roundFrame = mid.join(inflow2, col("node") === col("dst"), "left")
-            .select(col("node"), col("deg"), col("r1"), col("dl1"),
-              damped.as("r2"),
-              abs(damped - col("r1")).as("dl2"))
-            .repartition(col("node"))
-          // plans/<round> audit hook: a loop query's registered frame is
-          // the retained result (an ExistingRDD scan), so the auditable
-          // plan is ONE round's dataflow — dumped pre-cut on demand
-          if (rounds == 0 && sys.env.contains("SPARK_GRAFT_DUMP_ROUND"))
-            System.err.println("[round-plan pagerank_conv]\n" +
-              roundFrame.queryExecution.explainString(
-                org.apache.spark.sql.execution.FormattedMode))
-          val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
-            roundFrame, ckDir.isDefined)
-          val row = next.agg(sum("dl1").as("d1"), sum("dl2").as("d2")).head()
-          val (d1, d2) = (row.getLong(0), row.getLong(1))
-          Dedup.retire(spark, curRdd)
-          if (d1 < PrTol) {
-            cur = next.select(col("node"), col("deg"), col("r1").as("r"))
-            delta = d1
-            rounds += 1
-          } else {
-            cur = next.select(col("node"), col("deg"), col("r2").as("r"))
-            delta = d2
-            rounds += 2
-          }
-          curRdd = nextRdd
+        val depth = math.min(PrUnrollDepth, PrMaxRounds - rounds)
+        val roundFrame = (1 to depth).foldLeft(cur)(stepCarry).drop("r")
+        // plans/<round> audit hook: a loop query's registered frame is
+        // the retained result (an ExistingRDD scan), so the auditable
+        // plan is ONE unrolled batch's dataflow — dumped pre-cut on
+        // demand
+        if (rounds == 0 && sys.env.contains("SPARK_GRAFT_DUMP_ROUND"))
+          System.err.println("[round-plan pagerank_conv]\n" +
+            roundFrame.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+        val (next, nextRdd) = Dedup.materializeOwnedKeyedLazy(
+          roundFrame, ckDir.isDefined)
+        val row = next.agg(
+          sum(s"dl1").as("d1"),
+          (2 to depth).map(k => sum(s"dl$k").as(s"d$k")): _*).head()
+        val ds = (1 to depth).map(k => row.getLong(k - 1))
+        Dedup.retire(spark, curRdd)
+        val stopK = ds.indexWhere(_ < PrTol) match {
+          case -1 => depth
+          case i  => i + 1
         }
+        cur = next.select(col("node"), col("deg"), col(s"r$stopK").as("r"))
+        delta = ds(stopK - 1)
+        rounds += stopK
+        curRdd = nextRdd
       }
       Dedup.retire(spark, edgesRdd)
       Dedup.retainResult(spark, retainKey, curRdd,
@@ -402,44 +431,48 @@ object Graph {
       // partitioning, so every round re-exchanged AND re-sorted the
       // |E|-row frame; r12 listener evidence: 3× edge exchanges and
       // ~2.4 GB/round of shuffle at 10× sf0.1 for a frame that never
-      // changes). With hash(src) + in-partition src order preserved,
-      // each round's scatter join exchanges only the |V|-row rank
-      // frame, restoring the documented one-edge-sized-shuffle-per-
-      // iteration cost (the remaining one is the gather's groupBy(dst),
-      // which is the algorithm). The degree aggregate below rides the
-      // same layout for free.
+      // changes). r14 audit: under AQE the cut records
+      // UnknownPartitioning regardless, so one edges exchange per
+      // iteration remains (ReuseExchange dedups the per-reference
+      // copies); the measured declared-layout alternative traded it for
+      // per-consumer recompute and lost — see pagerankConvergedRanks.
       val (edges, edgesRdd) = Dedup.materializeOwnedKeyed(
         edges0.repartition(col("src")).sortWithinPartitions("src"),
         ckDir.isDefined)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val n = deg.agg(count(lit(1)).cast("double").as("n"))
-      // KEYED round state (r13, the same cut-discipline as the conv
-      // loop): each round's output is cut behind an explicit
-      // repartition(node) so static planning keeps the scatter and damp
-      // joins exchange-free. Under AQE this is plan-neutral at sf0.1
-      // (32 stages / 111 MB shuffle unchanged — the coalesced cut
-      // partitioning never matches the consumers'); kept because it is
-      // free there and removes the per-round state re-exchanges in the
-      // static-planning (cluster loop) mode.
+      // KEYED init (r13): the cut hands the loop a state frame already
+      // partitioned by `node`.
       val (init, initRdd) = Dedup.materializeOwnedKeyed(
         deg.crossJoin(broadcast(n))
           .select(col("src").as("node"), col("deg"), col("n"),
             (lit(1.0) / col("n")).as("r"))
           .repartition(col("node")), ckDir.isDefined)
+      // FUSED damped step (r14, the conv loop's shape applied to the
+      // fixed-iteration arm): the state's own rows union into the
+      // scatter stream with contribution 0.0, so one aggregate gathers
+      // the inflow AND carries (deg, n) — the r13 join-back and its
+      // repartition root are gone (2 exchanges per step → 1). Values
+      // are bit-identical: adding 0.0 terms to a double sum is exact
+      // (x + 0.0 == x for every finite x), and the no-inflow case the
+      // old coalesce handled is exactly the self row's 0.0.
       val (result, resultRdd) = (1 to PrIters)
           .foldLeft[(DataFrame, org.apache.spark.rdd.RDD[_])]((init, initRdd)) { case ((cur, curRdd), _) =>
-        val inflow = edges
+        val scatter = edges
           .join(cur.select(col("node").as("src"), col("r"), col("deg")), "src")
-          .groupBy(col("dst")).agg(sum(col("r") / col("deg")).as("inflow"))
-        // left join: symmetric edges mean every node HAS inflow, but the
-        // general damped step keeps the (1-d)/N floor explicit
+          .select(col("dst").as("node"), (col("r") / col("deg")).as("c"),
+            lit(null).cast("long").as("deg0"),
+            lit(null).cast("double").as("n0"))
+        val self = cur.select(col("node"), lit(0.0).as("c"),
+          col("deg").as("deg0"), col("n").as("n0"))
         val (next, nextRdd) = Dedup.materializeOwnedKeyed(
-          cur.select(col("node"), col("deg"), col("n"))
-            .join(inflow, col("node") === col("dst"), "left")
+          scatter.unionByName(self)
+            .groupBy("node")
+            .agg(sum("c").as("inflow"), max("deg0").as("deg"),
+              max("n0").as("n"))
             .select(col("node"), col("deg"), col("n"),
               (lit(1 - Damping) / col("n") +
-                lit(Damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
-            .repartition(col("node")),
+                lit(Damping) * col("inflow")).as("r")),
           ckDir.isDefined)
         Dedup.retire(spark, curRdd)
         (next, nextRdd)

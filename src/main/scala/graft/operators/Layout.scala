@@ -622,9 +622,13 @@ object Layout {
 
   /** The index-build + pruned-serve kernel over any fragmented layout
     * root (the Scale harness runs it on replicated corpora at scratch
-    * paths). */
+    * paths). `retainKey` has NO default (ADVICE r13): every caller must
+    * name its own retention slot — a shared default silently made any
+    * two concurrent or frame-holding runs evict each other's retained
+    * probe/survivor cuts (latest-wins), the documented race the
+    * per-caller-key invariant exists to prevent. */
   private[graft] def bloomRunOf(spark: SparkSession, root: String,
-      retainKey: String = "bloomRun"): DataFrame =
+      retainKey: String): DataFrame =
     bloomRunOf(spark, Seq(root), retainKey)
 
   /** Multi-root form: the layout is a MANIFEST of roots (base snapshot

